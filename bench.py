@@ -1,0 +1,82 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver-side collect bottleneck) — the number measures the engine, not
+result serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from metas_judiciarias_etl_spark import registry  # noqa: E402
+from metas_judiciarias_etl_spark.session import build_session  # noqa: E402
+
+# Headline set: the reference's central shapes (grouped sums, guarded
+# ratios, dim-lookup join, union-by-name, top-k) + the heavy extension
+# operators (joins, windows, dedup) — the mix a 100 TB run would care about.
+HEADLINE = [
+    "q1_pricing_summary",
+    "a4_guarded_ratio_kernel",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "j1_dim_lookup_fallback",
+    "u1_union_by_name",
+    "w1_topk_sort",
+    "distinct_agg",
+    "window_running_total",
+    "window_argmax_per_group",
+    "stream_session_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry.load_all()
+    spark = build_session(app_name="metas-etl-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # plan, not first-run JIT.
+    force(registry.QUERIES["q1_pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

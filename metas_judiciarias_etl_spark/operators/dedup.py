@@ -1,0 +1,295 @@
+"""Deduplication operators for training-data pipelines, over ``documents``.
+
+Four families, each designed for the 100 TB path first and verified against
+a DuckDB oracle built from the *same* hash/shingle constants
+(functions/hashing.py):
+
+* exact       — content-hash groupBy. One shuffle on a 128-bit key; at scale
+                the winning strategy for byte-identical dups.
+* MinHash+LSH — shingle → k minhashes → band → bucket-join. Candidate
+                generation is a self-join on (band, signature): only
+                colliding docs meet, never all-pairs. The verify step
+                computes exact shingle Jaccard on candidates only.
+* SimHash     — 16-bit fingerprint from per-token 48-bit hashes; near-dups
+                collide on equal fingerprints (hamming-0 buckets).
+* n-gram Jaccard — the exact verifier exposed standalone (LSH-candidates →
+                pair Jaccard), i.e. the scale-safe form of all-pairs Jaccard.
+
+No UDFs anywhere: everything is higher-order array functions + hash agg +
+shuffle joins, so whole-stage codegen applies and skew is AQE's problem.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    SQL_TOKENS,
+    band_keys,
+    hash48,
+    minhash_signature,
+    sql_hash48,
+    sql_minhash,
+    sql_word_shingles,
+    tokens,
+    word_shingles,
+)
+from ..registry import query
+from ..sources.parquet import load_table
+
+NUM_HASHES = 9
+BANDS = 3
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+
+_SQL_TOKS = SQL_TOKENS.format(expr="text")
+_SQL_SHINGLES = f"list_distinct({sql_word_shingles('toks', SHINGLE_K)})"
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text); keeper = min doc_id.
+
+    One shuffle keyed by the content hash — uniform by construction, so no
+    skew even at 100 TB (identical docs colliding on one key IS the job)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_K)).alias(
+            "shingles"
+        ),
+    )
+
+
+def _minhash_docs(docs: DataFrame) -> DataFrame:
+    return _doc_shingles(docs).select(
+        "doc_id", "shingles", *minhash_signature(F.col("shingles"), NUM_HASHES)
+    )
+
+
+def _lsh_candidates(mh: DataFrame) -> DataFrame:
+    """Band the signatures and self-join per band: docs sharing any full band
+    become candidate pairs. The join key (band_idx, band_sig) is what makes
+    this scale — candidates meet in a bucket, not in an all-pairs product."""
+    bands = [
+        mh.select(
+            "doc_id",
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_sig"),
+        )
+        for b, cols in band_keys(NUM_HASHES, BANDS)
+    ]
+    banded = reduce(DataFrame.unionByName, bands)
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+
+
+def _pair_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
+    a = shingled.select(
+        F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh")
+    )
+    b = shingled.select(
+        F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh")
+    )
+    return (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.size(F.array_intersect("a_sh", "b_sh"))
+                / F.size(F.array_union("a_sh", "b_sh"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _minhash_oracle_ctes() -> str:
+    mh_cols = ",\n               ".join(
+        f"{sql_minhash('shingles', s)} AS mh{s}" for s in range(NUM_HASHES)
+    )
+    band_rows = "\n        UNION ALL BY NAME\n".join(
+        f"        SELECT doc_id, {b} AS band_idx, "
+        f"md5({' || chr(124) || '.join(cols)}) AS band_sig FROM mh"
+        for b, cols in band_keys(NUM_HASHES, BANDS)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct({sql_word_shingles(_SQL_TOKS, SHINGLE_K)}) AS shingles
+        FROM documents
+    ), mh AS (
+        SELECT doc_id, shingles,
+               {mh_cols}
+        FROM sh
+    ), banded AS (
+{band_rows}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    )
+    """
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle_ctes()
+    + f"""
+    SELECT c.a_id, c.b_id,
+           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.a_id
+    JOIN sh sb ON sb.doc_id = c.b_id
+    WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+          / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: shingle → 9 md5-minhashes → 3 bands →
+    bucket-join candidates → exact shingle-Jaccard verify ≥ 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    mh = _minhash_docs(docs)
+    pairs = _lsh_candidates(mh)
+    shingled = mh.select("doc_id", "shingles")
+    return (
+        _pair_jaccard(pairs, shingled)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 16-bit fingerprint, generated from per-token 48-bit hashes.
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 16
+
+
+def _bit_merge(b: int):
+    # Closure factory (not a default-arg lambda) — see hashing._seeded_md5.
+    def merge(acc: "F.Column", h: "F.Column") -> "F.Column":
+        return acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    return merge
+
+
+def _simhash_expr(toks: "F.Column") -> "F.Column":
+    """Hash each distinct token once, sum ±1 per bit, pack sign bits."""
+    hashes = F.transform(toks, hash48)
+    bit_sums = [
+        F.aggregate(hashes, F.lit(0).cast("long"), _bit_merge(b))
+        for b in range(SIMHASH_BITS)
+    ]
+    return reduce(
+        lambda a, b: a + b,
+        [
+            F.when(bit_sums[b] > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(SIMHASH_BITS)
+        ],
+    ).cast("long")
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ", ".join(
+        f"list_sum(list_transform(hs, __h -> ((__h >> {b}) & 1) * 2 - 1)) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, list_distinct({_SQL_TOKS}) AS toks FROM documents
+    ), hs AS (
+        SELECT doc_id, list_transform(toks, __t -> {sql_hash48("__t")}) AS hs FROM tk
+    ), bits AS (
+        SELECT doc_id, {bit_sums} FROM hs
+    ), fp AS (
+        SELECT doc_id, CAST({packed} AS BIGINT) AS simhash16 FROM bits
+    )
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle() + "SELECT doc_id, simhash16 FROM fp")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints: near-dup docs land on equal (or hamming-close)
+    fingerprints; equal-fingerprint grouping is then a plain hash shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens(F.col("text")))
+    return docs.select(
+        "doc_id", _simhash_expr(toks).alias("simhash16")
+    )
+
+
+@query(
+    "dedup_simhash_buckets",
+    oracle=_simhash_oracle()
+    + """
+    SELECT simhash16, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+    FROM fp GROUP BY simhash16
+    """,
+)
+def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-simhash collision groups (the dedup 'bucket' view)."""
+    df = dedup_simhash(spark, sf_dir)
+    return df.groupBy("simhash16").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_minhash_oracle_ctes()
+    + """
+    SELECT c.a_id, c.b_id,
+           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.a_id
+    JOIN sh sb ON sb.doc_id = c.b_id
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-token shingle) Jaccard over LSH candidate pairs —
+    the scale-safe form of all-pairs Jaccard (candidates via banding, never
+    a cross join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mh = _minhash_docs(docs)
+    pairs = _lsh_candidates(mh)
+    return _pair_jaccard(pairs, mh.select("doc_id", "shingles")).select(
+        "a_id", "b_id", F.round("jaccard", 6).alias("jaccard")
+    )

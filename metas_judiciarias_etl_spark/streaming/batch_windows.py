@@ -1,0 +1,131 @@
+"""Event-time windowing (SURVEY §2.8 planned extension) — batch-checkable
+forms with DuckDB oracles.
+
+``events.ts`` is read as int64 *nanoseconds* (see sources/parquet.py), so
+every window boundary is pure integer arithmetic — identical in any session
+timezone and trivially verifiable in SQL. The streaming variants (true
+``window()``/``session_window()``/``withWatermark`` over readStream) live in
+``streaming/windows.py``; these batch forms compute the same frames.
+
+Scale note: tumbling/sliding aggregation is one hash-agg shuffle on
+(bucket, key); session windows need a per-user sort — expressed as a window
+function so Spark partitions by user_id (high cardinality → even spread).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.parquet import load_table
+
+_NS = 1_000_000_000
+
+
+def _bucket_start_s(ts_col, width_s: int):
+    return (ts_col / F.lit(width_s * _NS)).cast("long") * width_s
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS window_start_s,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window per event_type (batch form of
+    ``groupBy(window(ts, '1 hour'), ...)``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("window_start_s", _bucket_start_s(F.col("ts"), 3600))
+        .groupBy("window_start_s", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS b, value
+        FROM events
+    ), expanded AS (
+        SELECT unnest([b, b - 1800]) AS window_start_s, value FROM base
+    )
+    SELECT window_start_s, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM expanded
+    GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 min: each event lands in exactly two
+    windows (batch form of ``window(ts, '1 hour', '30 minutes')``)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = _bucket_start_s(F.col("ts"), 1800)
+    return (
+        ev.withColumn("window_start_s", F.explode(F.array(b, b - 1800)))
+        .groupBy("window_start_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 600 OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, epoch(ts))
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           CAST(floor(min(epoch(ts))) AS BIGINT) AS session_start_s,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute-gap session windows per user (batch gaps-and-islands form of
+    ``session_window(ts, '10 minutes')``). Sessionization partitions by
+    user_id — high cardinality, so it spreads evenly at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_ns = 600 * _NS
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts") - F.lag("ts").over(w)) > gap_ns),
+            1,
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        (F.min("ts") / _NS).cast("long").alias("session_start_s"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -1,0 +1,41 @@
+"""Drive every registered query against its DuckDB oracle at the small SF —
+a local mirror of the driver's CORRECTNESS gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from metas_judiciarias_etl_spark import registry
+from tests.oracle_harness import compare, duckdb_con
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def con(sf_oracle):
+    c = duckdb_con(sf_oracle)
+    yield c
+    c.close()
+
+
+def all_query_names():
+    registry.load_all()
+    return sorted(registry.QUERIES)
+
+
+@pytest.mark.parametrize("name", all_query_names())
+def test_query_parity(name, spark, sf_oracle, con):
+    fn = registry.QUERIES[name]
+    df = fn(spark, sf_oracle)
+    if name not in registry.ORACLES:
+        # rows-only check (non-SQL-expressible op): must run and be stable.
+        n = df.count()
+        assert n >= 0
+        return
+    problems = compare(name, df, registry.ORACLES[name], con)
+    assert not problems, "\n".join(problems)
+
+
+def test_every_oracle_has_query():
+    for name in registry.ORACLES:
+        assert name in registry.QUERIES

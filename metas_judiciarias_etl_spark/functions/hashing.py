@@ -65,33 +65,37 @@ def sql_word_shingles(toks_expr: str, k: int = 3) -> str:
     )
 
 
-def _seeded_md5(seed: int):
-    # NB: a plain `lambda x, s=seed:` would be seen by PySpark's HOF binding
-    # as a TWO-argument lambda and `s` would silently become the array index
-    # column — a closure factory keeps the arity at 1.
-    def fn(x: Column) -> Column:
-        return F.md5(F.concat(F.lit(f"{seed}|"), x))
+# MinHash permutation family: one 48-bit content hash per shingle, then k
+# cheap affine permutations h_i = (a_i * (h mod P) + b_i) mod P over the
+# Mersenne prime P = 2^31 - 1. One md5 per shingle total (vs one per
+# shingle per seed), and every product stays < 2^62 — exact in int64 on
+# both engines. Constants are derived, not random, so the SQL oracle twin
+# is built from the very same numbers.
+MINHASH_P = 2_147_483_647  # 2^31 - 1
 
-    return fn
-
-
-def minhash_signature(shingles: Column, num_hashes: int) -> list[Column]:
-    """MinHash over md5-permutations: for seed s, min(md5('s|' || shingle)).
-
-    The min of md5 hex strings under lexicographic order is a valid minhash
-    (md5 acts as the random permutation); string min is engine-portable.
-    """
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     return [
-        F.array_min(F.transform(shingles, _seeded_md5(s))).alias(f"mh{s}")
+        ((1_000_003 * (s + 1)) % MINHASH_P, (998_244_353 * (s + 7)) % MINHASH_P)
         for s in range(num_hashes)
     ]
 
 
-def sql_minhash(shingles_expr: str, seed: int) -> str:
-    return (
-        f"list_min(list_transform({shingles_expr}, "
-        f"__sh -> md5('{seed}|' || __sh)))"
-    )
+def affine_min_aggs(h_col: str, num_hashes: int) -> list[Column]:
+    """min((a_i*h + b_i) mod P) aggregate columns over a pre-reduced
+    ``h = hash48(shingle) % P`` column (explode→groupBy shape: one shuffle,
+    map-side partial min — the 100 TB-safe form of MinHash)."""
+    h = F.col(h_col)
+    return [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+
+
+def sql_affine_min_aggs(h_expr: str, num_hashes: int) -> list[str]:
+    return [
+        f"min(({a} * {h_expr} + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
 
 
 def band_keys(num_hashes: int, bands: int) -> list[tuple[int, list[str]]]:

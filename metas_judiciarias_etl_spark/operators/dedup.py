@@ -15,24 +15,31 @@ a DuckDB oracle built from the *same* hash/shingle constants
 * n-gram Jaccard — the exact verifier exposed standalone (LSH-candidates →
                 pair Jaccard), i.e. the scale-safe form of all-pairs Jaccard.
 
-No UDFs anywhere: everything is higher-order array functions + hash agg +
-shuffle joins, so whole-stage codegen applies and skew is AQE's problem.
+Physical shape (deliberate): signatures are computed via explode→groupBy —
+one md5 per shingle, cheap affine permutations, map-side partial MIN, one
+shuffle keyed by doc_id — instead of nested higher-order functions. The HOF
+form re-expands the whole hash expression tree into every band branch and
+join side (Catalyst CollapseProject), which blew compile time up ~100x.
+The signature table is persisted before the self-join, exactly as a real
+pipeline would checkpoint it; at 100 TB it becomes a materialized table.
+
+No UDFs anywhere: hash agg + shuffle joins, whole-stage codegen throughout.
 """
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from ..functions.hashing import (
+    MINHASH_P,
     SQL_TOKENS,
+    affine_min_aggs,
     band_keys,
     hash48,
-    minhash_signature,
+    sql_affine_min_aggs,
     sql_hash48,
-    sql_minhash,
     sql_word_shingles,
     tokens,
     word_shingles,
@@ -46,7 +53,7 @@ SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.5
 
 _SQL_TOKS = SQL_TOKENS.format(expr="text")
-_SQL_SHINGLES = f"list_distinct({sql_word_shingles('toks', SHINGLE_K)})"
+_SQL_SHINGLES = f"list_distinct({sql_word_shingles(_SQL_TOKS, SHINGLE_K)})"
 
 
 @query(
@@ -72,33 +79,43 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles array) — persisted: reused by the signature build
+    and by both sides of the Jaccard verify join."""
     return docs.select(
         "doc_id",
         F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_K)).alias(
             "shingles"
         ),
-    )
+    ).persist()
 
 
-def _minhash_docs(docs: DataFrame) -> DataFrame:
-    return _doc_shingles(docs).select(
-        "doc_id", "shingles", *minhash_signature(F.col("shingles"), NUM_HASHES)
+def _signatures(shingled: DataFrame) -> DataFrame:
+    """MinHash signature table: explode shingles → one hash48 per shingle →
+    9 affine-permutation MINs in a single groupBy(doc_id). Persisted — the
+    LSH band self-join reads it twice."""
+    h = (
+        shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+        .select("doc_id", (hash48(F.col("shingle")) % MINHASH_P).alias("h"))
     )
+    return h.groupBy("doc_id").agg(*affine_min_aggs("h", NUM_HASHES)).persist()
 
 
 def _lsh_candidates(mh: DataFrame) -> DataFrame:
     """Band the signatures and self-join per band: docs sharing any full band
     become candidate pairs. The join key (band_idx, band_sig) is what makes
     this scale — candidates meet in a bucket, not in an all-pairs product."""
-    bands = [
-        mh.select(
-            "doc_id",
-            F.lit(b).alias("band_idx"),
-            F.md5(F.concat_ws("|", *cols)).alias("band_sig"),
-        )
-        for b, cols in band_keys(NUM_HASHES, BANDS)
-    ]
-    banded = reduce(DataFrame.unionByName, bands)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws("|", *cols).alias("band_sig"),
+            )
+            for b, cols in band_keys(NUM_HASHES, BANDS)
+        ]
+    )
+    banded = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "bs.band_idx", "bs.band_sig"
+    )
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -108,20 +125,14 @@ def _lsh_candidates(mh: DataFrame) -> DataFrame:
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
 
 
 def _pair_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
-    a = shingled.select(
-        F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh")
-    )
-    b = shingled.select(
-        F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh")
-    )
+    a = shingled.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
+    b = shingled.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
     return (
         pairs.join(a, "a_id")
         .join(b, "b_id")
@@ -137,23 +148,26 @@ def _pair_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
 
 
 def _minhash_oracle_ctes() -> str:
-    mh_cols = ",\n               ".join(
-        f"{sql_minhash('shingles', s)} AS mh{s}" for s in range(NUM_HASHES)
-    )
+    """Oracle CTE chain mirroring the Spark pipeline stage for stage:
+    shingle → unnest → hash48 mod P → grouped affine MINs → bands → cand."""
+    mh_aggs = ",\n               ".join(sql_affine_min_aggs("h", NUM_HASHES))
     band_rows = "\n        UNION ALL BY NAME\n".join(
         f"        SELECT doc_id, {b} AS band_idx, "
-        f"md5({' || chr(124) || '.join(cols)}) AS band_sig FROM mh"
+        f"{' || chr(124) || '.join(cols)} AS band_sig FROM mh"
         for b, cols in band_keys(NUM_HASHES, BANDS)
     )
     return f"""
     WITH sh AS (
-        SELECT doc_id,
-               list_distinct({sql_word_shingles(_SQL_TOKS, SHINGLE_K)}) AS shingles
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles
         FROM documents
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), hv AS (
+        SELECT doc_id, {sql_hash48("shingle")} % {MINHASH_P} AS h FROM ex
     ), mh AS (
-        SELECT doc_id, shingles,
-               {mh_cols}
-        FROM sh
+        SELECT doc_id,
+               {mh_aggs}
+        FROM hv GROUP BY doc_id
     ), banded AS (
 {band_rows}
     ), cand AS (
@@ -180,12 +194,11 @@ def _minhash_oracle_ctes() -> str:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs: shingle → 9 md5-minhashes → 3 bands →
+    """MinHash-LSH near-dup pairs: shingle → 9 affine minhashes → 3 bands →
     bucket-join candidates → exact shingle-Jaccard verify ≥ 0.5."""
     docs = load_table(spark, sf_dir, "documents")
-    mh = _minhash_docs(docs)
-    pairs = _lsh_candidates(mh)
-    shingled = mh.select("doc_id", "shingles")
+    shingled = _doc_shingles(docs)
+    pairs = _lsh_candidates(_signatures(shingled))
     return (
         _pair_jaccard(pairs, shingled)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -195,49 +208,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # SimHash: 16-bit fingerprint, generated from per-token 48-bit hashes.
+# Physical shape: explode tokens → hash once per token → 16 conditional SUMs
+# in one groupBy(doc_id) — one md5 per token, one shuffle, map-side combine.
 # ---------------------------------------------------------------------------
 SIMHASH_BITS = 16
 
 
-def _bit_merge(b: int):
-    # Closure factory (not a default-arg lambda) — see hashing._seeded_md5.
-    def merge(acc: "F.Column", h: "F.Column") -> "F.Column":
-        return acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    return merge
-
-
-def _simhash_expr(toks: "F.Column") -> "F.Column":
-    """Hash each distinct token once, sum ±1 per bit, pack sign bits."""
-    hashes = F.transform(toks, hash48)
+def _simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    hv = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    ).select("doc_id", hash48(F.col("tok")).alias("h"))
     bit_sums = [
-        F.aggregate(hashes, F.lit(0).cast("long"), _bit_merge(b))
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
-    return reduce(
-        lambda a, b: a + b,
-        [
-            F.when(bit_sums[b] > 0, F.lit(1 << b)).otherwise(F.lit(0))
-            for b in range(SIMHASH_BITS)
-        ],
-    ).cast("long")
+    sums = hv.groupBy("doc_id").agg(*bit_sums)
+    packed = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return sums.select("doc_id", packed.cast("long").alias("simhash16"))
 
 
 def _simhash_oracle() -> str:
     bit_sums = ", ".join(
-        f"list_sum(list_transform(hs, __h -> ((__h >> {b}) & 1) * 2 - 1)) AS s{b}"
-        for b in range(SIMHASH_BITS)
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(SIMHASH_BITS)
     )
     packed = " + ".join(
         f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
     )
     return f"""
     WITH tk AS (
-        SELECT doc_id, list_distinct({_SQL_TOKS}) AS toks FROM documents
-    ), hs AS (
-        SELECT doc_id, list_transform(toks, __t -> {sql_hash48("__t")}) AS hs FROM tk
+        SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS tok FROM documents
+    ), hv AS (
+        SELECT doc_id, {sql_hash48("tok")} AS h FROM tk
     ), bits AS (
-        SELECT doc_id, {bit_sums} FROM hs
+        SELECT doc_id, {bit_sums} FROM hv GROUP BY doc_id
     ), fp AS (
         SELECT doc_id, CAST({packed} AS BIGINT) AS simhash16 FROM bits
     )
@@ -249,10 +255,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints: near-dup docs land on equal (or hamming-close)
     fingerprints; equal-fingerprint grouping is then a plain hash shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.array_distinct(tokens(F.col("text")))
-    return docs.select(
-        "doc_id", _simhash_expr(toks).alias("simhash16")
-    )
+    return _simhash_fingerprints(docs)
 
 
 @query(
@@ -288,8 +291,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale-safe form of all-pairs Jaccard (candidates via banding, never
     a cross join)."""
     docs = load_table(spark, sf_dir, "documents")
-    mh = _minhash_docs(docs)
-    pairs = _lsh_candidates(mh)
-    return _pair_jaccard(pairs, mh.select("doc_id", "shingles")).select(
+    shingled = _doc_shingles(docs)
+    pairs = _lsh_candidates(_signatures(shingled))
+    return _pair_jaccard(pairs, shingled).select(
         "a_id", "b_id", F.round("jaccard", 6).alias("jaccard")
     )

@@ -1,0 +1,270 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Three operators, all pure Catalyst expressions (higher-order array
+functions — no UDFs, no MLlib dependency, oracle-checkable in DuckDB):
+
+* brute-force cosine top-k — broadcast the query set against every vector;
+  the correctness baseline and, at 100 TB, still the right tool for small
+  query batches (one scan, no index build).
+* LSH-bucketed top-k — sign-random-projection buckets: vectors and queries
+  hash to a bucket; candidates meet in a bucket join instead of a cross
+  product. The scale path: candidate count drops from N to N/2^planes.
+* embedding-cosine near-dup pairs — the dedup variant: same-bucket pairs
+  with cosine above a threshold.
+
+Determinism/parity notes:
+* all dot products cast float32 → double BEFORE multiplying, and both
+  engines sum in list order — bit-identical accumulation;
+* ranking uses the cosine ROUNDED to 4 dp with vec_id tiebreak so the
+  top-k frontier cannot differ across engines on float noise;
+* the "random" hyperplanes are a deterministic LCG of (plane, dim), so the
+  SQL oracle regenerates exactly the same planes from the same constants.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.parquet import load_table
+
+DIM = 64
+TOPK = 10
+N_QUERIES = 5  # query set = vec_id < 5
+LSH_PLANES = 8
+NEAR_DUP_COS = 0.4  # fixture embeddings are random; max pairwise cos ≈ 0.51
+
+# LCG constants for the deterministic hyperplane family.
+_LCG_A = 1_103_515_245
+_LCG_C = 12_345
+_LCG_M = 2_048
+_LCG_SHIFT = 1_024
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in doubles, accumulated in list order (engine-portable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+
+
+def _sql_norm(emb: str) -> str:
+    return f"sqrt(list_sum(list_transform({emb}, __x -> CAST(__x AS DOUBLE) * __x)))"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {DIM}), "
+        f"__i -> CAST({a}[__i] AS DOUBLE) * {b}[__i]))"
+    )
+
+
+def _plane_coef(j: int, i: Column) -> Column:
+    """Deterministic pseudo-random coefficient for hyperplane j, dim i
+    (i 0-based): LCG over the flattened (plane, dim) index."""
+    k = (F.lit(j * DIM) + i).cast("long")
+    return (F.lit(_LCG_A).cast("long") * k + F.lit(_LCG_C)) % _LCG_M - _LCG_SHIFT
+
+
+def _plane_term(j: int):
+    # Closure factory, not a default-arg lambda: PySpark binds lambda arity
+    # by signature, so `lambda x, i, j=j` reads as a 3-arg HOF lambda.
+    def fn(x: Column, i: Column) -> Column:
+        return x.cast("double") * _plane_coef(j, i)
+
+    return fn
+
+
+def _bucket_expr(emb: Column) -> Column:
+    """Sign-random-projection bucket: 8 hyperplane sign bits packed to an int.
+
+    transform's 2-arg lambda supplies the 0-based element index, so the
+    projection Σ embᵢ·coef(j,i) is a single array pass per plane."""
+    bits = []
+    for j in range(LSH_PLANES):
+        proj = F.aggregate(
+            F.transform(emb, _plane_term(j)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    return reduce(lambda a, b: a + b, bits).cast("long")
+
+
+def _sql_bucket(emb: str) -> str:
+    terms = []
+    for j in range(LSH_PLANES):
+        coef = (
+            f"((CAST({_LCG_A} AS BIGINT) * ({j * DIM} + __i - 1) + {_LCG_C})"
+            f" % {_LCG_M} - {_LCG_SHIFT})"
+        )
+        proj = (
+            f"list_sum(list_transform(generate_series(1, {DIM}), "
+            f"__i -> CAST({emb}[__i] AS DOUBLE) * {coef}))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_SQL_BASE_CTE = f"""
+    WITH base AS (
+        SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm
+        FROM embeddings
+    ), q AS (
+        SELECT * FROM base WHERE vec_id < {N_QUERIES}
+    )
+"""
+
+
+@query(
+    "sim_cosine_topk_bruteforce",
+    oracle=_SQL_BASE_CTE
+    + f"""
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+               round({_sql_dot('q.embedding', 'b.embedding')} / (q.nrm * b.nrm), 4) AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({_sql_dot('q.embedding', 'b.embedding')} / (q.nrm * b.nrm), 4) DESC,
+                            b.vec_id) AS rn
+        FROM q CROSS JOIN base b
+    ) WHERE rn <= {TOPK}
+    """,
+)
+def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the (tiny) query set against every
+    vector — one scan of the corpus, a per-query top-k window, no index.
+    At 100 TB: queries broadcast, corpus partitions stream; the window
+    partitions by query_id (small) so the final top-k merge is cheap."""
+    base = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        base.crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+@query(
+    "sim_cosine_topk_lsh",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm,
+               {_sql_bucket('embedding')} AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT * FROM base WHERE vec_id < {N_QUERIES}
+    )
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+               round({_sql_dot('q.embedding', 'b.embedding')} / (q.nrm * b.nrm), 4) AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({_sql_dot('q.embedding', 'b.embedding')} / (q.nrm * b.nrm), 4) DESC,
+                            b.vec_id) AS rn
+        FROM q JOIN base b ON q.bucket = b.bucket
+    ) WHERE rn <= {TOPK}
+    """,
+)
+def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-random-projection LSH: vectors meet their
+    queries only inside a shared bucket (equi-join on the packed sign bits),
+    cutting candidates ~2^planes-fold. The 100 TB path: the bucket join is a
+    plain shuffle/broadcast equi-join — no cross product anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        _bucket_expr(F.col("embedding")).alias("bucket"),
+    ).persist()
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "bucket",
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        base.join(F.broadcast(q), "bucket")
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm,
+               {_sql_bucket('embedding')} AS bucket
+        FROM embeddings
+    )
+    SELECT a_id, b_id, cosine FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) AS cosine
+        FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE cosine >= {NEAR_DUP_COS}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: same-LSH-bucket candidates with
+    cosine ≥ threshold. (Fixture embeddings are random — max pairwise
+    cosine ≈ 0.51 — so the demo threshold is 0.4; real near-dup corpora
+    use ≥ 0.95 and more planes.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        _bucket_expr(F.col("embedding")).alias("bucket"),
+    ).persist()
+    a = base.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        "bucket",
+    )
+    cos = F.round(
+        _dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm")), 4
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+    )

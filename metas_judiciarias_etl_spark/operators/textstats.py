@@ -1,0 +1,255 @@
+"""Text-analysis operators for training-data pipelines, over ``documents``.
+
+Four first-class operators a 100 TB text pipeline needs, all expressed as
+pure Catalyst expressions (string/regex/array built-ins — zero UDFs, full
+whole-stage codegen) with DuckDB oracle twins:
+
+* language-ID    — stopword-profile n-gram heuristic: score per-language
+                   stopword hit counts, argmax with a deterministic
+                   tiebreak. (The fixture corpus is synthetic English-ish
+                   vocabulary for every lang label, so the verified thing
+                   is the scoring mechanism, not accuracy.)
+* quality score  — length/stopword/punctuation/digit ratios folded into a
+                   composite [0,1] score; the standard pre-training filter
+                   features (C4/Gopher-style rules, public recipe).
+* token counting — whitespace tokens + a BPE-ish regex segmentation
+                   ([A-Za-z]+ | [0-9]+ | single non-space symbol) + the
+                   chars/4 estimator.
+* fingerprinting — polynomial rolling hash over the ordered token-hash
+                   sequence (order-sensitive, unlike the dedup shingle
+                   sets): fp = fold(acc*131 + h48(tok)) mod 2^31-1.
+
+Everything is embarrassingly parallel per document (no shuffle at all
+except the grouped report) — the ideal 100 TB shape: map-only over
+partitions, scan-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_P, SQL_TOKENS, hash48, sql_hash48, tokens
+from ..registry import query
+from ..sources.parquet import load_table
+
+_SQL_TOKS = SQL_TOKENS.format(expr="text")
+
+# Tiny per-language stopword profiles (public-knowledge function words).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in"),
+    "es": ("el", "la", "de", "que", "los", "una"),
+    "de": ("der", "die", "und", "ist", "das", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+}
+# Deterministic argmax order (ties resolve to the earlier entry).
+LANG_ORDER = ("en", "es", "de", "fr")
+
+ROLL_B = 131  # polynomial rolling-hash base
+
+
+def _stop_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def _sql_stop_hits(toks_expr: str, words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks_expr}, __t -> __t IN ({inlist})))"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS lang_label,
+               {_sql_stop_hits(_SQL_TOKS, LANG_PROFILES['en'])} AS s_en,
+               {_sql_stop_hits(_SQL_TOKS, LANG_PROFILES['es'])} AS s_es,
+               {_sql_stop_hits(_SQL_TOKS, LANG_PROFILES['de'])} AS s_de,
+               {_sql_stop_hits(_SQL_TOKS, LANG_PROFILES['fr'])} AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, lang_label,
+           CAST(s_en AS BIGINT) AS s_en,
+           CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: per-language function-word hit counts,
+    deterministic argmax. Map-only — no shuffle; at 100 TB this runs at
+    scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        *[
+            _stop_hits(toks, LANG_PROFILES[lang]).alias(f"s_{lang}")
+            for lang in LANG_ORDER
+        ],
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in LANG_ORDER}
+    pred = (
+        F.when(
+            (s["en"] == 0) & (s["es"] == 0) & (s["de"] == 0) & (s["fr"] == 0), "und"
+        )
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
+        .when(s["de"] >= s["fr"], "de")
+        .otherwise("fr")
+    )
+    return scored.select(
+        "doc_id",
+        "lang_label",
+        s["en"].cast("long").alias("s_en"),
+        pred.alias("lang_pred"),
+    )
+
+
+_PUNCT_CLASS = "[.,!?;:]"
+_DIGIT_CLASS = "[0-9]"
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len({_SQL_TOKS}) AS n_tokens,
+               length(text) - length(regexp_replace(text, '{_PUNCT_CLASS}', '', 'g')) AS n_punct,
+               length(text) - length(regexp_replace(text, '{_DIGIT_CLASS}', '', 'g')) AS n_digit,
+               {_sql_stop_hits(_SQL_TOKS, LANG_PROFILES['en'])} AS n_stop
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(n_stop / CAST(nullif(n_tokens, 0) AS DOUBLE), 6)  AS stop_ratio,
+           round(n_punct / CAST(nullif(n_chars, 0) AS DOUBLE), 6)  AS punct_ratio,
+           round(0.5 * least(n_tokens / 50.0, 1.0)
+                 + 0.3 * least(5 * n_stop / CAST(nullif(n_tokens, 0) AS DOUBLE), 1.0)
+                 + 0.2 * (1.0 - n_punct / CAST(nullif(n_chars, 0) AS DOUBLE))
+                 - 0.2 * (n_digit / CAST(nullif(n_chars, 0) AS DOUBLE)), 6) AS quality
+    FROM feats
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality score from C4/Gopher-style surface
+    features: length saturation, stopword density, punctuation and digit
+    ratios. Pure per-row expressions — scan-bound at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", _PUNCT_CLASS, ""))
+        ).alias("n_punct"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", _DIGIT_CLASS, ""))
+        ).alias("n_digit"),
+        _stop_hits(toks, LANG_PROFILES["en"]).alias("n_stop"),
+    )
+    nt = F.nullif(F.col("n_tokens"), F.lit(0)).cast("double")
+    nc = F.nullif(F.col("n_chars"), F.lit(0)).cast("double")
+    quality = (
+        0.5 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
+        + 0.3 * F.least(5 * F.col("n_stop") / nt, F.lit(1.0))
+        + 0.2 * (1.0 - F.col("n_punct") / nc)
+        - 0.2 * (F.col("n_digit") / nc)
+    )
+    return feats.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("n_stop") / nt, 6).alias("stop_ratio"),
+        F.round(F.col("n_punct") / nc, 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKS}) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS bpe_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, BPE-ish regex
+    segmentation (letter runs | digit runs | single symbols), and the
+    chars/4 estimator used for quick corpus sizing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id,
+               list_transform({_SQL_TOKS}, __t -> {sql_hash48("__t")} % {MINHASH_P}) AS hs
+        FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                       (__a, __b) -> (__a * {ROLL_B} + __b) % {MINHASH_P}) AS fingerprint
+    FROM hashed
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    the token-hash sequence, fold((acc*B + h) mod P). Reordered tokens give
+    a different fingerprint (unlike the dedup shingle-set hashes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = F.transform(tokens(F.col("text")), lambda t: hash48(t) % MINHASH_P)
+    fp = F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * ROLL_B + h) % MINHASH_P,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "text_stats_by_source",
+    oracle=f"""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(len({_SQL_TOKS})), 4) AS avg_tokens,
+           CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus reporting: per-(lang, source) doc counts and token budgets —
+    the summary a dataset card is built from. One hash-agg shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(tokens(F.col("text")))
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(n_toks), 4).alias("avg_tokens"),
+        F.sum(n_toks).cast("long").alias("total_tokens"),
+    )

@@ -1,0 +1,141 @@
+"""End-to-end metas pipeline vs the independent pandas oracle, on the
+synthetic fixture corpus (FIXTURES.md §1.5/§1.6 — every guard in the
+reference encoded as a file)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pandas as pd
+import pytest
+
+from metas_judiciarias_etl_spark.metas import config as C
+from metas_judiciarias_etl_spark.metas.pipeline import (
+    compute_resumo,
+    read_court_csvs,
+    run,
+    stringify_resumo,
+)
+from tests import metas_fixtures, metas_oracle
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("court_csvs")
+    metas_fixtures.generate(str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def spark_resumo(spark, corpus):
+    return compute_resumo(read_court_csvs(spark, corpus))
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return metas_oracle.expected(corpus)
+
+
+def _cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    return round(float(v), 6) if isinstance(v, float) else v
+
+
+def test_resumo_matches_oracle(spark_resumo, oracle):
+    exp_resumo, _ = oracle
+    got = {r["sigla_tribunal"]: r.asDict() for r in spark_resumo.collect()}
+    exp = {r["sigla_tribunal"]: dict(r) for _, r in exp_resumo.iterrows()}
+    assert sorted(got) == sorted(exp), "court set differs"
+    for court, exp_row in exp.items():
+        got_row = got[court]
+        for col, exp_val in exp_row.items():
+            assert col in got_row, f"{court}: missing column {col}"
+            g, e = _cell(got_row[col]), _cell(exp_val)
+            assert g == e, f"{court}.{col}: spark={g!r} oracle={e!r}"
+        # metas absent from the oracle row (STJ-only columns on non-STJ
+        # courts) must be NULL on the Spark side.
+        for col in set(got_row) - set(exp_row):
+            assert _cell(got_row[col]) is None, f"{court}.{col} should be NULL"
+
+
+def test_court_set_and_edge_files(spark_resumo):
+    courts = {r["sigla_tribunal"] for r in spark_resumo.collect()}
+    # 8 valid courts; the empty / header-only / no-identity files are skipped.
+    assert courts == {"TJSP", "TRT3", "TRE-AC", "TST", "STJ", "TJMRS", "TJXX", "TRF1"}
+
+
+def test_guard_semantics(spark_resumo):
+    rows = {r["sigla_tribunal"]: r.asDict() for r in spark_resumo.collect()}
+    # zero denominator → NULL (TRE-AC meta2b: Σdist == Σsusp)
+    assert rows["TRE-AC"]["meta2b"] is None
+    # negative denominator passes through (TRE-AC meta4a)
+    assert rows["TRE-AC"]["meta4a"] is not None and rows["TRE-AC"]["meta4a"] < 0
+    # all-NaN required column → NULL (TJMRS suspm2_a)
+    assert rows["TJMRS"]["meta2a"] is None
+    # STJ override: meta8_stj computed → 8a/8b suppressed; meta10_stj has a
+    # zero denominator → NULL → 10a/10b NOT suppressed
+    assert rows["STJ"]["meta8_stj"] is not None
+    assert rows["STJ"]["meta8a"] is None and rows["STJ"]["meta8b"] is None
+    assert rows["STJ"]["meta10_stj"] is None
+    assert rows["STJ"]["meta10a"] is not None
+    # non-STJ courts never get the override
+    assert rows["TJSP"]["meta8_stj"] is None
+    # JE fallback outside the branch factor set (TRT3 carries 7_a columns)
+    assert rows["TRT3"]["meta7a"] is not None
+    # unmapped branch → full JE fallback (TJXX)
+    assert rows["TJXX"]["meta2ant"] is not None
+
+
+def test_bankers_rounding(spark_resumo):
+    rows = {r["sigla_tribunal"]: r.asDict() for r in spark_resumo.collect()}
+    # 49/800 × 100 = 6.125 exactly → HALF_EVEN gives 6.12 (HALF_UP: 6.13)
+    assert rows["TJXX"]["meta2ant"] == 6.12
+
+
+def test_malformed_rows_dropped(spark_resumo):
+    rows = {r["sigla_tribunal"]: r.asDict() for r in spark_resumo.collect()}
+    # TRF1: the 8-field row is dropped; sums use the two valid rows:
+    # meta1 = (40+60)/((50+70)-(10+20))×100 = 100/90×100
+    assert rows["TRF1"]["meta1"] == round(100 / 90 * 100, 2)
+
+
+def test_stringified_sink_shape(spark_resumo):
+    out = stringify_resumo(spark_resumo)
+    # column order: identity + meta1, standard metas lexicographic
+    # (meta10a before meta2a), then the _stj block (FIXTURES.md §1.7)
+    cols = out.columns
+    assert cols[:3] == ["sigla_tribunal", "ramo_justica", "meta1"]
+    std = [c for c in cols if c.startswith("meta") and c != "meta1" and not c.endswith("_stj")]
+    assert std == sorted(std) and std[0] == "meta10a"
+    assert [c for c in cols if c.endswith("_stj")] == ["meta10_stj", "meta8_stj"]
+    # every cell is a string; NULLs became 'NA'
+    row = {r["sigla_tribunal"]: r.asDict() for r in out.collect()}["TJMRS"]
+    assert row["meta2a"] == "NA"
+    assert all(isinstance(v, str) for v in row.values())
+
+
+def test_consolidado_union(spark, corpus, oracle):
+    _, exp_cons = oracle
+    data = read_court_csvs(spark, corpus)
+    got = data.drop("_court_file")
+    # same columns (by name) and same row count as pandas concat-by-name
+    assert set(got.columns) == set(exp_cons.columns)
+    assert got.count() == len(exp_cons)
+    # the extra unknown column survives with its values
+    vals = {r["coluna_extra"] for r in got.select("coluna_extra").collect()}
+    assert {"x1", "x2"}.issubset(vals)
+
+
+def test_end_to_end_sinks(spark, corpus, tmp_path):
+    out_dir = str(tmp_path / "resultados")
+    resumo, consolidado = run(spark, corpus, out_dir)
+    import glob
+
+    resumo_files = glob.glob(os.path.join(out_dir, "ResumoMetas.csv", "*.csv"))
+    cons_files = glob.glob(os.path.join(out_dir, "Consolidado.csv", "*.csv"))
+    assert len(resumo_files) == 1 and len(cons_files) == 1
+    back = pd.read_csv(resumo_files[0], sep=";")
+    assert len(back) == 8
+    assert list(back.columns)[:3] == ["sigla_tribunal", "ramo_justica", "meta1"]

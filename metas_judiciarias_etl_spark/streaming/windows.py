@@ -1,0 +1,165 @@
+"""Structured Streaming operators (SURVEY.md §2.8 planned extension).
+
+Real ``readStream`` pipelines over event data: tumbling / sliding /
+session windows with watermark-based late-data handling, plus a custom
+stateful operator via ``applyInPandasWithState``. The batch-checkable
+equivalents (same frame math, DuckDB oracles) live in
+``streaming/batch_windows.py``; these are the streaming forms, exercised in
+tests with the file source + ``trigger(availableNow=True)`` + memory sink.
+
+Scale notes:
+* windowed aggregations keep state per (window, key) in the state store —
+  the watermark bounds state size; without it a 100 TB stream grows state
+  forever;
+* ``session_window`` merges adjacent state on arrival, partitioned by the
+  grouping key (user_id — high cardinality, spreads evenly);
+* file-source streaming at scale lists directories incrementally
+  (``maxFilesPerTrigger`` bounds batch size; a real deployment fronts this
+  with Kafka or a log-structured table format).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream with an explicit schema (streaming reads
+    must not infer schemas — that's a full scan per start)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format("json").load(path)
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Per-(window, event_type) counts/sums with late-data eviction: rows
+    later than the watermark are dropped and their window state finalized."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour",
+                   slide: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Overlapping windows: each event lands in width/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "10 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Data-driven session windows per user: a session closes when no event
+    arrives within ``gap``; state merges are handled by the engine."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: running per-user totals via
+# applyInPandasWithState (the arbitrary-state API — the escape hatch for
+# semantics window()/session_window() can't express).
+# ---------------------------------------------------------------------------
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("total", T.DoubleType()), T.StructField("n", T.LongType())]
+)
+_RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("running_total", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _update_running_totals(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    total, n = state.get if state.exists else (0.0, 0)
+    for pdf in pdfs:
+        total += float(pdf["value"].fillna(0.0).sum())
+        n += int(len(pdf))
+    state.update((total, n))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "running_total": [round(total, 2)], "n_events": [n]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Unbounded running (total, count) per user — arbitrary keyed state,
+    one state row per user, updated per micro-batch."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_running_totals,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:
+    """Drain all available input into an in-memory table (test/debug sink)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,165 @@
+"""Structured Streaming operators: file source → availableNow → memory
+sink, checked against batch computations over the same data.
+
+Watermark semantics tested as Spark actually guarantees them: data within
+the watermark delay is never dropped and lands in its window; append-mode
+windows emit exactly once with final counts. (Dropping data *beyond* the
+delay is best-effort per the Spark contract — under availableNow 4.1.x
+defers eviction to the final flush and merges such rows — so no test
+asserts drops.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from metas_judiciarias_etl_spark.streaming import windows as SW
+
+BASE = "2025-06-01T"
+
+
+def _write_events(dir_: str, name: str, rows: list[tuple]) -> None:
+    os.makedirs(dir_, exist_ok=True)
+    with open(os.path.join(dir_, name), "w") as fh:
+        for event_id, hhmm, user_id, etype, value in rows:
+            fh.write(
+                json.dumps(
+                    {
+                        "event_id": event_id,
+                        "ts": f"{BASE}{hhmm}:00.000Z",
+                        "user_id": user_id,
+                        "event_type": etype,
+                        "value": value,
+                    }
+                )
+                + "\n"
+            )
+
+
+@pytest.fixture()
+def event_dir(tmp_path):
+    d = str(tmp_path / "events_in")
+    _write_events(
+        d,
+        "batch1.json",
+        [
+            (1, "10:05", 1, "click", 1.0),
+            (2, "10:20", 1, "click", 2.0),
+            (3, "10:45", 2, "view", 3.0),
+            (4, "11:10", 2, "click", 4.0),
+        ],
+    )
+    _write_events(
+        d,
+        "batch2.json",
+        [
+            (5, "11:30", 1, "view", 5.0),
+            (6, "12:10", 3, "click", 6.0),
+            (7, "12:15", 3, "click", 7.0),
+        ],
+    )
+    return d
+
+
+def _drain(stream, name: str, mode: str = "update"):
+    SW.run_to_memory(stream, name, mode)
+
+
+def test_tumbling_stream_matches_batch(spark, event_dir):
+    _drain(SW.tumbling_counts(SW.read_event_stream(spark, event_dir)), "tumbling_out")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.schema(SW.EVENT_SCHEMA).json(event_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    )
+    exp = {(str(r["w"]["start"]), r["event_type"]): (r["n"], r["s"]) for r in batch}
+    assert got == exp and len(got) >= 4
+
+
+def test_session_stream_gap_merging(spark, event_dir):
+    # session windows only support append mode; with a 0s watermark delay
+    # the final watermark is max(ts)=12:15, so sessions ENDING later
+    # (user 3's, end 12:15+gap=12:45) stay open and must NOT emit yet.
+    _drain(
+        SW.session_counts(
+            SW.read_event_stream(spark, event_dir),
+            gap="30 minutes",
+            watermark="0 seconds",
+        ),
+        "session_out",
+        "append",
+    )
+    got = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM session_out").collect()
+    }
+    # user 1: 10:05+10:20 merge (15m gap), 11:30 separate; user 2: 10:45 and
+    # 11:10 merge (25m gap); user 3's open session is withheld.
+    assert got[(1, "2025-06-01 10:05:00")] == (2, 3.0)
+    assert got[(1, "2025-06-01 11:30:00")] == (1, 5.0)
+    assert got[(2, "2025-06-01 10:45:00")] == (2, 7.0)
+    assert not any(uid == 3 for uid, _ in got)
+
+
+def test_sliding_stream(spark, event_dir):
+    _drain(SW.sliding_counts(SW.read_event_stream(spark, event_dir)), "sliding_out")
+    n_by_window = {
+        str(r["window_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sliding_out").collect()
+    }
+    # every event is in exactly two 1h/30m windows → total count = 2×7
+    assert sum(n_by_window.values()) == 14
+    assert n_by_window["2025-06-01 10:00:00"] == 3  # 10:05, 10:20, 10:45
+
+
+def test_watermark_in_delay_data_incorporated(spark, tmp_path):
+    """An event arriving a batch late but within the watermark delay must
+    land in its window, and append mode must emit that window exactly once
+    with the merged count (the guarantee side of the watermark contract)."""
+    d = str(tmp_path / "late_in")
+    _write_events(d, "b1.json", [(1, "10:10", 1, "click", 1.0),
+                                 (2, "11:30", 1, "click", 2.0)])
+    time.sleep(1.1)  # distinct mtimes → deterministic file->batch order
+    _write_events(d, "b2.json", [(3, "10:20", 1, "click", 9.0),
+                                 (4, "14:30", 1, "click", 4.0)])
+    stream = SW.tumbling_counts(
+        SW.read_event_stream(spark, d, max_files_per_trigger=1),
+        width="1 hour",
+        watermark="2 hours",
+    )
+    _drain(stream, "late_out", "append")
+    rows = spark.sql("SELECT * FROM late_out").collect()
+    emitted = sorted((str(r["window_start"]), r["n_events"]) for r in rows)
+    # 10:00 window emitted once, containing BOTH its events (one arrived a
+    # micro-batch later); 14:00 window not finalized (within delay of max ts).
+    assert ("2025-06-01 10:00:00", 2) in emitted
+    assert len([e for e in emitted if e[0] == "2025-06-01 10:00:00"]) == 1
+    assert all(e[0] != "2025-06-01 14:00:00" for e in emitted)
+
+
+def test_stateful_running_totals(spark, event_dir):
+    stream = SW.running_user_totals(
+        spark.readStream.schema(SW.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(event_dir)
+    )
+    _drain(stream, "running_out", "update")
+    rows = spark.sql("SELECT * FROM running_out").collect()
+    latest: dict[int, tuple] = {}
+    for r in rows:
+        if r["user_id"] not in latest or r["n_events"] > latest[r["user_id"]][1]:
+            latest[r["user_id"]] = (r["running_total"], r["n_events"])
+    assert latest[1] == (8.0, 3)
+    assert latest[2] == (7.0, 2)
+    assert latest[3] == (13.0, 2)

@@ -1,0 +1,254 @@
+"""Extended function surface: arrays/lateral explode, JSON→map access,
+pivot/unpivot, statistical aggregates, deterministic argmax via struct
+ordering, date arithmetic, hash-bucket sampling, scalar subqueries, and
+approximate distinct counting. All Catalyst built-ins with DuckDB twins
+(except approx_count_distinct, whose sketch is engine-specific → rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import sql_hash48
+from ..registry import query
+from ..sources.parquet import load_table
+
+
+@query(
+    "arrays_explode_lateral",
+    oracle="""
+    WITH w AS (
+        SELECT p_partkey, regexp_split_to_array(trim(p_name), '\\s+') AS words
+        FROM part WHERE p_partkey <= 200
+    ), ex AS (
+        SELECT p_partkey,
+               unnest(list_transform(generate_series(1, len(words)),
+                      __i -> struct_pack(pos := __i - 1, word := words[__i]))) AS s
+        FROM w
+    )
+    SELECT p_partkey, CAST(s.pos AS INTEGER) AS pos, s.word AS word FROM ex
+    """,
+)
+def arrays_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode with position — the row-expanding array op (stays in
+    its partition; no shuffle)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return part.select(
+        "p_partkey",
+        F.posexplode(F.split(F.trim(F.col("p_name")), r"\s+")).alias("pos", "word"),
+    )
+
+
+@query(
+    "array_agg_sorted",
+    oracle="""
+    SELECT s_nationkey,
+           list_sort(array_agg(s_name)) AS supplier_names,
+           count(*) AS n_suppliers
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped array aggregation — sort_array makes the result deterministic
+    (collect_list order is partition-dependent otherwise)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    return sup.groupBy("s_nationkey").agg(
+        F.sort_array(F.collect_list("s_name")).alias("supplier_names"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "json_map_access",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_val,
+           json_extract_string(props, '$.missing_key') AS missing_val
+    FROM events
+    WHERE event_id <= 500
+    """,
+)
+def json_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: parse the JSON props column into a map and
+    read keys (map_* surface over real data; absent key → NULL)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 500)
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(m, "missing_key").alias("missing_val"),
+    )
+
+
+@query(
+    "pivot_status_totals",
+    oracle="""
+    SELECT o_orderpriority,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS st_o,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS st_f,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS st_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit values (explicit values keep it one pass — no
+    extra distinct-scan job to discover columns)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        *[
+            F.round(F.coalesce(F.col(s), F.lit(0.0)), 2).alias(f"st_{s.lower()}")
+            for s in ("O", "F", "P")
+        ],
+    )
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val
+    FROM part
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) — the inverse reshaping op."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", F.col("p_size").cast("double"), "p_retailprice"
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")
+
+
+@query(
+    "stats_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(var_samp(l_quantity), 4)         AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_discount, l_tax), 8)     AS cov_disc_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (all partial-aggregatable — one shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("cov_disc_tax"),
+    )
+
+
+@query(
+    "argmax_struct",
+    oracle="""
+    SELECT o_custkey,
+           max(struct_pack(p := o_totalprice, k := o_orderkey)).p AS top_price,
+           max(struct_pack(p := o_totalprice, k := o_orderkey)).k AS top_orderkey
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmax WITHOUT a window: max over a (value, tiebreak)
+    struct under lexicographic ordering — a plain partial-aggregatable MAX,
+    cheaper than row_number at 100 TB (no per-group sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    top = F.max(F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")))
+    return orders.groupBy("o_custkey").agg(
+        top.getField("p").alias("top_price"), top.getField("k").alias("top_orderkey")
+    )
+
+
+@query(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')    AS due_date,
+           CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "order_month"
+        ),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+    )
+
+
+@query(
+    "sample_hash_bucket",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE {sql_hash48("CAST(o_orderkey AS VARCHAR)")} % 10 = 0
+    """,
+)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via content hashing — unlike rand()-based
+    sampling this is reproducible across engines, runs, and partitionings
+    (the right way to carve eval splits from a 100 TB corpus)."""
+    from ..functions.hashing import hash48
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        hash48(F.col("o_orderkey").cast("string")) % 10 == 0
+    ).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "scalar_subquery_filter",
+    oracle="""
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter against a computed scalar: a broadcast of the 1-row aggregate
+    against the probe side (Catalyst plans the cross-join as broadcast —
+    zero shuffle on the fact table)."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("__avg"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+@query("approx_distinct_sketch")  # engine-specific HLL sketch → rows-only check
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++): the sketch is engine-specific so there
+    is no value-exact oracle; the exact count rides along for scale-error
+    eyeballing and the driver records a rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

@@ -1,0 +1,106 @@
+"""Physical-plan audits: assert the plans we designed for are the plans
+Catalyst actually picks — pushdown reaching the scan, broadcast joins where
+a dim side is small, top-k without a global sort, partial aggregation, and
+the metas pipeline's single shuffle. A regression here is a 100 TB
+performance bug even when results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from metas_judiciarias_etl_spark import registry
+from metas_judiciarias_etl_spark.metas.pipeline import compute_resumo, read_court_csvs
+from tests import metas_fixtures
+
+registry.load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def sf(sf_small):
+    return sf_small
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf):
+    df = registry.QUERIES["q1_pricing_summary"](spark, sf)
+    plan = _formatted(df)
+    # the shipdate predicate must reach the parquet scan...
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # ...and the scan must NOT read columns the query never touches
+    assert "l_comment" not in plan
+    assert "l_partkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_q5_broadcasts_all_dims(spark, sf):
+    df = registry.QUERIES["q5_local_supplier_volume"](spark, sf)
+    plan = _plan(df)
+    # supplier/nation/region ride broadcast joins; orders⋈lineitem is the
+    # only shuffle join
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_j1_dim_lookup_is_broadcast_no_shuffle_on_fact(spark, sf):
+    df = registry.QUERIES["j1_dim_lookup_fallback"](spark, sf)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # no exchange on the probe side: the only exchange is the broadcast one
+    assert plan.count("Exchange") == plan.count("BroadcastExchange")
+
+
+def test_topk_avoids_global_sort(spark, sf):
+    df = registry.QUERIES["w1_topk_sort"](spark, sf)
+    plan = _plan(df)
+    # orderBy+limit must compile to per-partition top-k + driver merge
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_agg_is_partial_then_final(spark, sf):
+    df = registry.QUERIES["q1_pricing_summary"](spark, sf)
+    plan = _plan(df)
+    # two HashAggregates (partial + final) around one shuffle: map-side
+    # combine is on
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial" in _formatted(df)
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf):
+    df = registry.QUERIES["a4_guarded_ratio_kernel"](spark, sf)
+    sc = df.sparkSession.sparkContext
+    # AQE hides codegen spans pre-execution; 'codegen' mode compiles them
+    plan = sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
+    assert "WholeStageCodegen" in plan  # kernels stayed UDF-free / JVM-side
+
+
+def test_metas_pipeline_single_shuffle(spark, tmp_path):
+    d = str(tmp_path / "courts")
+    metas_fixtures.generate(d)
+    resumo = compute_resumo(read_court_csvs(spark, d))
+    plan = _plan(resumo)
+    # the whole metas computation is ONE groupBy shuffle; factors are a
+    # folded CASE tree (no join at all)
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles == 1, f"expected exactly 1 shuffle, plan:\n{plan[:2000]}"
+    assert "Join" not in plan
+    assert "pythonUDF" not in plan.lower()
+
+
+def test_dedup_exact_partial_agg(spark, sf):
+    df = registry.QUERIES["dedup_exact"](spark, sf)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2  # map-side combine on md5 key
+
+
+def test_similarity_bruteforce_broadcasts_queries(spark, sf):
+    df = registry.QUERIES["sim_cosine_topk_bruteforce"](spark, sf)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -37,6 +37,12 @@ HEADLINE = [
     "stream_session_window",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "sim_cosine_topk_bruteforce",
+    "sim_cosine_topk_lsh",
+    "text_fingerprint",
+    "stats_aggs",
+    "argmax_struct",
+    "metas_resumo_pipeline",
 ]
 
 
@@ -59,9 +65,16 @@ def main() -> None:
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min of 2 runs: first-run codegen/JIT and transient interference
+        # otherwise dominate sub-second plans
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()  # keep every rep cold (persists)
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -47,3 +47,4 @@ def load_all() -> None:
     from .plans import windows as window_plans  # noqa: F401
     from .operators import dedup, similarity, textstats, multimodal  # noqa: F401
     from .streaming import batch_windows  # noqa: F401
+    from .metas import queries as metas_queries  # noqa: F401

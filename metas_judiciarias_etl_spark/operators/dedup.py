@@ -79,14 +79,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingles array) — persisted: reused by the signature build
-    and by both sides of the Jaccard verify join."""
-    return docs.select(
+    """(doc_id, shingles array) — persisted AND eagerly materialized: it is
+    read by the signature build and both sides of the Jaccard verify join,
+    and an unmaterialized cache gets computed concurrently (= repeatedly)
+    by the self-join's stages instead of once."""
+    sh = docs.select(
         "doc_id",
         F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_K)).alias(
             "shingles"
         ),
     ).persist()
+    sh.count()
+    return sh
 
 
 def _signatures(shingled: DataFrame) -> DataFrame:
@@ -97,7 +101,9 @@ def _signatures(shingled: DataFrame) -> DataFrame:
         shingled.select("doc_id", F.explode("shingles").alias("shingle"))
         .select("doc_id", (hash48(F.col("shingle")) % MINHASH_P).alias("h"))
     )
-    return h.groupBy("doc_id").agg(*affine_min_aggs("h", NUM_HASHES)).persist()
+    mh = h.groupBy("doc_id").agg(*affine_min_aggs("h", NUM_HASHES)).persist()
+    mh.count()  # materialize before the band self-join reads it twice
+    return mh
 
 
 def _lsh_candidates(mh: DataFrame) -> DataFrame:

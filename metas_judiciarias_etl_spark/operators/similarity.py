@@ -201,6 +201,7 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
         _bucket_expr(F.col("embedding")).alias("bucket"),
     ).persist()
+    base.count()  # materialize: both join sides read this cache
     q = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -247,6 +248,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
         _bucket_expr(F.col("embedding")).alias("bucket"),
     ).persist()
+    base.count()  # materialize: both join sides read this cache
     a = base.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),

@@ -1,0 +1,307 @@
+"""Extended join/aggregation surface: TPC-H-shaped plans the generic engine
+owes beyond the reference's own operator set (SURVEY §2.3 note: the reference
+has no fact-fact joins at all), plus the two classic time-series joins Spark
+lacks as built-ins — as-of join and bounded range join — re-expressed as
+compositions of existing DataFrame ops (union+window, bin-bucketed equi-join).
+
+Scale notes (100 TB):
+* ``q6``: pure scan-filter-agg — predicates push to the parquet reader, no
+  shuffle past the final single-row combine.
+* ``q4``/``q2`` shapes: semi-join and argmax-per-group; both one shuffle.
+* As-of join: the naive formulation (per-left-row subquery) is O(n·m); the
+  union + ``last(ignorenulls)`` running-window form here is one shuffle on
+  user_id (high cardinality → even spread) and linear in rows per user —
+  the standard scalable as-of shape (same trick as Flink temporal joins).
+* Range join: a raw inequality self-join is O(n²) per user; bucketing both
+  sides into fixed time bins and equi-joining on (user, bin±1) bounds each
+  probe to two bins, turning it into a hash join AQE can handle; the exact
+  inequality is applied as a residual filter.
+* Salted aggregation: two-phase groupBy((key, salt)) → groupBy(key) splits a
+  hot key across `SALT_N` reducers — the manual fallback when AQE skew
+  handling can't help (single-key hash agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.parquet import load_table
+
+_NS = 1_000_000_000
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6 shape: scan → pushed-down conjunctive filter → ungrouped agg.
+# --------------------------------------------------------------------------
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four predicates reach the parquet scan (PushedFilters); the agg is
+    partial-combined per task, one row crosses the exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS semi-join then grouped count.
+# --------------------------------------------------------------------------
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q2 shape: correlated scalar subquery (max within group) — expressed
+# as an argmax join against a broadcast per-group aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "q2_max_bal_supplier",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS nationkey,
+           round(s_acctbal, 2) AS acctbal
+    FROM supplier s
+    WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                       WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+)
+def q2_max_bal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated max subquery → inner join with the grouped max (broadcast:
+    one row per nation). Ties keep all rows, matching the SQL semantics —
+    unlike a row_number()=1 rewrite, which would drop them."""
+    sup = load_table(spark, sf_dir, "supplier")
+    mx = (
+        sup.groupBy(F.col("s_nationkey").alias("_nk"))
+        .agg(F.max("s_acctbal").alias("_mx"))
+    )
+    return (
+        sup.join(
+            F.broadcast(mx),
+            (F.col("s_nationkey") == F.col("_nk"))
+            & (F.col("s_acctbal") == F.col("_mx")),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("s_nationkey").cast("long").alias("nationkey"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (generic surface; rollup/cube live in relational.py).
+# --------------------------------------------------------------------------
+@query(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join (NOT a Spark built-in): for every click, the value of the same
+# user's most recent purchase at-or-before the click. Composition: aggregate
+# the right side to unique (user, ts), union both sides, one running window
+# with last(ignorenulls) — a single shuffle on user_id.
+# --------------------------------------------------------------------------
+@query(
+    "asof_join_last_purchase",
+    oracle="""
+    SELECT c.event_id, c.user_id,
+           (c.ts_us // 1000000) AS click_ts_s,
+           round(p.mx_value, 2) AS last_purchase_value
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+          WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS mx_value
+                    FROM events WHERE event_type = 'purchase'
+                    GROUP BY user_id, epoch_us(ts)) p
+      ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+    """,
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time axis is int64 microseconds on both engines (DuckDB stores
+    parquet TIMESTAMP(NANOS) at micro precision; Spark truncates its raw
+    nanos with integer `div` — identical semantics, no float rounding)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.lit(None).cast("double").alias("mx_value"),
+        F.lit(1).alias("_src"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("mx_value"))
+        .select(
+            "user_id",
+            "ts_us",
+            F.lit(None).cast("long").alias("event_id"),
+            "mx_value",
+            F.lit(0).alias("_src"),
+        )
+    )
+    # _src orders a purchase before a click at the same ts → ties count,
+    # matching ASOF's `>=` bound.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "_src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("_last", F.last("mx_value", ignorenulls=True).over(w))
+        .filter(F.col("_src") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("ts_us div 1000000").alias("click_ts_s"),
+            F.round("_last", 2).alias("last_purchase_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bounded range self-join (NOT a Spark built-in as an operator): event pairs
+# of the same user within 300 s, made scalable by bin-bucketing: equi-join on
+# (user, bin) with the left side exploded to {bin, bin+1}, inequalities as a
+# residual filter. Turns an O(n² per user) theta-join into a hash join.
+# --------------------------------------------------------------------------
+@query(
+    "range_join_event_pairs",
+    oracle="""
+    SELECT a.user_id, count(*) AS n_pairs,
+           round(sum(b.value - a.value), 2) AS sum_delta
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+    GROUP BY a.user_id
+    """,
+)
+def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All time arithmetic in int64 microseconds — exact on both engines;
+    the right event is bucketed to one bin, the left probes {bin, bin+1}."""
+    win_us = 300 * 1_000_000
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.expr("ts div 1000").alias("ts_us"), "value")
+    )
+    bin_col = F.expr(f"ts_us div {win_us}")
+    left = ev.select(
+        F.col("user_id"),
+        F.col("ts_us").alias("a_ts"),
+        F.col("value").alias("a_value"),
+        F.explode(F.array(bin_col, bin_col + 1)).alias("bin"),
+    )
+    right = ev.select(
+        F.col("user_id"),
+        F.col("ts_us").alias("b_ts"),
+        F.col("value").alias("b_value"),
+        bin_col.alias("bin"),
+    )
+    return (
+        left.join(right, ["user_id", "bin"])
+        .filter(
+            (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") - F.col("a_ts") <= F.lit(win_us))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum(F.col("b_value") - F.col("a_value")), 2).alias("sum_delta"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Salted two-phase aggregation: the manual skew-splitting pattern. Result is
+# identical to a plain groupBy — the salt is internal.
+# --------------------------------------------------------------------------
+SALT_N = 16
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase 1 aggregates (key, hash(row)%N) — a hot key spreads over N
+    reducers; phase 2 combines N partials per key. Low-cardinality group keys
+    (3 return flags here) are exactly when this matters."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "_salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(SALT_N))
+    )
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.sum("l_extendedprice").alias("_sum"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.round(F.sum("_sum"), 2).alias("sum_price"),
+        F.sum("_cnt").alias("n_rows"),
+    )

@@ -44,13 +44,18 @@ SQL_TOKENS = "regexp_split_to_array(trim({expr}), '\\s+')"
 
 def word_shingles(toks: Column, k: int = 3) -> Column:
     """k-token shingles; documents shorter than k tokens collapse to one
-    whole-text shingle so they still participate in dedup."""
+    whole-text shingle so they still participate in dedup.
+
+    Built as a zip of k shifted slices of the token array, NOT as
+    ``transform(sequence(...), i -> element_at(toks, i+j))``: with an
+    index lambda every element_at re-evaluates the whole ``toks``
+    expression tree (the tokenizer regex) once per shingle term — ~9x
+    slower end-to-end. The slices evaluate ``toks`` k+1 times total.
+    Callers should still bind the tokenizer to a column first."""
     n = F.size(toks)
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, n - (k - 1)) for j in range(k)])
     window = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]
-        ),
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
     )
     return F.when(n >= k, window).otherwise(F.array(F.concat_ws(" ", toks)))
 

@@ -83,12 +83,16 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     read by the signature build and both sides of the Jaccard verify join,
     and an unmaterialized cache gets computed concurrently (= repeatedly)
     by the self-join's stages instead of once."""
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_K)).alias(
-            "shingles"
-        ),
-    ).persist()
+    sh = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles(F.col("toks"), SHINGLE_K)).alias(
+                "shingles"
+            ),
+        )
+        .persist()
+    )
     sh.count()
     return sh
 

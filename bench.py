@@ -32,6 +32,10 @@ HEADLINE = [
     "u1_union_by_name",
     "w1_topk_sort",
     "distinct_agg",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "asof_join_last_purchase",
+    "range_join_event_pairs",
     "window_running_total",
     "window_argmax_per_group",
     "stream_session_window",

@@ -44,6 +44,7 @@ HEADLINE = [
     "sim_cosine_topk_bruteforce",
     "sim_cosine_topk_lsh",
     "text_fingerprint",
+    "prep_pipeline",
     "stats_aggs",
     "argmax_struct",
     "metas_resumo_pipeline",

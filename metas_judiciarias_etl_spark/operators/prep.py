@@ -1,0 +1,79 @@
+"""End-to-end training-data prep pipeline: the composition proof.
+
+A real corpus-preparation run chains the individual operators this engine
+ships — quality scoring, threshold filtering, exact dedup, token budgeting —
+into one job. This module expresses that chain as a single Catalyst plan and
+verifies it against a DuckDB oracle built from the registered
+``text_quality`` oracle (single source of truth — the CTE is reused, not
+re-derived).
+
+Plan shape / 100 TB notes:
+* quality features + content hash: map-only, fused into the scan stage.
+* dedup keeper selection: one shuffle on md5(text) (uniform key); expressed
+  as ``min(doc_id) over (partition by content_hash)`` — partial-aggregatable
+  window, no sort frame.
+* final per-source report: one hash-agg shuffle on a low-cardinality key —
+  its input is already reduced to survivors.
+Three shuffles total, each keyed as evenly as the data allows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import registry
+from ..registry import query
+from ..sources.parquet import load_table
+from .textstats import text_quality
+
+QUALITY_MIN = 0.7
+TOKENS_MIN = 10
+
+
+def _oracle() -> str:
+    quality_cte = registry.ORACLES["text_quality"]
+    return f"""
+    WITH q AS ({quality_cte}),
+    d AS (
+        SELECT doc_id, source, md5(text) AS content_hash FROM documents
+    ),
+    kept AS (
+        SELECT q.doc_id, d.source, d.content_hash, q.quality, q.n_tokens
+        FROM q JOIN d USING (doc_id)
+        WHERE q.quality >= {QUALITY_MIN} AND q.n_tokens >= {TOKENS_MIN}
+    ),
+    uniq AS (
+        SELECT * FROM (
+            SELECT kept.*,
+                   min(doc_id) OVER (PARTITION BY content_hash) AS keeper
+            FROM kept
+        ) WHERE doc_id = keeper
+    )
+    SELECT source,
+           count(*) AS n_docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(quality), 6) AS avg_quality
+    FROM uniq GROUP BY source
+    """
+
+
+@query("prep_pipeline", oracle=_oracle())
+def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep as ONE plan: quality-score → filter → exact-dedup keeper
+    → per-source token budget. Composes the engine's own operators (the
+    ``text_quality`` kernel is called, not copied)."""
+    q = text_quality(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("content_hash")
+    )
+    kept = q.join(docs, "doc_id").filter(
+        (F.col("quality") >= QUALITY_MIN) & (F.col("n_tokens") >= TOKENS_MIN)
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("content_hash"))
+    uniq = kept.withColumn("keeper", keeper).filter(F.col("doc_id") == F.col("keeper"))
+    return uniq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )

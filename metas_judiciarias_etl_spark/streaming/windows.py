@@ -153,6 +153,44 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_interval_join(
+    events: DataFrame, lookback: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: each click matched to the same user's
+    purchases within ``lookback`` before it.
+
+    Both sides carry a watermark AND the join condition bounds event time —
+    the two requirements that let Spark evict join state (without them,
+    stream-stream join state grows without bound; with them, state per side
+    is bounded by watermark + lookback). The time bound also makes results
+    deterministic under availableNow replay."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts <= c_ts AND p_ts >= c_ts - INTERVAL {lookback}"
+        ),
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"), "p_value")
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:
     """Drain all available input into an in-memory table (test/debug sink)."""
     q = (

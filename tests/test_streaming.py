@@ -163,3 +163,35 @@ def test_stateful_running_totals(spark, event_dir):
     assert latest[1] == (8.0, 3)
     assert latest[2] == (7.0, 2)
     assert latest[3] == (13.0, 2)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    d = str(tmp_path / "ss_join_in")
+    _write_events(
+        d,
+        "batch1.json",
+        [
+            (1, "10:00", 1, "purchase", 10.0),
+            (2, "10:20", 1, "click", 0.0),    # joins purchase 1 (20m back)
+            (3, "11:20", 1, "click", 0.0),    # no purchase within 30m
+            (4, "10:10", 2, "purchase", 5.0),
+        ],
+    )
+    _write_events(
+        d,
+        "batch2.json",
+        [
+            (5, "10:15", 2, "purchase", 7.0),
+            (6, "10:30", 2, "click", 0.0),    # joins purchases 4 and 5
+            (7, "12:00", 3, "click", 0.0),    # user 3 has no purchases
+        ],
+    )
+    stream = SW.click_purchase_interval_join(
+        spark.readStream.schema(SW.EVENT_SCHEMA).json(d)
+    )
+    _drain(stream, "ss_join_out", "append")
+    got = {
+        (r["click_id"], r["purchase_id"], r["user_id"], r["p_value"])
+        for r in spark.sql("SELECT * FROM ss_join_out").collect()
+    }
+    assert got == {(2, 1, 1, 10.0), (6, 4, 2, 5.0), (6, 5, 2, 7.0)}

@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_cosine_topk_bruteforce",
     "sim_cosine_topk_lsh",
+    "sim_cosine_topk_ivf",
     "text_fingerprint",
     "prep_pipeline",
     "stats_aggs",

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import query, register_oracle
 from . import config as C
-from .pipeline import compute_resumo, read_court_csvs, stringify_resumo
+from .pipeline import FILE_COL, compute_resumo, read_court_csvs, stringify_resumo
 
 CORPUS_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -138,6 +138,32 @@ def metas_resumo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sf_dir is unused — the pipeline's input is its own CSV corpus; the
     oracle reads the same files.)"""
     return stringify_resumo(compute_resumo(read_court_csvs(spark, CORPUS_DIR)))
+
+
+def _consolidado_oracle_sql() -> str:
+    """Per-file read_csv branches unioned BY NAME — the NP:224-227
+    by-name concat semantics (missing columns → NULL)."""
+    numeric = set(C.all_numeric_columns())
+    branches = []
+    for path, header, _sigla, _ramo in _valid_files():
+        coltypes = ", ".join(
+            f"'{h}': '{'DOUBLE' if h in numeric else 'VARCHAR'}'" for h in header
+        )
+        branches.append(
+            f"    SELECT * FROM read_csv('{path}', header=true, sep=',', "
+            f"ignore_errors=true,\n                  columns={{{coltypes}}})"
+        )
+    return "\nUNION ALL BY NAME\n".join(branches)
+
+
+@query("metas_consolidado")
+def metas_consolidado(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's second output relation (Consolidado, NP:224-227):
+    schema-drift union of every valid raw court file, aligned by name."""
+    return read_court_csvs(spark, CORPUS_DIR).drop(FILE_COL)
+
+
+register_oracle("metas_consolidado", _consolidado_oracle_sql())
 
 
 register_oracle("metas_resumo_pipeline", metas_oracle_sql())

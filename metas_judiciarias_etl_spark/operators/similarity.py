@@ -221,6 +221,114 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CELLS = 16  # IVF cells (centroids)
+NPROBE = 4  # cells each query probes
+
+
+@query(
+    "sim_cosine_topk_ivf",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cell_id, embedding AS c_emb, nrm AS c_nrm
+        FROM base
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+    ), assign AS (
+        SELECT vec_id, embedding, nrm, cell_id FROM (
+            SELECT b.vec_id, b.embedding, b.nrm, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY round({_sql_dot('b.embedding', 'c.c_emb')} / (b.nrm * c.c_nrm), 4) DESC,
+                                c.cell_id) AS crn
+            FROM base b CROSS JOIN cent c
+        ) WHERE crn = 1
+    ), probes AS (
+        SELECT query_id, q_emb, q_nrm, cell_id FROM (
+            SELECT q.vec_id AS query_id, q.embedding AS q_emb, q.nrm AS q_nrm,
+                   c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_sql_dot('q.embedding', 'c.c_emb')} / (q.nrm * c.c_nrm), 4) DESC,
+                                c.cell_id) AS prn
+            FROM (SELECT * FROM base WHERE vec_id < {N_QUERIES}) q
+            CROSS JOIN cent c
+        ) WHERE prn <= {NPROBE}
+    )
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT p.query_id, a.vec_id,
+               round({_sql_dot('p.q_emb', 'a.embedding')} / (p.q_nrm * a.nrm), 4) AS cosine,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY round({_sql_dot('p.q_emb', 'a.embedding')} / (p.q_nrm * a.nrm), 4) DESC,
+                            a.vec_id) AS rn
+        FROM probes p JOIN assign a ON p.cell_id = a.cell_id
+    ) WHERE rn <= {TOPK}
+    """,
+)
+def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: partition the corpus into Voronoi cells around a small
+    centroid set; queries probe only their NPROBE nearest cells.
+
+    The build pass (assign every vector to its argmax-cosine centroid) is
+    the classic IVF index cost: N×C dot products, map-side against a
+    broadcast centroid table, one shuffle for the per-vector argmax. The
+    search pass is an equi-join on cell_id — candidates per query drop from
+    N to ~N·NPROBE/C. Centroids here are a deterministic slice of the data
+    (vec_id ∈ [N_QUERIES, N_QUERIES+N_CELLS)) so the SQL oracle regenerates
+    the identical index; a production run would plug k-means centroids into
+    the same plan."""
+    base = _with_norm(load_table(spark, sf_dir, "embeddings")).persist()
+    base.count()  # materialize: read by assignment, probes, and centroids
+    cent = base.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    c_cos = F.round(
+        _dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm")), 4
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("_ccos"), F.asc("cell_id"))
+    assign = (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("_ccos", c_cos)
+        .withColumn("_crn", F.row_number().over(aw))
+        .filter(F.col("_crn") == 1)
+        .select("vec_id", "embedding", "nrm", "cell_id")
+    )
+    q_cos = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 4
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("_qcos"), F.asc("cell_id"))
+    probes = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_qcos", q_cos)
+        .withColumn("_prn", F.row_number().over(pw))
+        .filter(F.col("_prn") <= NPROBE)
+        .select("query_id", "q_emb", "q_nrm", "cell_id")
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        assign.join(F.broadcast(probes), "cell_id")
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""

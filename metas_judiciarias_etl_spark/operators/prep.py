@@ -30,6 +30,12 @@ from .textstats import text_quality
 QUALITY_MIN = 0.7
 TOKENS_MIN = 10
 
+# Training-mix sampling rates per source (parts per 10000). Deterministic:
+# a doc is kept iff md5-hash48(doc_id) mod 10000 < rate — reproducible
+# across engines, runs, and partitionings (no RNG state).
+MIX_RATES = {"src0": 10000, "src1": 7500, "src2": 5000, "src3": 2500}
+MIX_DEFAULT = 1000
+
 
 def _oracle() -> str:
     quality_cte = registry.ORACLES["text_quality"]
@@ -76,4 +82,44 @@ def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs_kept"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+def _mix_oracle() -> str:
+    from ..functions.hashing import sql_hash48
+
+    rate = "CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in sorted(MIX_RATES.items())
+    ) + f" ELSE {MIX_DEFAULT} END"
+    h = sql_hash48("CAST(doc_id AS VARCHAR)")
+    return f"""
+    SELECT source,
+           count(*) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM (SELECT doc_id, source FROM documents
+          WHERE {h} % 10000 < {rate})
+    GROUP BY source
+    """
+
+
+@query("stratified_mix_sample", oracle=_mix_oracle())
+def stratified_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: per-source deterministic sampling rates
+    (oversample high-value sources, downsample the crawl). The keep
+    decision is a pure hash predicate — map-only, reproducible under
+    retries/re-partitioning, and pushable ahead of any expensive stage.
+    At 100 TB: this filter runs in the scan stage, so a 25% source costs
+    25% of downstream work; no shuffle beyond the final report."""
+    from ..functions.hashing import hash48
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(MIX_DEFAULT)
+    for s, r in sorted(MIX_RATES.items(), reverse=True):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    kept = docs.filter(
+        hash48(F.col("doc_id").cast("string")) % 10000 < rate
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
     )

@@ -85,6 +85,61 @@ def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 2048  # est. tokens per training pack
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH est AS (
+        SELECT doc_id, source,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, source, est_tokens,
+               sum(est_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM est
+    )
+    SELECT source,
+           ((cum_tokens - est_tokens) // {PACK_BUDGET}) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(est_tokens) AS BIGINT) AS pack_tokens
+    FROM cum
+    GROUP BY source, ((cum_tokens - est_tokens) // {PACK_BUDGET})
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to fixed-token-budget packs (the shard
+    layout step before tokenized training data is written).
+
+    Greedy assignment by running token count: a doc starts a new pack when
+    the budget is crossed. Deterministic (ordered by doc_id) and scalable:
+    the window partitions by source, so state per task is one running sum —
+    at 100 TB packing runs per-source/per-shard, never globally ordered."""
+    docs = load_table(spark, sf_dir, "documents")
+    est = docs.select(
+        "doc_id",
+        "source",
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("est_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = est.withColumn("cum_tokens", F.sum("est_tokens").over(w))
+    pack_id = F.expr(f"(cum_tokens - est_tokens) div {PACK_BUDGET}")
+    return (
+        cum.withColumn("pack_id", pack_id)
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("est_tokens").cast("long").alias("pack_tokens"),
+        )
+    )
+
+
 def _mix_oracle() -> str:
     from ..functions.hashing import sql_hash48
 

@@ -68,11 +68,12 @@ def _scan_headers(input_dir: str) -> dict[tuple[str, ...], list[str]]:
     return buckets
 
 
-def _bucket_schema(header: tuple[str, ...]) -> T.StructType:
+def _bucket_schema(header: tuple[str, ...], typed: bool = True) -> T.StructType:
     """Explicit schema per header bucket: identity → string, known meta
     counters → double, unknown extras → string (preserved for the
-    consolidated output, ignored by the metrics)."""
-    numeric = set(C.all_numeric_columns())
+    consolidated output, ignored by the metrics). ``typed=False`` reads
+    every column as string."""
+    numeric = set(C.all_numeric_columns()) if typed else set()
     return T.StructType(
         [
             T.StructField(
@@ -83,9 +84,18 @@ def _bucket_schema(header: tuple[str, ...]) -> T.StructType:
     )
 
 
-def read_court_csvs(spark: SparkSession, input_dir: str) -> DataFrame:
+def read_court_csvs(
+    spark: SparkSession, input_dir: str, typed: bool = True
+) -> DataFrame:
     """Read every valid court CSV under ``input_dir`` into one DataFrame
-    with by-name schema alignment and a file-lineage column."""
+    with by-name schema alignment and a file-lineage column.
+
+    ``typed=False`` keeps every column a string: field-count-malformed
+    rows still drop (DROPMALFORMED, = the reference's on_bad_lines='skip',
+    NP:155), but values pass through byte-verbatim — the right mode for
+    the Consolidado sink, which re-emits input cells without arithmetic
+    (the reference applies no dtype there either; double-parsing would
+    only rewrite '40' as '40.0' and pay parse + format for nothing)."""
     buckets = _scan_headers(input_dir)
     if not buckets:
         raise FileNotFoundError(f"no valid court CSVs in {input_dir}")
@@ -103,7 +113,7 @@ def read_court_csvs(spark: SparkSession, input_dir: str) -> DataFrame:
             spark.read.options(
                 header=True, sep=",", mode="DROPMALFORMED"
             )
-            .schema(_bucket_schema(header))
+            .schema(_bucket_schema(header, typed))
             .csv(paths)
             .withColumn(FILE_COL, F.input_file_name())
         )
@@ -112,49 +122,55 @@ def read_court_csvs(spark: SparkSession, input_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Factor resolution: branch remap (NP:10-24) + literal CASE tree (NP:41-61
-# + the per-key JE fallback NP:122, resolved at plan time).
+# Factor resolution (NP:10-24 remap, NP:41-61 factor table, NP:122 JE
+# fallback) and the guarded ratio kernels (calcular_meta NP:65-81, meta-1
+# NP:171-208), built as SQL TEXT and applied in a handful of selectExpr
+# stages. Why text and not the Column API: the expression forest here is
+# ~500 CASE/arith nodes, and building it node-by-node through py4j costs
+# multiple seconds of driver time per plan; f-string assembly is free and
+# yields the identical Catalyst tree. The stages are Projects that
+# Catalyst's CollapseProject folds into one.
 # ---------------------------------------------------------------------------
-def mapped_branch_expr(ramo: Column, sigla: Column) -> Column:
-    m = F.when(
-        (ramo == C.SUPERIOR_BRANCH) & (sigla == "TST"),
-        F.lit(C.SUPERIOR_COURT_MAP["TST"]),
-    )
-    m = m.when(
-        (ramo == C.SUPERIOR_BRANCH) & (sigla == "STJ"),
-        F.lit(C.SUPERIOR_COURT_MAP["STJ"]),
-    )
-    m = m.when(ramo == C.ELECTORAL_BRANCH, F.lit(C.ELECTORAL_MAPPED))
-    return m.otherwise(ramo)
+NULL_D = "CAST(NULL AS DOUBLE)"
 
 
-def factor_expr(mapped: Column, key: str) -> Column:
-    """CASE over the mapped branch emitting the literal factor for ``key``
-    (JE fallback baked in; unknown branches hit the ELSE = JE factor)."""
-    expr = None
-    for branch in C.FACTORS_BY_BRANCH:
-        val = C.resolve_factor(branch, key)
-        lit = F.lit(val).cast("double") if val is not None else F.lit(None).cast("double")
-        expr = (
-            F.when(mapped == branch, lit)
-            if expr is None
-            else expr.when(mapped == branch, lit)
-        )
-    default = C.resolve_factor(C.DEFAULT_BRANCH, key)
-    return expr.otherwise(
-        F.lit(default).cast("double") if default is not None else F.lit(None).cast("double")
-    )
-
-
-# ---------------------------------------------------------------------------
-# The aggregation + guarded ratio kernels (calcular_meta NP:65-81,
-# meta-1 NP:171-208) as pure expressions over the per-file sums.
-# ---------------------------------------------------------------------------
 def _sum_name(col: str) -> str:
     return f"__s_{col}"
 
 
-def _meta_expr(schema_cols: set[str], j: str, d: str, s: str, factor: Column) -> Column:
+def _lit_d(v: float | None) -> str:
+    # repr() of a Python float round-trips the exact IEEE double.
+    return NULL_D if v is None else f"{v!r}D"
+
+
+def _mapped_sql() -> str:
+    """Branch remap (NP:10-24): Tribunais Superiores resolve per court,
+    Justiça Eleitoral resolves to the TSE factor set."""
+    arms = " ".join(
+        f"WHEN ramo_justica = '{C.SUPERIOR_BRANCH}' AND sigla_tribunal = '{sig}' "
+        f"THEN '{mapped}'"
+        for sig, mapped in C.SUPERIOR_COURT_MAP.items()
+    )
+    return (
+        f"CASE {arms} "
+        f"WHEN ramo_justica = '{C.ELECTORAL_BRANCH}' THEN '{C.ELECTORAL_MAPPED}' "
+        "ELSE ramo_justica END"
+    )
+
+
+def _factor_sql(key: str) -> str:
+    """CASE over ``__mapped`` emitting the literal factor for ``key`` (JE
+    fallback baked in; unknown branches hit the ELSE = JE factor).
+    Materialized once per key as a ``__f_`` column so every downstream
+    reference is a cheap attribute, not a repeated CASE tree."""
+    arms = " ".join(
+        f"WHEN __mapped = '{branch}' THEN {_lit_d(C.resolve_factor(branch, key))}"
+        for branch in C.FACTORS_BY_BRANCH
+    )
+    return f"CASE {arms} ELSE {_lit_d(C.resolve_factor(C.DEFAULT_BRANCH, key))} END"
+
+
+def _meta_sql(schema_cols: set[str], j: str, d: str, s: str, key: str) -> str:
     """bround(Σj/(Σd−Σs) × factor, 2) with the reference's guards: all
     three columns present (plan-time) with ≥1 non-null value each,
     non-zero denominator, valid factor; else NULL ('NA').
@@ -163,43 +179,44 @@ def _meta_expr(schema_cols: set[str], j: str, d: str, s: str, factor: Column) ->
     Spark's sum is NULL exactly when every input is NULL, and every file
     group has ≥1 row — equivalent to the reference's notna().any() probe
     (NP:67) without carrying a second count() aggregate per column (halves
-    the agg width: ~49 aggregates instead of ~98)."""
+    the agg width: ~49 aggregates instead of ~98). The factor guard also
+    scopes the STJ overrides: ``__f_8``/``__f_10`` are NULL off-branch
+    (only the STJ factor set has those keys, NP:125/131)."""
     if not {j, d, s}.issubset(schema_cols):
-        return F.lit(None).cast("double")
+        return NULL_D
+    sj, sd, ss = _sum_name(j), _sum_name(d), _sum_name(s)
     guard = (
-        F.col(_sum_name(j)).isNotNull()
-        & F.col(_sum_name(d)).isNotNull()
-        & F.col(_sum_name(s)).isNotNull()
+        f"{sj} IS NOT NULL AND {sd} IS NOT NULL AND {ss} IS NOT NULL "
+        f"AND __f_{key} IS NOT NULL"
     )
-    den = F.col(_sum_name(d)) - F.col(_sum_name(s))
-    ratio = F.bround(F.col(_sum_name(j)) / F.nullif(den, F.lit(0.0)) * factor, 2)
-    return F.when(guard & factor.isNotNull(), ratio)
+    ratio = f"bround({sj} / nullif({sd} - {ss}, 0.0D) * __f_{key}, 2)"
+    return f"CASE WHEN {guard} THEN {ratio} END"
 
 
-def _meta1_expr(schema_cols: set[str]) -> Column:
+def _meta1_sql(schema_cols: set[str]) -> str:
     """Meta 1 (NP:171-208): Σjulgados/(Σcasos_novos + Σdessobrestados −
     Σsuspensos) × 100; dessobrestados optional, defaulting to 0."""
     if not set(C.META1_COLUMNS).issubset(schema_cols):
-        return F.lit(None).cast("double")
-    julg, novos, susp = C.META1_COLUMNS
-    guard = reduce(
-        lambda a, b: a & b,
-        [F.col(_sum_name(c)).isNotNull() for c in C.META1_COLUMNS],
+        return NULL_D
+    julg, novos, susp = (_sum_name(c) for c in C.META1_COLUMNS)
+    guard = f"{julg} IS NOT NULL AND {novos} IS NOT NULL AND {susp} IS NOT NULL"
+    dess = (
+        f"coalesce({_sum_name(C.META1_OPTIONAL)}, 0.0D)"
+        if C.META1_OPTIONAL in schema_cols
+        else "0.0D"
     )
-    if C.META1_OPTIONAL in schema_cols:
-        dess = F.coalesce(F.col(_sum_name(C.META1_OPTIONAL)), F.lit(0.0))
-    else:
-        dess = F.lit(0.0)
-    den = F.col(_sum_name(novos)) + dess - F.col(_sum_name(susp))
-    ratio = F.bround(F.col(_sum_name(julg)) / F.nullif(den, F.lit(0.0)) * 100, 2)
-    return F.when(guard, ratio)
+    ratio = f"bround({julg} / nullif({novos} + {dess} - {susp}, 0.0D) * 100, 2)"
+    return f"CASE WHEN {guard} THEN {ratio} END"
 
 
 def compute_resumo(court_data: DataFrame) -> DataFrame:
     """Per-court metas as typed nullable doubles (one row per input file).
 
     Physical plan: one shuffle (the groupBy) + a stack of constant-folded
-    projections — no joins, no UDFs, full whole-stage codegen.
+    projections — no joins, no UDFs, full whole-stage codegen. The STJ
+    suppression (NP:127-129) runs in a separate select referencing the
+    computed ``meta*_stj`` columns, so the override expression appears in
+    the tree once instead of three times.
     """
     schema_cols = set(court_data.columns)
     numeric = [c for c in C.all_numeric_columns() if c in schema_cols]
@@ -213,38 +230,40 @@ def compute_resumo(court_data: DataFrame) -> DataFrame:
 
     per_file = court_data.groupBy(FILE_COL).agg(*aggs)
 
-    mapped = mapped_branch_expr(F.col("ramo_justica"), F.col("sigla_tribunal"))
-    out: list[Column] = [
-        F.col("sigla_tribunal"),
-        F.col("ramo_justica"),
-        _meta1_expr(schema_cols).alias("meta1"),
+    keys = {key for *_, key in C.META_CONFIG.values()}
+    keys |= {key for _, key, _ in C.STJ_CONFIG.values()}
+    factors = per_file.selectExpr(
+        "*", f"{_mapped_sql()} AS __mapped"
+    ).selectExpr("*", *[f"{_factor_sql(k)} AS __f_{k}" for k in sorted(keys)])
+
+    metas: list[str] = [
+        "sigla_tribunal",
+        "ramo_justica",
+        f"{_meta1_sql(schema_cols)} AS meta1",
     ]
+    for name, (j, d, s, key) in C.META_CONFIG.items():
+        metas.append(f"{_meta_sql(schema_cols, j, d, s, key)} AS {name}")
+    for name, ((j, d, s), key, _suppressed) in C.STJ_CONFIG.items():
+        metas.append(f"{_meta_sql(schema_cols, j, d, s, key)} AS {name}")
+    computed = factors.selectExpr(*metas)
 
-    std_exprs: dict[str, Column] = {}
-    for meta_name, (j, d, s, key) in C.META_CONFIG.items():
-        std_exprs[meta_name] = _meta_expr(
-            schema_cols, j, d, s, factor_expr(mapped, key)
-        )
-
-    stj_exprs: dict[str, Column] = {}
-    for stj_name, ((j, d, s), key, suppressed) in C.STJ_CONFIG.items():
-        # Only the STJ factor set contains '8'/'10' (NP:125/131), so the
-        # override computes only for the mapped STJ branch.
-        is_stj = mapped == C.SUPERIOR_COURT_MAP["STJ"]
-        stj_val = F.when(
-            is_stj, _meta_expr(schema_cols, j, d, s, factor_expr(mapped, key))
-        )
-        stj_exprs[stj_name] = stj_val
-        for std in suppressed:
+    final: list[str] = []
+    suppressed_by = {
+        std: stj_name
+        for stj_name, (_, _, suppressed) in C.STJ_CONFIG.items()
+        for std in suppressed
+    }
+    for name in computed.columns:
+        stj = suppressed_by.get(name)
+        if stj is None:
+            final.append(name)
+        else:
             # NP:127-129: a computed override deletes the standard metas on
             # that row ('NA' after reassembly).
-            std_exprs[std] = F.when(stj_val.isNotNull(), F.lit(None).cast("double")).otherwise(
-                std_exprs[std]
+            final.append(
+                f"CASE WHEN {stj} IS NOT NULL THEN {NULL_D} ELSE {name} END AS {name}"
             )
-
-    out += [expr.alias(name) for name, expr in std_exprs.items()]
-    out += [expr.alias(name) for name, expr in stj_exprs.items()]
-    return per_file.select(*out)
+    return computed.selectExpr(*final)
 
 
 def stringify_resumo(resumo: DataFrame, sentinel: str = "NA") -> DataFrame:
@@ -276,7 +295,10 @@ def run(
     """
     data = read_court_csvs(spark, input_dir)
     resumo = stringify_resumo(compute_resumo(data))
-    consolidado = data.drop(FILE_COL)
+    # Separate untyped scan: the sink re-emits input cells verbatim, so
+    # paying double-parse + double-format (and turning '40' into '40.0')
+    # buys nothing. Two cheap scans beat one typed scan + cache at scale.
+    consolidado = read_court_csvs(spark, input_dir, typed=False).drop(FILE_COL)
     if output_dir:
         write_csv(resumo, os.path.join(output_dir, "ResumoMetas.csv"))
         write_csv(consolidado, os.path.join(output_dir, "Consolidado.csv"))

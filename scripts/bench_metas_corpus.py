@@ -141,11 +141,14 @@ def main() -> None:
     data = read_court_csvs(spark, corpus)
     resumo = stringify_resumo(compute_resumo(data))
     write_csv(resumo, os.path.join(out_dir, "ResumoMetas.csv"), single_file=True)
+    resumo_s = round(time.perf_counter() - t1, 2)
+    t2 = time.perf_counter()
     write_csv(
-        data.drop(FILE_COL),
+        read_court_csvs(spark, corpus, typed=False).drop(FILE_COL),
         os.path.join(out_dir, "Consolidado.csv"),
         single_file=False,
     )
+    consolidado_s = round(time.perf_counter() - t2, 2)
     wall = round(time.perf_counter() - t1, 2)
 
     print(json.dumps({
@@ -155,6 +158,8 @@ def main() -> None:
         "corpus_bytes": total,
         "corpus_files": 90,
         "gen_sec": gen_s,
+        "resumo_sec": resumo_s,
+        "consolidado_sec": consolidado_s,
         "throughput_mb_s": round(total / MB / wall, 1),
         "reference_baseline_sec": {"P_best": 25.28, "P_worst": 81.76,
                                     "NP_best": 111.93, "NP_worst": 212.37},

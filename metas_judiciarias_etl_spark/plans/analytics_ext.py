@@ -1,0 +1,225 @@
+"""Extended analytics surface: join-on-aggregate shapes, exact quantiles,
+and time-bucket gap-fill — rounding out SURVEY §2.3–§2.5 with the query
+shapes a warehouse user expects beyond the reference's own pipeline
+(reference has no quantiles/gap-fill; these are engine-surface extensions
+like plans/joins_ext.py, cited there to SURVEY §2.3 "generic joins").
+
+Scale notes (100 TB):
+* q18: the HAVING-filtered aggregate runs FIRST (one shuffle on orderkey,
+  map-side partial sums), and only surviving orderkeys join outward — the
+  join input is the filtered aggregate, never raw lineitem.
+* q10: selective filters (returnflag, 3-month window) reach the scans as
+  PushedFilters; the 4-way join shuffles only filtered rows; top-k is
+  TakeOrderedAndProject (no global sort shuffle).
+* percentiles: exact percentile() needs per-group value collection — fine
+  for bounded group counts (here: 3 flags). For unbounded groups at scale,
+  use approx_percentile (t-digest, mergeable map-side) instead.
+* gap-fill: the bucket grid is (time_range / width × n_keys) rows —
+  independent of fact cardinality; generated with sequence+explode, never
+  a driver loop. LOCF is one window pass partitioned by key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.parquet import load_table
+
+_NS = 1_000_000_000
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: join against a HAVING-filtered aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(big.total_qty, 2) AS total_qty
+    FROM (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    ) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders: aggregate-then-join. The aggregate (with its
+    HAVING filter) is the left input, so only qualifying orderkeys ever
+    reach the orders/customer joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10 shape: selective multi-join + global top-k.
+# --------------------------------------------------------------------------
+@query(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns in one quarter.
+    Filters push to the scans; nation (25 rows) broadcasts; the final
+    top-k is TakeOrderedAndProject, not a global sort."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            # Sum in exact decimal and round BEFORE casting out: double
+            # summation is order-dependent, and a half-way total like
+            # x.595 flips by a cent if it passes through binary double
+            # ahead of the round.
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact quantiles per group (percentile = linear interpolation, the same
+# definition as DuckDB's quantile_cont / ANSI percentile_cont).
+# --------------------------------------------------------------------------
+@query(
+    "percentile_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_extendedprice), 6) AS median_price,
+           list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]),
+                          x -> round(x, 6)) AS price_quantiles
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. Exact percentile() holds
+    group values in memory — fine at bounded group count; unbounded-group
+    jobs at scale should switch to approx_percentile (mergeable t-digest)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in (0.25, 0.5, 0.75, 0.95)]))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("median_price"),
+        F.transform(qs, lambda x: F.round(x, 6)).alias("price_quantiles"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-bucket rollup with gap-fill + LOCF (the hypertable-rollup shape).
+# --------------------------------------------------------------------------
+@query(
+    "gapfill_locf",
+    oracle="""
+    WITH actual AS (
+        SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS bucket_s,
+               event_type,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT min(bucket_s) AS lo, max(bucket_s) AS hi FROM actual
+    ), grid AS (
+        SELECT gs.g AS bucket_s, t.event_type
+        FROM (SELECT unnest(generate_series(lo, hi, 900)) AS g FROM bounds) gs
+        CROSS JOIN (SELECT DISTINCT event_type FROM actual) t
+    )
+    SELECT g.bucket_s, g.event_type,
+           a2.sum_value AS filled_value,
+           CAST(a.bucket_s IS NULL AS INT) AS is_gap
+    FROM grid g
+    LEFT JOIN actual a
+      ON a.event_type = g.event_type AND a.bucket_s = g.bucket_s
+    ASOF LEFT JOIN actual a2
+      ON a2.event_type = g.event_type AND a2.bucket_s <= g.bucket_s
+    """,
+)
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-min rollup per event_type over a dense bucket grid; empty buckets
+    carry the last observed value forward (LOCF).
+
+    The grid is sequence(min,max) × distinct keys — its size depends on the
+    time range, not the fact table, so the cross join is a broadcast of two
+    tiny relations even at 100 TB. LOCF is last(ignorenulls) over one
+    window partitioned by key; equivalent to the oracle's per-key ASOF."""
+    ev = load_table(spark, sf_dir, "events")
+    actual = (
+        ev.withColumn("bucket_s", (F.col("ts") / F.lit(900 * _NS)).cast("long") * 900)
+        .groupBy("bucket_s", "event_type")
+        .agg(F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    bounds = actual.agg(
+        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
+    )
+    grid = (
+        bounds.select(
+            F.explode(F.sequence("lo", "hi", F.lit(900))).alias("bucket_s")
+        )
+        .crossJoin(actual.select("event_type").distinct())
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(actual, ["bucket_s", "event_type"], "left")
+        .select(
+            "bucket_s",
+            "event_type",
+            F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("sum_value").isNull().cast("int").alias("is_gap"),
+        )
+    )

@@ -34,6 +34,10 @@ HEADLINE = [
     "distinct_agg",
     "q4_order_priority",
     "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q18_large_volume_customers",
+    "percentile_agg",
+    "gapfill_locf",
     "asof_join_last_purchase",
     "range_join_event_pairs",
     "window_running_total",

@@ -104,3 +104,38 @@ def test_similarity_bruteforce_broadcasts_queries(spark, sf):
     df = registry.QUERIES["sim_cosine_topk_bruteforce"](spark, sf)
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q18_aggregates_before_join(spark, sf):
+    df = registry.QUERIES["q18_large_volume_customers"](spark, sf)
+    plan = _plan(df)
+    # partial+final agg on lineitem, and the HAVING filter sits on the
+    # aggregate output — not a post-join filter over raw lineitem rows
+    assert plan.count("HashAggregate") >= 2
+    agg_idx = plan.index("HashAggregate")
+    join_idx = min(
+        i for i in (plan.find("SortMergeJoin"), plan.find("ShuffledHashJoin"),
+                    plan.find("BroadcastHashJoin")) if i >= 0
+    )
+    # tree prints top-down: joins sit ABOVE (before) the aggregate child
+    assert join_idx < agg_idx
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_broadcasts_nation_and_takes_topk(spark, sf):
+    df = registry.QUERIES["q10_returned_revenue"](spark, sf)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan  # nation (25 rows) never shuffles
+    assert "TakeOrderedAndProject" in plan  # top-20 without a global sort
+    fmt = _formatted(df)
+    # the returnflag filter reaches the lineitem parquet scan
+    assert "EqualTo(l_returnflag,R)" in fmt
+
+
+def test_gapfill_grid_is_broadcast_not_cartesian_shuffle(spark, sf):
+    df = registry.QUERIES["gapfill_locf"](spark, sf)
+    plan = _plan(df)
+    # grid = tiny bounds row x distinct keys: must be a broadcast-side
+    # product, never a shuffle cartesian; LOCF is exactly one Window pass
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 1

@@ -306,3 +306,96 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_jaccard(pairs, shingled).select(
         "a_id", "b_id", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: connected components over the verified pair graph —
+# the step that turns pairwise matches into dedup groups (keep one doc per
+# component). Iterative min-label propagation; each round is one join + one
+# hash agg, all JVM-side. Rounds are bounded by the component diameter —
+# near-dup graphs are shallow (dups of a dup are dups), so a handful of
+# rounds closes even huge graphs; at extreme diameters switch to the
+# large-star/small-star variant (same primitive, O(log n) rounds).
+# Lineage is truncated every round (localCheckpoint) — iterative joins
+# otherwise stack plans until the driver chokes.
+# ---------------------------------------------------------------------------
+def _connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """(doc_id, cluster_id = min doc_id reachable) for every doc in ≥1 pair."""
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_rounds):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage; also materializes
+        )
+        # labels only ever decrease: an unchanged monotone sum == fixpoint
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@query(
+    "dedup_clusters",
+    oracle=_minhash_oracle_ctes()
+    + f"""
+    , verified AS (
+        SELECT c.a_id, c.b_id
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id
+        WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+              >= {JACCARD_THRESHOLD}
+    )
+    SELECT doc_id, cluster_id FROM (
+        WITH RECURSIVE edges AS (
+            SELECT a_id AS src, b_id AS dst FROM verified
+            UNION
+            SELECT b_id, a_id FROM verified
+        ), reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id,
+               least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    )
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup groups: MinHash-LSH verified pairs → connected components
+    (cluster_id = min doc_id in the component). The oracle walks the same
+    graph with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = _doc_shingles(docs)
+    pairs = (
+        _pair_jaccard(_lsh_candidates(_signatures(shingled)), shingled)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id")
+    )
+    return _connected_components(pairs)

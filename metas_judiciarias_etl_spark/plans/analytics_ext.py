@@ -233,3 +233,77 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_value").isNull().cast("int").alias("is_gap"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CDC apply / merge-upsert: last-write-wins by key over base ∪ changes.
+# The changes batch here is derived deterministically from orders itself
+# (every 10th key updated, a shifted key range inserted) so the oracle sees
+# the identical input without any side files.
+# --------------------------------------------------------------------------
+@query(
+    "cdc_upsert_apply",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice,
+               0 AS _v
+        FROM orders
+    ), changes AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               round(o_totalprice, 2) + 1000 AS o_totalprice, 1 AS _v
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, 'N', round(o_totalprice, 2), 1
+        FROM orders WHERE o_orderkey % 1000 = 7
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY _v DESC) AS rn
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+    ) WHERE rn = 1
+    """,
+)
+def cdc_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-upsert without a table format: base ∪ changes, keep the
+    highest-version row per key (row_number over a per-key window).
+
+    At scale this is the standard CDC-apply compaction: one shuffle on the
+    merge key; with the base stored bucketed by key the shuffle drops to
+    the (small) changes side only. Table formats (Delta/Iceberg MERGE) do
+    the same thing with transactional bookkeeping on top."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.lit(0).alias("_v"),
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            # +1000 after the round: an exact IEEE op on both engines —
+            # a multiplicative bump (*1.1) makes systematic x.xx5 half-way
+            # values that HALF_UP (Spark) and C round (DuckDB) split on.
+            (F.round("o_totalprice", 2) + 1000).alias("o_totalprice"),
+            F.lit(1).alias("_v"),
+        )
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 1000 == 7)
+        .select(
+            (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.lit(1).alias("_v"),
+        )
+    )
+    merged = base.unionByName(updates).unionByName(inserts)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("_v").desc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )

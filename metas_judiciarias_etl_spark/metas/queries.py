@@ -167,3 +167,64 @@ register_oracle("metas_consolidado", _consolidado_oracle_sql())
 
 
 register_oracle("metas_resumo_pipeline", metas_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# S9 (chart sink, NP:83-98): per-meta bar-chart data — stringified resumo →
+# to_numeric(errors='coerce') → drop invalid → sort desc. The PNG render is
+# a driver edge; THIS is the relation it draws. One unpivot (generated
+# stack, no shuffle) + one window rank per meta; at scale the narrow
+# (meta, court, value) relation is tiny regardless of corpus size because
+# the resumo is one row per court.
+# ---------------------------------------------------------------------------
+METD_COLS = [c for c in RESUMO_COLUMNS if c not in ("sigla_tribunal", "ramo_justica")]
+
+
+@query("metas_chart_ranking")
+def metas_chart_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(meta_name, sigla_tribunal, value, bar_pos) for every valid cell of
+    the stringified resumo — 'NA' coerces to NULL and drops, descending
+    value order per meta with the court sigla as the deterministic
+    tiebreak (the reference's sort is pandas-stable on file order;
+    ordering ties by sigla makes the relation engine-independent)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    resumo = metas_resumo_pipeline(spark, sf_dir)
+    stack_expr = "stack({n}, {pairs}) AS (meta_name, value_str)".format(
+        n=len(METD_COLS),
+        pairs=", ".join(f"'{c}', {c}" for c in METD_COLS),
+    )
+    melted = resumo.selectExpr("sigla_tribunal", stack_expr)
+    coerced = melted.select(
+        "meta_name",
+        "sigla_tribunal",
+        F.expr("try_cast(value_str AS DOUBLE)").alias("value"),
+    ).filter(F.col("value").isNotNull())
+    w = Window.partitionBy("meta_name").orderBy(
+        F.col("value").desc(), F.col("sigla_tribunal")
+    )
+    return coerced.withColumn("bar_pos", F.row_number().over(w).cast("long"))
+
+
+def _chart_oracle_sql() -> str:
+    branches = "\n        UNION ALL\n".join(
+        f"        SELECT sigla_tribunal, '{c}' AS meta_name, "
+        f"try_cast({c} AS DOUBLE) AS value FROM resumo"
+        for c in METD_COLS
+    )
+    return f"""
+    WITH resumo AS (
+{metas_oracle_sql()}
+    ), melted AS (
+{branches}
+    )
+    SELECT meta_name, sigla_tribunal, value,
+           CAST(row_number() OVER (PARTITION BY meta_name
+                                   ORDER BY value DESC, sigla_tribunal) AS BIGINT)
+               AS bar_pos
+    FROM melted WHERE value IS NOT NULL
+    """
+
+
+register_oracle("metas_chart_ranking", _chart_oracle_sql())

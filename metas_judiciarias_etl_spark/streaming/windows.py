@@ -201,3 +201,18 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_within_watermark(
+    events: DataFrame, delay: str = "30 minutes", keys: Iterable[str] = ("event_id",)
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes its event time, then evicts — the streaming form of
+    ``dedup_exact`` (operators/dedup.py). Plain ``dropDuplicates`` on a
+    stream would hold every key forever; at-least-once sources (Kafka,
+    file redelivery) + this operator = effective exactly-once delivery
+    downstream."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -27,3 +27,51 @@ def test_cycle_and_bridge(spark):
     # cycle 5-6-7-5 bridged to 2 via 5-2
     got = _cc(spark, [(5, 6), (6, 7), (5, 7), (2, 5)])
     assert got == {2: 2, 5: 2, 6: 2, 7: 2}
+
+
+# Property: on random graphs the distributed propagation must agree with a
+# driver-side union-find (the textbook sequential reference).
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+    import pytest
+
+    def _union_find(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    @pytest.fixture(scope="module")
+    def _spark_for_props(spark):
+        return spark
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+                lambda p: p[0] != p[1]
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_components_match_union_find(_spark_for_props, pairs):
+        norm = [(min(a, b), max(a, b)) for a, b in pairs]
+        got = _cc(_spark_for_props, norm)
+        assert got == _union_find(norm)

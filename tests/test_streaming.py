@@ -195,3 +195,33 @@ def test_stream_stream_interval_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ss_join_out").collect()
     }
     assert got == {(2, 1, 1, 10.0), (6, 4, 2, 5.0), (6, 5, 2, 7.0)}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Redelivered event_ids (same id in both batches) must reach the sink
+    exactly once; distinct ids all survive."""
+    d = str(tmp_path / "dup_events")
+    _write_events(
+        d,
+        "b1.json",
+        [
+            (1, "10:00", 1, "click", 1.0),
+            (2, "10:05", 1, "click", 2.0),
+            (2, "10:05", 1, "click", 2.0),  # duplicate within the batch
+        ],
+    )
+    _write_events(
+        d,
+        "b2.json",
+        [
+            (1, "10:00", 1, "click", 1.0),  # redelivery across batches
+            (3, "10:10", 2, "view", 3.0),
+        ],
+    )
+    stream = SW.dedup_within_watermark(
+        SW.read_event_stream(spark, d, max_files_per_trigger=1)
+    )
+    _drain(stream, "dedup_sink", mode="append")
+    rows = spark.sql("SELECT event_id FROM dedup_sink").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3]

@@ -110,10 +110,22 @@ def _signatures(shingled: DataFrame) -> DataFrame:
     return mh
 
 
-def _lsh_candidates(mh: DataFrame) -> DataFrame:
+BUCKET_CAP = 200
+
+
+def _lsh_candidates(mh: DataFrame, bucket_cap: int = BUCKET_CAP) -> DataFrame:
     """Band the signatures and self-join per band: docs sharing any full band
     become candidate pairs. The join key (band_idx, band_sig) is what makes
-    this scale — candidates meet in a bucket, not in an all-pairs product."""
+    this scale — candidates meet in a bucket, not in an all-pairs product.
+
+    ``bucket_cap`` is the mega-bucket guard: a degenerate band signature
+    (boilerplate shingles, near-empty docs) with m members contributes
+    m²/2 candidate pairs — one million-doc bucket is 5×10¹¹ pairs and a
+    straight-up job killer. Buckets above the cap are excluded from pair
+    generation (their members still meet through their OTHER bands, which
+    is why LSH uses several bands). The cap is a visible recall knob, not
+    a silent truncation: set it from the band-population histogram
+    (`groupBy(band).count()`), and the oracle applies the same cap."""
     band_structs = F.array(
         *[
             F.struct(
@@ -126,8 +138,12 @@ def _lsh_candidates(mh: DataFrame) -> DataFrame:
     banded = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", "bs.band_idx", "bs.band_sig"
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
+    w = Window.partitionBy("band_idx", "band_sig")
+    capped = banded.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
+        F.col("_n") <= bucket_cap
+    ).drop("_n")
+    left = capped.alias("a")
+    right = capped.alias("b")
     return (
         left.join(
             right,
@@ -180,9 +196,15 @@ def _minhash_oracle_ctes() -> str:
         FROM hv GROUP BY doc_id
     ), banded AS (
 {band_rows}
+    ), capped AS (
+        SELECT * FROM (
+            SELECT banded.*,
+                   count(*) OVER (PARTITION BY band_idx, band_sig) AS _n
+            FROM banded
+        ) WHERE _n <= {BUCKET_CAP}
     ), cand AS (
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM banded a JOIN banded b
+        FROM capped a JOIN capped b
           ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
          AND a.doc_id < b.doc_id
     )

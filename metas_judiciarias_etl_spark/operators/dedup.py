@@ -6,10 +6,11 @@ a DuckDB oracle built from the *same* hash/shingle constants
 
 * exact       — content-hash groupBy. One shuffle on a 128-bit key; at scale
                 the winning strategy for byte-identical dups.
-* MinHash+LSH — shingle → k minhashes → band → bucket-join. Candidate
-                generation is a self-join on (band, signature): only
-                colliding docs meet, never all-pairs. The verify step
-                computes exact shingle Jaccard on candidates only.
+* MinHash+LSH — shingle → k minhashes → band → bucket agg. Candidate
+                generation groups docs by (band, signature) and expands
+                pairs inside each (capped) bucket: only colliding docs
+                meet, never all-pairs. The verify step computes exact
+                shingle Jaccard on candidates only.
 * SimHash     — 16-bit fingerprint from per-token 48-bit hashes; near-dups
                 collide on equal fingerprints (hamming-0 buckets).
 * n-gram Jaccard — the exact verifier exposed standalone (LSH-candidates →
@@ -20,10 +21,12 @@ one md5 per shingle, cheap affine permutations, map-side partial MIN, one
 shuffle keyed by doc_id — instead of nested higher-order functions. The HOF
 form re-expands the whole hash expression tree into every band branch and
 join side (Catalyst CollapseProject), which blew compile time up ~100x.
-The signature table is persisted before the self-join, exactly as a real
-pipeline would checkpoint it; at 100 TB it becomes a materialized table.
+The shingle table is persisted (it feeds the signature build and both
+sides of the Jaccard verify join); at 100 TB it becomes a materialized
+table.
 
-No UDFs anywhere: hash agg + shuffle joins, whole-stage codegen throughout.
+No UDFs anywhere: hash aggs + bucket expansion + shuffle joins, whole-stage
+codegen throughout.
 """
 
 from __future__ import annotations
@@ -99,24 +102,24 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
 
 def _signatures(shingled: DataFrame) -> DataFrame:
     """MinHash signature table: explode shingles → one hash48 per shingle →
-    9 affine-permutation MINs in a single groupBy(doc_id). Persisted — the
-    LSH band self-join reads it twice."""
+    9 affine-permutation MINs in a single groupBy(doc_id). No persist:
+    since candidate generation became a bucket agg (no self-join), the
+    signature table is consumed exactly once per query."""
     h = (
         shingled.select("doc_id", F.explode("shingles").alias("shingle"))
         .select("doc_id", (hash48(F.col("shingle")) % MINHASH_P).alias("h"))
     )
-    mh = h.groupBy("doc_id").agg(*affine_min_aggs("h", NUM_HASHES)).persist()
-    mh.count()  # materialize before the band self-join reads it twice
-    return mh
+    return h.groupBy("doc_id").agg(*affine_min_aggs("h", NUM_HASHES))
 
 
 BUCKET_CAP = 200
 
 
 def _lsh_candidates(mh: DataFrame, bucket_cap: int = BUCKET_CAP) -> DataFrame:
-    """Band the signatures and self-join per band: docs sharing any full band
-    become candidate pairs. The join key (band_idx, band_sig) is what makes
-    this scale — candidates meet in a bucket, not in an all-pairs product.
+    """Band the signatures and bucket docs per band: docs sharing any full
+    band become candidate pairs. The bucket key (band_idx, band_sig) is
+    what makes this scale — candidates meet in a bucket, never in an
+    all-pairs product.
 
     ``bucket_cap`` is the mega-bucket guard: a degenerate band signature
     (boilerplate shingles, near-empty docs) with m members contributes
@@ -125,7 +128,12 @@ def _lsh_candidates(mh: DataFrame, bucket_cap: int = BUCKET_CAP) -> DataFrame:
     generation (their members still meet through their OTHER bands, which
     is why LSH uses several bands). The cap is a visible recall knob, not
     a silent truncation: set it from the band-population histogram
-    (`groupBy(band).count()`), and the oracle applies the same cap."""
+    (`groupBy(band).count()`), and the oracle applies the same cap.
+
+    Physical shape: collect each bucket's member list in ONE hash agg
+    (map-side combinable), then expand pairs with array expressions inside
+    the row — no self-join, no window; the cap bounds the expansion at
+    cap² structs per bucket. One shuffle total before the pair distinct."""
     band_structs = F.array(
         *[
             F.struct(
@@ -138,20 +146,24 @@ def _lsh_candidates(mh: DataFrame, bucket_cap: int = BUCKET_CAP) -> DataFrame:
     banded = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", "bs.band_idx", "bs.band_sig"
     )
-    w = Window.partitionBy("band_idx", "band_sig")
-    capped = banded.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
-        F.col("_n") <= bucket_cap
-    ).drop("_n")
-    left = capped.alias("a")
-    right = capped.alias("b")
-    return (
-        left.join(
-            right,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        banded.groupBy("band_idx", "band_sig")
+        .agg(F.collect_list("doc_id").alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= bucket_cap))
+    )
+    ms = F.array_sort("members")
+    pair_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda x: F.transform(
+                ms, lambda y: F.struct(x.alias("a_id"), y.alias("b_id"))
+            ),
         )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .filter(F.col("p.a_id") < F.col("p.b_id"))
+        .select("p.a_id", "p.b_id")
         .distinct()
     )
 

@@ -433,3 +433,83 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
     )
     return _connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Large-star/small-star connected components — the O(log n)-round variant
+# for adversarial component diameters (simple propagation needs diameter
+# rounds; star contraction halves tree heights each iteration). Both moves
+# are one groupBy + in-row array math over the edge list; no joins at all.
+# ---------------------------------------------------------------------------
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: link every LARGER neighbor to min(N(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nb = sym.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+    m = F.array_min(F.array_union("nbrs", F.array("src")))
+    return (
+        nb.select(
+            F.explode(F.filter("nbrs", lambda v: v > F.col("src"))).alias("_u"),
+            m.alias("_m"),
+        )
+        .filter(F.col("_u") != F.col("_m"))
+        .select(F.col("_u").alias("src"), F.col("_m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large→small, then per node link all smaller neighbors
+    (and the node itself) to the minimum of the neighborhood."""
+    canon = (
+        edges.select(
+            F.greatest("src", "dst").alias("_hi"), F.least("src", "dst").alias("_lo")
+        )
+        .filter(F.col("_hi") != F.col("_lo"))
+        .select(F.col("_hi").alias("src"), F.col("_lo").alias("dst"))
+        .distinct()
+    )
+    nb = canon.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+    with_self = F.array_union("nbrs", F.array("src"))
+    m = F.array_min(with_self)
+    return (
+        nb.select(
+            F.explode(F.filter(with_self, lambda v: v != m)).alias("_u"),
+            m.alias("_m"),
+        )
+        .select(F.col("_u").alias("src"), F.col("_m").alias("dst"))
+        .distinct()
+    )
+
+
+def _connected_components_star(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """(doc_id, cluster_id) via alternating large-star/small-star until the
+    canonical edge set stops changing — then every edge is (node, component
+    min). Convergence test is an order-insensitive checksum (count + sum of
+    a per-edge hash), one tiny scalar agg per round."""
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(e: DataFrame) -> tuple:
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash(F.least("src", "dst"), F.greatest("src", "dst"))).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    sig = _sig(edges)
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    roots = edges.select(F.col("dst").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return edges.select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
+    ).union(roots).distinct()

@@ -93,3 +93,41 @@ def test_lsh_bucket_cap_guard(spark):
     mh = _signatures(_doc_shingles(docs))
     assert _lsh_candidates(mh).count() == 15
     assert _lsh_candidates(mh, bucket_cap=3).count() == 0
+
+
+def test_star_chain_and_components(spark):
+    from metas_judiciarias_etl_spark.operators.dedup import (
+        _connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a_id long, b_id long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in _connected_components_star(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+                lambda p: p[0] != p[1]
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def test_star_components_match_union_find(_spark_for_props, pairs):
+        from metas_judiciarias_etl_spark.operators.dedup import (
+            _connected_components_star,
+        )
+
+        norm = [(min(a, b), max(a, b)) for a, b in pairs]
+        df = _spark_for_props.createDataFrame(norm, "a_id long, b_id long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in _connected_components_star(df).collect()
+        }
+        assert got == _union_find(norm)

@@ -378,3 +378,56 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", cos.alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COS)
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the approximate indexes against the
+# brute-force exact top-k — the "measure, don't guess" step before trusting
+# an index at scale. Composes the already-registered pipelines (engine AND
+# oracle sides), so the metric can never drift from the operators it
+# measures.
+# ---------------------------------------------------------------------------
+def _recall_query(approx_name: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..registry import QUERIES
+
+        exact = QUERIES["sim_cosine_topk_bruteforce"](spark, sf_dir)
+        approx = (
+            QUERIES[approx_name](spark, sf_dir)
+            .select("query_id", "vec_id")
+            .withColumn("hit", F.lit(1))
+        )
+        return (
+            exact.join(approx, ["query_id", "vec_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("k"),
+                F.round(
+                    F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 6
+                ).alias("recall_at_k"),
+            )
+        )
+
+    return fn
+
+
+def _recall_oracle(approx_name: str) -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH exact_topk AS ({ORACLES["sim_cosine_topk_bruteforce"]}),
+    approx_topk AS ({ORACLES[approx_name]})
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS recall_at_k
+    FROM exact_topk e
+    LEFT JOIN approx_topk a
+      ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """
+
+
+for _approx in ("sim_cosine_topk_ivf", "sim_cosine_topk_lsh"):
+    _metric = f"sim_recall_{_approx.rsplit('_', 1)[-1]}"
+    query(_metric, oracle=_recall_oracle(_approx))(_recall_query(_approx))

@@ -140,12 +140,15 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
         SELECT l_returnflag,
-               list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]),
-                              x -> round(x, 6)) AS price_quantiles
+               quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS qs
         FROM lineitem
         GROUP BY l_returnflag
     )
-    SELECT l_returnflag, price_quantiles[2] AS median_price, price_quantiles
+    SELECT l_returnflag,
+           round(qs[1], 6) AS p25,
+           round(qs[2], 6) AS p50,
+           round(qs[3], 6) AS p75,
+           round(qs[4], 6) AS p95
     FROM q
     """,
 )
@@ -153,18 +156,23 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group. Exact percentile() holds
     group values in memory — fine at bounded group count; unbounded-group
     jobs at scale should switch to approx_percentile (mergeable t-digest).
-    One percentile aggregate serves all quantiles; the median is an array
-    element, not a second sort."""
+    One percentile aggregate serves all quantiles, then the array is
+    projected to four scalar columns (scalar outputs keep the result
+    hashable for any downstream row-wise comparer)."""
     li = load_table(spark, sf_dir, "lineitem")
     qs = F.percentile(
         "l_extendedprice", F.array(*[F.lit(q) for q in (0.25, 0.5, 0.75, 0.95)])
     )
-    return li.groupBy("l_returnflag").agg(
-        F.transform(qs, lambda x: F.round(x, 6)).alias("price_quantiles")
-    ).select(
-        "l_returnflag",
-        F.element_at("price_quantiles", 2).alias("median_price"),
-        "price_quantiles",
+    return (
+        li.groupBy("l_returnflag")
+        .agg(qs.alias("__qs"))
+        .select(
+            "l_returnflag",
+            *[
+                F.round(F.element_at("__qs", i + 1), 6).alias(name)
+                for i, name in enumerate(("p25", "p50", "p75", "p95"))
+            ],
+        )
     )
 
 

@@ -44,7 +44,7 @@ def arrays_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_sorted",
     oracle="""
     SELECT s_nationkey,
-           list_sort(array_agg(s_name)) AS supplier_names,
+           array_to_string(list_sort(array_agg(s_name)), '|') AS supplier_names,
            count(*) AS n_suppliers
     FROM supplier
     GROUP BY s_nationkey
@@ -52,10 +52,13 @@ def arrays_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped array aggregation — sort_array makes the result deterministic
-    (collect_list order is partition-dependent otherwise)."""
+    (collect_list order is partition-dependent otherwise); the array is then
+    joined to one delimited string so every output column is a scalar."""
     sup = load_table(spark, sf_dir, "supplier")
     return sup.groupBy("s_nationkey").agg(
-        F.sort_array(F.collect_list("s_name")).alias("supplier_names"),
+        F.array_join(F.sort_array(F.collect_list("s_name")), "|").alias(
+            "supplier_names"
+        ),
         F.count(F.lit(1)).alias("n_suppliers"),
     )
 
@@ -242,13 +245,38 @@ def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_sketch")  # engine-specific HLL sketch → rows-only check
+@query(
+    "approx_distinct_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           CAST(abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+                <= 0.05 * count(DISTINCT l_partkey) AS INT) AS within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++): the sketch is engine-specific so there
-    is no value-exact oracle; the exact count rides along for scale-error
-    eyeballing and the driver records a rows-only check."""
+    """approx_count_distinct (HLL++): the raw sketch estimate is
+    engine-specific, so the checkable contract is a bounded-error assertion:
+    each engine computes ITS OWN approximate count and asserts it lands
+    within 5% of the exact count (rsd=0.02 → 5% is a 2.5-sigma bound).
+    Both engines then agree exactly on (group, exact_count, 1)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("__approx") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            )
+            .cast("int")
+            .alias("within_5pct"),
+        )
     )

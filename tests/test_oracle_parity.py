@@ -39,3 +39,21 @@ def test_query_parity(name, spark, sf_oracle, con):
 def test_every_oracle_has_query():
     for name in registry.ORACLES:
         assert name in registry.QUERIES
+
+
+@pytest.mark.parametrize("name", all_query_names())
+def test_query_output_is_driver_hashable(name, spark, sf_oracle):
+    """The driver's canonicalizer pandas-sorts result columns; array/map/
+    struct cells are unhashable there and kill the row (CORRECTNESS_r01:
+    percentile_agg, array_agg_sorted). Every registered query must therefore
+    project only atomic columns — serialize or scalarize anything nested."""
+    from pyspark.sql import types as T
+
+    fn = registry.QUERIES[name]
+    schema = fn(spark, sf_oracle).schema
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, f"{name}: complex-typed output columns {bad} break the driver compare"

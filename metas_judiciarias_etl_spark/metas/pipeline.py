@@ -25,8 +25,11 @@ everything downstream of the agg is effectively free.
 
 from __future__ import annotations
 
+import csv
+import io
 import os
 from functools import reduce
+from typing import Iterable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,31 +44,71 @@ FILE_COL = "_court_file"
 # Source: schema-drift CSV union (replaces NP:143,155,226 and the unsound
 # byte-concat P:240-252 — see SURVEY.md §1.5 'Consolidado divergence').
 # ---------------------------------------------------------------------------
+def _parse_header(header_line: str) -> tuple[str, ...]:
+    """Parse one CSV header line with real CSV quoting rules — a quoted
+    header cell containing a comma must stay one column, or the file lands
+    in the wrong bucket and every value after it misaligns."""
+    return tuple(h.strip() for h in next(csv.reader(io.StringIO(header_line))))
+
+
+def _bucket_entries(
+    entries: Iterable[tuple[str, str]],
+) -> dict[tuple[str, ...], list[str]]:
+    """(path, header_line) pairs → {header: [paths]} buckets, applying the
+    reference's skip rules (NP:157-159): blank header or missing identity
+    column → file excluded. (Header-only files need no special case under
+    Spark: zero data rows → zero rows in the union → no resumo group,
+    identical to the reference skipping the file.)"""
+    buckets: dict[tuple[str, ...], list[str]] = {}
+    for path, header_line in entries:
+        if not header_line:
+            continue
+        header = _parse_header(header_line)
+        if not set(C.IDENTITY_COLUMNS).issubset(header):
+            continue
+        buckets.setdefault(header, []).append(path)
+    return buckets
+
+
 def _scan_headers(input_dir: str) -> dict[tuple[str, ...], list[str]]:
     """Driver-side probe: first two lines of each *.csv → header buckets.
 
     Files are skipped (matching NP:157-159) when they are empty, have no
     data row (header-only → pandas df.empty), or lack an identity column.
-    Cost: O(2 lines) per file; at real scale this comes from a manifest.
+    Cost: O(2 lines) per file; at real scale pass ``manifest=`` to
+    ``read_court_csvs`` instead — a catalog row per file beats O(files)
+    object-store open() round-trips.
     """
-    buckets: dict[tuple[str, ...], list[str]] = {}
-    for name in sorted(os.listdir(input_dir)):
-        if not name.endswith(".csv"):
-            continue
-        path = os.path.join(input_dir, name)
-        if not os.path.isfile(path):
-            # e.g. a Spark CSV sink directory named *.csv
-            continue
-        with open(path, encoding="utf-8") as fh:
-            header_line = fh.readline().strip("\r\n")
-            has_data = bool(fh.readline())
-        if not header_line or not has_data:
-            continue
-        header = tuple(h.strip() for h in header_line.split(","))
-        if not set(C.IDENTITY_COLUMNS).issubset(header):
-            continue
-        buckets.setdefault(header, []).append(path)
-    return buckets
+
+    def entries():
+        for name in sorted(os.listdir(input_dir)):
+            if not name.endswith(".csv"):
+                continue
+            path = os.path.join(input_dir, name)
+            if not os.path.isfile(path):
+                # e.g. a Spark CSV sink directory named *.csv
+                continue
+            with open(path, encoding="utf-8", newline="") as fh:
+                header_line = fh.readline().strip("\r\n")
+                has_data = bool(fh.readline())
+            if has_data:
+                yield path, header_line
+
+    return _bucket_entries(entries())
+
+
+def load_manifest(source: str | Iterable[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Normalize a file manifest to [(path, header_line)].
+
+    ``source`` is either an iterable of (path, header_line) pairs or a path
+    to a manifest CSV with columns ``path,header`` (header = the data
+    file's raw first line, CSV-quoted as needed). This is the 100 TB
+    listing path: one catalog read replaces per-file opens."""
+    if isinstance(source, str):
+        with open(source, encoding="utf-8", newline="") as fh:
+            rows = csv.DictReader(fh)
+            return [(r["path"], r["header"]) for r in rows]
+    return list(source)
 
 
 def _bucket_schema(header: tuple[str, ...], typed: bool = True) -> T.StructType:
@@ -85,7 +128,10 @@ def _bucket_schema(header: tuple[str, ...], typed: bool = True) -> T.StructType:
 
 
 def read_court_csvs(
-    spark: SparkSession, input_dir: str, typed: bool = True
+    spark: SparkSession,
+    input_dir: str,
+    typed: bool = True,
+    manifest: str | Iterable[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Read every valid court CSV under ``input_dir`` into one DataFrame
     with by-name schema alignment and a file-lineage column.
@@ -95,23 +141,32 @@ def read_court_csvs(
     NP:155), but values pass through byte-verbatim — the right mode for
     the Consolidado sink, which re-emits input cells without arithmetic
     (the reference applies no dtype there either; double-parsing would
-    only rewrite '40' as '40.0' and pay parse + format for nothing)."""
-    buckets = _scan_headers(input_dir)
+    only rewrite '40' as '40.0' and pay parse + format for nothing).
+
+    ``manifest`` replaces the driver-side per-file header probe with a
+    precomputed ``(path, header_line)`` listing (see ``load_manifest``) —
+    the scale path: one catalog scan instead of O(files) opens."""
+    buckets = (
+        _bucket_entries(load_manifest(manifest))
+        if manifest is not None
+        else _scan_headers(input_dir)
+    )
     if not buckets:
         raise FileNotFoundError(f"no valid court CSVs in {input_dir}")
-    # With CSV column pruning on, DROPMALFORMED only sees the projected
-    # columns — a zero-column scan (count) would silently KEEP malformed
-    # rows. The metas agg touches ~every column anyway, so full-row parse
-    # costs nothing here and makes row-drop semantics deterministic.
-    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
     parts = []
     for header, paths in sorted(buckets.items()):
         df = (
             # NB: no explicit encoding option — UTF-8 is already Spark's
             # default, and *naming* it switches the reader onto the
             # generic-charset line decoder, a measured 4x slowdown.
+            # columnPruning=false is a PER-READ option (verified to
+            # override the session conf): with pruning on, DROPMALFORMED
+            # only sees projected columns, so a narrow projection (e.g. a
+            # bare count) would silently KEEP malformed rows. Scoping it
+            # here leaves the session conf — and every other CSV read in
+            # the session — untouched.
             spark.read.options(
-                header=True, sep=",", mode="DROPMALFORMED"
+                header=True, sep=",", mode="DROPMALFORMED", columnPruning="false"
             )
             .schema(_bucket_schema(header, typed))
             .csv(paths)

@@ -369,6 +369,7 @@ def _connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_rounds):
         neigh = (
             edges.join(labels, edges.dst == labels.node)
@@ -386,9 +387,21 @@ def _connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
         # labels only ever decrease: an unchanged monotone sum == fixpoint
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()
+    if not converged:
+        # Returning here would hand back WRONG (partially-propagated)
+        # cluster labels with no diagnostic. A graph deeper than max_rounds
+        # means min-label propagation is the wrong algorithm for it — fail
+        # loudly and point at the O(log n) variant.
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds "
+            "(graph diameter exceeds the round budget); use "
+            "_connected_components_star (large-star/small-star, O(log n) "
+            "rounds) for high-diameter graphs"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import floor_bucket_s
 from ..registry import query
 from ..sources.parquet import load_table
 
@@ -214,7 +215,7 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partitioned by key; equivalent to the oracle's per-key ASOF."""
     ev = load_table(spark, sf_dir, "events")
     actual = (
-        ev.withColumn("bucket_s", (F.col("ts") / F.lit(900 * _NS)).cast("long") * 900)
+        ev.withColumn("bucket_s", floor_bucket_s("ts", 900))
         .groupBy("bucket_s", "event_type")
         .agg(F.round(F.sum("value"), 2).alias("sum_value"))
     )

@@ -38,7 +38,8 @@ _NS = 1_000_000_000
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue,
            count(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -49,7 +50,10 @@ _NS = 1_000_000_000
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All four predicates reach the parquet scan (PushedFilters); the agg is
-    partial-combined per task, one row crosses the exchange."""
+    partial-combined per task, one row crosses the exchange. Money sums in
+    DECIMAL (the repo-wide rule, cf. q10): double accumulation is
+    partition-order-dependent, so a half-way total could flip a cent under
+    round() between engines."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
@@ -59,9 +63,16 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -283,7 +294,8 @@ SALT_N = 16
     "skew_salted_agg",
     oracle="""
     SELECT l_returnflag,
-           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_price,
            count(*) AS n_rows
     FROM lineitem
     GROUP BY l_returnflag
@@ -292,16 +304,17 @@ SALT_N = 16
 def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phase 1 aggregates (key, hash(row)%N) — a hot key spreads over N
     reducers; phase 2 combines N partials per key. Low-cardinality group keys
-    (3 return flags here) are exactly when this matters."""
+    (3 return flags here) are exactly when this matters. Partials sum in
+    DECIMAL so the two-phase total is order-independent and cent-stable."""
     li = load_table(spark, sf_dir, "lineitem")
     salted = li.withColumn(
         "_salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(SALT_N))
     )
     partial = salted.groupBy("l_returnflag", "_salt").agg(
-        F.sum("l_extendedprice").alias("_sum"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("_sum"),
         F.count(F.lit(1)).alias("_cnt"),
     )
     return partial.groupBy("l_returnflag").agg(
-        F.round(F.sum("_sum"), 2).alias("sum_price"),
+        F.round(F.sum("_sum"), 2).cast("double").alias("sum_price"),
         F.sum("_cnt").alias("n_rows"),
     )

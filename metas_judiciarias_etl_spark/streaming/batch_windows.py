@@ -17,14 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import floor_bucket_s, floor_epoch_s
 from ..registry import query
 from ..sources.parquet import load_table
 
 _NS = 1_000_000_000
-
-
-def _bucket_start_s(ts_col, width_s: int):
-    return (ts_col / F.lit(width_s * _NS)).cast("long") * width_s
 
 
 @query(
@@ -43,7 +40,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``groupBy(window(ts, '1 hour'), ...)``)."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.withColumn("window_start_s", _bucket_start_s(F.col("ts"), 3600))
+        ev.withColumn("window_start_s", floor_bucket_s("ts", 3600))
         .groupBy("window_start_s", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -70,7 +67,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour window sliding every 30 min: each event lands in exactly two
     windows (batch form of ``window(ts, '1 hour', '30 minutes')``)."""
     ev = load_table(spark, sf_dir, "events")
-    b = _bucket_start_s(F.col("ts"), 1800)
+    b = floor_bucket_s("ts", 1800)
     return (
         ev.withColumn("window_start_s", F.explode(F.array(b, b - 1800)))
         .groupBy("window_start_s")
@@ -124,8 +121,11 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    # floor-second of min ts == min of per-row floor-seconds (monotone), so
+    # the integer bucket math runs per-row and MIN aggregates the result.
+    sessions = sessions.withColumn("__ts_s", floor_epoch_s("ts"))
     return sessions.groupBy("user_id", "session_id").agg(
-        (F.min("ts") / _NS).cast("long").alias("session_start_s"),
+        F.min("__ts_s").alias("session_start_s"),
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )

@@ -29,6 +29,18 @@ def test_cycle_and_bridge(spark):
     assert got == {2: 2, 5: 2, 6: 2, 7: 2}
 
 
+def test_nonconvergence_raises_not_wrong_labels(spark):
+    # A diameter-9 path with a 2-round budget cannot reach the fixpoint;
+    # the operator must fail loudly instead of returning half-propagated
+    # (wrong) cluster labels.
+    import pytest
+
+    chain = [(i, i + 1) for i in range(1, 10)]
+    df = spark.createDataFrame(chain, "a_id long, b_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _connected_components(df, max_rounds=2)
+
+
 # Property: on random graphs the distributed propagation must agree with a
 # driver-side union-find (the textbook sequential reference).
 try:

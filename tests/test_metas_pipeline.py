@@ -128,6 +128,73 @@ def test_consolidado_union(spark, corpus, oracle):
     assert {"x1", "x2"}.issubset(vals)
 
 
+def test_session_conf_untouched_and_drop_semantics(spark, corpus):
+    """The malformed-row drop must be deterministic (full-row parse) WITHOUT
+    mutating session conf: columnPruning=false is scoped per-read, so other
+    CSV queries in the session keep column pruning."""
+    key = "spark.sql.csv.parser.columnPruning.enabled"
+    before = spark.conf.get(key)
+    data = read_court_csvs(spark, corpus)
+    # Narrow projection: with pruning in effect the malformed 8-field TRF1
+    # row would be silently kept (only the projected column is parsed).
+    n_narrow = data.filter(data["sigla_tribunal"] == "TRF1").select(
+        "sigla_tribunal"
+    ).count()
+    assert n_narrow == 2, "malformed row kept under narrow projection"
+    assert spark.conf.get(key) == before, "session conf mutated by read_court_csvs"
+
+
+def test_quoted_header_with_comma(spark, tmp_path):
+    """A quoted header cell containing a comma is ONE column — naive
+    split(',') would mis-bucket the file and misalign its schema."""
+    d = tmp_path / "quoted"
+    d.mkdir()
+    (d / "teste_TJQQ.csv").write_text(
+        'sigla_tribunal,ramo_justica,"col,virgula",julgados_2025,casos_novos_2025,suspensos_2025\n'
+        "TJQQ,Justiça Estadual,abc,50,60,10\n",
+        encoding="utf-8",
+    )
+    data = read_court_csvs(spark, str(d))
+    assert "col,virgula" in data.columns
+    row = compute_resumo(data).collect()[0]
+    assert row["meta1"] == round(50 / 50 * 100, 2)
+
+
+def test_manifest_listing_equivalence(spark, corpus):
+    """manifest= replaces the driver-side header probe; a manifest built
+    from the same drifted-schema corpus must yield the identical resumo."""
+    import csv as _csv
+
+    entries = []
+    for name in sorted(os.listdir(corpus)):
+        p = os.path.join(corpus, name)
+        if not (name.endswith(".csv") and os.path.isfile(p)):
+            continue
+        with open(p, encoding="utf-8", newline="") as fh:
+            entries.append((p, fh.readline().strip("\r\n")))
+    via_scan = compute_resumo(read_court_csvs(spark, corpus))
+    via_manifest = compute_resumo(
+        read_court_csvs(spark, corpus, manifest=entries)
+    )
+    assert sorted(map(tuple, via_scan.collect())) == sorted(
+        map(tuple, via_manifest.collect())
+    )
+    # and the CSV-file form of the manifest
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".csv", delete=False, newline=""
+    ) as fh:
+        w = _csv.writer(fh)
+        w.writerow(["path", "header"])
+        w.writerows(entries)
+        mf = fh.name
+    via_file = compute_resumo(read_court_csvs(spark, corpus, manifest=mf))
+    assert sorted(map(tuple, via_scan.collect())) == sorted(
+        map(tuple, via_file.collect())
+    )
+
+
 def test_end_to_end_sinks(spark, corpus, tmp_path):
     out_dir = str(tmp_path / "resultados")
     resumo, consolidado = run(spark, corpus, out_dir)

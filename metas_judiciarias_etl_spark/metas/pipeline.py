@@ -321,6 +321,29 @@ def compute_resumo(court_data: DataFrame) -> DataFrame:
     return computed.selectExpr(*final)
 
 
+def resumo_from_untyped(data: DataFrame) -> DataFrame:
+    """Compute the resumo from an UNTYPED (all-string) court scan by
+    try_cast-projecting the counter columns to double.
+
+    This is the shared-scan path: one string-typed CSV parse feeds both the
+    byte-verbatim Consolidado sink and (through this projection) the metas
+    aggregation, instead of two full parses of the corpus. Semantics vs the
+    typed read: a field-count-malformed row still drops at parse time; a
+    non-numeric CELL becomes NULL here (cell-level coercion, the
+    reference's pd.to_numeric(errors='coerce') posture, C3) where the
+    typed DROPMALFORMED read would drop the whole row. The reference never
+    exercises that case (its corpus is numerically clean); both postures
+    are documented, this one matches pandas more closely."""
+    numeric = [c for c in C.all_numeric_columns() if c in data.columns]
+    projected = data.select(
+        FILE_COL,
+        "sigla_tribunal",
+        "ramo_justica",
+        *[F.col(c).try_cast("double").alias(c) for c in numeric],
+    )
+    return compute_resumo(projected)
+
+
 def stringify_resumo(resumo: DataFrame, sentinel: str = "NA") -> DataFrame:
     """Sink projection (NP:229-242): every cell stringified, NULL → 'NA',
     columns in the reference's lexicographic-block order."""
@@ -341,20 +364,36 @@ def write_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
 
 
 def run(
-    spark: SparkSession, input_dir: str, output_dir: str | None = None
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str | None = None,
+    shared_scan: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """End-to-end: read court CSVs → (ResumoMetas, Consolidado).
 
     Returns (stringified resumo, consolidated union); writes both as
     `;`-CSV when ``output_dir`` is given (NP:224-243).
-    """
-    data = read_court_csvs(spark, input_dir)
-    resumo = stringify_resumo(compute_resumo(data))
-    # Separate untyped scan: the sink re-emits input cells verbatim, so
-    # paying double-parse + double-format (and turning '40' into '40.0')
-    # buys nothing. Two cheap scans beat one typed scan + cache at scale.
-    consolidado = read_court_csvs(spark, input_dir, typed=False).drop(FILE_COL)
+
+    ``shared_scan=True``: ONE untyped parse feeds both outputs — the
+    Consolidado re-emits the strings verbatim and the resumo casts its
+    counter columns (``resumo_from_untyped``), persisted across the two
+    sink actions. MEASURED SLOWER at reference scale (9.3 s vs 6.0 s
+    best-of-2 interleaved, scripts/bench_metas_corpus.py): materializing
+    ~1 GB of cached strings costs more than a second 32-thread parse, so
+    two independent scans stay the default. The option remains for
+    deployments where the input re-read is the expensive part (cold
+    object store, pay-per-scan)."""
+    if shared_scan:
+        data = read_court_csvs(spark, input_dir, typed=False).persist()
+        resumo = stringify_resumo(resumo_from_untyped(data))
+        consolidado = data.drop(FILE_COL)
+    else:
+        data = read_court_csvs(spark, input_dir)
+        resumo = stringify_resumo(compute_resumo(data))
+        consolidado = read_court_csvs(spark, input_dir, typed=False).drop(FILE_COL)
     if output_dir:
         write_csv(resumo, os.path.join(output_dir, "ResumoMetas.csv"))
         write_csv(consolidado, os.path.join(output_dir, "Consolidado.csv"))
+        if shared_scan:
+            data.unpersist()
     return resumo, consolidado

@@ -1,0 +1,95 @@
+"""Benchmark decontamination for training-data pipelines, over ``documents``.
+
+The standard pre-training hygiene step (public recipe popularized by the
+GPT-3/PaLM/Llama reports): any training document sharing an n-gram of
+length K with an evaluation/benchmark document is flagged (and usually
+dropped or the overlapping span is excised). Expressed Spark-first:
+
+    shingle both sides (k-token n-grams, reusing the dedup shingle
+    machinery) → distinct → equi-join on the n-gram → group by train doc.
+
+Physical shape at 100 TB: the benchmark side is SMALL by nature (eval sets
+are MBs against a 100 TB corpus), so its distinct-shingle table broadcasts
+and the whole check is a map-side hash probe over the training scan — no
+shuffle of the big side at all. Here the "benchmark" is a deterministic
+hash-carved ~5% split of the corpus itself (the same content-hash split a
+real pipeline uses for eval carving), which still exercises the exact
+plan; with a genuinely large eval side, drop the broadcast hint and it
+becomes a plain shuffle equi-join on the n-gram hash.
+
+Zero UDFs; the n-gram window and the 48-bit content hash come from
+functions/hashing.py with SQL twins, so the DuckDB oracle is built from
+the same constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    SQL_TOKENS,
+    hash48,
+    sql_hash48,
+    sql_word_shingles,
+    tokens,
+    word_shingles,
+)
+from ..registry import query
+from ..sources.parquet import load_table
+
+NGRAM_K = 5  # overlap n-gram length (public recipes use 8-13; the synthetic
+#              fixture texts are short, so 5 keeps the test corpus non-trivial)
+EVAL_MOD = 20  # hash48(doc_id) % 20 == 0 → ~5% eval split
+
+_SQL_TOKS = SQL_TOKENS.format(expr="text")
+_SQL_EVAL = f"{sql_hash48('CAST(doc_id AS VARCHAR)')} % {EVAL_MOD} = 0"
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               {_SQL_EVAL} AS is_eval,
+               unnest(list_distinct({sql_word_shingles(_SQL_TOKS, NGRAM_K)})) AS ng
+        FROM documents
+    )
+    SELECT tr.doc_id AS train_doc_id,
+           count(DISTINCT tr.ng) AS n_shared_ngrams,
+           count(DISTINCT ev.doc_id) AS n_eval_docs
+    FROM (SELECT doc_id, ng FROM sh WHERE NOT is_eval) tr
+    JOIN (SELECT DISTINCT doc_id, ng FROM sh WHERE is_eval) ev USING (ng)
+    GROUP BY tr.doc_id
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing any K-token n-gram with the eval split:
+    (train_doc_id, distinct shared n-grams, distinct eval docs hit).
+
+    The eval shingle table is broadcast (benchmark corpora are tiny
+    relative to a training corpus); the training side streams through the
+    probe without shuffling. The groupBy keys on train doc_id — high
+    cardinality, even spread."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        (hash48(F.col("doc_id").cast("string")) % EVAL_MOD == 0).alias("is_eval"),
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), NGRAM_K))
+        ).alias("ng"),
+    )
+    ev = (
+        sh.filter("is_eval")
+        .select(F.col("doc_id").alias("eval_doc_id"), "ng")
+        .distinct()
+    )
+    tr = sh.filter(~F.col("is_eval")).select("doc_id", "ng")
+    return (
+        tr.join(F.broadcast(ev), "ng")
+        .groupBy(F.col("doc_id").alias("train_doc_id"))
+        .agg(
+            F.countDistinct("ng").alias("n_shared_ngrams"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+    )

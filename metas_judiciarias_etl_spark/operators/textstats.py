@@ -231,6 +231,140 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_top_tokens",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_SQL_TOKS}) AS token FROM documents
+    )
+    SELECT token, count(*) AS n
+    FROM tok
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 25
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: explode tokens → count → top-25 with a
+    deterministic (count desc, token asc) total order.
+
+    Plan shape: the explode stays in its partition; the groupBy on token is
+    the one shuffle (map-side partial counts collapse it to vocabulary
+    size); orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    top-k, driver merge, no global sort. At 100 TB swap the exact count
+    for a count-min/ approx top-k only if the vocabulary itself (not the
+    corpus) outgrows the reducers."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(25)
+    )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ), per AS (
+        SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_ratio,
+           round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_share
+    FROM per
+    GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / boilerplate detection (a Gopher-style quality rule):
+    per-document duplicate-token ratio and the most-frequent token's share.
+    High dup_ratio or top_share flags templated/spammy text.
+
+    Two hash aggs, both keyed by (doc_id[, token]) — high cardinality,
+    even spread; no joins, no windows (a per-doc sort would pay a
+    per-group ordering the aggregation doesn't need)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(1.0 - F.count(F.lit(1)) / n, 6).alias("dup_ratio"),
+        F.round(F.max("c") / n, 6).alias("top_share"),
+    )
+
+
+# PII patterns chosen to behave identically in Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, no lookaround.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' contact user' || doc_id ||
+                         '@example.com or 555-123-4567'
+                    ELSE text END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM seeded
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and replace email/phone patterns, emitting the
+    md5 of the scrubbed text so the oracle verifies the actual redacted
+    bytes, not just the counts. (The synthetic corpus contains no PII, so
+    every third doc is seeded with a deterministic email+phone suffix —
+    the same seeding on both engines — to exercise real replacements.)
+
+    Map-only, zero shuffle; regexp_replace runs in whole-stage codegen.
+    Patterns restricted to the Java-regex ∩ RE2 common subset so both
+    engines match identical spans."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567"),
+        ),
+    ).otherwise(F.col("text"))
+    seeded = docs.select("doc_id", t.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("t", _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@query(
     "text_stats_by_source",
     oracle=f"""
     SELECT lang, source,

@@ -15,6 +15,17 @@ Each query here adds a plan shape not covered by the earlier q1-q18 set:
 * q21 — EXISTS ∧ NOT-EXISTS composition (semi join then anti join).
 * q22 — uncorrelated scalar subquery threshold + anti join + substring-ish
   derived grouping key.
+* q8  — conditional-share two-level aggregation (numerator = CASE-gated sum
+  over the same rows as the denominator) across a 7-relation join.
+* q11 — GROUP BY + HAVING against an aggregate-of-aggregates scalar,
+  made division-free (n·vᵢ > Σv) so the threshold compare is
+  decimal-exact on both engines. (The fixture set has no partsupp
+  table, so supplier "value" is lineitem revenue — same plan shape.)
+* q19 — disjunction of conjunct groups (brand × size × quantity bands)
+  as the join predicate: OR-of-ANDs pushdown + one decimal sum.
+* q20 — correlated dominance threshold down a semi-join chain: per
+  (supplier, part) share vs half the part total, suppliers having ≥1
+  dominant part (partsupp-less adaptation of availqty > ½·shipped).
 
 Scale notes (100 TB):
 * Money sums run in DECIMAL(18,6) and round BEFORE the cast to double —
@@ -381,4 +392,233 @@ def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("totacctbal"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share — conditional numerator over the
+# same rows as the denominator, across a 7-relation join.
+# --------------------------------------------------------------------------
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,6)) AS rev,
+               ns.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+        JOIN region r   ON nc.n_regionkey = r.r_regionkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round(CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_5'
+                                        THEN rev END), 0) AS DOUBLE)
+                 / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+    FROM base
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_5's share of PROMO-part revenue sold into ASIA, per year.
+
+    Both sums run over the identical row set (the CASE gates the
+    numerator), so one aggregation produces share — no self-join. Both
+    accumulate in DECIMAL (exact, order-independent) and only the final
+    ratio is double. Every dimension (nation x2, region, part, supplier,
+    customer is the largest at ~1/10 of orders) broadcasts; lineitem⋈orders
+    is the single shuffle join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(region), F.col("nc_region") == region.r_regionkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _rev().alias("rev"),
+            "supp_nation",
+        )
+    )
+    num = F.coalesce(
+        F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("rev"))),
+        F.lit(0).cast(_DEC),
+    )
+    return base.groupBy("o_year").agg(
+        F.round(num.cast("double") / F.sum("rev").cast("double"), 6).alias(
+            "mkt_share"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q11 shape: HAVING against an aggregate-of-aggregates scalar.
+# --------------------------------------------------------------------------
+@query(
+    "q11_important_suppliers",
+    oracle="""
+    WITH per AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                   AS val
+        FROM lineitem GROUP BY l_suppkey
+    ), tot AS (
+        SELECT sum(val) AS total, count(*) AS n FROM per
+    )
+    SELECT per.l_suppkey AS suppkey,
+           CAST(round(per.val, 2) AS DOUBLE) AS total_value
+    FROM per, tot
+    WHERE per.val * tot.n > tot.total
+    """,
+)
+def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose revenue exceeds the per-supplier average — the q11
+    HAVING-vs-scalar-threshold shape. (No partsupp table in the fixture
+    set; lineitem revenue stands in for stock value, identical plan.)
+
+    The threshold compare is DIVISION-FREE: v_i·n > Σv keeps everything in
+    exact decimal/integer arithmetic, so no engine can flip a borderline
+    row through avg() rounding. The scalar (Σv, n) is one row, broadcast
+    back over the per-supplier aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("val"))
+    tot = per.agg(
+        F.sum("val").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") * F.col("n") > F.col("total"))
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.round("val", 2).cast("double").alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunction of conjunct groups as the join predicate.
+# --------------------------------------------------------------------------
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 25
+           AND l.l_quantity BETWEEN 5 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 50
+           AND l.l_quantity BETWEEN 10 AND 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs join predicate (brand × size × quantity bands).
+
+    Catalyst factors the part-only conjuncts (brand, size) into a pushed
+    scan filter on the broadcast side and leaves the mixed residual on the
+    join — the disjunction never degrades to a cartesian product. The
+    quantity bounds prune lineitem row-groups via min/max stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bands = (
+        ((F.col("p_brand") == "Brand#1")
+         & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2")
+           & F.col("p_size").between(5, 25)
+           & F.col("l_quantity").between(5, 30))
+        | ((F.col("p_brand") == "Brand#3")
+           & F.col("p_size").between(10, 50)
+           & F.col("l_quantity").between(10, 40))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(bands)
+        .agg(
+            F.round(F.sum(_rev()), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20 shape: dominance threshold down a semi-join chain.
+# --------------------------------------------------------------------------
+@query(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH red_parts AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+    ), pair AS (
+        SELECT l.l_suppkey, l.l_partkey, sum(l.l_quantity) AS pair_qty
+        FROM lineitem l
+        JOIN red_parts rp ON rp.p_partkey = l.l_partkey
+        GROUP BY l.l_suppkey, l.l_partkey
+    ), tot AS (
+        SELECT l_partkey, sum(pair_qty) AS part_qty
+        FROM pair GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name,
+           count(*) AS n_dominant_parts
+    FROM pair
+    JOIN tot USING (l_partkey)
+    JOIN supplier s ON s.s_suppkey = pair.l_suppkey
+    WHERE pair.pair_qty * 2 > tot.part_qty
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers shipping >half of some red part's total quantity — the
+    q20 correlated-threshold-down-a-join-chain shape (availqty > ½·shipped
+    reworked over lineitem; no partsupp in the fixture set).
+
+    The per-part total re-aggregates the (supplier, part) partials —
+    second agg input is already collapsed, ~|parts| rows — and joins back
+    on partkey. The dominance compare is 2·pair > total: quantities are
+    integral doubles (exact well past any real count), doubling stays
+    exact, no division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    pair = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("pair_qty"))
+    )
+    tot = pair.groupBy("l_partkey").agg(F.sum("pair_qty").alias("part_qty"))
+    return (
+        pair.join(tot, "l_partkey")
+        .filter(F.col("pair_qty") * 2 > F.col("part_qty"))
+        .join(F.broadcast(supp), pair.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
     )

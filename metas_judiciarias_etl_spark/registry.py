@@ -45,6 +45,6 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .plans import analytics_ext, functions_ext, joins_ext, relational, scalars, tpch_ext  # noqa: F401
     from .plans import windows as window_plans  # noqa: F401
-    from .operators import dedup, multimodal, prep, similarity, textstats  # noqa: F401
+    from .operators import decontam, dedup, multimodal, prep, similarity, textstats  # noqa: F401
     from .streaming import batch_windows  # noqa: F401
     from .metas import queries as metas_queries  # noqa: F401

@@ -206,3 +206,55 @@ def test_end_to_end_sinks(spark, corpus, tmp_path):
     back = pd.read_csv(resumo_files[0], sep=";")
     assert len(back) == 8
     assert list(back.columns)[:3] == ["sigla_tribunal", "ramo_justica", "meta1"]
+
+
+def test_shared_scan_resumo_equivalence(spark, corpus):
+    """The shared-scan path (one untyped parse + try_cast projection) must
+    produce the identical resumo as the typed read on the full fixture
+    corpus — including the malformed-row drop and all-NaN guards."""
+    from metas_judiciarias_etl_spark.metas.pipeline import resumo_from_untyped
+
+    typed = compute_resumo(read_court_csvs(spark, corpus))
+    shared = resumo_from_untyped(read_court_csvs(spark, corpus, typed=False))
+    assert sorted(map(tuple, typed.collect())) == sorted(
+        map(tuple, shared.collect())
+    )
+
+
+def test_chart_render_png(spark, corpus, tmp_path):
+    """The reference's gerar_grafico edge (NP:83-98): a real PNG of the
+    meta1 ranking, rendered regardless of whether matplotlib exists."""
+    import struct as _struct
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from metas_judiciarias_etl_spark.metas.chart import render_chart
+
+    resumo = stringify_resumo(compute_resumo(read_court_csvs(spark, corpus)))
+    melted = resumo.selectExpr(
+        "sigla_tribunal", "stack(1, 'meta1', meta1) AS (meta_name, value_str)"
+    )
+    ranking = (
+        melted.select(
+            "meta_name",
+            "sigla_tribunal",
+            F.expr("try_cast(value_str AS DOUBLE)").alias("value"),
+        )
+        .filter(F.col("value").isNotNull())
+        .withColumn(
+            "bar_pos",
+            F.row_number().over(
+                Window.partitionBy("meta_name").orderBy(
+                    F.col("value").desc(), F.col("sigla_tribunal")
+                )
+            ),
+        )
+    )
+    out = str(tmp_path / "meta1.png")
+    render_chart(ranking, out)
+    with open(out, "rb") as fh:
+        data = fh.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = _struct.unpack(">II", data[16:24])
+    assert w > 0 and h > 0

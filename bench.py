@@ -53,6 +53,15 @@ HEADLINE = [
     "stats_aggs",
     "argmax_struct",
     "metas_resumo_pipeline",
+    # round 2 additions: decontamination + text quality + the new TPC-H
+    # shapes with nontrivial physical plans.
+    "decontam_ngram_overlap",
+    "text_top_tokens",
+    "text_repetition",
+    "text_pii_scrub",
+    "q8_market_share",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
 ]
 
 

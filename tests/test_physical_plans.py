@@ -132,6 +132,49 @@ def test_q10_broadcasts_nation_and_takes_topk(spark, sf):
     assert "EqualTo(l_returnflag,R)" in fmt
 
 
+def test_decontam_broadcasts_eval_side(spark, sf):
+    df = registry.QUERIES["decontam_ngram_overlap"](spark, sf)
+    plan = _plan(df)
+    # the benchmark shingle set broadcasts; the training side is probed
+    # without a shuffle join, and nothing degrades to all-pairs
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_top_tokens_is_partial_count_plus_topk(spark, sf):
+    df = registry.QUERIES["text_top_tokens"](spark, sf)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2  # map-side partial counts
+    assert "TakeOrderedAndProject" in plan  # no global sort for the top-25
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_q8_broadcasts_every_dimension(spark, sf):
+    df = registry.QUERIES["q8_market_share"](spark, sf)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 6
+    # at most the fact-fact join shuffles; the final agg is the only
+    # other exchange
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_stays_hash_join(spark, sf):
+    df = registry.QUERIES["q19_disjunctive_revenue"](spark, sf)
+    plan = _plan(df)
+    # the OR-of-ANDs predicate must not degrade the equi-join to a
+    # nested-loop/cartesian plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_scrub_is_map_only(spark, sf):
+    df = registry.QUERIES["text_pii_scrub"](spark, sf)
+    plan = _plan(df)
+    assert "Exchange" not in plan  # zero shuffles: pure scan+project
+    assert "pythonUDF" not in plan.lower()
+
+
 def test_gapfill_grid_is_broadcast_not_cartesian_shuffle(spark, sf):
     df = registry.QUERIES["gapfill_locf"](spark, sf)
     plan = _plan(df)

@@ -62,6 +62,9 @@ HEADLINE = [
     "q8_market_share",
     "q19_disjunctive_revenue",
     "q20_dominant_suppliers",
+    "funnel_conversion",
+    "dedup_fuzzy_levenshtein",
+    "emb_norm_stats",
 ]
 
 

@@ -526,3 +526,55 @@ def _connected_components_star(pairs: DataFrame, max_rounds: int = 20) -> DataFr
     return edges.select(
         F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
     ).union(roots).distinct()
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH names AS (
+        SELECT DISTINCT p_name AS name FROM part
+    ), keyed AS (
+        SELECT name,
+               unnest([CAST(floor(length(name) / 2) AS BIGINT),
+                       CAST(floor(length(name) / 2) AS BIGINT) + 1]) AS k
+        FROM names
+    ), pairs AS (
+        SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        FROM keyed a JOIN keyed b ON a.k = b.k AND a.name < b.name
+    )
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+    FROM pairs
+    WHERE levenshtein(name_a, name_b) <= 2
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy attribute dedup: name pairs within edit distance 2, blocked so
+    the expensive comparison never goes all-pairs.
+
+    Blocking is LOSSLESS for this radius: lev ≤ 2 bounds the length gap to
+    2, so floor(len/2) differs by at most 1 — each name emits block keys
+    {b, b+1} and every qualifying pair meets in some block. Pipeline:
+    distinct values (fuzzy matching runs over the attribute DOMAIN, tiny
+    vs the fact table) → explode 2 block keys → equi-join within block
+    (a < b) → distinct → exact levenshtein only on candidates. The same
+    recall-lossless blocking holds at any scale; widen the radius and the
+    key set widens with it."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    blk = F.floor(F.length("name") / 2).cast("long")
+    keyed = names.select(
+        "name", F.explode(F.array(blk, blk + 1)).alias("k")
+    )
+    a = keyed.select(F.col("name").alias("name_a"), "k")
+    b = keyed.select(F.col("name").alias("name_b"), "k")
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return pairs.filter(dist <= 2).select(
+        "name_a", "name_b", dist.cast("long").alias("dist")
+    )

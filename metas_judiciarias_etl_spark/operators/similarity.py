@@ -431,3 +431,43 @@ def _recall_oracle(approx_name: str) -> str:
 for _approx in ("sim_cosine_topk_ivf", "sim_cosine_topk_lsh"):
     _metric = f"sim_recall_{_approx.rsplit('_', 1)[-1]}"
     query(_metric, oracle=_recall_oracle(_approx))(_recall_query(_approx))
+
+
+@query(
+    "emb_norm_stats",
+    oracle=f"""
+    WITH n AS (
+        SELECT label, {_sql_norm('embedding')} AS nrm FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(round(sum(CAST(nrm AS DECIMAL(18,9))), 6) AS DOUBLE)
+               AS total_norm,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column hygiene report: per-label vector counts and L2-norm
+    envelope — the check that catches unnormalized or degenerate vectors
+    before they poison a cosine index.
+
+    Per-row norms fold the array in list order (identical doubles on both
+    engines); the cross-row total accumulates in DECIMAL so partition
+    order cannot move the rounded sum. min/max are order-free. One
+    partial-aggregated shuffle on label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum(F.col("nrm").cast("decimal(18,9)")), 6)
+            .cast("double")
+            .alias("total_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )

@@ -400,3 +400,108 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_share_pct")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 history construction: change log → validity intervals.
+# --------------------------------------------------------------------------
+@query(
+    "scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           event_type AS attr_value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+           CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS valid_to_s,
+           CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
+    FROM events
+    WHERE user_id <= 30
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: each event sets the user's
+    current attribute; validity runs until the next change (lead), open
+    interval = current row. The standard change-log → history-table
+    compaction, as ONE window pass partitioned by the entity key (high
+    cardinality → even spread; no self-join, no sort beyond the per-key
+    window order). Tie-broken by event_id so the interval chain is a
+    total order on both engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        floor_bucket_s("ts", 1).alias("valid_from_s"),
+        nxt.alias("__next_ts"),
+    ).select(
+        "user_id",
+        "attr_value",
+        "valid_from_s",
+        floor_bucket_s("__next_ts", 1).alias("valid_to_s"),
+        F.col("__next_ts").isNull().cast("int").alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel conversion: ordered event-pair matching within a time window.
+# --------------------------------------------------------------------------
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               max(CASE WHEN event_type = 'click' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS last_click_ts
+        FROM events
+    ), purchases AS (
+        SELECT user_id,
+               CASE WHEN last_click_ts IS NOT NULL
+                         AND epoch(ts) - epoch(last_click_ts) <= 3600
+                    THEN 1 ELSE 0 END AS converted,
+               CASE WHEN last_click_ts IS NOT NULL
+                         AND epoch(ts) - epoch(last_click_ts) <= 3600
+                    THEN CAST(floor(epoch(ts)) AS BIGINT) END AS conv_ts_s
+        FROM seq WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           min(conv_ts_s) AS first_conversion_s
+    FROM purchases GROUP BY user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """click → purchase funnel within 1 hour, per user: a purchase converts
+    when the most recent preceding click is ≤ 3600 s older.
+
+    The 'most recent preceding A' is a running MAX over the per-user event
+    sequence — one window pass, no clicks×purchases join (the naive pair
+    join is quadratic in per-user activity; the running max is linear and
+    partition-local after one shuffle on user_id). Timestamps are int64
+    nanos, so the window math is pure integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    seq = ev.select(
+        "user_id", "ts", "event_type", last_click.alias("last_click_ts")
+    ).filter(F.col("event_type") == "purchase")
+    converted = (
+        F.col("last_click_ts").isNotNull()
+        & ((F.col("ts") - F.col("last_click_ts")) <= 3600 * _NS)
+    )
+    purchases = seq.select(
+        "user_id",
+        converted.cast("int").alias("converted"),
+        F.when(converted, floor_bucket_s("ts", 1)).alias("conv_ts_s"),
+    )
+    return purchases.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.min("conv_ts_s").alias("first_conversion_s"),
+    )

@@ -505,3 +505,51 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").cast("long").alias("n_converted"),
         F.min("conv_ts_s").alias("first_conversion_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate percentiles — the unbounded-group companion to percentile_agg.
+# --------------------------------------------------------------------------
+@query(
+    "approx_percentile_sketch",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               approx_quantile(l_extendedprice, 0.5) AS ap,
+               quantile_cont(l_extendedprice, 0.48) AS lo,
+               quantile_cont(l_extendedprice, 0.52) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_rows,
+           CAST(ap BETWEEN lo AND hi AS INT) AS within_2pct_rank
+    FROM g
+    """,
+)
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable sketch — the scale path named in
+    percentile_agg): like the HLL check, the sketch value is
+    engine-specific, so the contract both engines agree on exactly is a
+    bounded-RANK-error assertion — each engine's own approximate median
+    must land between its exact 48th and 52nd percentiles. Output:
+    (group, n_rows, 1). Spark's accuracy=10000 bounds rank error at
+    n/10000 ≪ 2% of n; DuckDB's t-digest is far inside 2% rank error at
+    these group sizes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("__ap"),
+            F.percentile("l_extendedprice", F.lit(0.48)).alias("__lo"),
+            F.percentile("l_extendedprice", F.lit(0.52)).alias("__hi"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.col("__ap")
+            .between(F.col("__lo"), F.col("__hi"))
+            .cast("int")
+            .alias("within_2pct_rank"),
+        )
+    )

@@ -142,3 +142,78 @@ def window_ntile_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("bal_quartile"),
         F.lead("c_custkey").over(w).alias("next_custkey"),
     )
+
+
+@query(
+    "window_topn_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the grouped-top-N shape (distinct from
+    the single-row argmax, which a plain MAX-over-struct serves cheaper).
+
+    One shuffle on the (high-cardinality) group key; Spark pushes the
+    rn <= 3 bound into the sort as a group-limit (WindowGroupLimit), so a
+    customer with 10k orders keeps only 3 rows past its sort instead of
+    ranking everything. Tie-broken by orderkey: total order, both
+    engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                      RANGE BETWEEN 1800000000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_30m_sum
+    FROM events
+    WHERE user_id <= 20
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE frame: per user, the sum of `value` over the trailing 30
+    minutes — a VALUE-based frame (all rows within 1800 s), not a row
+    count. This is the sliding-aggregate shape rows-frames cannot express
+    when event spacing is irregular.
+
+    ts is int64 nanoseconds, so the frame bound is integer arithmetic on
+    both engines; the frame sum accumulates in DECIMAL (frames re-add
+    values in engine order — exact arithmetic keeps both engines
+    identical). One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-1800 * 1_000_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_30m_sum"),
+    )

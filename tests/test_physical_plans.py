@@ -7,6 +7,7 @@ performance bug even when results stay correct."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from metas_judiciarias_etl_spark import registry
 from metas_judiciarias_etl_spark.metas.pipeline import compute_resumo, read_court_csvs
@@ -173,6 +174,46 @@ def test_pii_scrub_is_map_only(spark, sf):
     plan = _plan(df)
     assert "Exchange" not in plan  # zero shuffles: pure scan+project
     assert "pythonUDF" not in plan.lower()
+
+
+def test_aqe_runtime_replans_shuffle_reads(spark, sf):
+    """AQE must actually re-plan at runtime: after execution the final
+    adaptive plan shows coalesced shuffle reads (32 static shuffle
+    partitions are wrong for small stage outputs — and for 100 TB stage
+    outputs in the other direction; the point is the runtime feedback
+    loop is ON and effective, not the static setting)."""
+    df = registry.QUERIES["q3_shipping_priority"](spark, sf)
+    df.collect()  # drive THIS DataFrame's QueryExecution to the final plan
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "AQEShuffleRead" in plan
+
+
+def test_dpp_partitioned_fact_prunes_at_runtime(spark, sf, tmp_path):
+    """Dynamic partition pruning: a partitioned fact joined to a filtered
+    dim plans a dynamicpruning subquery on the partition column — at
+    scale the fact side reads only the dim-selected partitions."""
+    from metas_judiciarias_etl_spark.sources.layout import write_partitioned
+    from metas_judiciarias_etl_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf, "events")
+    path = str(tmp_path / "events_dpp")
+    write_partitioned(ev, path, ["event_type"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("error", 3)], "event_type string, w int"
+    ).filter(F.col("w") == 1)
+    joined = fact.join(dim, "event_type")
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+
+
+def test_topn_per_group_uses_group_limit(spark, sf):
+    df = registry.QUERIES["window_topn_per_group"](spark, sf)
+    plan = _plan(df)
+    # rn <= 3 must push into the window sort as a group-limit so a hot
+    # group keeps 3 rows past its sort instead of ranking everything
+    assert "WindowGroupLimit" in plan
 
 
 def test_gapfill_grid_is_broadcast_not_cartesian_shuffle(spark, sf):

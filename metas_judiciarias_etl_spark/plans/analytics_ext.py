@@ -480,7 +480,10 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence — one window pass, no clicks×purchases join (the naive pair
     join is quadratic in per-user activity; the running max is linear and
     partition-local after one shuffle on user_id). Timestamps are int64
-    nanos, so the window math is pure integer arithmetic."""
+    nanos, so the window math is pure integer arithmetic. Tie rule: at an
+    identical timestamp, (ts, event_id) sequence order decides whether
+    the click precedes the purchase — identical on both engines (the
+    oracle windows over the same keys)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0

@@ -1,0 +1,121 @@
+"""Property tests for round-2 operators against brute-force references:
+the fuzzy-dedup blocking must be recall-lossless, and the funnel's
+running-MAX formulation must agree with a quadratic pair scan."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_blocking_is_recall_lossless(spark):
+    """Length-band blocking {floor(len/2), +1} must surface EVERY pair
+    within edit distance 2 that brute-force all-pairs finds — on random
+    strings whose lengths straddle every block boundary."""
+    rng = random.Random(11)
+    alphabet = "abcd"
+    names = set()
+    while len(names) < 80:
+        n = rng.randint(1, 12)
+        names.add("".join(rng.choice(alphabet) for _ in range(n)))
+    names = sorted(names)
+
+    expected = {
+        (a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if _lev(a, b) <= 2
+    }
+    assert expected, "fixture produced no close pairs; widen the alphabet"
+
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    blk = F.floor(F.length("name") / 2).cast("long")
+    keyed = df.select("name", F.explode(F.array(blk, blk + 1)).alias("k"))
+    a = keyed.select(F.col("name").alias("name_a"), "k")
+    b = keyed.select(F.col("name").alias("name_b"), "k")
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in (
+            a.join(b, "k")
+            .filter(F.col("name_a") < F.col("name_b"))
+            .select("name_a", "name_b")
+            .distinct()
+            .filter(F.levenshtein("name_a", "name_b") <= 2)
+            .collect()
+        )
+    }
+    assert got == expected
+
+
+def test_funnel_matches_bruteforce_pairs(spark):
+    """The running-conditional-MAX funnel must agree with the O(n²)
+    definition: a purchase converts iff SOME click by the same user lies
+    in [ts-3600s, ts]."""
+    rng = random.Random(7)
+    ns = 1_000_000_000
+    rows = []
+    eid = 0
+    for user in range(1, 13):
+        n = rng.randint(1, 25)
+        # unique ts per user: at equal timestamps the operator's
+        # (ts, event_id) order decides "preceding", which a timestamp-only
+        # brute force can't mirror — and nanosecond event ties don't occur
+        # in real data
+        stamps = rng.sample(range(0, 4 * 3600), n)
+        for t in stamps:
+            eid += 1
+            rows.append(
+                (eid, user, rng.choice(["click", "purchase", "view"]), t * ns)
+            )
+    # brute force
+    expected: dict[int, tuple[int, int]] = {}
+    for user in {r[1] for r in rows}:
+        evs = [r for r in rows if r[1] == user]
+        clicks = [r[3] for r in evs if r[2] == "click"]
+        purchases = [r for r in evs if r[2] == "purchase"]
+        conv = sum(
+            1
+            for p in purchases
+            if any(p[3] - 3600 * ns <= c <= p[3] for c in clicks)
+        )
+        if purchases:
+            expected[user] = (len(purchases), conv)
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long"
+    )
+    w = F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    purchases = df.select(
+        "user_id", "ts", "event_type", w.alias("last_click")
+    ).filter(F.col("event_type") == "purchase")
+    converted = F.col("last_click").isNotNull() & (
+        (F.col("ts") - F.col("last_click")) <= 3600 * ns
+    )
+    got = {
+        r["user_id"]: (r["n"], r["c"])
+        for r in purchases.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(converted.cast("int")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == expected

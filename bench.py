@@ -65,6 +65,7 @@ HEADLINE = [
     "funnel_conversion",
     "dedup_fuzzy_levenshtein",
     "emb_norm_stats",
+    "graph_triangle_count",
 ]
 
 

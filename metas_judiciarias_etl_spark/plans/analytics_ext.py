@@ -556,3 +556,57 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_2pct_rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Graph analytics: triangle counting (the two-join wedge-close pattern).
+# --------------------------------------------------------------------------
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH picked AS (
+        SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey <= 300
+    ), edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM picked a JOIN picked b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), wedges AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+    )
+    SELECT count(*) AS n_triangles,
+           (SELECT count(*) FROM edges) AS n_edges
+    FROM wedges w
+    JOIN edges e3 ON e3.u = w.a AND e3.v = w.c
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the co-occurrence graph of (bounded) parts that
+    appear in the same order — the canonical distributed graph-analytics
+    shape beyond connected components.
+
+    Orientation trick: edges are stored ONCE as u < v, wedges extend
+    a < b < c, and the closing join checks (a, c) — each triangle is
+    counted exactly once with no post-hoc division, and the wedge
+    population (Σ deg²) is generated only from the oriented half of the
+    adjacency, the standard way to keep the intermediate bounded on
+    skewed degree distributions. Two shuffle joins on int keys; the edge
+    build itself is a per-order self-join bounded by order width."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 300)
+    picked = li.select("l_orderkey", "l_partkey")
+    a = picked.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = picked.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "c")
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = wedges.join(e3, ["a", "c"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return tri.crossJoin(F.broadcast(n_edges))

@@ -1,0 +1,36 @@
+"""Results must not depend on the shuffle layout: the same query under a
+different spark.sql.shuffle.partitions must produce identical rows. This is
+the local stand-in for 'would a 1000-executor layout change the answer' —
+order-dependent double accumulation, partition-sensitive collect_list use,
+or salt-dependent logic would all surface here."""
+
+from __future__ import annotations
+
+import pytest
+
+from metas_judiciarias_etl_spark import registry
+
+registry.load_all()
+
+QUERIES = [
+    "q6_forecast_revenue",      # decimal money sum
+    "skew_salted_agg",          # two-phase salted aggregation
+    "funnel_conversion",        # per-user window sequencing
+    "dedup_minhash_lsh",        # bucketed candidate generation
+    "text_repetition",          # double ratios from grouped counts
+    "graph_triangle_count",     # multi-join graph shape
+]
+
+
+def _rows(spark, name, sf, n_parts):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        return sorted(map(tuple, registry.QUERIES[name](spark, sf).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_invariant_under_shuffle_layout(name, spark, sf_small):
+    assert _rows(spark, name, sf_small, 5) == _rows(spark, name, sf_small, 32)

@@ -356,11 +356,25 @@ def stringify_resumo(resumo: DataFrame, sentinel: str = "NA") -> DataFrame:
     )
 
 
-def write_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
+def write_csv(
+    df: DataFrame,
+    path: str,
+    single_file: bool = True,
+    quote_nonnumeric: bool = False,
+) -> None:
     """`;`-separated CSV sink (NP:100-102). ``single_file`` coalesces to one
-    part for byte-level parity with the reference; leave False at scale."""
+    part for byte-level parity with the reference; leave False at scale.
+
+    ``quote_nonnumeric`` reproduces the P variant's csv.QUOTE_NONNUMERIC
+    staging format (P:121-125): every non-numeric field quoted. The frames
+    this sink receives are fully stringified (stringify_resumo), so
+    QUOTE_NONNUMERIC degenerates to quote-everything — Spark's
+    ``quoteAll`` — giving byte parity without a per-cell type switch."""
     out = df.coalesce(1) if single_file else df
-    out.write.options(header=True, sep=";").mode("overwrite").csv(path)
+    opts = {"header": True, "sep": ";"}
+    if quote_nonnumeric:
+        opts["quoteAll"] = True
+    out.write.options(**opts).mode("overwrite").csv(path)
 
 
 def run(

@@ -134,3 +134,35 @@ def test_dynamic_partition_overwrite(spark, sf_small, tmp_path, status):
     patched = after.filter(F.col("o_orderstatus") == status)
     assert patched.count() > 0
     assert patched.select(F.max("o_totalprice")).first()[0] == 0.0
+
+
+def test_quote_nonnumeric_sink_parity(spark, tmp_path):
+    """P:121-125 staging format: QUOTE_NONNUMERIC over a fully-stringified
+    frame quotes every field — byte parity with csv.QUOTE_NONNUMERIC as
+    pandas writes it for all-string data."""
+    import csv as _csv
+    import glob
+    import io
+    import os
+
+    import pandas as pd
+
+    from metas_judiciarias_etl_spark.metas.pipeline import write_csv
+
+    df = spark.createDataFrame(
+        [("TJSP", "12.5", "NA"), ("TRT3", "7.0", "1.0")],
+        "sigla_tribunal string, meta1 string, meta2a string",
+    )
+    out = str(tmp_path / "quoted.csv")
+    write_csv(df, out, single_file=True, quote_nonnumeric=True)
+    part = glob.glob(os.path.join(out, "*.csv"))[0]
+    with open(part) as fh:
+        got = fh.read()
+
+    buf = io.StringIO()
+    pd.DataFrame(
+        {"sigla_tribunal": ["TJSP", "TRT3"], "meta1": ["12.5", "7.0"],
+         "meta2a": ["NA", "1.0"]}
+    ).to_csv(buf, sep=";", index=False, quoting=_csv.QUOTE_NONNUMERIC)
+    expected = buf.getvalue()
+    assert sorted(got.strip().splitlines()) == sorted(expected.strip().splitlines())

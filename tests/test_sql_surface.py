@@ -1,0 +1,50 @@
+"""SQL-text surface: a SQL string must produce the same rows AND the same
+physical plan shape as its DataFrame twin."""
+
+from __future__ import annotations
+
+from metas_judiciarias_etl_spark import registry
+from metas_judiciarias_etl_spark.sql_surface import open_sql
+
+registry.load_all()
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                       AS sum_qty,
+       round(sum(l_extendedprice), 2)                  AS sum_base_price,
+       round(avg(l_discount), 6)                       AS avg_disc,
+       count(*)                                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def test_sql_text_matches_dataframe_twin(spark, sf_small):
+    sql = open_sql(spark, sf_small)
+    df = sql(Q1_SQL)
+    rows = {(r["l_returnflag"], r["l_linestatus"]): r["count_order"] for r in df.collect()}
+    # DataFrame twin of the same aggregation
+    from pyspark.sql import functions as F
+
+    from metas_judiciarias_etl_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_small, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    twin = {
+        (r["l_returnflag"], r["l_linestatus"]): r["n"]
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rows == twin
+
+
+def test_sql_text_gets_same_plan_quality(spark, sf_small):
+    sql = open_sql(spark, sf_small)
+    df = sql(Q1_SQL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partial+final agg and a pushed scan filter, same as the DataFrame path
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters" in plan and "l_shipdate" in plan

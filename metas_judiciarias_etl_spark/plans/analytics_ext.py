@@ -610,3 +610,100 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = wedges.join(e3, ["a", "c"]).agg(F.count(F.lit(1)).alias("n_triangles"))
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return tri.crossJoin(F.broadcast(n_edges))
+
+
+# --------------------------------------------------------------------------
+# Sequence mining lite: event-type transition counts.
+# --------------------------------------------------------------------------
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    )
+    SELECT src, dst, count(*) AS n
+    FROM seq WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event sequences (the
+    markov/funnel-exploration primitive): one lead() window pass per user
+    plus a tiny (|types|²) aggregation. Tie-broken by event_id — a total
+    sequence order on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Data-quality rule evaluation: the dbt-test / expectations shape.
+# --------------------------------------------------------------------------
+@query(
+    "dq_lineitem_rules",
+    oracle="""
+    WITH scan AS (
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_pk,
+               sum(CASE WHEN l_quantity < 0 OR l_quantity > 100
+                        THEN 1 ELSE 0 END) AS qty_out_of_range,
+               sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                        THEN 1 ELSE 0 END) AS bad_discount,
+               sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate
+        FROM lineitem
+    ), orphans AS (
+        SELECT count(*) AS orphan_lines
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+    )
+    SELECT r.rule, r.n_violations, s.n_rows
+    FROM scan s, orphans o,
+         LATERAL (VALUES ('null_pk', s.null_pk),
+                         ('qty_out_of_range', s.qty_out_of_range),
+                         ('bad_discount', s.bad_discount),
+                         ('null_shipdate', s.null_shipdate),
+                         ('orphan_lines', o.orphan_lines)) AS r(rule, n_violations)
+    """,
+)
+def dq_lineitem_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality rule evaluation, one row per rule: all row-local rules
+    (null pk, range checks) fold into a SINGLE scan of conditional
+    aggregates; the one cross-table rule (orphaned fact rows) is an anti
+    join counted separately. At 100 TB this is the shape that matters —
+    N rules ≠ N scans; adding a row-local rule costs one more aggregate
+    expression in the same pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    scan = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_orderkey").isNull().cast("long")).alias("null_pk"),
+        F.sum(
+            ((F.col("l_quantity") < 0) | (F.col("l_quantity") > 100)).cast("long")
+        ).alias("qty_out_of_range"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")
+        ).alias("bad_discount"),
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias("null_shipdate"),
+    )
+    orphans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lines"))
+    )
+    wide = scan.crossJoin(F.broadcast(orphans))
+    rules = ["null_pk", "qty_out_of_range", "bad_discount", "null_shipdate",
+             "orphan_lines"]
+    stacked = wide.selectExpr(
+        "n_rows",
+        "stack({n}, {pairs}) AS (rule, n_violations)".format(
+            n=len(rules), pairs=", ".join(f"'{r}', {r}" for r in rules)
+        ),
+    )
+    return stacked.select("rule", "n_violations", "n_rows")

@@ -86,3 +86,18 @@ def test_orc_round_trip(spark, sf_small, tmp_path):
     # pushdown works on ORC the same as parquet
     plan = _plan(back.filter(F.col("doc_id") < 10).select("doc_id"))
     assert "PushedFilters" in plan or "doc_id" in plan
+
+
+def test_parquet_merge_schema_evolution(spark, sf_small, tmp_path):
+    """Schema evolution on the lake: two parquet generations with drifted
+    schemas read as one table under mergeSchema — the parquet counterpart
+    of the metas CSV unionByName (old rows take NULL for new columns)."""
+    base = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v2 = spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double")
+    v1.write.parquet(base + "/gen=1")
+    v2.write.parquet(base + "/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    rows = {r["id"]: (r["name"], r["score"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    assert set(merged.columns) >= {"id", "name", "score"}

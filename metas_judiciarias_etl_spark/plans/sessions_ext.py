@@ -1,0 +1,394 @@
+"""Sessionization, interval analytics, distribution summaries, and a
+deterministic iterative graph rank — the batch event-analytics surface a
+training-data/telemetry pipeline layers over the relational core.
+
+Engine-surface extensions (no direct reference counterpart; SURVEY §7
+phases 4-5 scope). Every query here keeps the driver contract: scalar
+output columns, identical aliases on both engines, and numeric paths that
+are bit-reproducible across Spark and DuckDB (integer bucket math per
+functions/timeutil.py; IEEE division is exact-rounded so ratio scores
+match; no transcendental functions in hashed output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import SQL_TOKENS, tokens
+from ..registry import query
+from ..sources.parquet import load_table
+
+_NS = 1_000_000_000
+_GAP_S = 1800  # 30-minute session gap
+
+_SQL_TOKS = SQL_TOKENS.format(expr="text")
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, tns, value,
+               CASE WHEN lag(tns) OVER w IS NULL
+                         OR tns - lag(tns) OVER w > {_GAP_S * _NS}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+    ), sess AS (
+        SELECT user_id, tns, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events,
+           CAST(min(tns) // {_NS} AS BIGINT) AS start_s,
+           CAST((max(tns) - min(tns)) // {_NS} AS BIGINT) AS duration_s,
+           round(sum(value), 2) AS total_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity splits a session): the
+    batch twin of ``session_window`` — lag() flags gap starts, a running sum
+    numbers sessions, then one per-session aggregate.
+
+    Plan shape: both window functions share ONE partitioning (user_id) and
+    ordering (ts, event_id), so Spark plans a single shuffle + single sort;
+    the final groupBy on (user_id, session_seq) is partial-aggregatable on
+    the same keys. At 100 TB the shuffle key is user_id — cardinality grows
+    with the user base, so spread stays even; no global sort anywhere.
+    ``event_id`` breaks ts ties to keep session numbering deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts") - F.lag("ts").over(w)) > _GAP_S * _NS),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("__min_ts"),
+            F.max("ts").alias("__max_ts"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "n_events",
+            F.expr(f"__min_ts div {_NS}").alias("start_s"),
+            F.expr(f"(__max_ts - __min_ts) div {_NS}").alias("duration_s"),
+            "total_value",
+        )
+    )
+
+
+@query(
+    "concurrent_intervals",
+    oracle="""
+    WITH spans AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS start_d,
+               CAST(max(l.l_shipdate) AS DATE) AS end_d
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ), deltas AS (
+        SELECT start_d AS d, 1 AS delta FROM spans
+        UNION ALL
+        SELECT end_d AS d, -1 AS delta FROM spans
+    ), daily AS (
+        SELECT d, sum(delta) AS net FROM deltas GROUP BY d
+    )
+    SELECT d,
+           CAST(net AS BIGINT) AS net_change,
+           CAST(sum(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS open_orders
+    FROM daily
+    """,
+)
+def concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders are in flight each day — interval-overlap counting
+    WITHOUT a range join: each order's span [orderdate, last shipdate)
+    becomes a +1/-1 boundary event, a per-day aggregate collapses the
+    timeline to O(#distinct days), and one running sum yields concurrency.
+
+    The classic scale trap here is the O(intervals × days) range join; the
+    sweep-line form is O(intervals) + a window over the day-level timeline.
+    The final window orders a single partition, but only AFTER the groupBy
+    reduced cardinality to #days (~2.5k for 7 years) — a deliberate,
+    bounded single-reducer step, not a data-volume sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    spans = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("__end_ts"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("start_d"),
+            F.col("__end_ts").cast("date").alias("end_d"),
+        )
+    )
+    deltas = spans.select(F.col("start_d").alias("d"), F.lit(1).alias("delta")).unionAll(
+        spans.select(F.col("end_d").alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d",
+        F.col("net").cast("long").alias("net_change"),
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )
+
+
+_H_LO = 900.0
+_H_W = 5205.0  # (105000 - 900) / 20
+_H_NB = 20
+
+
+@query(
+    "histogram_equi_width",
+    oracle=f"""
+    WITH b AS (
+        SELECT least(greatest(CAST(floor((l_extendedprice - {_H_LO}) / {_H_W})
+                                   AS INTEGER), 0), {_H_NB - 1}) AS bucket_id,
+               l_extendedprice AS p
+        FROM lineitem
+    )
+    SELECT bucket_id,
+           round({_H_LO} + bucket_id * {_H_W}, 2) AS lo_edge,
+           count(*) AS n,
+           round(min(p), 2) AS min_price,
+           round(max(p), 2) AS max_price
+    FROM b
+    GROUP BY bucket_id
+    """,
+)
+def histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 buckets over a fixed price domain) — the
+    distribution-profiling primitive. Bucket assignment is one scan-stage
+    projection (IEEE double division + floor, exact-rounded and identical
+    across engines); the groupBy keys on ≤20 buckets with map-side partial
+    aggregation, so the shuffle carries ≤20 rows per task regardless of
+    input size. Clamp via least/greatest makes the edges total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("l_extendedprice") - _H_LO) / _H_W).cast("int"), F.lit(0)
+        ),
+        F.lit(_H_NB - 1),
+    )
+    return (
+        li.select(bucket.alias("bucket_id"), F.col("l_extendedprice").alias("p"))
+        .groupBy("bucket_id")
+        .agg(
+            F.round(F.lit(_H_LO) + F.col("bucket_id") * _H_W, 2).alias("lo_edge"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("p"), 2).alias("min_price"),
+            F.round(F.max("p"), 2).alias("max_price"),
+        )
+        .select("bucket_id", "lo_edge", "n", "min_price", "max_price")
+    )
+
+
+@query(
+    "quality_decile_mix",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, n_chars,
+               ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+        FROM documents
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM ranked
+    GROUP BY decile
+    """,
+)
+def quality_decile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile banding of a per-document quality proxy (length), the shape
+    behind mix-rebalancing a training corpus: band by score decile, then
+    inspect/ reweight each band. ntile over (score, doc_id) is exact and
+    deterministic; both engines use the SQL-standard larger-groups-first
+    fill. Note for 100 TB: a global ntile is a total sort — at that scale
+    the same banding comes from approx_percentile cut points applied as a
+    scan-stage CASE (see approx_percentile_sketch); the exact form here is
+    the oracle-checkable contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    ranked = docs.select("doc_id", "n_chars", F.ntile(10).over(w).alias("decile"))
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+_PR_R0 = 1_000_000_000  # initial rank, scaled integer
+_PR_TELEPORT = 150_000_000  # (1 - d) * scale with d = 0.85
+
+
+def _pr_iter_sql(prev: str, this: str) -> str:
+    return f"""{this} AS (
+        SELECT n.node,
+               CAST({_PR_TELEPORT} + (85 * coalesce(sum(r.rank // d.outdeg), 0)) // 100
+                    AS BIGINT) AS rank
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN {prev} r ON r.node = e.src
+        LEFT JOIN deg d ON d.src = e.src
+        GROUP BY n.node
+    )"""
+
+
+@query(
+    "pagerank_integer",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ), nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), deg AS (
+        SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+    ), r0 AS (
+        SELECT node, CAST({_PR_R0} AS BIGINT) AS rank FROM nodes
+    ), {_pr_iter_sql("r0", "r1")}, {_pr_iter_sql("r1", "r2")}, {_pr_iter_sql("r2", "r3")}
+    SELECT node, rank AS rank_scaled FROM r3
+    """,
+)
+def pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three unrolled PageRank iterations (d=0.85) over the nation-level
+    trade graph (customer nation → supplier nation), in SCALED INTEGER
+    arithmetic: rank starts at 1e9, each step is
+    ``teleport + (85 * Σ incoming(rank div outdeg)) div 100`` — every
+    operation exact 64-bit integer math, so Spark and DuckDB agree
+    bit-for-bit (float PageRank would drift with summation order).
+
+    Plan shape: the expensive part is the edge build (fact-fact join with
+    broadcast dims — same shape as q7); after DISTINCT the graph is ≤ V²
+    nation pairs, so each iteration is a broadcast join + tiny agg.
+    localCheckpoint truncates the edge lineage so 3 iterations don't
+    re-run the 4-way join (same iterative-control pattern as
+    operators/dedup.py connected components). Dangling-node rank leaks,
+    as in the classic simplified formulation — identical on both sides."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select("node", F.lit(_PR_R0).cast("long").alias("rank"))
+    for _ in range(3):
+        incoming = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select("dst", F.expr("rank div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = nodes.join(incoming, nodes["node"] == incoming["dst"], "left").select(
+            "node",
+            F.expr(
+                f"cast({_PR_TELEPORT} + (85 * coalesce(inc, 0)) div 100 as long)"
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.col("rank").alias("rank_scaled"))
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, unnest({_SQL_TOKS}) AS token FROM documents
+    ), tf AS (
+        SELECT source, token, count(*) AS tf FROM tok GROUP BY source, token
+    ), dfreq AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.source, tf.token, tf.tf, dfreq.df,
+               round(tf.tf * n.n_docs / CAST(dfreq.df AS DOUBLE), 6) AS score
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ), ranked AS (
+        SELECT source, token, tf, df, score,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY score DESC, token) AS rn
+        FROM scored
+    )
+    SELECT source, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source characteristic terms: tf × (N/df) ratio weighting, top 5
+    per source. Uses the raw inverse-document-frequency RATIO rather than
+    its logarithm — rank order differs from log-idf, but the score is one
+    exact IEEE division (bit-identical across engines) where ln() is
+    libm-dependent; chosen deliberately so the result hashes.
+
+    Plan: explode → two hash aggs (tf keyed by (source, token), df keyed by
+    token — both high-cardinality, even spread) → broadcast the 1-row corpus
+    count → per-source top-k via WindowGroupLimit (rank filter pushes the
+    limit into the sort). (score, token) gives a total order, so top-5 is
+    deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "token",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.col("n_docs") / F.col("df"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "token", "tf", "df", "score", "rn")
+    )

@@ -66,6 +66,12 @@ HEADLINE = [
     "dedup_fuzzy_levenshtein",
     "emb_norm_stats",
     "graph_triangle_count",
+    # round 2, later additions: event analytics + iterative graph rank.
+    "sessionize_events",
+    "concurrent_intervals",
+    "histogram_equi_width",
+    "pagerank_integer",
+    "text_tfidf_topk",
 ]
 
 

@@ -313,15 +313,20 @@ def pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = nodes.select("node", F.lit(_PR_R0).cast("long").alias("rank"))
+    # The rank/degree/message tables are ≤ V rows by construction (nation
+    # graph) — hint broadcast explicitly: a localCheckpoint'd table has no
+    # stats, so without hints Catalyst falls back to sort-merge joins.
     for _ in range(3):
         incoming = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
+            edges.join(F.broadcast(ranks), edges["src"] == ranks["node"])
+            .join(F.broadcast(deg), "src")
             .select("dst", F.expr("rank div outdeg").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inc"))
         )
-        ranks = nodes.join(incoming, nodes["node"] == incoming["dst"], "left").select(
+        ranks = nodes.join(
+            F.broadcast(incoming), nodes["node"] == incoming["dst"], "left"
+        ).select(
             "node",
             F.expr(
                 f"cast({_PR_TELEPORT} + (85 * coalesce(inc, 0)) div 100 as long)"

@@ -216,6 +216,62 @@ def test_topn_per_group_uses_group_limit(spark, sf):
     assert "WindowGroupLimit" in plan
 
 
+def test_sessionize_single_shuffle(spark, sf):
+    """Both session windows and the per-session aggregate share the
+    user_id hash partitioning — the whole sessionization must be ONE
+    shuffle (a second exchange on (user_id, session_seq) would mean
+    Catalyst missed that the subset partitioning already co-locates it)."""
+    df = registry.QUERIES["sessionize_events"](spark, sf)
+    plan = _plan(df)
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles == 1, plan[:2000]
+    assert "pythonUDF" not in plan.lower()
+
+
+def test_concurrent_intervals_aggregates_before_global_window(spark, sf):
+    """Sweep-line concurrency: the day-level groupBy (partial+final) must
+    collapse cardinality BEFORE the single-partition running-sum window —
+    the window over raw boundary events would be a data-volume sort."""
+    df = registry.QUERIES["concurrent_intervals"](spark, sf)
+    plan = _plan(df)
+    assert plan.count("Window") == 1
+    assert plan.count("HashAggregate") >= 2  # map-side partial on day key
+    win_idx = plan.index("Window")
+    agg_idx = plan.index("HashAggregate")
+    # tree prints top-down: the window sits above the aggregate child
+    assert win_idx < agg_idx, plan[:2000]
+
+
+def test_histogram_is_one_partial_agg_no_join(spark, sf):
+    df = registry.QUERIES["histogram_equi_width"](spark, sf)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2  # ≤20 buckets after map-side combine
+    assert "Join" not in plan
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles == 1, plan[:2000]
+
+
+def test_pagerank_iterations_stay_broadcast(spark, sf):
+    """After the DISTINCT edge build (≤ V² nation pairs, lineage truncated
+    by localCheckpoint) every iteration join is over tiny tables — all
+    broadcast, no cartesian, no sort-merge."""
+    df = registry.QUERIES["pagerank_integer"](spark, sf)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_tfidf_topk_uses_group_limit_and_broadcast_count(spark, sf):
+    df = registry.QUERIES["text_tfidf_topk"](spark, sf)
+    plan = _plan(df)
+    # rn <= 5 pushes into the per-source window sort as a group limit
+    assert "WindowGroupLimit" in plan
+    # the 1-row corpus count rides a broadcast, never a shuffle
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_gapfill_grid_is_broadcast_not_cartesian_shuffle(spark, sf):
     df = registry.QUERIES["gapfill_locf"](spark, sf)
     plan = _plan(df)
@@ -223,3 +279,48 @@ def test_gapfill_grid_is_broadcast_not_cartesian_shuffle(spark, sf):
     # product, never a shuffle cartesian; LOCF is exactly one Window pass
     assert "CartesianProduct" not in plan
     assert plan.count("Window") == 1
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf):
+    """Runtime bloom-filter injection: when a selective dim side of a
+    SHUFFLE join is small, Catalyst builds a bloom filter from it and
+    applies `might_contain` on the fact side BEFORE the fact shuffle —
+    at 100 TB this drops most fact rows pre-exchange. Verify the rewrite
+    actually fires in this Spark build (thresholds scaled to test data;
+    autoBroadcast off to force the shuffle-join shape that needs it)."""
+    from metas_judiciarias_etl_spark.sources.parquet import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        li = load_table(spark, sf, "lineitem")
+        supp = load_table(spark, sf, "supplier").filter(
+            F.col("s_acctbal") > 9000  # selective: bloom build side stays tiny
+        )
+        joined = li.join(supp, li["l_suppkey"] == supp["s_suppkey"]).groupBy(
+            "s_nationkey"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = _plan(joined)
+        assert "might_contain" in plan, plan[:2500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

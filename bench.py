@@ -72,6 +72,15 @@ HEADLINE = [
     "histogram_equi_width",
     "pagerank_integer",
     "text_tfidf_topk",
+    # round 2, final additions: time-series rollups + layout + chunking.
+    "ohlc_bars",
+    "time_weighted_avg",
+    "anomaly_zscore",
+    "entropy_fold",
+    "zorder_bucket",
+    "chunk_documents",
+    "pareto_topshare",
+    "mm_image_resize",
 ]
 
 

@@ -178,3 +178,59 @@ def stratified_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.min("doc_id").cast("long").alias("min_doc_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Token-window chunking: fixed-size overlapping training chunks.
+# --------------------------------------------------------------------------
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ), counted AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN n_tok <= {CHUNK_TOKENS} THEN 1
+                    ELSE (n_tok - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                         // {CHUNK_STRIDE} + 1 END AS n_chunks
+        FROM sized
+    )
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, n_chunks - 1)) AS BIGINT)
+               AS chunk_idx,
+           n_tok,
+           n_chunks
+    FROM counted
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping {CHUNK_TOKENS}-token windows
+    with stride {CHUNK_STRIDE} — the context-window packing precursor.
+    Chunk boundaries are pure integer math on the whitespace token count;
+    the row expansion (sequence+explode) stays inside the scan partition —
+    no shuffle at all, the plan is a single map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    counted = sized.withColumn(
+        "n_chunks",
+        F.expr(
+            f"CASE WHEN n_tok <= {CHUNK_TOKENS} THEN 1"
+            f" ELSE (n_tok - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)"
+            f" div {CHUNK_STRIDE} + 1 END"
+        ),
+    )
+    return counted.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_idx"),
+        "n_tok",
+        "n_chunks",
+    )

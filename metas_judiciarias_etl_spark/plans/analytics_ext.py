@@ -707,3 +707,123 @@ def dq_lineitem_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return stacked.select("rule", "n_violations", "n_rows")
+
+
+# --------------------------------------------------------------------------
+# Pareto coverage: smallest prefix of docs covering half the corpus bytes.
+# --------------------------------------------------------------------------
+@query(
+    "pareto_topshare",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               sum(n_chars) OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_chars,
+               sum(n_chars) OVER (PARTITION BY source) AS total_chars
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs_half,
+           max(cum_chars) AS chars_covered,
+           max(total_chars) AS total_chars
+    FROM ranked
+    WHERE 2 * (cum_chars - n_chars) < total_chars
+    GROUP BY source
+    """,
+)
+def pareto_topshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How few (largest) documents cover >=50% of each source's bytes — the
+    corpus-concentration profile a sampling plan starts from. Pure integer
+    window math (a row is kept while coverage BEFORE it is under half), so
+    the cut point is exact. One shuffle on source; the running sum is a
+    rows-frame window in that same partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(w_cum).alias("cum_chars"),
+        F.sum("n_chars").over(w_all).alias("total_chars"),
+    )
+    return (
+        ranked.filter(
+            2 * (F.col("cum_chars") - F.col("n_chars")) < F.col("total_chars")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_half"),
+            F.max("cum_chars").alias("chars_covered"),
+            F.max("total_chars").alias("total_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-order bucketing: bit-interleaved multi-column clustering key.
+# --------------------------------------------------------------------------
+_Z_BITS = 10
+
+
+def _z_interleave_spark(px: str, sx: str) -> str:
+    """Spark SQL text for the 2x10-bit Morton interleave of two columns."""
+    return " + ".join(
+        f"shiftleft(shiftright({px}, {i}) & 1, {2 * i})"
+        f" + shiftleft(shiftright({sx}, {i}) & 1, {2 * i + 1})"
+        for i in range(_Z_BITS)
+    )
+
+
+def _z_interleave_duck(px: str, sx: str) -> str:
+    """Same interleave in DuckDB operator syntax — generated from the same
+    bit positions, so the two texts are equivalent by construction."""
+    return " + ".join(
+        f"((({px} >> {i}) & 1) << {2 * i})"
+        f" + ((({sx} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_Z_BITS)
+    )
+
+
+@query(
+    "zorder_bucket",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT (l_partkey % 1024) AS px, (l_suppkey % 1024) AS sx
+        FROM lineitem
+    ), z AS (
+        SELECT {_z_interleave_duck("px", "sx")} AS zval FROM keyed
+    )
+    SELECT zval // 4096 AS z_bucket,
+           count(*) AS n_rows,
+           min(zval) AS z_min,
+           max(zval) AS z_max
+    FROM z
+    GROUP BY 1
+    """,
+)
+def zorder_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key over (partkey, suppkey) mod 1024 — the
+    clustering transform behind multi-dimensional data skipping: writing
+    files sorted by zval gives BOTH per-column min/max locality, so scans
+    filtered on either key prune files. Pure integer bit math (exact on
+    any engine); the layout op itself is scan-stage, and the bucket
+    histogram here is one tiny-key shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("l_partkey % 1024").alias("px"),
+        F.expr("l_suppkey % 1024").alias("sx"),
+    )
+    z = li.select(F.expr(_z_interleave_spark("px", "sx")).alias("zval"))
+    return (
+        z.groupBy(F.expr("zval div 4096").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+        )
+    )

@@ -7,7 +7,7 @@ approximate distinct counting. All Catalyst built-ins with DuckDB twins
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import sql_hash48
@@ -279,4 +279,95 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("within_5pct"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic mode: most frequent value per group with a total tie-break.
+# --------------------------------------------------------------------------
+@query(
+    "mode_agg",
+    oracle="""
+    SELECT l_returnflag, l_quantity AS mode_quantity, count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag, l_quantity
+    QUALIFY row_number() OVER (
+        PARTITION BY l_returnflag ORDER BY count(*) DESC, l_quantity ASC
+    ) = 1
+    """,
+)
+def mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent quantity per return flag. Engine-native ``mode()`` is
+    tie-ambiguous, so the contract is count-desc / value-asc — two
+    partial-aggregatable shuffles (value histogram, then a 3-group top-1
+    WindowGroupLimit), never a full sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n_rows").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        hist.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "l_returnflag", F.col("l_quantity").alias("mode_quantity"), "n_rows"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Shannon entropy via an ORDERED float fold — deterministic accumulation.
+# --------------------------------------------------------------------------
+@query(
+    "entropy_fold",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    ), l AS (
+        SELECT user_id,
+               list_sort(list(struct_pack(event_type := event_type,
+                                          cnt := cnt))) AS lst,
+               sum(cnt) AS n_events
+        FROM c GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           round(list_reduce(
+                     [0.0] || list_transform(
+                         lst, x -> -(x.cnt / n_events) * ln(x.cnt / n_events)),
+                     (a, b) -> a + b), 6) + 0.0 AS entropy
+    FROM l
+    """,
+)
+def entropy_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix. Float addition is not
+    associative, so a hash-agg ``sum()`` of the -p*ln(p) terms would be
+    partition-order-dependent; instead the terms are folded in SORTED
+    struct order with a 0.0 seed — bit-identical accumulation on both
+    engines (`+ 0.0` canonicalizes the -0.0 a single-type user produces).
+    The collect_list is bounded by event-type cardinality (5), not rows."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_user = counts.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("event_type", "cnt"))).alias("lst"),
+        F.sum("cnt").alias("n_events"),
+    )
+    return per_user.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        (
+            F.round(
+                F.expr(
+                    "aggregate(transform(lst,"
+                    " x -> -(x.cnt / n_events) * ln(x.cnt / n_events)),"
+                    " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("entropy"),
     )

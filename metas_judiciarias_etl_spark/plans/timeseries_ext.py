@@ -1,0 +1,199 @@
+"""Time-series analytics over the events stream: OHLC bars, time-weighted
+averages, and z-score outlier detection — the TSDB-style rollups a
+metrics/trading workload expects (engine-surface extensions beyond the
+reference pipeline, same category as plans/analytics_ext.py gap-fill).
+
+Determinism rules (cross-engine hash parity):
+
+* OHLC open/close SELECT a value (no float accumulation) — ties broken by
+  the unique event_id, so the picked row is unique.
+* time-weighted average sums ``cents × Δt_us`` in DECIMAL — exact — and
+  only the final ratio is a double (IEEE division of identical operands is
+  identical on both engines).
+* z-score moments come from exact DECIMAL sums of integer cents; the
+  per-row predicate is the *same* double expression text on both engines
+  over bit-identical inputs, so the comparison can't flip.
+
+Scale notes (100 TB):
+* ohlc_bars: one hash-agg shuffle on (bucket, event_type) with map-side
+  partials (min/max/count/sum all partial-aggregatable).
+* time_weighted_avg: one shuffle on user_id (high cardinality → even
+  spread); lead() is a single window pass within the same partitioning.
+* anomaly_zscore: per-group moments are a 3-row aggregate, broadcast back
+  for the row-level predicate — lineitem is scanned twice but never
+  shuffled on a fact-sized key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.timeutil import floor_bucket_s
+from ..registry import query
+from ..sources.parquet import load_table
+
+
+# --------------------------------------------------------------------------
+# OHLC bars: open/high/low/close per hour per event_type.
+# --------------------------------------------------------------------------
+@query(
+    "ohlc_bars",
+    oracle="""
+    SELECT (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS bar_start_s,
+           event_type,
+           first(value ORDER BY ts, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           count(*) AS n_ticks,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour OHLC bars. Open/close pick the min/max (ts, event_id, value)
+    struct — lexicographic struct ordering with a unique tie-breaker, the
+    deterministic twin of DuckDB's ``first(... ORDER BY ts, event_id)``.
+    Volume sums exact integer cents. One partial-aggregatable shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bar_start_s", floor_bucket_s("ts", 3600))
+        .groupBy("bar_start_s", "event_type")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value"))["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "event_id", "value"))["value"].alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.round(
+                F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")) / 100.0, 2
+            ).alias("volume"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average: each observation weighted by its holding interval.
+# --------------------------------------------------------------------------
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               epoch_us(ts) AS ts_us,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS next_us
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           round(CAST(sum(CAST(cents AS DECIMAL(38,0)) * (next_us - ts_us))
+                      AS DOUBLE)
+                 / (CAST(sum(next_us - ts_us) AS DOUBLE) * 100.0), 6)
+               AS time_weighted_value
+    FROM seq
+    WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-weighted mean of ``value`` per user (the TSDB
+    ``time_weight`` rollup): each observation holds until the next event;
+    the last observation has no interval and is excluded. Numerator is an
+    exact DECIMAL sum of cents x microseconds; only the final ratio is
+    floating point."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.withColumn("next_us", F.lead("ts_us").over(w)).filter(
+        F.col("next_us").isNotNull()
+    )
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(
+            F.expr(
+                "CAST(sum(CAST(cents AS DECIMAL(38,0)) * (next_us - ts_us)) AS DOUBLE)"
+                " / (CAST(sum(next_us - ts_us) AS DOUBLE) * 100.0)"
+            ),
+            6,
+        ).alias("time_weighted_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-score outliers from exact integer moments.
+# --------------------------------------------------------------------------
+@query(
+    "anomaly_zscore",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_extendedprice,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), m AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS s,
+               CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE)
+                   / 10000.0 AS ss
+        FROM c GROUP BY l_returnflag
+    ), z AS (
+        SELECT c.l_returnflag, c.l_extendedprice, m.n,
+               s / n AS mu,
+               sqrt(ss / n - (s / n) * (s / n)) AS sigma
+        FROM c JOIN m USING (l_returnflag)
+    )
+    SELECT l_returnflag,
+           max(n) AS n_rows,
+           round(max(mu), 2) AS mean_price,
+           round(max(sigma), 2) AS std_price,
+           sum(CASE WHEN abs((l_extendedprice - mu) / sigma) > 2.0
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM z
+    GROUP BY l_returnflag
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag price outliers at |z| > 2. Moments are derived from exact
+    DECIMAL sums of integer cents, then cast to double ONCE — after that
+    both engines evaluate the identical IEEE expression over bit-identical
+    operands, so the boundary comparison is reproducible. The 3-row moment
+    table is broadcast back onto the scan (no fact-sized shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    moments = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) / 100.0").alias(
+            "s"
+        ),
+        F.expr(
+            "CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE) / 10000.0"
+        ).alias("ss"),
+    )
+    z = (
+        li.join(F.broadcast(moments), "l_returnflag")
+        .withColumn("mu", F.expr("s / n"))
+        .withColumn("sigma", F.expr("sqrt(ss / n - (s / n) * (s / n))"))
+    )
+    return z.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_rows"),
+        F.round(F.max("mu"), 2).alias("mean_price"),
+        F.round(F.max("sigma"), 2).alias("std_price"),
+        F.sum(
+            F.expr(
+                "CASE WHEN abs((l_extendedprice - mu) / sigma) > 2.0"
+                " THEN 1 ELSE 0 END"
+            )
+        ).alias("n_outliers"),
+    )

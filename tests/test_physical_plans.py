@@ -324,3 +324,48 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ohlc_is_one_partial_agg_shuffle(spark, sf):
+    df = registry.QUERIES["ohlc_bars"](spark, sf)
+    plan = _plan(df)
+    # struct-valued min/max can't use a mutable hash buffer, so Spark picks
+    # SortAggregate — still partial (map-side) + final around exactly ONE
+    # exchange, which is the property that matters at scale
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_time_weighted_avg_single_user_shuffle(spark, sf):
+    df = registry.QUERIES["time_weighted_avg"](spark, sf)
+    plan = _plan(df)
+    # lead() and the final agg share the user_id partitioning: the window
+    # shuffle is the only fact-sized exchange (agg reuses or coalesces it)
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+
+
+def test_anomaly_zscore_broadcasts_moments(spark, sf):
+    df = registry.QUERIES["anomaly_zscore"](spark, sf)
+    plan = _plan(df)
+    # the 3-row moment table must come back via broadcast, never a
+    # fact-sized shuffle join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_documents_is_map_only(spark, sf):
+    df = registry.QUERIES["chunk_documents"](spark, sf)
+    plan = _plan(df)
+    # sequence+explode row expansion stays in the scan partition
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_zorder_interleave_stays_in_codegen(spark, sf):
+    df = registry.QUERIES["zorder_bucket"](spark, sf)
+    plan = _plan(df)
+    # 20 bit-ops fold into the scan-stage projection: one tiny-key shuffle
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

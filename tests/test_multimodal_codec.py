@@ -53,3 +53,42 @@ def test_decode_features_end_to_end(spark, sf_oracle):
     for r in rows:
         assert r["decoder"] == "wav-pcm8"
         assert r["n_bytes"] > 0 and 0 <= r["max_byte"] <= 255
+
+
+def test_ppm_roundtrip_full_byte_range():
+    from metas_judiciarias_etl_spark.operators.multimodal import (
+        IMG_W,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    payload = bytes(range(256))
+    img = decode_ppm(encode_ppm(payload))
+    h, w, ch = img.shape
+    assert (w, ch) == (IMG_W, 3)
+    assert h == -(-len(payload) // (IMG_W * 3))
+    flat = img.tobytes()
+    assert flat[: len(payload)] == payload  # lossless through the container
+    assert set(flat[len(payload):]) <= {0}  # zero padding only
+
+
+def test_ppm_malformed_rejected():
+    from metas_judiciarias_etl_spark.operators.multimodal import decode_ppm
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 12)  # wrong magic
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)  # unsupported maxval
+
+
+def test_nn_resize_index_math():
+    import numpy as np
+
+    from metas_judiciarias_etl_spark.operators.multimodal import resize_nn
+
+    # 4x4 image whose pixel value encodes its (row, col): NN floor
+    # sampling to 2x2 must pick rows/cols {0, 2}
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    small = resize_nn(img, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert (small == img[[0, 2]][:, [0, 2], :]).all()

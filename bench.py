@@ -81,6 +81,9 @@ HEADLINE = [
     "chunk_documents",
     "pareto_topshare",
     "mm_image_resize",
+    "corr_exact",
+    "skyline_dominance",
+    "weighted_sample_topk",
 ]
 
 

@@ -152,7 +152,7 @@ def _mix_oracle() -> str:
            count(*) AS n_sampled,
            CAST(min(doc_id) AS BIGINT) AS min_doc_id
     FROM (SELECT doc_id, source FROM documents
-          WHERE {h} % 10000 < {rate})
+          WHERE CAST(list_sum(list_transform(generate_series(1, 12), __hi -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), __hi, 1)) - 1) * CAST(16 ** (12 - __hi) AS BIGINT))) AS BIGINT) % 10000 < {rate})
     GROUP BY source
     """
 
@@ -233,4 +233,62 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_idx"),
         "n_tok",
         "n_chunks",
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without RNG state: deterministic priority sampling.
+# --------------------------------------------------------------------------
+SAMPLE_K = 5
+
+
+def _weighted_sample_oracle() -> str:
+    from ..functions.hashing import sql_hash48
+
+    h = sql_hash48("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH pri AS (
+        SELECT source, doc_id, n_chars,
+               CAST({h} AS DOUBLE) / n_chars AS priority
+        FROM documents
+    )
+    SELECT source, doc_id, n_chars, priority
+    FROM pri
+    QUALIFY row_number() OVER (
+        PARTITION BY source ORDER BY priority ASC, doc_id ASC
+    ) <= {SAMPLE_K}
+    """
+
+
+@query("weighted_sample_topk", oracle=_weighted_sample_oracle())
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sample (k=5, probability ∝ n_chars) via
+    PRIORITY SAMPLING: priority = hash48(doc_id)/weight, keep the k
+    smallest. Stateless and deterministic — no RNG, no driver coordination,
+    re-runs and retries pick identical rows; the hash is the md5-prefix
+    family shared with the oracle (same constants by construction). One
+    shuffle on source + a WindowGroupLimit top-k (no full sort). The single
+    division is the same IEEE op on both engines, so both the ranking and
+    the emitted priority are bit-identical (emitted raw — re-rounding a
+    >2^33 double at 6 decimals is beyond double precision and engines
+    disagree there)."""
+    from ..functions.hashing import hash48
+
+    docs = load_table(spark, sf_dir, "documents")
+    pri = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (
+            hash48(F.col("doc_id").cast("string")).cast("double")
+            / F.col("n_chars")
+        ).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("priority").asc(), F.col("doc_id").asc()
+    )
+    return (
+        pri.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= SAMPLE_K)
+        .select("source", "doc_id", "n_chars", "priority")
     )

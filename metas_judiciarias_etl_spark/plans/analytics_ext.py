@@ -827,3 +827,57 @@ def zorder_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zval").alias("z_max"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Skyline (Pareto-dominance) query: cheapest-yet-largest parts.
+# --------------------------------------------------------------------------
+@query(
+    "skyline_dominance",
+    oracle="""
+    WITH ranked AS (
+        SELECT p_partkey, p_retailprice, p_size,
+               max(p_size) OVER (
+                   ORDER BY p_retailprice ASC, p_size DESC, p_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max_size
+        FROM part
+    )
+    SELECT p_partkey, p_retailprice, p_size
+    FROM ranked
+    WHERE prev_max_size IS NULL OR p_size > prev_max_size
+    """,
+)
+def skyline_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline over (minimize price, maximize size): parts no other part
+    beats on both axes (equal pairs keep the lowest partkey). Computed the
+    divide-and-conquer way — a LOCAL skyline per hash bucket (parallel
+    window, removes ~all rows) and a global pass over the few survivors —
+    because skyline(union of local skylines) = skyline. The oracle is the
+    single-pass global form of the same running-max rule; the two are
+    provably equivalent, and only the reduced set ever hits the global
+    sort."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+    def keep(df: DataFrame, w: Window) -> DataFrame:
+        flt = df.withColumn(
+            "__pm",
+            F.max("p_size").over(
+                w.orderBy(
+                    F.col("p_retailprice").asc(),
+                    F.col("p_size").desc(),
+                    F.col("p_partkey").asc(),
+                ).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        return flt.filter(
+            F.col("__pm").isNull() | (F.col("p_size") > F.col("__pm"))
+        ).drop("__pm")
+
+    local = keep(
+        part.withColumn("__b", F.expr("p_partkey % 32")),
+        Window.partitionBy("__b"),
+    ).drop("__b")
+    return keep(local, Window.partitionBy())

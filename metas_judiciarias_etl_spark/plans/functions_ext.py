@@ -371,3 +371,63 @@ def entropy_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("entropy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pearson correlation from exact integer moments.
+# --------------------------------------------------------------------------
+@query(
+    "corr_exact",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+               CAST(round(l_quantity * 100) AS BIGINT) AS y
+        FROM lineitem
+    ), m AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
+        FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n AS n_rows,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS price_qty_corr
+    FROM m
+    """,
+)
+def corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson corr(price, quantity) per flag. Engine-native ``corr()``
+    accumulates doubles in partition order (non-reproducible); here all
+    five moments are EXACT DECIMAL sums of integer cents, cast to double
+    once, and the closed form is the identical IEEE expression on both
+    engines. One partial-aggregatable shuffle on a 3-value key."""
+    c = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("x"),
+        F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("y"),
+    )
+    m = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE)").alias("sxx"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE)").alias("syy"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE)").alias("sxy"),
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round(
+            F.expr(
+                "(n * sxy - sx * sy)"
+                " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+            ),
+            6,
+        ).alias("price_qty_corr"),
+    )

@@ -217,3 +217,31 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rolling_30m_sum"),
     )
+
+
+@query(
+    "window_percent_rank",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           round(percent_rank() OVER (
+               PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey), 6)
+               AS bal_pct_rank,
+           round(cume_dist() OVER (
+               PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey), 6)
+               AS bal_cume_dist
+    FROM supplier
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rank/n) — exact small-integer ratios, so the doubles are
+    identical on both engines. The unique s_suppkey tie-break makes ranks
+    themselves deterministic. One shuffle on the partition key."""
+    sup = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )

@@ -369,3 +369,27 @@ def test_zorder_interleave_stays_in_codegen(spark, sf):
     # 20 bit-ops fold into the scan-stage projection: one tiny-key shuffle
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corr_exact_one_partial_agg(spark, sf):
+    df = registry.QUERIES["corr_exact"](spark, sf)
+    plan = _plan(df)
+    # all five moments fold into one partial+final aggregate pass
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_skyline_local_pass_reduces_before_global_sort(spark, sf):
+    df = registry.QUERIES["skyline_dominance"](spark, sf)
+    plan = _plan(df)
+    # pass 1 partitions by hash bucket (parallel), pass 2's single-partition
+    # sort only ever sees local-skyline survivors
+    assert plan.count("Window") >= 2
+    assert "hashpartitioning(__b" in plan
+
+
+def test_weighted_sample_uses_group_limit(spark, sf):
+    df = registry.QUERIES["weighted_sample_topk"](spark, sf)
+    plan = _plan(df)
+    # rank<=k compiles to WindowGroupLimit: per-partition top-k pre-filter
+    assert "WindowGroupLimit" in plan

@@ -84,6 +84,7 @@ HEADLINE = [
     "corr_exact",
     "skyline_dominance",
     "weighted_sample_topk",
+    "incremental_agg_merge",
 ]
 
 

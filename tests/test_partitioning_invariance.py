@@ -19,6 +19,12 @@ QUERIES = [
     "dedup_minhash_lsh",        # bucketed candidate generation
     "text_repetition",          # double ratios from grouped counts
     "graph_triangle_count",     # multi-join graph shape
+    "entropy_fold",             # ordered float fold (sorted, seeded)
+    "corr_exact",               # moments from exact DECIMAL sums
+    "time_weighted_avg",        # DECIMAL cents x interval accumulation
+    "weighted_sample_topk",     # hash-priority ranking
+    "skyline_dominance",        # local-then-global dominance passes
+    "ohlc_bars",                # struct min/max open/close selection
 ]
 
 

@@ -85,6 +85,8 @@ HEADLINE = [
     "skyline_dominance",
     "weighted_sample_topk",
     "incremental_agg_merge",
+    "grouped_linear_fit",
+    "table_snapshot_diff",
 ]
 
 

@@ -932,3 +932,70 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("sum_cents") / 100.0, 2).alias("sum_value"),
         F.max("last_seen_s").alias("last_seen_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff / reconciliation: added, removed, changed per key.
+# --------------------------------------------------------------------------
+@query(
+    "table_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id % 7 <> 0
+    ), v2 AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT)
+                   + (CASE WHEN event_id % 3 = 0 THEN 100 ELSE 0 END) AS cents
+        FROM events WHERE event_id % 5 <> 0
+    )
+    SELECT coalesce(v1.event_type, v2.event_type) AS event_type,
+           sum(CASE WHEN v1.event_id IS NULL THEN 1 ELSE 0 END) AS n_added,
+           sum(CASE WHEN v2.event_id IS NULL THEN 1 ELSE 0 END) AS n_removed,
+           sum(CASE WHEN v1.event_id IS NOT NULL AND v2.event_id IS NOT NULL
+                         AND v1.cents <> v2.cents THEN 1 ELSE 0 END) AS n_changed,
+           sum(CASE WHEN v1.event_id IS NOT NULL AND v2.event_id IS NOT NULL
+                         AND v1.cents = v2.cents THEN 1 ELSE 0 END) AS n_unchanged
+    FROM v1 FULL OUTER JOIN v2 USING (event_id)
+    GROUP BY 1
+    """,
+)
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two table snapshots (the audit step after a migration or
+    CDC replay): FULL OUTER JOIN on the key classifies every row as
+    added / removed / changed / unchanged, then rolls up per type. The two
+    snapshots here are deterministic filtered/mutated views of events. At
+    scale the join keys co-partition (same key, same hash), so AQE plans
+    one co-located shuffle join; with bucketed tables it would be
+    shuffle-free."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    )
+    v1 = ev.filter(F.expr("event_id % 7 <> 0")).select(
+        F.col("event_id"), F.col("event_type").alias("t1"), F.col("cents").alias("c1")
+    )
+    v2 = ev.filter(F.expr("event_id % 5 <> 0")).select(
+        F.col("event_id"),
+        F.col("event_type").alias("t2"),
+        (F.col("cents") + F.expr("CASE WHEN event_id % 3 = 0 THEN 100 ELSE 0 END")).alias("c2"),
+    )
+    j = v1.join(v2, "event_id", "full_outer")
+    return (
+        j.groupBy(F.coalesce("t1", "t2").alias("event_type"))
+        .agg(
+            F.sum(F.expr("CASE WHEN t1 IS NULL THEN 1 ELSE 0 END")).alias("n_added"),
+            F.sum(F.expr("CASE WHEN t2 IS NULL THEN 1 ELSE 0 END")).alias("n_removed"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND c1 <> c2"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("n_changed"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND c1 = c2"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("n_unchanged"),
+        )
+    )

@@ -197,3 +197,87 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_outliers"),
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped custom aggregation via applyInPandas: exact-integer OLS slope.
+# --------------------------------------------------------------------------
+def _linear_fit_group(pdf: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
+    """Per-group OLS slope of value (cents) over time (hours since the
+    group's first event). All sums run in PYTHON INTEGERS (arbitrary
+    precision — exact), so the closed-form slope is one IEEE division at
+    the end: bit-identical to the oracle's DECIMAL-sum formula."""
+    import pandas as pd
+
+    xs = [int(v) for v in pdf["ts_h"]]
+    ys = [int(v) for v in pdf["cents"]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    den = n * sxx - sx * sx
+    slope = float("nan") if den == 0 else (n * sxy - sx * sy) / (den * 100.0)
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_events": [n],
+            "slope_per_hour": [round(slope, 6)],
+        }
+    )
+
+
+@query(
+    "grouped_linear_fit",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               epoch_us(ts) // 3600000000 AS ts_h0
+        FROM events
+    ), rel AS (
+        SELECT event_type, cents,
+               ts_h0 - min(ts_h0) OVER (PARTITION BY event_type) AS ts_h
+        FROM base
+    ), m AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(ts_h AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(ts_h AS DECIMAL(38,0)) * ts_h) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(ts_h AS DECIMAL(38,0)) * cents) AS DOUBLE) AS sxy
+        FROM rel GROUP BY event_type
+    )
+    SELECT event_type, n AS n_events,
+           round((n * sxy - sx * sy) / ((n * sxx - sx * sx) * 100.0), 6)
+               AS slope_per_hour
+    FROM m
+    """,
+)
+def grouped_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value trend (cents/hour) — the grouped-custom-model
+    shape (applyInPandas): Spark shuffles each group to one Arrow batch and
+    the worker runs arbitrary Python over it. The hot math here stays
+    exact-integer so the result is verifiable; a real job would fit sklearn
+    models in the same harness. Groups are bounded (5 types) — for
+    high-cardinality keys this shape holds per-key state only, and skewed
+    giant groups would need the moment-based formulation instead (which
+    corr_exact demonstrates as pure SQL)."""
+    import pyspark.sql.types as T
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.expr("ts div 3600000000000").alias("ts_h0"),
+    )
+    rel = ev.withColumn(
+        "ts_h",
+        F.col("ts_h0") - F.min("ts_h0").over(Window.partitionBy("event_type")),
+    ).select("event_type", "cents", "ts_h")
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("slope_per_hour", T.DoubleType()),
+        ]
+    )
+    return rel.groupBy("event_type").applyInPandas(_linear_fit_group, schema)

@@ -393,3 +393,20 @@ def test_weighted_sample_uses_group_limit(spark, sf):
     plan = _plan(df)
     # rank<=k compiles to WindowGroupLimit: per-partition top-k pre-filter
     assert "WindowGroupLimit" in plan
+
+
+def test_grouped_linear_fit_is_single_arrow_exchange(spark, sf):
+    df = registry.QUERIES["grouped_linear_fit"](spark, sf)
+    plan = _plan(df)
+    # one group shuffle feeding the Arrow worker; the window pre-pass
+    # shares the same event_type partitioning (no second fact shuffle)
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 1
+
+
+def test_snapshot_diff_joins_once_on_the_key(spark, sf):
+    df = registry.QUERIES["table_snapshot_diff"](spark, sf)
+    plan = _plan(df)
+    # one full-outer key join + the final tiny-key agg; never a cartesian
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan

@@ -87,6 +87,8 @@ HEADLINE = [
     "incremental_agg_merge",
     "grouped_linear_fit",
     "table_snapshot_diff",
+    "spatial_grid_join",
+    "skew_salted_join",
 ]
 
 

@@ -318,3 +318,148 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("_sum"), 2).cast("double").alias("sum_price"),
         F.sum("_cnt").alias("n_rows"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spatial self-join via grid bucketing (no cross product).
+# --------------------------------------------------------------------------
+_GRID = 10_000  # world size per axis
+_RADIUS = 150   # neighbor radius == grid cell size
+
+
+def _xy_sql() -> str:
+    from ..functions.hashing import sql_hash48
+
+    hx = sql_hash48("CAST(c_custkey AS VARCHAR)")
+    hy = sql_hash48("'y' || CAST(c_custkey AS VARCHAR)")
+    return (
+        f"SELECT c_custkey, {hx} % {_GRID} AS x, {hy} % {_GRID} AS y "
+        "FROM customer"
+    )
+
+
+def _spatial_oracle() -> str:
+    return f"""
+    WITH pts AS ({_xy_sql()})
+    SELECT a.c_custkey AS custkey,
+           count(*) AS n_neighbors,
+           min((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+               AS min_dist2
+    FROM pts a JOIN pts b
+      ON a.c_custkey <> b.c_custkey
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         <= {_RADIUS * _RADIUS}
+    GROUP BY a.c_custkey
+    """
+
+
+@query("spatial_grid_join", oracle=_spatial_oracle())
+def spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join over synthetic planar points (hash-derived from
+    custkey, shared constants with the oracle): each point's neighbors
+    within R. The scale pattern is GRID BUCKETING — the probe side explodes
+    to its 3x3 neighbor cells (cell = R), the build side buckets to one
+    cell, and the join is a plain equi-join on cell; candidate pairs are
+    bounded by local density, never n². Distances are pure integer math.
+    The oracle is the independent brute-force n² form."""
+    from ..functions.hashing import hash48
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (hash48(F.col("c_custkey").cast("string")) % _GRID).alias("x"),
+        (
+            hash48(F.concat(F.lit("y"), F.col("c_custkey").cast("string")))
+            % _GRID
+        ).alias("y"),
+    )
+    cx = F.expr(f"x div {_RADIUS}")
+    cy = F.expr(f"y div {_RADIUS}")
+    probe = cust.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct((cx + dx).alias("cx"), (cy + dy).alias("cy"))
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("cell"),
+    ).select("a_key", "ax", "ay", "cell.cx", "cell.cy")
+    build = cust.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    pairs = (
+        probe.join(build, ["cx", "cy"])
+        .filter((F.col("a_key") != F.col("b_key")) & (d2 <= _RADIUS * _RADIUS))
+        .select("a_key", d2.alias("dist2"))
+    )
+    return pairs.groupBy(F.col("a_key").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.min("dist2").alias("min_dist2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew-salted JOIN: replicate the dim, salt the fact.
+# --------------------------------------------------------------------------
+_SALTS = 8
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS hot_key,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), dim AS (
+        SELECT DISTINCT hot_key, hot_key * 2 + 1 AS dim_attr FROM fact
+    )
+    SELECT f.hot_key, d.dim_attr,
+           count(*) AS n_rows,
+           round(sum(f.cents) / 100.0, 2) AS sum_value
+    FROM fact f JOIN dim d USING (hot_key)
+    GROUP BY f.hot_key, d.dim_attr
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-join under a manufactured hot key (~70% of rows on one
+    key): the fact side salts each row (event_id % 8), the dim side
+    replicates every row across all 8 salts, and the equi-join runs on
+    (key, salt) — the hot key's rows spread over 8 tasks instead of one
+    straggler. A SHUFFLE_HASH hint keeps the demo honest (the tiny dim
+    would otherwise broadcast, which is of course the first-choice fix
+    when the dim fits in memory). Results are exact-integer."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END").alias(
+            "hot_key"
+        ),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.expr(f"event_id % {_SALTS}").alias("salt"),
+    )
+    dim = (
+        ev.select("hot_key")
+        .distinct()
+        .select(
+            "hot_key",
+            (F.col("hot_key") * 2 + 1).alias("dim_attr"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(_SALTS)])
+            ).alias("salt"),
+        )
+    )
+    joined = ev.join(dim.hint("shuffle_hash"), ["hot_key", "salt"])
+    return joined.groupBy("hot_key", "dim_attr").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("cents") / 100.0, 2).alias("sum_value"),
+    )

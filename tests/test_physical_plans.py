@@ -410,3 +410,20 @@ def test_snapshot_diff_joins_once_on_the_key(spark, sf):
     # one full-outer key join + the final tiny-key agg; never a cartesian
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_spatial_grid_join_avoids_cross_product(spark, sf):
+    df = registry.QUERIES["spatial_grid_join"](spark, sf)
+    plan = _plan(df)
+    # the radius join must ride the grid-cell equi-join, never a
+    # cartesian/nested-loop pairing
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_salted_join_honors_shuffle_hash(spark, sf):
+    df = registry.QUERIES["skew_salted_join"](spark, sf)
+    plan = _plan(df)
+    # the hint must keep the salted join on the shuffle path (the demo is
+    # about spreading a hot key across tasks)
+    assert "ShuffledHashJoin" in plan

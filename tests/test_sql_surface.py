@@ -48,3 +48,33 @@ def test_sql_text_gets_same_plan_quality(spark, sf_small):
     # partial+final agg and a pushed scan filter, same as the DataFrame path
     assert plan.count("HashAggregate") >= 2
     assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_observe_metrics_ride_the_job(spark, sf_small):
+    """Pipeline observability the Spark-native way: df.observe() collects
+    named aggregates DURING the action — no second scan, no collect() of
+    data rows. The driver-side read is the documented Observation API."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from metas_judiciarias_etl_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_small, "lineitem")
+    obs = Observation("li_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias(
+            "cents_seen"
+        ),
+    )
+    out = observed.groupBy("l_returnflag").count()
+    n_groups = out.count()  # one job drives both the query and the metrics
+    got = obs.get
+    assert n_groups >= 3
+    assert got["rows_seen"] == li.count()
+    # exact-integer metric: re-derivable independently
+    expected = li.select(
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+    ).collect()[0][0]
+    assert got["cents_seen"] == expected

@@ -140,7 +140,10 @@ def _decode_features_batches(
 
     def features(payload: bytes) -> tuple[int, float | None, int, str]:
         pcm, _rate, _ch = decode_wav_pcm8(encode_wav_pcm8(payload))
-        mean = round(sum(pcm) / len(pcm), 6) if pcm else None
+        # raw IEEE division of exact integers — bit-identical on both
+        # engines; rounding at 6 decimals would hit exact half-way values
+        # for power-of-two byte counts (Python half-even vs SQL half-up)
+        mean = sum(pcm) / len(pcm) if pcm else None
         return len(pcm), mean, max(pcm) if pcm else 0, "wav-pcm8"
 
     for pdf in batches:
@@ -167,7 +170,7 @@ def _decode_features_batches(
     )
     SELECT doc_id,
            CAST(n_bytes AS BIGINT) AS n_bytes,
-           round(list_sum(bs) / CAST(n_bytes AS DOUBLE), 6) AS mean_byte,
+           list_sum(bs) / CAST(n_bytes AS DOUBLE) AS mean_byte,
            CAST(list_max(bs) AS BIGINT) AS max_byte,
            'wav-pcm8' AS decoder
     FROM bytes

@@ -395,9 +395,9 @@ def entropy_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c GROUP BY l_returnflag
     )
     SELECT l_returnflag, n AS n_rows,
-           round((n * sxy - sx * sy)
-                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
-                 6) AS price_qty_corr
+           (n * sxy - sx * sy)
+               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+               AS price_qty_corr
     FROM m
     """,
 )
@@ -423,11 +423,8 @@ def corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag",
         F.col("n").alias("n_rows"),
-        F.round(
-            F.expr(
-                "(n * sxy - sx * sy)"
-                " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
-            ),
-            6,
+        F.expr(
+            "(n * sxy - sx * sy)"
+            " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
         ).alias("price_qty_corr"),
     )

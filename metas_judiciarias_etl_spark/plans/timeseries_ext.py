@@ -91,9 +91,9 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            count(*) AS n_intervals,
-           round(CAST(sum(CAST(cents AS DECIMAL(38,0)) * (next_us - ts_us))
-                      AS DOUBLE)
-                 / (CAST(sum(next_us - ts_us) AS DOUBLE) * 100.0), 6)
+           CAST(sum(CAST(cents AS DECIMAL(38,0)) * (next_us - ts_us))
+                AS DOUBLE)
+               / (CAST(sum(next_us - ts_us) AS DOUBLE) * 100.0)
                AS time_weighted_value
     FROM seq
     WHERE next_us IS NOT NULL
@@ -118,12 +118,9 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return seq.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_intervals"),
-        F.round(
-            F.expr(
-                "CAST(sum(CAST(cents AS DECIMAL(38,0)) * (next_us - ts_us)) AS DOUBLE)"
-                " / (CAST(sum(next_us - ts_us) AS DOUBLE) * 100.0)"
-            ),
-            6,
+        F.expr(
+            "CAST(sum(CAST(cents AS DECIMAL(38,0)) * (next_us - ts_us)) AS DOUBLE)"
+            " / (CAST(sum(next_us - ts_us) AS DOUBLE) * 100.0)"
         ).alias("time_weighted_value"),
     )
 
@@ -153,8 +150,8 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            max(n) AS n_rows,
-           round(max(mu), 2) AS mean_price,
-           round(max(sigma), 2) AS std_price,
+           max(mu) AS mean_price,
+           max(sigma) AS std_price,
            sum(CASE WHEN abs((l_extendedprice - mu) / sigma) > 2.0
                     THEN 1 ELSE 0 END) AS n_outliers
     FROM z
@@ -188,8 +185,8 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return z.groupBy("l_returnflag").agg(
         F.max("n").alias("n_rows"),
-        F.round(F.max("mu"), 2).alias("mean_price"),
-        F.round(F.max("sigma"), 2).alias("std_price"),
+        F.max("mu").alias("mean_price"),
+        F.max("sigma").alias("std_price"),
         F.sum(
             F.expr(
                 "CASE WHEN abs((l_extendedprice - mu) / sigma) > 2.0"
@@ -217,11 +214,12 @@ def _linear_fit_group(pdf: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
     sxy = sum(x * y for x, y in zip(xs, ys))
     den = n * sxx - sx * sx
     slope = float("nan") if den == 0 else (n * sxy - sx * sy) / (den * 100.0)
+    # raw IEEE ratio of exact integers — bit-identical to the oracle
     return pd.DataFrame(
         {
             "event_type": [pdf["event_type"].iloc[0]],
             "n_events": [n],
-            "slope_per_hour": [round(slope, 6)],
+            "slope_per_hour": [slope],
         }
     )
 
@@ -248,7 +246,7 @@ def _linear_fit_group(pdf: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
         FROM rel GROUP BY event_type
     )
     SELECT event_type, n AS n_events,
-           round((n * sxy - sx * sy) / ((n * sxx - sx * sx) * 100.0), 6)
+           (n * sxy - sx * sy) / ((n * sxx - sx * sx) * 100.0)
                AS slope_per_hour
     FROM m
     """,

@@ -377,7 +377,8 @@ def _image_resize_batches(
     oracle=f"""
     WITH sized AS (
         SELECT doc_id, strlen(text) AS n,
-               CAST(ceil(strlen(text) / {IMG_W * 3}.0) AS BIGINT) AS h, text
+               greatest(CAST(ceil(strlen(text) / {IMG_W * 3}.0) AS BIGINT),
+                        1) AS h, text
         FROM documents
     ), sampled AS (
         SELECT doc_id, h,

@@ -152,7 +152,7 @@ def _mix_oracle() -> str:
            count(*) AS n_sampled,
            CAST(min(doc_id) AS BIGINT) AS min_doc_id
     FROM (SELECT doc_id, source FROM documents
-          WHERE CAST(list_sum(list_transform(generate_series(1, 12), __hi -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), __hi, 1)) - 1) * CAST(16 ** (12 - __hi) AS BIGINT))) AS BIGINT) % 10000 < {rate})
+          WHERE {h} % 10000 < {rate})
     GROUP BY source
     """
 

@@ -914,7 +914,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-        F.expr(f"ts div {_NS}").alias("ts_s"),
+        floor_bucket_s("ts", 1).alias("ts_s"),
     )
 
     def partial(df: DataFrame) -> DataFrame:

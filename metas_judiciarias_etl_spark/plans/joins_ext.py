@@ -188,7 +188,7 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet TIMESTAMP(NANOS) at micro precision; Spark truncates its raw
     nanos with integer `div` — identical semantics, no float rounding)."""
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")
+        "ts_us", F.expr("(ts - pmod(ts, 1000)) div 1000")
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
@@ -254,7 +254,11 @@ def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     win_us = 300 * 1_000_000
     ev = (
         load_table(spark, sf_dir, "events")
-        .select("user_id", F.expr("ts div 1000").alias("ts_us"), "value")
+        .select(
+            "user_id",
+            F.expr("(ts - pmod(ts, 1000)) div 1000").alias("ts_us"),
+            "value",
+        )
     )
     bin_col = F.expr(f"ts_us div {win_us}")
     left = ev.select(

@@ -110,7 +110,7 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-        F.expr("ts div 1000").alias("ts_us"),
+        F.expr("(ts - pmod(ts, 1000)) div 1000").alias("ts_us"),
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     seq = ev.withColumn("next_us", F.lead("ts_us").over(w)).filter(
@@ -152,7 +152,8 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(n) AS n_rows,
            max(mu) AS mean_price,
            max(sigma) AS std_price,
-           sum(CASE WHEN abs((l_extendedprice - mu) / sigma) > 2.0
+           sum(CASE WHEN sigma = 0.0 THEN 0
+                    WHEN abs((l_extendedprice - mu) / sigma) > 2.0
                     THEN 1 ELSE 0 END) AS n_outliers
     FROM z
     GROUP BY l_returnflag
@@ -189,7 +190,8 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sigma").alias("std_price"),
         F.sum(
             F.expr(
-                "CASE WHEN abs((l_extendedprice - mu) / sigma) > 2.0"
+                "CASE WHEN sigma = 0.0 THEN 0"
+                " WHEN abs((l_extendedprice - mu) / sigma) > 2.0"
                 " THEN 1 ELSE 0 END"
             )
         ).alias("n_outliers"),
@@ -209,12 +211,15 @@ def _linear_fit_group(pdf: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
     xs = [int(v) for v in pdf["ts_h"]]
     ys = [int(v) for v in pdf["cents"]]
     n = len(xs)
-    sx, sy = sum(xs), sum(ys)
-    sxx = sum(x * x for x in xs)
-    sxy = sum(x * y for x, y in zip(xs, ys))
+    # moments accumulate in exact Python ints, then convert to double ONCE
+    # — the same boundary the oracle's CAST(sum(...) AS DOUBLE) sits at —
+    # and the closed form below is evaluated in doubles in the SAME order
+    # as the oracle text (int-exact evaluation would diverge past 2^53)
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxx = float(sum(x * x for x in xs))
+    sxy = float(sum(x * y for x, y in zip(xs, ys)))
     den = n * sxx - sx * sx
-    slope = float("nan") if den == 0 else (n * sxy - sx * sy) / (den * 100.0)
-    # raw IEEE ratio of exact integers — bit-identical to the oracle
+    slope = None if den == 0.0 else (n * sxy - sx * sy) / (den * 100.0)
     return pd.DataFrame(
         {
             "event_type": [pdf["event_type"].iloc[0]],
@@ -246,8 +251,9 @@ def _linear_fit_group(pdf: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
         FROM rel GROUP BY event_type
     )
     SELECT event_type, n AS n_events,
-           (n * sxy - sx * sy) / ((n * sxx - sx * sx) * 100.0)
-               AS slope_per_hour
+           CASE WHEN (n * sxx - sx * sx) = 0.0 THEN NULL
+                ELSE (n * sxy - sx * sy) / ((n * sxx - sx * sx) * 100.0)
+           END AS slope_per_hour
     FROM m
     """,
 )
@@ -265,7 +271,9 @@ def grouped_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-        F.expr("ts div 3600000000000").alias("ts_h0"),
+        F.expr("(ts - pmod(ts, 3600000000000)) div 3600000000000").alias(
+            "ts_h0"
+        ),
     )
     rel = ev.withColumn(
         "ts_h",

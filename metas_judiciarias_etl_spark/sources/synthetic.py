@@ -58,12 +58,20 @@ class SyntheticEventsReader(DataSourceReader):
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         for f in filters:
-            if isinstance(f, EqualTo) and f.attribute == ("event_type",):
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("event_type",)
+                and self.type_filter is None
+            ):
                 self.type_filter = f.value  # accepted: skip at generation
             else:
-                yield f  # rejected: Spark re-applies it
+                # rejected (or a SECOND event_type equality — accepting
+                # both would silently keep only one): Spark re-applies it
+                yield f
 
     def partitions(self) -> Sequence[InputPartition]:
+        if self.n_rows <= 0:
+            return [_RangePartition(0, 0)]
         per = -(-self.n_rows // self.n_parts)
         return [
             _RangePartition(lo, min(lo + per, self.n_rows))

@@ -52,3 +52,19 @@ def test_source_composes_with_relational_ops(spark):
     for _i, t, _u, c in synthetic.expected_rows(1000):
         exp[t] = exp.get(t, 0) + c
     assert got == exp
+
+
+def test_conflicting_pushed_filters_stay_correct(spark):
+    # two EqualTo predicates on event_type: only ONE may be absorbed by the
+    # reader; the other must be yielded back so Spark re-applies it and the
+    # contradiction correctly produces zero rows
+    df = (
+        _read(spark, rows=500)
+        .filter("event_type = 'purchase'")
+        .filter("event_type = 'click'")
+    )
+    assert df.count() == 0
+
+
+def test_zero_rows_option_yields_empty_frame(spark):
+    assert _read(spark, rows=0).count() == 0

@@ -216,3 +216,31 @@ def dedup_within_watermark(
     return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def ohlc_bars_stream(events: DataFrame, width: str = "1 hour",
+                     watermark: str = "2 hours") -> DataFrame:
+    """Streaming OHLC: the batch ``ohlc_bars`` shape under incremental
+    state — open/close via struct min/max (mergeable, so each micro-batch
+    folds into window state), high/low/count as plain partials. Watermark
+    bounds state exactly as for tumbling counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value"))["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "event_id", "value"))["value"].alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+        )
+    )

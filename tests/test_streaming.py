@@ -281,3 +281,41 @@ def test_foreachbatch_upsert_idempotent(spark, tmp_path):
     upsert_batch(replay, out, key="event_id", version="ts")
     again = {r["event_id"]: r["user_id"] for r in spark.read.parquet(out).collect()}
     assert again == got
+
+
+def test_streaming_ohlc_matches_batch(spark, event_dir):
+    """Struct-valued min/max (open/close selection) must fold correctly
+    into incremental window state across micro-batches — the streaming
+    twin of the batch ohlc_bars operator."""
+    from pyspark.sql import functions as F
+
+    _drain(
+        SW.ohlc_bars_stream(
+            SW.read_event_stream(spark, event_dir, max_files_per_trigger=1)
+        ),
+        "ohlc_out",
+    )
+    got = {
+        (str(r["window_start"]), r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_ticks"],
+        )
+        for r in spark.sql("SELECT * FROM ohlc_out").collect()
+    }
+    batch = (
+        spark.read.schema(SW.EVENT_SCHEMA).json(event_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value"))["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "event_id", "value"))["value"].alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+    exp = {
+        (str(r["w"]["start"]), r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_ticks"],
+        )
+        for r in batch.collect()
+    }
+    assert got == exp

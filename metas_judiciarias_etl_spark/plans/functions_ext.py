@@ -428,3 +428,60 @@ def corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
         ).alias("price_qty_corr"),
     )
+
+
+# --------------------------------------------------------------------------
+# Null-preserving lateral: explode_outer keeps rows with no matches.
+# --------------------------------------------------------------------------
+@query(
+    "explode_outer_lateral",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), __t -> len(__t) >= 12)
+                   AS longs
+        FROM documents
+    )
+    SELECT doc_id,
+           unnest(CASE WHEN len(longs) = 0 THEN [NULL] ELSE longs END)
+               AS long_token
+    FROM toks
+    """,
+)
+def explode_outer_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer over a possibly-empty match list: documents with no
+    long token survive with NULL instead of vanishing — the LEFT-JOIN-
+    lateral semantics an inner explode silently breaks. Map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    longs = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) >= 12)
+    return docs.select(
+        "doc_id", F.explode_outer(longs).alias("long_token")
+    )
+
+
+# --------------------------------------------------------------------------
+# regexp_extract_all: every match, not just the first.
+# --------------------------------------------------------------------------
+@query(
+    "regex_extract_all",
+    oracle="""
+    SELECT p_partkey,
+           coalesce(array_to_string(regexp_extract_all(p_name, 's[a-z]+'),
+                                    '|'), '') AS s_words,
+           CAST(len(regexp_extract_all(p_name, 's[a-z]+')) AS INTEGER)
+               AS n_matches
+    FROM part
+    WHERE p_partkey <= 2000
+    """,
+)
+def regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All regex matches per row (joined to one scalar so the driver can
+    hash it). Scan-stage expression — regex never forces a shuffle or a
+    Python worker."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 2000)
+    matches = F.expr("regexp_extract_all(p_name, 's[a-z]+', 0)")
+    return part.select(
+        "p_partkey",
+        F.array_join(matches, "|").alias("s_words"),
+        F.size(matches).alias("n_matches"),
+    )

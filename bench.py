@@ -89,6 +89,7 @@ HEADLINE = [
     "table_snapshot_diff",
     "spatial_grid_join",
     "skew_salted_join",
+    "pq_code_histogram",
 ]
 
 

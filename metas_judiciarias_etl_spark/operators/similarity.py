@@ -471,3 +471,99 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization: the 100 TB vector-compression workhorse.
+# --------------------------------------------------------------------------
+PQ_M = 4        # subspaces (64 dims -> 4 x 16)
+PQ_K = 8        # codewords per subspace
+PQ_DSUB = 16
+
+
+def _pq_dist_terms(vec: str, code: str, m: int, elem: str) -> str:
+    """Squared-L2 distance over subspace m as an explicit left-assoc sum —
+    the SAME generated text drives both engines, so the doubles are
+    bit-identical and the argmin cannot drift."""
+    terms = []
+    for i in range(m * PQ_DSUB + 1, m * PQ_DSUB + PQ_DSUB + 1):
+        a = f"CAST({elem.format(col=vec, i=i)} AS DOUBLE)"
+        b = f"CAST({elem.format(col=code, i=i)} AS DOUBLE)"
+        terms.append(f"(({a}) - ({b})) * (({a}) - ({b}))")
+    return " + ".join(terms)
+
+
+def _pq_oracle() -> str:
+    dists = [
+        _pq_dist_terms("e.embedding", "cb.c_emb", m, "{col}[{i}]")
+        for m in range(PQ_M)
+    ]
+    argmins = ", ".join(
+        f"(min(struct_pack(d := {d}, c := cb.code_id))).c AS c{m}"
+        for m, d in enumerate(dists)
+    )
+    code_expr = " + ".join(
+        f"c{m} * {PQ_K ** (PQ_M - 1 - m)}" for m in range(PQ_M)
+    )
+    return f"""
+    WITH cb AS (
+        SELECT vec_id - {N_QUERIES} AS code_id, embedding AS c_emb
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+    ), a AS (
+        SELECT e.vec_id, {argmins}
+        FROM embeddings e CROSS JOIN cb
+        GROUP BY e.vec_id
+    )
+    SELECT CAST({code_expr} AS BIGINT) AS pq_code,
+           count(*) AS n_vectors,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id
+    FROM a
+    GROUP BY 1
+    """
+
+
+@query("pq_code_histogram", oracle=_pq_oracle())
+def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: each vector's 64 dims split into 4
+    subspaces, each assigned to its nearest of 8 codewords — compressing a
+    256-byte embedding to a 12-bit code. THE technique behind
+    billion-vector ANN (a PQ index stores codes, not vectors; asymmetric
+    distance then needs only code lookups). Codewords are a deterministic
+    slice of the data so the oracle regenerates the identical codebook; a
+    production run plugs k-means codebooks into the same plan. Plan: one
+    broadcast cross join against the 8-row codebook, per-vector argmin via
+    struct min (one shuffle), then the tiny code histogram."""
+    base = load_table(spark, sf_dir, "embeddings")
+    cb = base.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("code_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    pairs = base.crossJoin(F.broadcast(cb))
+    aggs = [
+        F.min(
+            F.struct(
+                F.expr(
+                    _pq_dist_terms(
+                        "embedding", "c_emb", m, "element_at({col}, {i})"
+                    )
+                ).alias("d"),
+                F.col("code_id").alias("c"),
+            )
+        )["c"].alias(f"c{m}")
+        for m in range(PQ_M)
+    ]
+    assigned = pairs.groupBy("vec_id").agg(*aggs)
+    code = sum(
+        F.col(f"c{m}") * (PQ_K ** (PQ_M - 1 - m)) for m in range(PQ_M)
+    )
+    return (
+        assigned.select("vec_id", code.cast("long").alias("pq_code"))
+        .groupBy("pq_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").cast("long").alias("min_vec_id"),
+        )
+    )

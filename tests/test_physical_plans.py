@@ -427,3 +427,14 @@ def test_skew_salted_join_honors_shuffle_hash(spark, sf):
     # the hint must keep the salted join on the shuffle path (the demo is
     # about spreading a hot key across tasks)
     assert "ShuffledHashJoin" in plan
+
+
+def test_pq_codebook_broadcasts_and_aggregates_once(spark, sf):
+    df = registry.QUERIES["pq_code_histogram"](spark, sf)
+    plan = _plan(df)
+    # the 8-row codebook rides a broadcast nested-loop (tiny, by design);
+    # the per-vector argmin is partial+final around ONE fact shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles <= 2  # argmin agg + tiny code histogram

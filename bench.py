@@ -90,6 +90,7 @@ HEADLINE = [
     "spatial_grid_join",
     "skew_salted_join",
     "pq_code_histogram",
+    "sim_l2_topk_pq",
 ]
 
 

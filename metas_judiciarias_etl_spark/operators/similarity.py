@@ -567,3 +567,141 @@ def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vec_id").cast("long").alias("min_vec_id"),
         )
     )
+
+
+def _pq_assign_sql() -> str:
+    """Shared CTE text: codebook + per-vector subspace codes (the encode
+    step of pq_code_histogram, reused verbatim by the ADC oracle)."""
+    dists = [
+        _pq_dist_terms("e.embedding", "cb.c_emb", m, "{col}[{i}]")
+        for m in range(PQ_M)
+    ]
+    argmins = ", ".join(
+        f"(min(struct_pack(d := {d}, c := cb.code_id))).c AS c{m}"
+        for m, d in enumerate(dists)
+    )
+    return f"""
+    cb AS (
+        SELECT vec_id - {N_QUERIES} AS code_id, embedding AS c_emb
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+    ), assigned AS (
+        SELECT e.vec_id, {argmins}
+        FROM embeddings e CROSS JOIN cb
+        WHERE e.vec_id >= {N_QUERIES}
+        GROUP BY e.vec_id
+    )"""
+
+
+def _pq_adc_oracle() -> str:
+    qdists = [
+        _pq_dist_terms("q.embedding", "cb.c_emb", m, "{col}[{i}]")
+        for m in range(PQ_M)
+    ]
+    dtab_rows = " UNION ALL ".join(
+        f"SELECT q.vec_id AS query_id, {m} AS m, cb.code_id, {d} AS d"
+        f" FROM embeddings q CROSS JOIN cb WHERE q.vec_id < {N_QUERIES}"
+        for m, d in enumerate(qdists)
+    )
+    return f"""
+    WITH {_pq_assign_sql()}, dtab AS ({dtab_rows}),
+    codes AS ({" UNION ALL ".join(f"SELECT vec_id, {m} AS m, c{m} AS c FROM assigned" for m in range(PQ_M))}),
+    paired AS (
+        SELECT d.query_id, c.vec_id,
+               list_sort(list(struct_pack(m := c.m, d := d.d))) AS ds
+        FROM codes c JOIN dtab d ON c.m = d.m AND c.c = d.code_id
+        GROUP BY d.query_id, c.vec_id
+    )
+    SELECT query_id, vec_id,
+           list_reduce([0.0] || list_transform(ds, __x -> __x.d),
+                       (a, b) -> a + b) AS adc_dist
+    FROM paired
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY list_reduce([0.0] || list_transform(ds, __x -> __x.d),
+                             (a, b) -> a + b) ASC, vec_id ASC
+    ) <= {TOPK}
+    """
+
+
+@query("sim_l2_topk_pq", oracle=_pq_adc_oracle())
+def sim_l2_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search via Asymmetric Distance Computation: the query stays
+    exact, the corpus is its 12-bit codes, and each query-vector distance
+    is the SUM OF 4 TABLE LOOKUPS (query-to-codeword distances computed
+    once per query). At 100 TB this is why PQ wins — the scan touches
+    4-byte codes, not 256-byte vectors, and the distance table (queries x
+    32 entries) broadcasts everywhere. The 4-term float sum folds in
+    subspace order (sorted struct fold, 0.0 seed) so both engines
+    accumulate bit-identically."""
+    base = load_table(spark, sf_dir, "embeddings")
+    cb = base.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("code_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    corpus = base.filter(F.col("vec_id") >= N_QUERIES)
+    aggs = [
+        F.min(
+            F.struct(
+                F.expr(
+                    _pq_dist_terms(
+                        "embedding", "c_emb", m, "element_at({col}, {i})"
+                    )
+                ).alias("d"),
+                F.col("code_id").alias("c"),
+            )
+        )["c"].alias(f"c{m}")
+        for m in range(PQ_M)
+    ]
+    assigned = corpus.crossJoin(F.broadcast(cb)).groupBy("vec_id").agg(*aggs)
+    codes = None
+    for m in range(PQ_M):
+        part = assigned.select(
+            "vec_id", F.lit(m).alias("m"), F.col(f"c{m}").alias("c")
+        )
+        codes = part if codes is None else codes.unionByName(part)
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    dtab = None
+    for m in range(PQ_M):
+        part = queries.crossJoin(cb).select(
+            "query_id",
+            F.lit(m).alias("m"),
+            F.col("code_id"),
+            F.expr(
+                _pq_dist_terms("q_emb", "c_emb", m, "element_at({col}, {i})")
+            ).alias("d"),
+        )
+        dtab = part if dtab is None else dtab.unionByName(part)
+    paired = (
+        codes.join(
+            F.broadcast(dtab),
+            (codes["m"] == dtab["m"]) & (codes["c"] == dtab["code_id"]),
+        )
+        .select("query_id", "vec_id", codes["m"].alias("mm"), "d")
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct(F.col("mm"), F.col("d")))).alias(
+                "ds"
+            )
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(transform(ds, __x -> __x.d),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        paired.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "vec_id", "adc_dist")
+    )

@@ -705,3 +705,81 @@ def sim_l2_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOPK)
         .select("query_id", "vec_id", "adc_dist")
     )
+
+
+def _l2_full_dist(vec: str, code: str, elem: str) -> str:
+    """Full 64-dim squared-L2 as the fixed-order sum of the 4 subspace
+    sums — the same generated terms the PQ operators use."""
+    subs = [_pq_dist_terms(vec, code, m, elem) for m in range(PQ_M)]
+    return " + ".join(f"({d})" for d in subs)
+
+
+def _pq_recall_oracle() -> str:
+    from ..registry import ORACLES
+
+    d = _l2_full_dist("c.embedding", "q.embedding", "{col}[{i}]")
+    return f"""
+    WITH exact_topk AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id ORDER BY {d} ASC, c.vec_id ASC
+                   ) AS rn
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+        ) WHERE rn <= {TOPK}
+    ), approx_topk AS ({ORACLES["sim_l2_topk_pq"]})
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS recall_at_k
+    FROM exact_topk e
+    LEFT JOIN approx_topk a
+      ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """
+
+
+@query("sim_recall_pq", oracle=_pq_recall_oracle())
+def sim_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ/ADC index against EXACT L2 over the same corpus
+    (L2 baseline, not cosine — PQ quantizes L2 cells). Every shipped index
+    carries a measured recall, so compression/recall trade-offs are
+    numbers, not claims. The exact side broadcasts the tiny query set and
+    evaluates the same twin-generated distance terms. Expected to be LOW
+    on this fixture (~0.0-0.1): the vectors are uniform random (no cluster
+    structure for the cells to capture) and the codebook is a data slice,
+    not k-means — the number documents the fixture, and rises with trained
+    codebooks / more codewords in a real corpus."""
+    from ..registry import QUERIES
+
+    base = load_table(spark, sf_dir, "embeddings")
+    corpus = base.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id"), F.col("embedding")
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    d = F.expr(_l2_full_dist("embedding", "q_emb", "element_at({col}, {i})"))
+    w = Window.partitionBy("query_id").orderBy(d.asc(), F.col("vec_id").asc())
+    exact = (
+        corpus.crossJoin(F.broadcast(queries))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "vec_id")
+    )
+    approx = (
+        QUERIES["sim_l2_topk_pq"](spark, sf_dir)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("recall_at_k"),
+        )
+    )

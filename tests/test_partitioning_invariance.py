@@ -25,6 +25,10 @@ QUERIES = [
     "weighted_sample_topk",     # hash-priority ranking
     "skyline_dominance",        # local-then-global dominance passes
     "ohlc_bars",                # struct min/max open/close selection
+    "pq_code_histogram",        # struct-min argmin vs broadcast codebook
+    "sim_l2_topk_pq",           # ordered ADC fold + top-k ranking
+    "spatial_grid_join",        # 3x3 cell candidate generation
+    "skew_salted_join",         # salt spread + re-merge
 ]
 
 

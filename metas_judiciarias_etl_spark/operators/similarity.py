@@ -387,11 +387,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle sides), so the metric can never drift from the operators it
 # measures.
 # ---------------------------------------------------------------------------
-def _recall_query(approx_name: str):
+def _recall_query(approx_name: str, exact_source=None):
+    """recall@k of ``approx_name`` against an exact top-k. ``exact_source``
+    is a (spark, sf_dir) -> DataFrame of (query_id, vec_id) rows; defaults
+    to the registered cosine brute force."""
+
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..registry import QUERIES
 
-        exact = QUERIES["sim_cosine_topk_bruteforce"](spark, sf_dir)
+        exact = (
+            exact_source(spark, sf_dir)
+            if exact_source is not None
+            else QUERIES["sim_cosine_topk_bruteforce"](spark, sf_dir)
+        )
         approx = (
             QUERIES[approx_name](spark, sf_dir)
             .select("query_id", "vec_id")
@@ -411,11 +419,12 @@ def _recall_query(approx_name: str):
     return fn
 
 
-def _recall_oracle(approx_name: str) -> str:
+def _recall_oracle(approx_name: str, exact_sql: str | None = None) -> str:
     from ..registry import ORACLES
 
+    exact = exact_sql or ORACLES["sim_cosine_topk_bruteforce"]
     return f"""
-    WITH exact_topk AS ({ORACLES["sim_cosine_topk_bruteforce"]}),
+    WITH exact_topk AS ({exact}),
     approx_topk AS ({ORACLES[approx_name]})
     SELECT e.query_id,
            CAST(count(*) AS BIGINT) AS k,
@@ -493,7 +502,38 @@ def _pq_dist_terms(vec: str, code: str, m: int, elem: str) -> str:
     return " + ".join(terms)
 
 
-def _pq_oracle() -> str:
+def _pq_codebook(base: DataFrame) -> DataFrame:
+    """Deterministic 8-row codebook (shared by encode, ADC, histogram)."""
+    return base.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("code_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+
+
+def _pq_argmin_aggs() -> list:
+    """Per-subspace argmin aggregates (struct min, code_id tie-break) —
+    the single Spark-side definition of the encode step."""
+    return [
+        F.min(
+            F.struct(
+                F.expr(
+                    _pq_dist_terms(
+                        "embedding", "c_emb", m, "element_at({col}, {i})"
+                    )
+                ).alias("d"),
+                F.col("code_id").alias("c"),
+            )
+        )["c"].alias(f"c{m}")
+        for m in range(PQ_M)
+    ]
+
+
+def _pq_assign_sql(corpus_only: bool) -> str:
+    """Shared CTE text: codebook + per-vector subspace codes — the single
+    SQL definition of the encode step (``corpus_only`` excludes the query
+    vectors, as the ADC search does)."""
     dists = [
         _pq_dist_terms("e.embedding", "cb.c_emb", m, "{col}[{i}]")
         for m in range(PQ_M)
@@ -502,23 +542,30 @@ def _pq_oracle() -> str:
         f"(min(struct_pack(d := {d}, c := cb.code_id))).c AS c{m}"
         for m, d in enumerate(dists)
     )
+    where = f"WHERE e.vec_id >= {N_QUERIES}" if corpus_only else ""
+    return f"""
+    cb AS (
+        SELECT vec_id - {N_QUERIES} AS code_id, embedding AS c_emb
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+    ), assigned AS (
+        SELECT e.vec_id, {argmins}
+        FROM embeddings e CROSS JOIN cb
+        {where}
+        GROUP BY e.vec_id
+    )"""
+
+
+def _pq_oracle() -> str:
     code_expr = " + ".join(
         f"c{m} * {PQ_K ** (PQ_M - 1 - m)}" for m in range(PQ_M)
     )
     return f"""
-    WITH cb AS (
-        SELECT vec_id - {N_QUERIES} AS code_id, embedding AS c_emb
-        FROM embeddings
-        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
-    ), a AS (
-        SELECT e.vec_id, {argmins}
-        FROM embeddings e CROSS JOIN cb
-        GROUP BY e.vec_id
-    )
+    WITH {_pq_assign_sql(corpus_only=False)}
     SELECT CAST({code_expr} AS BIGINT) AS pq_code,
            count(*) AS n_vectors,
            CAST(min(vec_id) AS BIGINT) AS min_vec_id
-    FROM a
+    FROM assigned
     GROUP BY 1
     """
 
@@ -535,27 +582,8 @@ def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast cross join against the 8-row codebook, per-vector argmin via
     struct min (one shuffle), then the tiny code histogram."""
     base = load_table(spark, sf_dir, "embeddings")
-    cb = base.filter(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
-    ).select(
-        (F.col("vec_id") - N_QUERIES).alias("code_id"),
-        F.col("embedding").alias("c_emb"),
-    )
-    pairs = base.crossJoin(F.broadcast(cb))
-    aggs = [
-        F.min(
-            F.struct(
-                F.expr(
-                    _pq_dist_terms(
-                        "embedding", "c_emb", m, "element_at({col}, {i})"
-                    )
-                ).alias("d"),
-                F.col("code_id").alias("c"),
-            )
-        )["c"].alias(f"c{m}")
-        for m in range(PQ_M)
-    ]
-    assigned = pairs.groupBy("vec_id").agg(*aggs)
+    pairs = base.crossJoin(F.broadcast(_pq_codebook(base)))
+    assigned = pairs.groupBy("vec_id").agg(*_pq_argmin_aggs())
     code = sum(
         F.col(f"c{m}") * (PQ_K ** (PQ_M - 1 - m)) for m in range(PQ_M)
     )
@@ -569,30 +597,6 @@ def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_assign_sql() -> str:
-    """Shared CTE text: codebook + per-vector subspace codes (the encode
-    step of pq_code_histogram, reused verbatim by the ADC oracle)."""
-    dists = [
-        _pq_dist_terms("e.embedding", "cb.c_emb", m, "{col}[{i}]")
-        for m in range(PQ_M)
-    ]
-    argmins = ", ".join(
-        f"(min(struct_pack(d := {d}, c := cb.code_id))).c AS c{m}"
-        for m, d in enumerate(dists)
-    )
-    return f"""
-    cb AS (
-        SELECT vec_id - {N_QUERIES} AS code_id, embedding AS c_emb
-        FROM embeddings
-        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
-    ), assigned AS (
-        SELECT e.vec_id, {argmins}
-        FROM embeddings e CROSS JOIN cb
-        WHERE e.vec_id >= {N_QUERIES}
-        GROUP BY e.vec_id
-    )"""
-
-
 def _pq_adc_oracle() -> str:
     qdists = [
         _pq_dist_terms("q.embedding", "cb.c_emb", m, "{col}[{i}]")
@@ -604,7 +608,7 @@ def _pq_adc_oracle() -> str:
         for m, d in enumerate(qdists)
     )
     return f"""
-    WITH {_pq_assign_sql()}, dtab AS ({dtab_rows}),
+    WITH {_pq_assign_sql(corpus_only=True)}, dtab AS ({dtab_rows}),
     codes AS ({" UNION ALL ".join(f"SELECT vec_id, {m} AS m, c{m} AS c FROM assigned" for m in range(PQ_M))}),
     paired AS (
         SELECT d.query_id, c.vec_id,
@@ -635,27 +639,13 @@ def sim_l2_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace order (sorted struct fold, 0.0 seed) so both engines
     accumulate bit-identically."""
     base = load_table(spark, sf_dir, "embeddings")
-    cb = base.filter(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
-    ).select(
-        (F.col("vec_id") - N_QUERIES).alias("code_id"),
-        F.col("embedding").alias("c_emb"),
-    )
+    cb = _pq_codebook(base)
     corpus = base.filter(F.col("vec_id") >= N_QUERIES)
-    aggs = [
-        F.min(
-            F.struct(
-                F.expr(
-                    _pq_dist_terms(
-                        "embedding", "c_emb", m, "element_at({col}, {i})"
-                    )
-                ).alias("d"),
-                F.col("code_id").alias("c"),
-            )
-        )["c"].alias(f"c{m}")
-        for m in range(PQ_M)
-    ]
-    assigned = corpus.crossJoin(F.broadcast(cb)).groupBy("vec_id").agg(*aggs)
+    assigned = (
+        corpus.crossJoin(F.broadcast(cb))
+        .groupBy("vec_id")
+        .agg(*_pq_argmin_aggs())
+    )
     codes = None
     for m in range(PQ_M):
         part = assigned.select(
@@ -714,12 +704,9 @@ def _l2_full_dist(vec: str, code: str, elem: str) -> str:
     return " + ".join(f"({d})" for d in subs)
 
 
-def _pq_recall_oracle() -> str:
-    from ..registry import ORACLES
-
+def _exact_l2_sql() -> str:
     d = _l2_full_dist("c.embedding", "q.embedding", "{col}[{i}]")
     return f"""
-    WITH exact_topk AS (
         SELECT query_id, vec_id FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
                    row_number() OVER (
@@ -728,31 +715,12 @@ def _pq_recall_oracle() -> str:
             FROM embeddings q, embeddings c
             WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
         ) WHERE rn <= {TOPK}
-    ), approx_topk AS ({ORACLES["sim_l2_topk_pq"]})
-    SELECT e.query_id,
-           CAST(count(*) AS BIGINT) AS k,
-           round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
-                 / count(*), 6) AS recall_at_k
-    FROM exact_topk e
-    LEFT JOIN approx_topk a
-      ON a.query_id = e.query_id AND a.vec_id = e.vec_id
-    GROUP BY e.query_id
     """
 
 
-@query("sim_recall_pq", oracle=_pq_recall_oracle())
-def sim_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the PQ/ADC index against EXACT L2 over the same corpus
-    (L2 baseline, not cosine — PQ quantizes L2 cells). Every shipped index
-    carries a measured recall, so compression/recall trade-offs are
-    numbers, not claims. The exact side broadcasts the tiny query set and
-    evaluates the same twin-generated distance terms. Expected to be LOW
-    on this fixture (~0.0-0.1): the vectors are uniform random (no cluster
-    structure for the cells to capture) and the codebook is a data slice,
-    not k-means — the number documents the fixture, and rises with trained
-    codebooks / more codewords in a real corpus."""
-    from ..registry import QUERIES
-
+def _exact_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L2 top-k over the ADC corpus — the PQ recall baseline,
+    from the same twin-generated distance terms."""
     base = load_table(spark, sf_dir, "embeddings")
     corpus = base.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id"), F.col("embedding")
@@ -762,24 +730,20 @@ def sim_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = F.expr(_l2_full_dist("embedding", "q_emb", "element_at({col}, {i})"))
     w = Window.partitionBy("query_id").orderBy(d.asc(), F.col("vec_id").asc())
-    exact = (
+    return (
         corpus.crossJoin(F.broadcast(queries))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOPK)
         .select("query_id", "vec_id")
     )
-    approx = (
-        QUERIES["sim_l2_topk_pq"](spark, sf_dir)
-        .select("query_id", "vec_id")
-        .withColumn("hit", F.lit(1))
-    )
-    return (
-        exact.join(approx, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("k"),
-            F.round(
-                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 6
-            ).alias("recall_at_k"),
-        )
-    )
+
+
+# Recall@k of the PQ/ADC index against EXACT L2 over the same corpus (L2
+# baseline, not cosine — PQ quantizes L2 cells). Reuses the generic recall
+# harness with the exact side swapped in. Expected to be LOW on this
+# fixture (~0.0-0.1): uniform-random vectors have no cluster structure and
+# the codebook is a data slice, not k-means — the number documents the
+# fixture, and rises with trained codebooks / more codewords.
+query("sim_recall_pq", oracle=_recall_oracle("sim_l2_topk_pq", _exact_l2_sql()))(
+    _recall_query("sim_l2_topk_pq", _exact_l2_topk)
+)

@@ -443,8 +443,8 @@ def corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           unnest(CASE WHEN len(longs) = 0 THEN [NULL] ELSE longs END)
-               AS long_token
+           unnest(CASE WHEN longs IS NULL OR len(longs) = 0
+                       THEN [NULL] ELSE longs END) AS long_token
     FROM toks
     """,
 )

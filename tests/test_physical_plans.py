@@ -436,5 +436,9 @@ def test_pq_codebook_broadcasts_and_aggregates_once(spark, sf):
     # the per-vector argmin is partial+final around ONE fact shuffle
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
-    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    # count actual shuffle nodes, not the substring (ReusedExchange and
+    # BroadcastExchange also contain "Exchange")
+    n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange SinglePartition"
+    ) + plan.count("Exchange rangepartitioning")
     assert n_shuffles <= 2  # argmin agg + tiny code histogram

@@ -283,17 +283,40 @@ def test_foreachbatch_upsert_idempotent(spark, tmp_path):
     assert again == got
 
 
-def test_streaming_ohlc_matches_batch(spark, event_dir):
+def test_streaming_ohlc_matches_batch(spark, tmp_path):
     """Struct-valued min/max (open/close selection) must fold correctly
-    into incremental window state across micro-batches — the streaming
-    twin of the batch ohlc_bars operator."""
+    into incremental window state ACROSS micro-batches: the same
+    (window, event_type) groups receive events in BOTH files, one file
+    per trigger, so a broken partial-state merge cannot pass. Complete
+    output mode makes the memory table the final state (no last-row-wins
+    ambiguity)."""
     from pyspark.sql import functions as F
 
+    event_dir = str(tmp_path / "ohlc_in")
+    _write_events(
+        event_dir,
+        "b1.json",
+        [
+            (1, "10:05", 1, "click", 5.0),   # 10:00 click: first half
+            (2, "10:20", 1, "click", 2.0),
+            (3, "10:10", 2, "view", 3.0),    # 10:00 view: first half
+        ],
+    )
+    _write_events(
+        event_dir,
+        "b2.json",
+        [
+            (4, "10:40", 2, "click", 9.0),   # 10:00 click: second half —
+            (5, "10:02", 3, "click", 1.0),   #   new open AND new close
+            (6, "10:55", 3, "view", 7.0),    # 10:00 view: second half
+        ],
+    )
     _drain(
         SW.ohlc_bars_stream(
             SW.read_event_stream(spark, event_dir, max_files_per_trigger=1)
         ),
         "ohlc_out",
+        mode="complete",
     )
     got = {
         (str(r["window_start"]), r["event_type"]): (

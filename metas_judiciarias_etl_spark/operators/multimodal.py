@@ -257,21 +257,26 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Computed once at import: the oracle must agree with whatever decoder this
+# environment resolves to, so the marker is interpolated, not hardcoded —
+# installing PIL must not break parity.
+_RESIZE_STATUS = "pil" if _try_real_decode() is not None else "ppm-nn-builtin"
+
+
 @query(
     "mm_resize_status",
-    oracle="""
-    SELECT doc_id, 'ppm-nn-builtin' AS resize_status
+    oracle=f"""
+    SELECT doc_id, '{_RESIZE_STATUS}' AS resize_status
     FROM documents
     """,
 )
 def mm_resize_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decoder-selection gate: reports per-row which image path serves
     resizes — PIL when installed, else the built-in PPM nearest-neighbor
-    codec (mm_image_resize). The oracle pins the builtin marker, which is
-    what this container resolves to."""
+    codec (mm_image_resize). The oracle interpolates the same import-time
+    gate, so parity holds in either environment."""
     docs = load_table(spark, sf_dir, "documents")
-    status = "pil" if _try_real_decode() is not None else "ppm-nn-builtin"
-    return docs.select("doc_id", F.lit(status).alias("resize_status"))
+    return docs.select("doc_id", F.lit(_RESIZE_STATUS).alias("resize_status"))
 
 
 # --------------------------------------------------------------------------
@@ -354,7 +359,12 @@ def _image_resize_batches(
         img = decode_ppm(encode_ppm(payload))
         h, w, _ = img.shape
         small = resize_nn(img, OUT_H, OUT_W)
-        mean = round(float(small.sum()) / small.size, 6)
+        # Raw IEEE ratio, no rounding: the pixel sum is an exact integer and
+        # the size a constant, so the single division is bit-identical to the
+        # oracle's list_sum(bs) / 96.0 — Python round(...) is half-even while
+        # DuckDB round() is half-away, and a payload landing on a half would
+        # split the engines (same class as the mm_decode_features fix).
+        mean = float(small.sum()) / small.size
         return w, h, OUT_W, OUT_H, mean
 
     for pdf in batches:
@@ -399,7 +409,7 @@ def _image_resize_batches(
            h AS src_h,
            {OUT_W} AS out_w,
            {OUT_H} AS out_h,
-           round(list_sum(bs) / {OUT_H * OUT_W * 3}.0, 6) AS resized_mean,
+           CAST(list_sum(bs) AS DOUBLE) / {OUT_H * OUT_W * 3}.0 AS resized_mean,
            'ppm-nn' AS decoder
     FROM sampled
     """,

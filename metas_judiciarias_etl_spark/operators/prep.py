@@ -101,8 +101,11 @@ PACK_BUDGET = 2048  # est. tokens per training pack
                                      ROWS UNBOUNDED PRECEDING) AS cum_tokens
         FROM est
     )
+    -- CAST AS BIGINT on pack_id: cum_tokens is a HUGEINT windowed sum in
+    -- DuckDB, so the division stays HUGEINT → pandas float64, while Spark
+    -- emits bigint; the driver hash diverges on type, not value.
     SELECT source,
-           ((cum_tokens - est_tokens) // {PACK_BUDGET}) AS pack_id,
+           CAST((cum_tokens - est_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id,
            count(*) AS n_docs,
            CAST(sum(est_tokens) AS BIGINT) AS pack_tokens
     FROM cum

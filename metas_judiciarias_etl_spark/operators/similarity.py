@@ -657,7 +657,7 @@ def sim_l2_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dtab = None
     for m in range(PQ_M):
-        part = queries.crossJoin(cb).select(
+        part = queries.crossJoin(F.broadcast(cb)).select(
             "query_id",
             F.lit(m).alias("m"),
             F.col("code_id"),

@@ -664,7 +664,10 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_orderkey = l.l_orderkey)
     )
-    SELECT r.rule, r.n_violations, s.n_rows
+    -- CAST AS BIGINT: sum() over integers is HUGEINT in DuckDB, which the
+    -- driver's pandas-side hash renders as float64 while Spark emits bigint
+    -- (values identical, hash diverges). Pin the oracle to BIGINT.
+    SELECT r.rule, CAST(r.n_violations AS BIGINT) AS n_violations, s.n_rows
     FROM scan s, orphans o,
          LATERAL (VALUES ('null_pk', s.null_pk),
                          ('qty_out_of_range', s.qty_out_of_range),
@@ -724,10 +727,12 @@ def dq_lineitem_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(n_chars) OVER (PARTITION BY source) AS total_chars
         FROM documents
     )
+    -- CAST AS BIGINT: the windowed sums are HUGEINT in DuckDB (pandas renders
+    -- float64, Spark bigint; driver hash diverges on type, not value).
     SELECT source,
            count(*) AS n_docs_half,
-           max(cum_chars) AS chars_covered,
-           max(total_chars) AS total_chars
+           CAST(max(cum_chars) AS BIGINT) AS chars_covered,
+           CAST(max(total_chars) AS BIGINT) AS total_chars
     FROM ranked
     WHERE 2 * (cum_chars - n_chars) < total_chars
     GROUP BY source
@@ -949,13 +954,15 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + (CASE WHEN event_id % 3 = 0 THEN 100 ELSE 0 END) AS cents
         FROM events WHERE event_id % 5 <> 0
     )
+    -- CAST AS BIGINT on every counter: DuckDB sum(int) is HUGEINT → pandas
+    -- float64, while Spark emits bigint; the driver hash diverges on type.
     SELECT coalesce(v1.event_type, v2.event_type) AS event_type,
-           sum(CASE WHEN v1.event_id IS NULL THEN 1 ELSE 0 END) AS n_added,
-           sum(CASE WHEN v2.event_id IS NULL THEN 1 ELSE 0 END) AS n_removed,
-           sum(CASE WHEN v1.event_id IS NOT NULL AND v2.event_id IS NOT NULL
-                         AND v1.cents <> v2.cents THEN 1 ELSE 0 END) AS n_changed,
-           sum(CASE WHEN v1.event_id IS NOT NULL AND v2.event_id IS NOT NULL
-                         AND v1.cents = v2.cents THEN 1 ELSE 0 END) AS n_unchanged
+           CAST(sum(CASE WHEN v1.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(sum(CASE WHEN v2.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN v1.event_id IS NOT NULL AND v2.event_id IS NOT NULL
+                         AND v1.cents <> v2.cents THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(sum(CASE WHEN v1.event_id IS NOT NULL AND v2.event_id IS NOT NULL
+                         AND v1.cents = v2.cents THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
     FROM v1 FULL OUTER JOIN v2 USING (event_id)
     GROUP BY 1
     """,

@@ -168,8 +168,10 @@ _H_NB = 20
                l_extendedprice AS p
         FROM lineitem
     )
+    -- CAST AS DOUBLE: the numeric literals make DuckDB fold this to
+    -- DECIMAL(25,1) (pandas object/Decimal) while Spark emits double.
     SELECT bucket_id,
-           round({_H_LO} + bucket_id * {_H_W}, 2) AS lo_edge,
+           CAST(round({_H_LO} + bucket_id * {_H_W}, 2) AS DOUBLE) AS lo_edge,
            count(*) AS n,
            round(min(p), 2) AS min_price,
            round(max(p), 2) AS max_price

@@ -91,9 +91,12 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            count(*) AS n_intervals,
+           -- nullif guard: if a user's events all collapse to one microsecond
+           -- the denominator is 0; Spark's non-ANSI division yields NULL while
+           -- DuckDB's IEEE double division yields NaN — nullif pins both to NULL.
            CAST(sum(CAST(cents AS DECIMAL(38,0)) * (next_us - ts_us))
                 AS DOUBLE)
-               / (CAST(sum(next_us - ts_us) AS DOUBLE) * 100.0)
+               / (CAST(nullif(sum(next_us - ts_us), 0) AS DOUBLE) * 100.0)
                AS time_weighted_value
     FROM seq
     WHERE next_us IS NOT NULL
@@ -118,9 +121,11 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return seq.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_intervals"),
+        # nullif mirrors the oracle: zero total interval → NULL on both engines
+        # (Spark non-ANSI division would NULL anyway; DuckDB would NaN without it).
         F.expr(
             "CAST(sum(CAST(cents AS DECIMAL(38,0)) * (next_us - ts_us)) AS DOUBLE)"
-            " / (CAST(sum(next_us - ts_us) AS DOUBLE) * 100.0)"
+            " / (CAST(nullif(sum(next_us - ts_us), 0) AS DOUBLE) * 100.0)"
         ).alias("time_weighted_value"),
     )
 
@@ -152,9 +157,11 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(n) AS n_rows,
            max(mu) AS mean_price,
            max(sigma) AS std_price,
-           sum(CASE WHEN sigma = 0.0 THEN 0
+           -- CAST AS BIGINT: DuckDB sum(int) is HUGEINT → pandas float64,
+           -- Spark bigint; the driver hash diverges on type, not value.
+           CAST(sum(CASE WHEN sigma = 0.0 THEN 0
                     WHEN abs((l_extendedprice - mu) / sigma) > 2.0
-                    THEN 1 ELSE 0 END) AS n_outliers
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM z
     GROUP BY l_returnflag
     """,

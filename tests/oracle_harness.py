@@ -69,6 +69,97 @@ def normalize_result(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+_DUCK_INTS = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
+def _duck_class(t) -> str:
+    s = str(t).upper()
+    if s in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if s in _DUCK_INTS:
+        return "int"
+    if s in ("FLOAT", "DOUBLE"):
+        return "float"
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s == "BOOLEAN":
+        return "bool"
+    if s == "VARCHAR":
+        return "str"
+    if s.startswith("TIMESTAMP"):
+        return "ts"
+    if s == "DATE":
+        return "date"
+    if s == "BLOB":
+        return "binary"
+    if s.endswith("[]") or s.startswith("LIST"):
+        return "list"
+    return s.lower()
+
+
+def _spark_class(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.ArrayType):
+        return "list"
+    return dt.simpleString()
+
+
+def dtype_problems(name: str, spark_schema, oracle_sql: str, con) -> list[str]:
+    """Flag oracle/engine TYPE divergence the value-compare above cannot see.
+
+    The driver hashes a pandas rendering of both results; DuckDB HUGEINT
+    (sum() over integers) becomes float64 there while Spark emits bigint —
+    values identical, hash diverges (CORRECTNESS_r02: dq_lineitem_rules,
+    pareto_topshare, table_snapshot_diff). ``fetchall()`` converts HUGEINT to
+    Python int, so ``compare`` is structurally blind to the class. This check
+    reads the *static* types of both plans (no execution) and fails on any
+    int-vs-float / decimal-vs-double / hugeint divergence.
+    """
+    problems: list[str] = []
+    rel = con.sql(oracle_sql)
+    o_types = dict(zip(rel.columns, rel.types))
+    s_types = {f.name: f.dataType for f in spark_schema.fields}
+    for col, t in o_types.items():
+        if _duck_class(t) == "hugeint":
+            problems.append(
+                f"{name}.{col}: oracle type {t} — pandas renders float64 while "
+                "Spark emits bigint; CAST(... AS BIGINT) in the oracle SQL"
+            )
+    if sorted(o_types) != sorted(s_types):
+        return problems  # column-name mismatch is compare()'s job
+    for col in sorted(o_types):
+        oc = _duck_class(o_types[col])
+        if oc == "hugeint":
+            continue  # already flagged above
+        sc = _spark_class(s_types[col])
+        if oc != sc:
+            problems.append(
+                f"{name}.{col}: dtype class diverges spark={sc} "
+                f"({s_types[col].simpleString()}) oracle={oc} ({o_types[col]})"
+            )
+    return problems
+
+
 def compare(name: str, spark_df, oracle_sql: str, con) -> list[str]:
     """Return a list of human-readable mismatch descriptions (empty = pass)."""
     problems: list[str] = []

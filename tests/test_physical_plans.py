@@ -442,3 +442,14 @@ def test_pq_codebook_broadcasts_and_aggregates_once(spark, sf):
         "Exchange SinglePartition"
     ) + plan.count("Exchange rangepartitioning")
     assert n_shuffles <= 2  # argmin agg + tiny code histogram
+
+
+def test_pq_adc_search_all_joins_broadcast(spark, sf):
+    df = registry.QUERIES["sim_l2_topk_pq"](spark, sf)
+    plan = _plan(df)
+    # every tiny side (codebook x2, distance table) is explicitly broadcast —
+    # the code join and both crossJoins must never fall to a shuffle join or
+    # an unbroadcast cartesian pairing
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -100,8 +100,25 @@ def force(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Optional subset (comma-separated names): lets A/B runs compare a
+    # query set alone in a fresh session vs embedded in the full session
+    # (SCALE.md "bench session-accumulation" evidence).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
+    )
     registry.load_all()
-    spark = build_session(app_name="metas-etl-bench")
+    # UI/listener state is the measurable per-session accumulation: the SQL
+    # tab retains up to 1000 query executions (full plan graphs) and the
+    # listener bus processes every event on the driver. Over 63 queries x 2
+    # reps that skews late queries vs a fresh session (SCALE.md round-3 A/B).
+    spark = build_session(
+        app_name="metas-etl-bench",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.ui.retainedExecutions": "2",
+        },
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     # Warm the JVM/codegen paths once so per-query numbers measure the
@@ -109,7 +126,7 @@ def main() -> None:
     force(registry.QUERIES["q1_pricing_summary"](spark, sf_dir))
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue

@@ -747,3 +747,193 @@ def _exact_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("sim_recall_pq", oracle=_recall_oracle("sim_l2_topk_pq", _exact_l2_sql()))(
     _recall_query("sim_l2_topk_pq", _exact_l2_topk)
 )
+
+
+# --------------------------------------------------------------------------
+# IVF + PQ composite: cell pruning, then ADC over codes — the billion-vector
+# index shape (coarse quantizer prunes the scan; product codes replace the
+# vectors; only the distance table ever touches raw floats).
+# --------------------------------------------------------------------------
+IVFPQ_CELL_LO = N_QUERIES + PQ_K  # centroid slice starts past the codebook
+
+
+def _ivfpq_adc_oracle() -> str:
+    d_cell = _l2_full_dist("e.embedding", "cent.cent_emb", "{col}[{i}]")
+    d_probe = _l2_full_dist("q.embedding", "cent.cent_emb", "{col}[{i}]")
+    qdists = [
+        _pq_dist_terms("q.embedding", "cb.c_emb", m, "{col}[{i}]")
+        for m in range(PQ_M)
+    ]
+    dtab_rows = " UNION ALL ".join(
+        f"SELECT q.vec_id AS query_id, {m} AS m, cb.code_id, {d} AS d"
+        f" FROM embeddings q CROSS JOIN cb WHERE q.vec_id < {N_QUERIES}"
+        for m, d in enumerate(qdists)
+    )
+    codes_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, c{m} AS c FROM assigned" for m in range(PQ_M)
+    )
+    fold = (
+        "list_reduce([0.0] || list_transform(ds, __x -> __x.d), (a, b) -> a + b)"
+    )
+    return f"""
+    WITH {_pq_assign_sql(corpus_only=True)},
+    cent AS (
+        SELECT vec_id - {IVFPQ_CELL_LO} AS cell_id, embedding AS cent_emb
+        FROM embeddings
+        WHERE vec_id >= {IVFPQ_CELL_LO} AND vec_id < {IVFPQ_CELL_LO + N_CELLS}
+    ), cells AS (
+        SELECT e.vec_id,
+               (min(struct_pack(d := {d_cell}, c := cent.cell_id))).c AS cell_id
+        FROM embeddings e CROSS JOIN cent
+        WHERE e.vec_id >= {N_QUERIES}
+        GROUP BY e.vec_id
+    ), probes AS (
+        SELECT query_id, cell_id FROM (
+            SELECT q.vec_id AS query_id, cent.cell_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {d_probe} ASC, cent.cell_id ASC
+                   ) AS rn
+            FROM embeddings q CROSS JOIN cent
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {NPROBE}
+    ), dtab AS ({dtab_rows}), codes AS ({codes_rows}),
+    cand AS (
+        SELECT p.query_id, s.vec_id FROM probes p JOIN cells s USING (cell_id)
+    ), paired AS (
+        SELECT x.query_id, x.vec_id,
+               list_sort(list(struct_pack(m := c.m, d := d.d))) AS ds
+        FROM cand x
+        JOIN codes c ON c.vec_id = x.vec_id
+        JOIN dtab d ON d.query_id = x.query_id AND d.m = c.m AND d.code_id = c.c
+        GROUP BY x.query_id, x.vec_id
+    )
+    SELECT query_id, vec_id, {fold} AS adc_dist
+    FROM paired
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY {fold} ASC, vec_id ASC
+    ) <= {TOPK}
+    """
+
+
+@query("sim_l2_topk_ivfpq", oracle=_ivfpq_adc_oracle())
+def sim_l2_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ search (the FAISS ``IVFPQ`` shape, re-expressed in
+    Catalyst): a coarse quantizer assigns every corpus vector to its
+    nearest of 16 cells; each query probes only its NPROBE nearest cells;
+    WITHIN the probed cells ranking runs on PQ codes via asymmetric
+    distance (4 broadcast table lookups per candidate) — raw vectors are
+    touched only to build the index and the per-query distance table.
+
+    100 TB posture: this composes the two prunings that make
+    billion-vector ANN work — the cell equi-join cuts candidates to
+    ~NPROBE/N_CELLS of the corpus, and ADC makes each candidate cost a
+    4-row lookup against a broadcast table instead of a 64-float dot
+    product. Every tiny side (centroids, codebook, distance table,
+    probes) is explicitly broadcast; the only corpus-sized shuffles are
+    the two index-build argmin aggregations. Centroids and codebook are
+    deterministic data slices so the DuckDB oracle regenerates the
+    identical index; production plugs k-means into the same plan.
+    Distance terms, struct-argmin, and the sorted ADC fold reuse the
+    PQ/IVF twins above — both engines accumulate bit-identically."""
+    base = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(base)
+    cent = base.filter(
+        (F.col("vec_id") >= IVFPQ_CELL_LO)
+        & (F.col("vec_id") < IVFPQ_CELL_LO + N_CELLS)
+    ).select(
+        (F.col("vec_id") - IVFPQ_CELL_LO).alias("cell_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+    corpus = base.filter(F.col("vec_id") >= N_QUERIES)
+
+    d_cell = F.expr(
+        _l2_full_dist("embedding", "cent_emb", "element_at({col}, {i})")
+    )
+    cells = (
+        corpus.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(d_cell.alias("d"), F.col("cell_id").alias("c")))[
+                "c"
+            ].alias("cell_id")
+        )
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cb)).groupBy("vec_id").agg(*_pq_argmin_aggs())
+    )
+    codes = None
+    for m in range(PQ_M):
+        part = assigned.select(
+            "vec_id", F.lit(m).alias("m"), F.col(f"c{m}").alias("c")
+        )
+        codes = part if codes is None else codes.unionByName(part)
+
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    d_probe = F.expr(
+        _l2_full_dist("q_emb", "cent_emb", "element_at({col}, {i})")
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        d_probe.asc(), F.col("cell_id").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= NPROBE)
+        .select("query_id", "cell_id")
+    )
+    dtab = None
+    for m in range(PQ_M):
+        part = queries.crossJoin(F.broadcast(cb)).select(
+            F.col("query_id").alias("d_query_id"),
+            F.lit(m).alias("d_m"),
+            F.col("code_id"),
+            F.expr(
+                _pq_dist_terms("q_emb", "c_emb", m, "element_at({col}, {i})")
+            ).alias("d"),
+        )
+        dtab = part if dtab is None else dtab.unionByName(part)
+
+    cand = cells.join(F.broadcast(probes), "cell_id").select("query_id", "vec_id")
+    paired = (
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(dtab),
+            (F.col("query_id") == F.col("d_query_id"))
+            & (F.col("m") == F.col("d_m"))
+            & (F.col("c") == F.col("code_id")),
+        )
+        .select("query_id", "vec_id", F.col("m").alias("mm"), "d")
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct(F.col("mm"), F.col("d")))).alias(
+                "ds"
+            )
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(transform(ds, __x -> __x.d),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        paired.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "vec_id", "adc_dist")
+    )
+
+
+# Recall@k of IVFPQ against exact L2 — prune + quantize both cost recall,
+# so this is the honest end-to-end number (lower than sim_recall_pq by the
+# cell-miss rate; rises with NPROBE and trained centroids).
+query(
+    "sim_recall_ivfpq", oracle=_recall_oracle("sim_l2_topk_ivfpq", _exact_l2_sql())
+)(_recall_query("sim_l2_topk_ivfpq", _exact_l2_topk))

@@ -91,6 +91,17 @@ HEADLINE = [
     "skew_salted_join",
     "pq_code_histogram",
     "sim_l2_topk_pq",
+    # round 3 additions: composite ANN, canonical dedup, containment
+    # decontamination, cohort retention, robust outliers, audio windows,
+    # deterministic splits, streaming dedup.
+    "sim_l2_topk_ivfpq",
+    "dedup_normalized_text",
+    "decontam_containment",
+    "retention_cohorts",
+    "mad_robust_outliers",
+    "mm_audio_rms_windows",
+    "dataset_split_hash",
+    "stream_dedup_earliest",
 ]
 
 

@@ -93,3 +93,70 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("eval_doc_id").alias("n_eval_docs"),
         )
     )
+
+
+@query(
+    "decontam_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               {_SQL_EVAL} AS is_eval,
+               unnest(list_distinct({sql_word_shingles(_SQL_TOKS, NGRAM_K)})) AS ng
+        FROM documents
+    ), tr AS (
+        SELECT doc_id, ng FROM sh WHERE NOT is_eval
+    ), tr_size AS (
+        SELECT doc_id, count(*) AS n_ngrams FROM tr GROUP BY doc_id
+    ), ev AS (
+        SELECT DISTINCT ng FROM sh WHERE is_eval
+    ), shared AS (
+        SELECT tr.doc_id, count(*) AS n_shared
+        FROM tr JOIN ev USING (ng)
+        GROUP BY tr.doc_id
+    )
+    SELECT s.doc_id AS train_doc_id,
+           CAST(t.n_ngrams AS BIGINT) AS n_ngrams,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(s.n_shared AS DOUBLE) / t.n_ngrams AS containment
+    FROM shared s JOIN tr_size t USING (doc_id)
+    """,
+)
+def decontam_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-scored decontamination: |train ∩ eval| / |train| over
+    distinct K-gram sets. Containment is the ASYMMETRIC overlap measure —
+    a short eval prompt fully embedded in a long training doc scores 1.0
+    where Jaccard would vanish, which is exactly the leakage case n-gram
+    counting (decontam_ngram_overlap) under-ranks. Downstream policy
+    thresholds on the score (e.g. drop > 0.8, audit > 0.2).
+
+    Same 100 TB shape as the overlap check: the eval distinct-shingle set
+    broadcasts, the training side streams through the probe, and both
+    aggregations key on train doc_id. The ratio is one IEEE division of
+    exact integer counts — bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        (hash48(F.col("doc_id").cast("string")) % EVAL_MOD == 0).alias("is_eval"),
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), NGRAM_K))
+        ).alias("ng"),
+    )
+    tr = sh.filter(~F.col("is_eval")).select("doc_id", "ng")
+    tr_size = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    ev = sh.filter("is_eval").select("ng").distinct()
+    shared = (
+        tr.join(F.broadcast(ev), "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(tr_size, "doc_id")
+        .select(
+            F.col("doc_id").alias("train_doc_id"),
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            (F.col("n_shared").cast("double") / F.col("n_ngrams")).alias(
+                "containment"
+            ),
+        )
+    )

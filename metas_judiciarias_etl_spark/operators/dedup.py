@@ -578,3 +578,67 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(dist <= 2).select(
         "name_a", "name_b", dist.cast("long").alias("dist")
     )
+
+
+# --------------------------------------------------------------------------
+# Canonical-text ("fuzzy-exact") dedup: normalize then hash — the C4/CCNet
+# recipe that catches case/punctuation/whitespace variants exact dedup
+# misses, at exact-dedup cost.
+# --------------------------------------------------------------------------
+# Portable normalization pipeline (identical regex semantics on both
+# engines): lowercase → strip everything but [a-z0-9 ] → collapse runs of
+# spaces → trim.
+_NORM_SPARK = lambda c: F.trim(  # noqa: E731
+    F.regexp_replace(
+        F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " "
+    )
+)
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@query(
+    "dedup_normalized_text",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, md5(text) AS raw_hash,
+               md5({_NORM_SQL.format(c='text')}) AS norm_hash
+        FROM documents
+    )
+    SELECT norm_hash,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT raw_hash) AS BIGINT) AS n_raw_variants
+    FROM keyed
+    GROUP BY norm_hash
+    HAVING count(*) > 1
+    """,
+)
+def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-text dedup (the C4/CCNet normalize-then-hash recipe):
+    lowercase, strip punctuation, collapse whitespace, hash — groups that
+    differ only in case/punctuation/spacing collapse to one key, catching
+    the near-identical boilerplate exact dedup misses. ``n_raw_variants``
+    counts how many byte-distinct texts each canonical group absorbed.
+
+    Cost is identical to exact dedup at any scale: the normalization is a
+    scan-stage projection (whole-stage codegen, no UDF), then ONE shuffle
+    on the 128-bit canonical hash. Min-doc_id keeper is the same
+    deterministic keeper rule the exact/MinHash paths use."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5("text").alias("raw_hash"),
+        F.md5(_NORM_SPARK(F.col("text"))).alias("norm_hash"),
+    )
+    return (
+        keyed.groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw_hash").cast("long").alias("n_raw_variants"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

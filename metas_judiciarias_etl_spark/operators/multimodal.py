@@ -425,3 +425,99 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _payloads(docs).select("doc_id", "payload").mapInPandas(
         _image_resize_batches, schema=_RESIZE_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# Windowed audio features over decoded PCM: per-window RMS loudness — the
+# VAD / level-metering primitive (frame the signal, one energy per frame).
+# --------------------------------------------------------------------------
+RMS_WINDOW = 64  # PCM samples per analysis window
+
+_RMS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.LongType()),
+        T.StructField("win_len", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def _audio_rms_batches(
+    batches: Iterator["pd.DataFrame"],  # noqa: F821
+) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """mapInPandas worker: payload → WAV encode → REAL stdlib ``wave``
+    decode → fixed-size PCM windows → RMS per window. The energy sum runs
+    in exact Python integers; one IEEE division + sqrt at the end keeps
+    both engines bit-identical (same discipline as mm_decode_features)."""
+    import math
+
+    import pandas as pd
+
+    for pdf in batches:
+        ids: list[int] = []
+        idxs: list[int] = []
+        lens: list[int] = []
+        rms: list[float] = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            pcm, _rate, _ch = decode_wav_pcm8(encode_wav_pcm8(payload))
+            for i in range(0, len(pcm), RMS_WINDOW):
+                win = pcm[i : i + RMS_WINDOW]
+                ids.append(doc_id)
+                idxs.append(i // RMS_WINDOW)
+                lens.append(len(win))
+                rms.append(math.sqrt(sum(b * b for b in win) / len(win)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "win_idx": pd.Series(idxs, dtype="int64"),
+                "win_len": pd.Series(lens, dtype="int64"),
+                "rms": pd.Series(rms, dtype="float64"),
+            }
+        )
+
+
+@query(
+    "mm_audio_rms_windows",
+    oracle=f"""
+    WITH wins AS (
+        SELECT doc_id,
+               unnest(generate_series(0,
+                   CAST(ceil(strlen(text) / {RMS_WINDOW}.0) AS BIGINT) - 1))
+                   AS win_idx,
+               text, strlen(text) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           win_idx,
+           CAST(least({RMS_WINDOW}, n - win_idx * {RMS_WINDOW}) AS BIGINT)
+               AS win_len,
+           sqrt(list_sum(list_transform(
+                    generate_series(1, CAST(least({RMS_WINDOW},
+                                             n - win_idx * {RMS_WINDOW}) AS BIGINT)),
+                    __i -> CAST(ascii(substr(text,
+                               CAST(win_idx * {RMS_WINDOW} + __i AS BIGINT), 1))
+                           AS BIGINT)
+                         * ascii(substr(text,
+                               CAST(win_idx * {RMS_WINDOW} + __i AS BIGINT), 1))))
+                / CAST(least({RMS_WINDOW}, n - win_idx * {RMS_WINDOW}) AS DOUBLE))
+               AS rms
+    FROM wins
+    """,
+)
+def mm_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window RMS over genuinely decoded audio: each payload rides a
+    real 8-bit-PCM WAV container, the stdlib ``wave`` parser extracts the
+    frames, and every 64-sample window reports its RMS energy — the
+    framing+energy primitive under VAD, silence trimming, and loudness
+    normalization. The oracle recomputes each window's energy byte-by-byte
+    in SQL, so container round-trip AND window framing are value-verified.
+
+    Map-only Arrow pipeline: rows explode within their partition (like
+    mm_frame_sample) — no shuffle at any scale; window energies are exact
+    integer sums with a single division+sqrt at the end, bit-identical
+    across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _payloads(docs).select("doc_id", "payload").mapInPandas(
+        _audio_rms_batches, schema=_RMS_SCHEMA
+    )

@@ -295,3 +295,65 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= SAMPLE_K)
         .select("source", "doc_id", "n_chars", "priority")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split: the reproducibility primitive every
+# training pipeline needs — membership is a pure function of the stable key,
+# so retries, re-partitioning, and incremental reruns cannot move a document
+# between splits.
+# --------------------------------------------------------------------------
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # remainder (100 - train - val) is test
+
+
+def _split_oracle() -> str:
+    from ..functions.hashing import sql_hash48
+
+    h = sql_hash48("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               CASE WHEN {h} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN {h} % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM keyed
+    GROUP BY split
+    """
+
+
+@query("dataset_split_hash", oracle=_split_oracle())
+def dataset_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by content-stable hash bucket,
+    with per-split size accounting. The split predicate is a scan-stage
+    projection (no shuffle, no RNG state): hash48(doc_id) % 100 against
+    fixed thresholds, so membership survives retries and re-partitioning
+    and downstream jobs can re-derive it without a membership table. At
+    100 TB the per-split report is one map-side-combined aggregation on a
+    3-value key."""
+    from ..functions.hashing import hash48
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash48(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+    )

@@ -399,3 +399,50 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("source", "token", "tf", "df", "score", "rn")
     )
+
+
+_WEEK_NS = 604_800 * _NS
+
+
+@query(
+    "retention_cohorts",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_ns(ts) // {_WEEK_NS} AS week FROM events
+    ), cohorts AS (
+        SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id
+    )
+    SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+           CAST(e.week - c.cohort_week AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           count(*) AS n_events
+    FROM e JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week, then
+    distinct-user counts per (cohort, weeks-since-cohort) — the standard
+    product-analytics triangle a telemetry warehouse serves every day.
+
+    Week boundaries are integer nanosecond division (timezone-proof,
+    identical on both engines). Plan: one user-grain aggregation for the
+    cohort table, then a join back keyed on user_id — high cardinality,
+    even spread, and AQE co-partitions both sides on the same key so the
+    join reuses the aggregation's shuffle. The final rollup keys on the
+    tiny (cohort, offset) pair with map-side partials."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts div {_WEEK_NS}").alias("week")
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(cohorts, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -294,3 +294,78 @@ def grouped_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return rel.groupBy("event_type").applyInPandas(_linear_fit_group, schema)
+
+
+# --------------------------------------------------------------------------
+# Robust outliers via median absolute deviation (the z-score's heavy-tail-
+# safe sibling: median/MAD are unmoved by the very outliers being hunted).
+# --------------------------------------------------------------------------
+@query(
+    "mad_robust_outliers",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), med AS (
+        SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+        FROM c GROUP BY event_type
+    ), dev AS (
+        SELECT c.event_type, c.cents, m.med_cents,
+               abs(c.cents - m.med_cents) AS adev
+        FROM c JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad_cents
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n_rows,
+           round(max(d.med_cents) / 100.0, 6) AS median_value,
+           round(max(m.mad_cents) / 100.0, 6) AS mad_value,
+           CAST(sum(CASE WHEN m.mad_cents = 0 THEN 0
+                         WHEN d.adev > 3 * m.mad_cents THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers at |x - median| > 3·MAD. Unlike the z-score
+    (anomaly_zscore), median and MAD don't move when the tail is heavy —
+    the estimator the outliers themselves cannot corrupt.
+
+    Determinism: values quantize to integer cents, so the interpolated
+    medians land on exact multiples of 0.5 cents, absolute deviations on
+    multiples of 0.5, and the 3·MAD boundary on multiples of 0.5 — every
+    comparison is between exactly-representable doubles, identical on both
+    engines. Plan: two bounded-group percentile aggregations (exact
+    percentile holds one group's values; groups here are the handful of
+    event types) and the tiny median/MAD tables broadcast back onto the
+    scan — no fact-sized shuffle beyond the two aggs; unbounded-group
+    variants switch to approx_percentile exactly as percentile_agg
+    documents."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med_cents")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.max("med_cents") / 100.0, 6).alias("median_value"),
+            F.round(F.max("mad_cents") / 100.0, 6).alias("mad_value"),
+            F.sum(
+                F.when(F.col("mad_cents") == 0, 0)
+                .when(F.col("adev") > 3 * F.col("mad_cents"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )

@@ -129,3 +129,35 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "stream_dedup_earliest",
+    oracle=f"""
+    SELECT user_id, event_type,
+           CAST((min(struct_pack(t := epoch_ns(ts), e := event_id))).e AS BIGINT)
+               AS kept_event_id,
+           CAST(min(epoch_ns(ts)) // {_NS} AS BIGINT) AS first_seen_s,
+           count(*) - 1 AS n_suppressed
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def stream_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of streaming dedup (``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type)): keep the earliest event per key, count the
+    suppressed replays. The struct-min picks (ts, event_id) — a unique,
+    deterministic keeper, the same rule the streaming state store applies
+    as events arrive in order.
+
+    At scale this is ONE partial-aggregatable shuffle on the dedup key; in
+    true streaming the identical keeper rule runs incrementally with state
+    expiry at the watermark (no unbounded state)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min(F.struct("ts", "event_id"))["event_id"]
+        .cast("long")
+        .alias("kept_event_id"),
+        F.expr(f"min(ts) div {_NS}").alias("first_seen_s"),
+        (F.count(F.lit(1)) - 1).alias("n_suppressed"),
+    )

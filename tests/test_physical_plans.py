@@ -453,3 +453,49 @@ def test_pq_adc_search_all_joins_broadcast(spark, sf):
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_normalized_dedup_fuses_into_scan(spark, sf):
+    df = registry.QUERIES["dedup_normalized_text"](spark, sf)
+    plan = _plan(df)
+    # canonicalize + hash must fuse into the scan stage (one Project over
+    # FileScan, no UDF); count(distinct raw_hash) expands to the standard
+    # two-phase distinct agg, so exactly 2 shuffles — the second carries
+    # already-reduced (norm_hash, raw_hash) pairs, not document text
+    n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange SinglePartition"
+    ) + plan.count("Exchange rangepartitioning")
+    assert n_shuffles == 2
+    assert "BatchEvalPython" not in plan  # no row-at-a-time UDF
+    assert plan.count("HashAggregate") >= 3  # partials before every exchange
+
+
+def test_decontam_containment_broadcasts_eval_side(spark, sf):
+    df = registry.QUERIES["decontam_containment"](spark, sf)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan  # eval shingles ride a broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_retention_cohorts_no_cartesian(spark, sf):
+    df = registry.QUERIES["retention_cohorts"](spark, sf)
+    plan = _plan(df)
+    # cohort join keys on user_id (same key as the cohort aggregation)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_audio_rms_is_map_only(spark, sf):
+    df = registry.QUERIES["mm_audio_rms_windows"](spark, sf)
+    plan = _plan(df)
+    assert "Exchange" not in plan  # explode-in-partition, zero shuffles
+
+
+def test_dataset_split_is_single_agg(spark, sf):
+    df = registry.QUERIES["dataset_split_hash"](spark, sf)
+    plan = _plan(df)
+    # split predicate is a scan-stage projection; one partial+final agg
+    n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange SinglePartition"
+    ) + plan.count("Exchange rangepartitioning")
+    assert n_shuffles == 1

@@ -102,6 +102,9 @@ HEADLINE = [
     "mm_audio_rms_windows",
     "dataset_split_hash",
     "stream_dedup_earliest",
+    "knn_classify",
+    "text_bigram_lm",
+    "emb_centroids",
 ]
 
 

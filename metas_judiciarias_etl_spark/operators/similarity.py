@@ -937,3 +937,134 @@ def sim_l2_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 query(
     "sim_recall_ivfpq", oracle=_recall_oracle("sim_l2_topk_ivfpq", _exact_l2_sql())
 )(_recall_query("sim_l2_topk_ivfpq", _exact_l2_topk))
+
+
+# --------------------------------------------------------------------------
+# k-NN classification: majority label among the cosine top-k neighbors —
+# the eval/labeling step a vector index ultimately serves (label transfer,
+# weak supervision, retrieval-based classification).
+# --------------------------------------------------------------------------
+def _knn_oracle() -> str:
+    from ..registry import ORACLES
+
+    topk = ORACLES["sim_cosine_topk_bruteforce"]
+    return f"""
+    WITH topk AS ({topk}),
+    votes AS (
+        SELECT t.query_id, e.label, count(*) AS n_votes
+        FROM topk t
+        JOIN embeddings e ON e.vec_id = t.vec_id
+        WHERE t.vec_id >= {N_QUERIES}
+        GROUP BY t.query_id, e.label
+    )
+    SELECT query_id,
+           CAST((min(struct_pack(negv := -n_votes, lab := label))).lab AS INTEGER)
+               AS predicted_label,
+           CAST(max(n_votes) AS BIGINT) AS n_votes
+    FROM votes
+    GROUP BY query_id
+    """
+
+
+@query("knn_classify", oracle=_knn_oracle())
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-based classification: each query takes the majority label
+    of its cosine top-k corpus neighbors (self-matches excluded), ties
+    broken by the smaller label — fully deterministic. Composes the
+    REGISTERED brute-force top-k (engine and oracle sides both reuse it,
+    so classifier and index can never drift apart).
+
+    At 100 TB the neighbor search dominates and swaps freely for any
+    registered ANN variant (LSH/IVF/PQ/IVFPQ) — the vote is a tiny
+    per-query aggregation over k rows."""
+    from ..registry import QUERIES
+
+    topk = QUERIES["sim_cosine_topk_bruteforce"](spark, sf_dir).filter(
+        F.col("vec_id") >= N_QUERIES
+    )
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    # broadcast the TOP-K side (N_QUERIES x TOPK rows) — the label table is
+    # corpus-sized at scale and must keep streaming through the probe
+    votes = (
+        labels.join(F.broadcast(topk), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    return votes.groupBy("query_id").agg(
+        F.min(F.struct((-F.col("n_votes")).alias("negv"), F.col("label").alias("lab")))[
+            "lab"
+        ]
+        .cast("int")
+        .alias("predicted_label"),
+        F.max("n_votes").cast("long").alias("n_votes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-label centroids: the class prototype / IVF-centroid-init primitive.
+# --------------------------------------------------------------------------
+@query(
+    "emb_centroids",
+    oracle=f"""
+    WITH x AS (
+        SELECT label, vec_id,
+               unnest(generate_series(1, {DIM})) AS dim,
+               embedding
+        FROM embeddings
+    ), g AS (
+        SELECT label, dim,
+               count(*) AS n_vecs,
+               list_sort(list(struct_pack(
+                   v := vec_id,
+                   x := CAST(embedding[dim] AS DOUBLE)))) AS ds
+        FROM x GROUP BY label, dim
+    )
+    SELECT label,
+           CAST(dim AS BIGINT) AS dim,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           list_reduce([0.0] || list_transform(ds, __s -> __s.x),
+                       (a, b) -> a + b) / n_vecs AS centroid
+    FROM g
+    """,
+)
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, one row per (label, dimension) — the class
+    prototype used for nearest-centroid classification and the natural
+    initializer for IVF/k-means cells.
+
+    Float summation is order-dependent, so the per-group sum folds a
+    vec_id-SORTED struct list with a 0.0 seed — the same order-pinning
+    discipline as the PQ ADC fold; both engines accumulate bit-identically
+    and the single final division preserves that. Plan: posexplode stays
+    in its partition; ONE shuffle on (label, dim) — at production
+    dimensionality the exploded width multiplies rows, not bytes-per-row,
+    and the per-group state is one list of (id, float) pairs. For
+    unbounded group sizes swap the exact fold for a DECIMAL-quantized sum
+    (emb_norm_stats shows that pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label",
+        "vec_id",
+        (F.col("pos0") + 1).alias("dim"),
+        F.col("val").cast("double").alias("x"),
+    )
+    g = x.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("vec_id").alias("v"), F.col("x")))
+        ).alias("ds"),
+    )
+    return g.select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        (
+            F.expr(
+                "aggregate(transform(ds, __s -> __s.x),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+            / F.col("n_vecs")
+        ).alias("centroid"),
+    )

@@ -387,3 +387,73 @@ def text_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(n_toks), 4).alias("avg_tokens"),
         F.sum(n_toks).cast("long").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model table: conditional next-token probabilities — the
+# count-based LM that powers contamination heuristics, perplexity proxies,
+# and boilerplate detection before any neural model enters the pipeline.
+# --------------------------------------------------------------------------
+BIGRAM_MIN_COUNT = 5  # report bigrams seen at least this often
+
+
+@query(
+    "text_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+        SELECT {_SQL_TOKS} AS ts FROM documents
+    ), bg AS (
+        SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                                     __i -> struct_pack(w1 := ts[__i],
+                                                        w2 := ts[__i + 1]))) AS b
+        FROM toks
+        WHERE len(ts) >= 2
+    ), pairs AS (
+        SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS n_pair
+        FROM bg GROUP BY 1, 2
+    ), lhs AS (
+        SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1 FROM pairs GROUP BY w1
+    )
+    SELECT p.w1, p.w2,
+           CAST(p.n_pair AS BIGINT) AS n_pair,
+           l.n_w1,
+           CAST(p.n_pair AS DOUBLE) / l.n_w1 AS cond_p
+    FROM pairs p JOIN lhs l USING (w1)
+    WHERE p.n_pair >= {BIGRAM_MIN_COUNT}
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram LM: P(w2|w1) = c(w1,w2)/c(w1,·) for every bigram
+    seen at least BIGRAM_MIN_COUNT times. The conditional probability is
+    one IEEE division of exact integer counts — bit-identical across
+    engines — and the rare tail is thresholded out so the table stays
+    vocabulary-sized.
+
+    Plan: bigrams come from a zip of two shifted token-array slices (the
+    shingle trick — no per-element lambda re-evaluation), explode within
+    the partition, then two count aggregations keyed on (w1,w2) and w1.
+    At 100 TB both keys are vocabulary-shaped; the Zipf head is absorbed
+    by map-side partials before either shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    docs_t = docs.select(toks.alias("ts")).filter(F.size("ts") >= 2)
+    n = F.size("ts")
+    zipped = F.arrays_zip(
+        F.slice("ts", 1, n - 1).alias("w1"), F.slice("ts", 2, n - 1).alias("w2")
+    )
+    bg = docs_t.select(F.explode(zipped).alias("b")).select(
+        F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    pairs = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    lhs = pairs.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("n_w1"))
+    return (
+        pairs.filter(F.col("n_pair") >= BIGRAM_MIN_COUNT)
+        .join(lhs, "w1")
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            "n_w1",
+            (F.col("n_pair").cast("double") / F.col("n_w1")).alias("cond_p"),
+        )
+    )

@@ -105,6 +105,7 @@ HEADLINE = [
     "knn_classify",
     "text_bigram_lm",
     "emb_centroids",
+    "bpe_merge_steps",
 ]
 
 

@@ -457,3 +457,138 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_pair").cast("double") / F.col("n_w1")).alias("cond_p"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (first merges): the byte-pair-encoding loop that
+# builds every modern LLM vocabulary, as unrolled Spark plans.
+# --------------------------------------------------------------------------
+BPE_STEPS = 3
+_BPE_SEP = "\x1f"  # unit separator — cannot appear in whitespace tokens
+_SQL_SEP = "chr(31)"
+
+
+def _bpe_oracle() -> str:
+    """Self-contained CTE chain: each step counts adjacent symbol pairs,
+    picks the (count desc, pair asc) winner as a scalar subquery, and
+    applies it with replace() — whose left-to-right non-overlapping scan
+    IS the greedy BPE merge semantics, identically in both engines."""
+    seq0 = (
+        f"rtrim(regexp_replace(w, '(.)', '\\1' || {_SQL_SEP}, 'g'), {_SQL_SEP})"
+    )
+
+    def pairs_cte(src: str) -> str:
+        return f"""(
+        SELECT pr, count(*) AS c FROM (
+            SELECT unnest(list_transform(generate_series(1, len(parts) - 1),
+                __i -> parts[__i] || {_SQL_SEP} || parts[__i + 1])) AS pr
+            FROM (SELECT string_split(seq, {_SQL_SEP}) AS parts FROM {src})
+            WHERE len(parts) >= 2
+        ) GROUP BY pr
+    )"""
+
+    ctes = [
+        f"""toks AS (
+        SELECT unnest({_SQL_TOKS}) AS w FROM documents
+    ), s0 AS (
+        SELECT {seq0} AS seq FROM toks WHERE w <> ''
+    )"""
+    ]
+    for k in range(1, BPE_STEPS + 1):
+        ctes.append(f"p{k} AS {pairs_cte(f's{k - 1}')}")
+        ctes.append(
+            f"m{k} AS (SELECT pr, c FROM p{k} ORDER BY c DESC, pr LIMIT 1)"
+        )
+        if k < BPE_STEPS:
+            ctes.append(
+                f"""s{k} AS (
+        SELECT replace(seq, (SELECT pr FROM m{k}),
+                       replace((SELECT pr FROM m{k}), {_SQL_SEP}, '')) AS seq
+        FROM s{k - 1}
+    )"""
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS step,"
+        f" string_split(pr, {_SQL_SEP})[1] AS merge_left,"
+        f" string_split(pr, {_SQL_SEP})[2] AS merge_right,"
+        f" replace(pr, {_SQL_SEP}, '') AS merged,"
+        f" CAST(c AS BIGINT) AS pair_count"
+        f" FROM m{k}"
+        for k in range(1, BPE_STEPS + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+
+
+@query("bpe_merge_steps", oracle=_bpe_oracle())
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer training, first BPE_STEPS merges: the
+    exact loop (count adjacent symbol pairs → merge the most frequent →
+    recount) that builds GPT/Llama vocabularies, expressed as Spark plans.
+
+    Determinism: winners tie-break (count desc, pair asc); the merge is
+    applied with ``replace``, whose left-to-right non-overlapping scan is
+    precisely BPE's greedy merge order — identical in Spark and DuckDB,
+    so the oracle replays training step for step.
+
+    Iterative-algorithm shape (same discipline as dedup_clusters /
+    pagerank): each step is one explode + one vocabulary-keyed count agg
+    over the cached token table; the single winning pair is collect()ed
+    (1 row — a convergence-checksum-sized driver hop) to parameterize the
+    next step's merge expression. At 100 TB, pair counting shuffles
+    symbol-pair keys with map-side partials (the Zipf head collapses in
+    the map stage), and real trainers batch many disjoint merges per
+    round — same plan, fewer rounds."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    # NB: Spark's two-arg rtrim is rtrim(trimStr, srcStr) — REVERSED from
+    # DuckDB's rtrim(srcStr, trimStr).
+    seq = toks.select(
+        F.expr(f"rtrim('{_BPE_SEP}', regexp_replace(w, '(.)', '$1{_BPE_SEP}'))")
+        .alias("seq")
+    ).persist()
+    seq.count()  # materialize: every step re-reads this cache
+
+    def top_pair(df: DataFrame):
+        parts = F.split(F.col("seq"), _BPE_SEP)
+        n = F.size(parts)
+        zipped = F.arrays_zip(
+            F.slice(parts, 1, n - 1).alias("l"), F.slice(parts, 2, n - 1).alias("r")
+        )
+        pairs = (
+            df.filter(n >= 2)
+            .select(F.explode(zipped).alias("b"))
+            .select(
+                F.concat(F.col("b.l"), F.lit(_BPE_SEP), F.col("b.r")).alias("pr")
+            )
+        )
+        return (
+            pairs.groupBy("pr")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("pr"))
+            .limit(1)
+        )
+
+    out = None
+    cur = seq
+    for k in range(1, BPE_STEPS + 1):
+        best = top_pair(cur)
+        row = best.select(
+            F.lit(k).alias("step"),
+            F.split(F.col("pr"), _BPE_SEP)[0].alias("merge_left"),
+            F.split(F.col("pr"), _BPE_SEP)[1].alias("merge_right"),
+            F.translate(F.col("pr"), _BPE_SEP, "").alias("merged"),
+            F.col("c").cast("long").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+        if k < BPE_STEPS:
+            # one-row driver hop parameterizes the next step's merge —
+            # the iterative-algorithm pattern, not a driver-side compute
+            pr = best.collect()[0]["pr"]
+            cur = cur.select(
+                F.replace(
+                    F.col("seq"), F.lit(pr), F.lit(pr.replace(_BPE_SEP, ""))
+                ).alias("seq")
+            )
+    return out

@@ -119,3 +119,51 @@ def test_funnel_matches_bruteforce_pairs(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_bpe_merges_match_pure_python_reference(spark, sf_small):
+    """bpe_merge_steps must reproduce a from-scratch Python BPE trainer on
+    the same corpus: identical winning pair, merged symbol, and count at
+    every step (Python str.replace shares the greedy left-to-right
+    non-overlapping semantics the operator relies on)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.textstats import (
+        BPE_STEPS,
+        _BPE_SEP,
+    )
+
+    texts = pq.read_table(f"{sf_small}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    seqs = [
+        _BPE_SEP.join(w)
+        for t in texts
+        for w in re.split(r"\s+", t.strip())
+        if w != ""
+    ]
+
+    expected = []
+    for _ in range(BPE_STEPS):
+        counts: dict[str, int] = {}
+        for s in seqs:
+            parts = s.split(_BPE_SEP)
+            for i in range(len(parts) - 1):
+                pr = parts[i] + _BPE_SEP + parts[i + 1]
+                counts[pr] = counts.get(pr, 0) + 1
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((best[0].split(_BPE_SEP), best[0].replace(_BPE_SEP, ""), best[1]))
+        seqs = [s.replace(best[0], best[0].replace(_BPE_SEP, "")) for s in seqs]
+
+    rows = sorted(
+        registry.QUERIES["bpe_merge_steps"](spark, sf_small).collect(),
+        key=lambda r: r["step"],
+    )
+    assert len(rows) == BPE_STEPS
+    for row, ((left, right), merged, count) in zip(rows, expected):
+        assert (row["merge_left"], row["merge_right"]) == (left, right)
+        assert row["merged"] == merged
+        assert row["pair_count"] == count

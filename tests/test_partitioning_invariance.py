@@ -29,6 +29,12 @@ QUERIES = [
     "sim_l2_topk_pq",           # ordered ADC fold + top-k ranking
     "spatial_grid_join",        # 3x3 cell candidate generation
     "skew_salted_join",         # salt spread + re-merge
+    # round 3 additions
+    "emb_centroids",            # vec_id-sorted struct-fold float sums
+    "sim_l2_topk_ivfpq",        # cell argmin + ADC fold + top-k ranking
+    "bpe_merge_steps",          # iterative top-pair selection per step
+    "mad_robust_outliers",      # interpolated medians + boundary compares
+    "knn_classify",             # majority vote with struct-min tie-break
 ]
 
 

@@ -646,26 +646,31 @@ def sim_l2_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(*_pq_argmin_aggs())
     )
-    codes = None
-    for m in range(PQ_M):
-        part = assigned.select(
-            "vec_id", F.lit(m).alias("m"), F.col(f"c{m}").alias("c")
-        )
-        codes = part if codes is None else codes.unionByName(part)
+    # stack(), not union-of-M-projections: one pass over `assigned` /
+    # one query×codebook cross join computing all M columns — a 4-branch
+    # union recomputes (or at best ReusedExchange-rescans) its subtree
+    # per branch, and the argmin aggregation is the expensive part.
+    codes = assigned.selectExpr(
+        "vec_id",
+        "stack({n}, {pairs}) AS (m, c)".format(
+            n=PQ_M, pairs=", ".join(f"{m}, c{m}" for m in range(PQ_M))
+        ),
+    )
     queries = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    dtab = None
-    for m in range(PQ_M):
-        part = queries.crossJoin(F.broadcast(cb)).select(
-            "query_id",
-            F.lit(m).alias("m"),
-            F.col("code_id"),
-            F.expr(
-                _pq_dist_terms("q_emb", "c_emb", m, "element_at({col}, {i})")
-            ).alias("d"),
-        )
-        dtab = part if dtab is None else dtab.unionByName(part)
+    dists = [
+        _pq_dist_terms("q_emb", "c_emb", m, "element_at({col}, {i})")
+        for m in range(PQ_M)
+    ]
+    dtab = queries.crossJoin(F.broadcast(cb)).selectExpr(
+        "query_id",
+        "code_id",
+        "stack({n}, {pairs}) AS (m, d)".format(
+            n=PQ_M,
+            pairs=", ".join(f"{m}, CAST(({d}) AS DOUBLE)" for m, d in enumerate(dists)),
+        ),
+    )
     paired = (
         codes.join(
             F.broadcast(dtab),
@@ -862,12 +867,14 @@ def sim_l2_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         corpus.crossJoin(F.broadcast(cb)).groupBy("vec_id").agg(*_pq_argmin_aggs())
     )
-    codes = None
-    for m in range(PQ_M):
-        part = assigned.select(
-            "vec_id", F.lit(m).alias("m"), F.col(f"c{m}").alias("c")
-        )
-        codes = part if codes is None else codes.unionByName(part)
+    # stack(), not union-of-M-projections (see sim_l2_topk_pq): one pass
+    # over the argmin output / one query×codebook cross join.
+    codes = assigned.selectExpr(
+        "vec_id",
+        "stack({n}, {pairs}) AS (m, c)".format(
+            n=PQ_M, pairs=", ".join(f"{m}, c{m}" for m in range(PQ_M))
+        ),
+    )
 
     queries = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -884,17 +891,18 @@ def sim_l2_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= NPROBE)
         .select("query_id", "cell_id")
     )
-    dtab = None
-    for m in range(PQ_M):
-        part = queries.crossJoin(F.broadcast(cb)).select(
-            F.col("query_id").alias("d_query_id"),
-            F.lit(m).alias("d_m"),
-            F.col("code_id"),
-            F.expr(
-                _pq_dist_terms("q_emb", "c_emb", m, "element_at({col}, {i})")
-            ).alias("d"),
-        )
-        dtab = part if dtab is None else dtab.unionByName(part)
+    dists = [
+        _pq_dist_terms("q_emb", "c_emb", m, "element_at({col}, {i})")
+        for m in range(PQ_M)
+    ]
+    dtab = queries.crossJoin(F.broadcast(cb)).selectExpr(
+        "query_id AS d_query_id",
+        "code_id",
+        "stack({n}, {pairs}) AS (d_m, d)".format(
+            n=PQ_M,
+            pairs=", ".join(f"{m}, CAST(({d}) AS DOUBLE)" for m, d in enumerate(dists)),
+        ),
+    )
 
     cand = cells.join(F.broadcast(probes), "cell_id").select("query_id", "vec_id")
     paired = (

@@ -573,7 +573,10 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     cur = seq
     for k in range(1, BPE_STEPS + 1):
-        best = top_pair(cur)
+        # persist the 1-row winner: the collect() below materializes it, and
+        # the final union then reads the cache instead of recomputing the
+        # whole count-and-rank subtree a second time per step
+        best = top_pair(cur).persist()
         row = best.select(
             F.lit(k).alias("step"),
             F.split(F.col("pr"), _BPE_SEP)[0].alias("merge_left"),
@@ -582,10 +585,10 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("long").alias("pair_count"),
         )
         out = row if out is None else out.unionByName(row)
+        # one-row driver hop parameterizes the next step's merge (and warms
+        # the persist) — the iterative-algorithm pattern, not driver compute
+        pr = best.collect()[0]["pr"]
         if k < BPE_STEPS:
-            # one-row driver hop parameterizes the next step's merge —
-            # the iterative-algorithm pattern, not a driver-side compute
-            pr = best.collect()[0]["pr"]
             cur = cur.select(
                 F.replace(
                     F.col("seq"), F.lit(pr), F.lit(pr.replace(_BPE_SEP, ""))

@@ -106,6 +106,8 @@ HEADLINE = [
     "text_bigram_lm",
     "emb_centroids",
     "bpe_merge_steps",
+    "text_perplexity_bigram",
+    "nearest_centroid_confusion",
 ]
 
 

@@ -1076,3 +1076,101 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_vecs")
         ).alias("centroid"),
     )
+
+
+# --------------------------------------------------------------------------
+# Nearest-centroid classification + confusion matrix: the cheapest useful
+# embedding classifier (Rocchio), and the eval table that says whether the
+# label space is separable before anyone trains a probe.
+# --------------------------------------------------------------------------
+def _ncc_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH cent AS ({ORACLES['emb_centroids']}),
+    x AS (
+        SELECT vec_id, label AS true_label,
+               unnest(generate_series(1, {DIM})) AS dim,
+               embedding
+        FROM embeddings
+    ), d AS (
+        SELECT x.vec_id, x.true_label, c.label AS cand_label,
+               list_reduce(
+                   [0.0] || list_transform(
+                       list_sort(list(struct_pack(
+                           dm := x.dim,
+                           t := (CAST(x.embedding[x.dim] AS DOUBLE) - c.centroid)
+                              * (CAST(x.embedding[x.dim] AS DOUBLE) - c.centroid)))),
+                       __s -> __s.t),
+                   (a, b) -> a + b) AS dist
+        FROM x JOIN cent c USING (dim)
+        GROUP BY x.vec_id, x.true_label, c.label
+    ), pred AS (
+        SELECT vec_id, true_label,
+               (min(struct_pack(ds := dist, lab := cand_label))).lab AS pred_label
+        FROM d GROUP BY vec_id, true_label
+    )
+    SELECT CAST(true_label AS INTEGER) AS true_label,
+           CAST(pred_label AS INTEGER) AS pred_label,
+           count(*) AS n_vecs
+    FROM pred
+    GROUP BY 1, 2
+    """
+
+
+@query("nearest_centroid_confusion", oracle=_ncc_oracle())
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio / nearest-centroid classification of every vector against
+    the per-label mean embeddings, rolled up as a confusion matrix — the
+    is-this-label-space-separable check that runs before anyone trains a
+    real probe. Composes the REGISTERED emb_centroids on both engine and
+    oracle sides.
+
+    Determinism: per-(vector, candidate-label) distance folds the
+    dimension terms in dim-sorted order with a 0.0 seed (centroids are
+    themselves order-pinned doubles), and the argmin tie-breaks on the
+    smaller label — both engines agree bit-for-bit. Plan: the exploded
+    dim join keys on dim against the tiny centroid table (broadcast);
+    distances aggregate per (vec, label); the confusion rollup is a
+    handful of rows. At production scale the centroid table stays
+    broadcast-sized (labels × dims) and the scan dominates."""
+    from ..registry import QUERIES
+
+    cent = QUERIES["emb_centroids"](spark, sf_dir).select(
+        F.col("label").alias("cand_label"), "dim", "centroid"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode("embedding").alias("pos0", "val"),
+    ).select(
+        "vec_id",
+        "true_label",
+        (F.col("pos0") + 1).cast("long").alias("dim"),
+        F.col("val").cast("double").alias("x"),
+    )
+    term = (F.col("x") - F.col("centroid")) * (F.col("x") - F.col("centroid"))
+    d = (
+        x.join(F.broadcast(cent), "dim")
+        .select("vec_id", "true_label", "cand_label", F.col("dim").alias("dm"), term.alias("t"))
+        .groupBy("vec_id", "true_label", "cand_label")
+        .agg(
+            F.expr(
+                "aggregate(transform(sort_array(collect_list(struct(dm, t))),"
+                " __s -> __s.t), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            ).alias("dist")
+        )
+    )
+    pred = d.groupBy("vec_id", "true_label").agg(
+        F.min(F.struct(F.col("dist").alias("ds"), F.col("cand_label").alias("lab")))[
+            "lab"
+        ].alias("pred_label")
+    )
+    return (
+        pred.groupBy(
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("pred_label").cast("int").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )

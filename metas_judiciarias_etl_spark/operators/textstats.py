@@ -595,3 +595,86 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("seq")
             )
     return out
+
+
+# --------------------------------------------------------------------------
+# Perplexity-proxy quality filter: score each document under the corpus'
+# own bigram LM — the CCNet-style "how surprising is this text" filter
+# that separates fluent prose from boilerplate/garbage before training.
+# --------------------------------------------------------------------------
+@query(
+    "text_perplexity_bigram",
+    oracle=f"""
+    WITH docs_t AS (
+        SELECT doc_id, {_SQL_TOKS} AS ts FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ts) - 1),
+                   __i -> struct_pack(w1 := ts[__i], w2 := ts[__i + 1]))) AS b
+        FROM docs_t WHERE len(ts) >= 2
+    ), flat AS (
+        SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg
+    ), pairs AS (
+        SELECT w1, w2, count(*) AS n_pair FROM flat GROUP BY w1, w2
+    ), lhs AS (
+        SELECT w1, sum(n_pair) AS n_w1 FROM pairs GROUP BY w1
+    ), probs AS (
+        SELECT p.w1, p.w2,
+               CAST(p.n_pair AS DOUBLE) / l.n_w1 AS cond_p
+        FROM pairs p JOIN lhs l USING (w1)
+    ), terms AS (
+        SELECT f.doc_id, -ln(pr.cond_p) AS nlp
+        FROM flat f JOIN probs pr USING (w1, w2)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(list_reduce([0.0] || list_sort(list(nlp)), (a, b) -> a + b)
+                 / count(*), 6) AS avg_neg_logp
+    FROM terms
+    GROUP BY doc_id
+    """,
+)
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-probability under the corpus'
+    own bigram model — the count-based perplexity proxy (CCNet recipe)
+    that flags low-fluency/boilerplate docs for the training mix without
+    any neural model. Lower = more typical of the corpus.
+
+    Determinism: ln() can differ between engines at ULP level, so the
+    per-doc fold sorts the term list and seeds 0.0 (the entropy_fold
+    discipline) and the output rounds to 6 dp — accumulation order is
+    pinned and ULP noise is absorbed. Plan: ONE bigram explode feeds
+    both the LM counts and the scoring join; probability lookup is a
+    vocabulary-keyed equi-join (Zipf head collapses in map-side
+    partials); the per-doc rollup keys on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    docs_t = docs.select("doc_id", toks.alias("ts")).filter(F.size("ts") >= 2)
+    n = F.size("ts")
+    zipped = F.arrays_zip(
+        F.slice("ts", 1, n - 1).alias("w1"), F.slice("ts", 2, n - 1).alias("w2")
+    )
+    flat = docs_t.select("doc_id", F.explode(zipped).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    ).persist()
+    flat.count()  # materialize: feeds LM counts AND the scoring join
+    pairs = flat.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    lhs = pairs.groupBy("w1").agg(F.sum("n_pair").alias("n_w1"))
+    probs = pairs.join(lhs, "w1").select(
+        "w1", "w2",
+        (F.col("n_pair").cast("double") / F.col("n_w1")).alias("cond_p"),
+    )
+    terms = flat.join(probs, ["w1", "w2"]).select(
+        "doc_id", (-F.log(F.col("cond_p"))).alias("nlp")
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.expr(
+                "aggregate(sort_array(collect_list(nlp)),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_neg_logp"),
+    )

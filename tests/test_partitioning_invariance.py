@@ -35,6 +35,8 @@ QUERIES = [
     "bpe_merge_steps",          # iterative top-pair selection per step
     "mad_robust_outliers",      # interpolated medians + boundary compares
     "knn_classify",             # majority vote with struct-min tie-break
+    "text_perplexity_bigram",   # sorted ln-term folds per doc
+    "nearest_centroid_confusion",  # dim-sorted distance folds + argmin
 ]
 
 

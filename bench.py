@@ -108,6 +108,7 @@ HEADLINE = [
     "bpe_merge_steps",
     "text_perplexity_bigram",
     "nearest_centroid_confusion",
+    "prep_pipeline_v2",
 ]
 
 

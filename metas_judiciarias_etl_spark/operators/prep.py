@@ -357,3 +357,109 @@ def dataset_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("max_doc_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-3 composed pipeline: the full modern pre-training prep chain as ONE
+# Catalyst plan — quality gate, perplexity gate, canonical-text dedup,
+# deterministic split assignment, per-(split, source) accounting.
+# --------------------------------------------------------------------------
+PPL_MAX = 6.0  # drop docs whose bigram avg-neg-logp exceeds this
+
+
+def _v2_oracle() -> str:
+    from ..registry import ORACLES
+    from .dedup import _NORM_SQL
+
+    from ..functions.hashing import sql_hash48
+
+    quality_cte = ORACLES["text_quality"]
+    ppl_cte = ORACLES["text_perplexity_bigram"]
+    h = sql_hash48("CAST(d.doc_id AS VARCHAR)")
+    return f"""
+    WITH q AS ({quality_cte}),
+    ppl AS ({ppl_cte}),
+    d AS (
+        SELECT doc_id, source, n_chars,
+               md5({_NORM_SQL.format(c='text')}) AS norm_hash
+        FROM documents
+    ),
+    kept AS (
+        SELECT d.doc_id, d.source, d.n_chars, d.norm_hash,
+               CASE WHEN {h} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN {h} % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM d
+        JOIN q USING (doc_id)
+        JOIN ppl USING (doc_id)
+        WHERE q.quality >= {QUALITY_MIN} AND q.n_tokens >= {TOKENS_MIN}
+          AND ppl.avg_neg_logp <= {PPL_MAX}
+    ),
+    uniq AS (
+        SELECT * FROM (
+            SELECT kept.*,
+                   min(doc_id) OVER (PARTITION BY norm_hash) AS keeper
+            FROM kept
+        ) WHERE doc_id = keeper
+    )
+    SELECT split, source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM uniq
+    GROUP BY split, source
+    """
+
+
+@query("prep_pipeline_v2", oracle=_v2_oracle())
+def prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern pre-training prep chain in ONE plan: surface-quality
+    gate (text_quality) ∧ fluency gate (text_perplexity_bigram) →
+    canonical-text dedup keeper (the C4 normalize-then-hash rule) →
+    deterministic hash split → per-(split, source) accounting. Every
+    stage is the REGISTERED operator, composed — engine side calls the
+    functions, oracle side splices the registered CTEs, so the pipeline
+    can never drift from its parts.
+
+    100 TB shape: the gates are scan-stage joins on doc_id (quality is
+    map-only; perplexity's LM joins are vocabulary-keyed); the keeper
+    window shuffles once on the canonical hash; the split predicate is a
+    pure projection; the report is a tiny two-key rollup."""
+    from ..functions.hashing import hash48
+    from ..registry import QUERIES
+    from .dedup import _NORM_SPARK
+
+    q = QUERIES["text_quality"](spark, sf_dir).select(
+        "doc_id", "quality", "n_tokens"
+    )
+    ppl = QUERIES["text_perplexity_bigram"](spark, sf_dir).select(
+        "doc_id", "avg_neg_logp"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", F.md5(_NORM_SPARK(F.col("text"))).alias("norm_hash")
+    )
+    bucket = hash48(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    kept = (
+        docs.join(q, "doc_id")
+        .join(ppl, "doc_id")
+        .filter(
+            (F.col("quality") >= QUALITY_MIN)
+            & (F.col("n_tokens") >= TOKENS_MIN)
+            & (F.col("avg_neg_logp") <= PPL_MAX)
+        )
+        .withColumn("split", split)
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("norm_hash"))
+    uniq = kept.withColumn("keeper", keeper).filter(
+        F.col("doc_id") == F.col("keeper")
+    )
+    return uniq.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+    )

@@ -37,6 +37,7 @@ QUERIES = [
     "knn_classify",             # majority vote with struct-min tie-break
     "text_perplexity_bigram",   # sorted ln-term folds per doc
     "nearest_centroid_confusion",  # dim-sorted distance folds + argmin
+    "prep_pipeline_v2",         # gates + keeper window + split composition
 ]
 
 

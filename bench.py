@@ -109,6 +109,7 @@ HEADLINE = [
     "text_perplexity_bigram",
     "nearest_centroid_confusion",
     "prep_pipeline_v2",
+    "approx_percentile_by_key",
 ]
 
 

@@ -485,3 +485,61 @@ def regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(matches, "|").alias("s_words"),
         F.size(matches).alias("n_matches"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-key approximate percentiles: the mergeable-sketch path the exact
+# percentile operators document for unbounded key counts, registered with
+# its own checkable contract.
+# --------------------------------------------------------------------------
+@query(
+    "approx_percentile_by_key",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           round(quantile_cont(cents, 0.5) / 100.0, 6) AS exact_p50,
+           CAST(approx_quantile(cents, 0.5)
+                    BETWEEN quantile_cont(cents, 0.40)
+                        AND quantile_cont(cents, 0.60) AS INT)
+               AS within_rank_bound
+    FROM c
+    GROUP BY user_id
+    """,
+)
+def approx_percentile_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user median via the mergeable t-digest sketch — the scale path
+    percentile_agg/mad_robust_outliers document for UNBOUNDED key counts
+    (exact percentile holds a group's values in memory; a sketch holds a
+    constant-size summary and merges map-side). Raw sketch output is
+    engine-specific, so the checkable contract mirrors
+    approx_distinct_sketch: each engine asserts ITS OWN approximate
+    median lands within the exact 40th-60th-percentile rank band, and
+    both engines agree exactly on (user, count, exact median, 1).
+    Values quantize to integer cents so the exact interpolated medians
+    are identical doubles on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.percentile("cents", F.lit(0.5)).alias("__p50"),
+            F.percentile("cents", F.lit(0.40)).alias("__p40"),
+            F.percentile("cents", F.lit(0.60)).alias("__p60"),
+            F.percentile_approx("cents", F.lit(0.5), F.lit(10000)).alias("__ap"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("__p50") / 100.0, 6).alias("exact_p50"),
+            F.col("__ap")
+            .between(F.col("__p40"), F.col("__p60"))
+            .cast("int")
+            .alias("within_rank_bound"),
+        )
+    )

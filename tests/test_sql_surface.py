@@ -78,3 +78,15 @@ def test_observe_metrics_ride_the_job(spark, sf_small):
         F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
     ).collect()[0][0]
     assert got["cents_seen"] == expected
+
+
+def test_bench_headline_names_all_registered():
+    """bench.py silently skips unknown names (fn is None -> continue) — a
+    typo'd headline entry would vanish from BENCH output without failing
+    anything. Pin every headline name to the registry."""
+    import bench
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    missing = [n for n in bench.HEADLINE if n not in registry.QUERIES]
+    assert not missing, f"headline entries not in registry: {missing}"

@@ -110,6 +110,8 @@ HEADLINE = [
     "nearest_centroid_confusion",
     "prep_pipeline_v2",
     "approx_percentile_by_key",
+    "dedup_cluster_sizes",
+    "mm_frame_dedup",
 ]
 
 

@@ -642,3 +642,52 @@ def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster-size distribution: the report a dedup run actually ships — how
+# much of the corpus sits in singletons vs boilerplate mega-clusters, and
+# how many docs dedup would remove at keeper-per-cluster.
+# --------------------------------------------------------------------------
+def _cluster_sizes_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH clusters AS ({ORACLES['dedup_clusters']}),
+    sized AS (
+        SELECT cluster_id, count(*) AS cluster_size FROM clusters
+        GROUP BY cluster_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+           CAST(sum(cluster_size - 1) AS BIGINT) AS n_removable
+    FROM sized
+    GROUP BY cluster_size
+    """
+
+
+@query("dedup_cluster_sizes", oracle=_cluster_sizes_oracle())
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram over the REGISTERED connected
+    components (engine and oracle both compose dedup_clusters, so the
+    report can never disagree with the clustering): per size, how many
+    clusters, how many documents they hold, and how many docs a
+    keeper-per-cluster policy removes. The shape that decides whether a
+    corpus has a boilerplate problem before anyone deletes anything.
+    Two tiny aggregations over the cluster assignment — cost lives in
+    the clustering itself."""
+    from ..registry import QUERIES
+
+    clusters = QUERIES["dedup_clusters"](spark, sf_dir)
+    sized = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sized.groupBy(F.col("cluster_size").cast("long").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+            F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
+        )
+    )

@@ -521,3 +521,46 @@ def mm_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _payloads(docs).select("doc_id", "payload").mapInPandas(
         _audio_rms_batches, schema=_RMS_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-document frame dedup: duplicated frames across payloads — the
+# video-pipeline variant of exact dedup (near-identical intros/outros and
+# repeated stock footage show up as shared frame digests).
+# --------------------------------------------------------------------------
+def _frame_dedup_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH frames AS ({ORACLES['mm_frame_sample']})
+    SELECT frame_md5,
+           count(*) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM frames
+    GROUP BY frame_md5
+    HAVING count(DISTINCT doc_id) > 1
+    """
+
+
+@query("mm_frame_dedup", oracle=_frame_dedup_oracle())
+def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frames shared across documents, from the REGISTERED frame sampler
+    (engine and oracle compose mm_frame_sample): content digest, how
+    often and in how many payloads it repeats, deterministic keeper. At
+    100 TB this is ONE shuffle on the 128-bit digest over the sampled
+    frames — the same cost envelope as exact text dedup, which is the
+    point: frame-level video dedup is exact dedup after the decode
+    stage."""
+    from ..registry import QUERIES
+
+    frames = QUERIES["mm_frame_sample"](spark, sf_dir)
+    return (
+        frames.groupBy("frame_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

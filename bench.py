@@ -112,6 +112,8 @@ HEADLINE = [
     "approx_percentile_by_key",
     "dedup_cluster_sizes",
     "mm_frame_dedup",
+    "rolling_active_users",
+    "funnel_three_step",
 ]
 
 

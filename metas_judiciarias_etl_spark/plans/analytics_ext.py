@@ -1006,3 +1006,86 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_unchanged"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Three-step strict-order funnel: view → click → purchase, each within an
+# hour of the previous step — chained running-max windows, still linear.
+# --------------------------------------------------------------------------
+@query(
+    "funnel_three_step",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               max(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER w AS last_view_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ), q AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'click' AND last_view_ts IS NOT NULL
+                         AND epoch(ts) - epoch(last_view_ts) <= 3600
+                    THEN ts END AS qclick_ts
+        FROM seq
+    ), seq2 AS (
+        SELECT user_id, ts, event_type,
+               max(qclick_ts) OVER w AS last_qclick_ts
+        FROM q
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           CAST(sum(CASE WHEN last_qclick_ts IS NOT NULL
+                              AND epoch(ts) - epoch(last_qclick_ts) <= 3600
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel_conversions
+    FROM seq2
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order 3-step funnel (view → click → purchase, each step ≤ 1 h
+    after the previous): the 'qualified predecessor' running MAX chains —
+    a click is qualified only if a view precedes it in time, and a
+    purchase converts only off a qualified click — so an N-step funnel
+    stays ONE window pass per step over the SAME (user_id, ts, event_id)
+    partitioning: one shuffle total, never a step-wise self-join (the
+    naive form is product-of-step-counts per user). Timestamps are int64
+    nanos; window math is pure integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    hour_ns = 3600 * 1_000_000_000
+    seq = ev.withColumn(
+        "last_view_ts",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    q = seq.withColumn(
+        "qclick_ts",
+        F.when(
+            (F.col("event_type") == "click")
+            & F.col("last_view_ts").isNotNull()
+            & ((F.col("ts") - F.col("last_view_ts")) <= hour_ns),
+            F.col("ts"),
+        ),
+    )
+    seq2 = q.withColumn("last_qclick_ts", F.max("qclick_ts").over(w))
+    return (
+        seq2.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(
+                F.when(
+                    F.col("last_qclick_ts").isNotNull()
+                    & ((F.col("ts") - F.col("last_qclick_ts")) <= hour_ns),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_funnel_conversions"),
+        )
+    )

@@ -446,3 +446,63 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+_DAY_NS = 86_400 * _NS
+RAU_WINDOW_DAYS = 7
+
+
+@query(
+    "rolling_active_users",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // {_DAY_NS} AS day FROM events
+    ), bounds AS (
+        SELECT min(day) AS lo, max(day) AS hi FROM ud
+    ), contrib AS (
+        SELECT user_id,
+               unnest(generate_series(day, day + {RAU_WINDOW_DAYS - 1})) AS w_day
+        FROM ud
+    ), dedup AS (
+        SELECT DISTINCT user_id, w_day FROM contrib
+    )
+    SELECT CAST(d.w_day AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS active_users_7d
+    FROM dedup d, bounds b
+    WHERE d.w_day BETWEEN b.lo AND b.hi
+    GROUP BY d.w_day
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (the WAU curve). Spark
+    has no count-distinct-over-RANGE-window, so this uses the idiomatic
+    explode-to-window form: each (user, active-day) pair contributes to
+    the 7 window end-days it falls inside, the contributions dedupe on
+    (user, window-day), and a plain count per day finishes — distinct
+    semantics without any window function at all.
+
+    Scale: the explode multiplies the USER-DAY grain (already reduced
+    from raw events) by the window length, not the event count; both
+    dedup and count are partial-aggregatable shuffles on high-cardinality
+    keys. Day boundaries are integer nanosecond division. The report is
+    clipped to days inside the observed range so both engines agree on
+    the frame."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts div {_DAY_NS}").alias("day")
+    )
+    ud = ev.distinct()
+    bounds = ud.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (RAU_WINDOW_DAYS - 1))
+        ).alias("w_day"),
+    ).distinct()
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("w_day").between(F.col("lo"), F.col("hi")))
+        .groupBy(F.col("w_day").cast("long").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users_7d"))
+    )

@@ -114,6 +114,7 @@ HEADLINE = [
     "mm_frame_dedup",
     "rolling_active_users",
     "funnel_three_step",
+    "dedup_incremental_ingest",
 ]
 
 

@@ -691,3 +691,86 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental ingest dedup: the daily-batch production shape — new docs
+# checked against the historical corpus without re-deduping history.
+# --------------------------------------------------------------------------
+INGEST_MOD = 5  # hash48(doc_id) % 5 == 0 → ~20% "incoming batch"
+
+
+def _incremental_oracle() -> str:
+    h = sql_hash48("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               md5(text) AS raw_hash,
+               md5({_NORM_SQL.format(c='text')}) AS norm_hash,
+               {h} % {INGEST_MOD} = 0 AS is_incoming
+        FROM documents
+    ), history AS (
+        SELECT DISTINCT raw_hash, norm_hash FROM keyed WHERE NOT is_incoming
+    )
+    SELECT k.source,
+           count(*) AS n_incoming,
+           CAST(sum(CASE WHEN h_raw.raw_hash IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+           CAST(sum(CASE WHEN h_raw.raw_hash IS NULL
+                              AND h_norm.norm_hash IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical_dups,
+           CAST(sum(CASE WHEN h_raw.raw_hash IS NULL
+                              AND h_norm.norm_hash IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+    FROM (SELECT * FROM keyed WHERE is_incoming) k
+    LEFT JOIN (SELECT DISTINCT raw_hash FROM history) h_raw
+           ON h_raw.raw_hash = k.raw_hash
+    LEFT JOIN (SELECT DISTINCT norm_hash FROM history) h_norm
+           ON h_norm.norm_hash = k.norm_hash
+    GROUP BY k.source
+    """
+
+
+@query("dedup_incremental_ingest", oracle=_incremental_oracle())
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup against the historical corpus: each incoming doc
+    (a deterministic ~20% hash split plays the new batch) is classified
+    exact-dup / canonical-dup (C4 normalize-then-hash) / novel against
+    the history's hash index, per source. This is the PRODUCTION dedup
+    shape — history is touched only through its distinct hash sets,
+    never re-deduped, so the per-batch cost is O(batch + index probe).
+
+    At 100 TB the history hash sets live as a compacted table keyed by
+    hash; the probes are plain equi-joins on 128-bit keys (shuffle or
+    broadcast depending on batch size) — here expressed exactly that
+    way. Left joins preserve every incoming doc; the classification is
+    mutually exclusive by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("raw_hash"),
+        F.md5(_NORM_SPARK(F.col("text"))).alias("norm_hash"),
+        (hash48(F.col("doc_id").cast("string")) % INGEST_MOD == 0).alias(
+            "is_incoming"
+        ),
+    )
+    history = keyed.filter(~F.col("is_incoming"))
+    h_raw = history.select("raw_hash").distinct().withColumn("hit_raw", F.lit(1))
+    h_norm = (
+        history.select("norm_hash").distinct().withColumn("hit_norm", F.lit(1))
+    )
+    incoming = keyed.filter("is_incoming")
+    classified = (
+        incoming.join(h_raw, "raw_hash", "left")
+        .join(h_norm, "norm_hash", "left")
+    )
+    exact = F.col("hit_raw").isNotNull()
+    canon = F.col("hit_raw").isNull() & F.col("hit_norm").isNotNull()
+    novel = F.col("hit_raw").isNull() & F.col("hit_norm").isNull()
+    return classified.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum(exact.cast("int")).cast("long").alias("n_exact_dups"),
+        F.sum(canon.cast("int")).cast("long").alias("n_canonical_dups"),
+        F.sum(novel.cast("int")).cast("long").alias("n_novel"),
+    )

@@ -115,6 +115,9 @@ HEADLINE = [
     "rolling_active_users",
     "funnel_three_step",
     "dedup_incremental_ingest",
+    "asof_join_tolerance",
+    "graph_degree_distribution",
+    "text_lang_confusion",
 ]
 
 

@@ -678,3 +678,33 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_neg_logp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix: the accuracy report for the lang_id gate.
+# --------------------------------------------------------------------------
+def _lang_confusion_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH pred AS ({ORACLES['text_lang_id']})
+    SELECT lang_label, lang_pred,
+           count(*) AS n_docs
+    FROM pred
+    GROUP BY lang_label, lang_pred
+    """
+
+
+@query("text_lang_confusion", oracle=_lang_confusion_oracle())
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the registered language-ID gate against the
+    corpus labels (engine and oracle both compose text_lang_id) — the
+    report that says whether a lang filter is safe to apply before it
+    drops half a language's documents. One tiny two-key rollup over the
+    map-only classifier."""
+    from ..registry import QUERIES
+
+    pred = QUERIES["text_lang_id"](spark, sf_dir)
+    return pred.groupBy("lang_label", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

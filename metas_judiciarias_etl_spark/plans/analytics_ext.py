@@ -1089,3 +1089,61 @@ def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_funnel_conversions"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Degree distribution over the same co-occurrence graph: the first profile
+# anyone pulls before running heavier graph algorithms on a new edge set.
+# --------------------------------------------------------------------------
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH picked AS (
+        SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey <= 300
+    ), edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM picked a JOIN picked b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+        SELECT node, count(*) AS degree FROM (
+            SELECT u AS node FROM edges
+            UNION ALL
+            SELECT v AS node FROM edges
+        ) GROUP BY node
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           count(*) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node
+    FROM deg
+    GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the part co-occurrence graph (same oriented
+    u<v edge build as graph_triangle_count, un-oriented for degrees by
+    unioning both endpoints): per degree, how many nodes — the skew
+    profile that decides whether the heavier algorithms (triangles, CC,
+    PageRank) need salting before they run. Two count aggregations over
+    the edge list; the edge build dominates and is shared logic with the
+    triangle counter."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 300)
+    picked = li.select("l_orderkey", "l_partkey")
+    a = picked.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = picked.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    nodes = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy(F.col("degree").cast("long").alias("degree"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+        )
+    )

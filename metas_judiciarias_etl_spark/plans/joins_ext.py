@@ -467,3 +467,88 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("cents") / 100.0, 2).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join with staleness tolerance: the TSDB variant where a match older
+# than the tolerance window is no match at all (sensor joins, price lookups
+# with max staleness). Same union + running-last composition as the
+# unbounded as-of; the tolerance is a post-window predicate on the carried
+# match timestamp.
+# --------------------------------------------------------------------------
+ASOF_TOL_US = 600 * 1_000_000  # 10-minute staleness cap
+
+
+@query(
+    "asof_join_tolerance",
+    oracle=f"""
+    SELECT c.event_id, c.user_id,
+           (c.ts_us // 1000000) AS click_ts_s,
+           CASE WHEN p.ts_us IS NOT NULL
+                     AND c.ts_us - p.ts_us <= {ASOF_TOL_US}
+                THEN round(p.mx_value, 2) END AS fresh_purchase_value,
+           CAST(p.ts_us IS NOT NULL
+                AND c.ts_us - p.ts_us <= {ASOF_TOL_US} AS INT) AS is_fresh
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+          WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS mx_value
+                    FROM events WHERE event_type = 'purchase'
+                    GROUP BY user_id, epoch_us(ts)) p
+      ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 10-minute staleness cap: each click sees its
+    user's most recent at-or-before purchase ONLY if that purchase is
+    within the tolerance window — matches older than the cap are nulled
+    (the ``ASOF ... TOLERANCE`` semantics of kdb/QuestDB/Pandas
+    merge_asof). Composition: the unbounded as-of's union + running
+    ``last(ignorenulls)`` carries the matched purchase TIMESTAMP
+    alongside its value; the tolerance check is then a plain post-window
+    predicate — still ONE shuffle on user_id, no inequality join
+    anywhere."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("(ts - pmod(ts, 1000)) div 1000")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.lit(None).cast("double").alias("mx_value"),
+        F.lit(None).cast("long").alias("p_ts_us"),
+        F.lit(1).alias("_src"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("mx_value"))
+        .select(
+            "user_id",
+            "ts_us",
+            F.lit(None).cast("long").alias("event_id"),
+            "mx_value",
+            F.col("ts_us").alias("p_ts_us"),
+            F.lit(0).alias("_src"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "_src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fresh = F.col("_last_ts").isNotNull() & (
+        (F.col("ts_us") - F.col("_last_ts")) <= ASOF_TOL_US
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("_last_val", F.last("mx_value", ignorenulls=True).over(w))
+        .withColumn("_last_ts", F.last("p_ts_us", ignorenulls=True).over(w))
+        .filter(F.col("_src") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("ts_us div 1000000").alias("click_ts_s"),
+            F.when(fresh, F.round("_last_val", 2)).alias("fresh_purchase_value"),
+            fresh.cast("int").alias("is_fresh"),
+        )
+    )

@@ -118,6 +118,7 @@ HEADLINE = [
     "asof_join_tolerance",
     "graph_degree_distribution",
     "text_lang_confusion",
+    "scd2_as_of",
 ]
 
 

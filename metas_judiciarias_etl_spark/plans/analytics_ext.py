@@ -1147,3 +1147,57 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("node").cast("long").alias("min_node"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time lookup: "what was every entity's attribute at time T"
+# over the registered history table — the read side of slowly-changing
+# dimensions.
+# --------------------------------------------------------------------------
+def _scd2_as_of_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH hist AS ({ORACLES['scd2_intervals']}),
+    t AS (
+        SELECT (min(valid_from_s) + max(valid_from_s)) // 2 AS as_of_s
+        FROM hist
+    )
+    SELECT h.user_id,
+           h.attr_value,
+           h.valid_from_s,
+           CAST(t.as_of_s AS BIGINT) AS as_of_s
+    FROM hist h, t
+    WHERE h.valid_from_s <= t.as_of_s
+      AND (h.valid_to_s IS NULL OR h.valid_to_s > t.as_of_s)
+    """
+
+
+@query("scd2_as_of", oracle=_scd2_as_of_oracle())
+def scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: the version of every entity valid
+    at T, read from the REGISTERED scd2_intervals history (both engine
+    and oracle compose it, so the lookup can never disagree with the
+    build). T is derived deterministically from the data (the midpoint
+    of observed interval starts, pure integer math) so the query
+    survives fixture regeneration. Interval chains are contiguous and
+    tie-broken, so ``from <= T < to`` (open interval = current) matches
+    at most one version per entity. Plan: the history scan filtered by
+    two scalar comparisons against a broadcast 1-row bound — at scale
+    this is the partition-pruned read path of any bitemporal table."""
+    from ..registry import QUERIES
+
+    hist = QUERIES["scd2_intervals"](spark, sf_dir)
+    # integer div: matches DuckDB's // exactly (double division + truncation
+    # would agree only while epochs stay positive)
+    t = hist.agg(
+        F.expr("(min(valid_from_s) + max(valid_from_s)) div 2").alias("as_of_s")
+    )
+    return (
+        hist.crossJoin(F.broadcast(t))
+        .filter(
+            (F.col("valid_from_s") <= F.col("as_of_s"))
+            & (F.col("valid_to_s").isNull() | (F.col("valid_to_s") > F.col("as_of_s")))
+        )
+        .select("user_id", "attr_value", "valid_from_s", "as_of_s")
+    )

@@ -38,6 +38,16 @@ QUERIES = [
     "text_perplexity_bigram",   # sorted ln-term folds per doc
     "nearest_centroid_confusion",  # dim-sorted distance folds + argmin
     "prep_pipeline_v2",         # gates + keeper window + split composition
+    "asof_join_tolerance",      # running last(ignorenulls) + staleness cap
+    "rolling_active_users",     # explode-to-window distinct counting
+    "funnel_three_step",        # chained qualified-predecessor windows
+    "scd2_as_of",               # data-derived T + interval containment
+    "dedup_incremental_ingest", # batch-vs-history hash probes
+    "dedup_cluster_sizes",      # CC loop + size rollup
+    "mm_frame_dedup",           # digest-keyed frame dedup
+    "approx_percentile_by_key", # sketch-vs-exact rank-band contract
+    "graph_degree_distribution",  # edge build + degree rollup
+    "text_lang_confusion",      # composed classifier rollup
 ]
 
 

@@ -1,0 +1,370 @@
+"""Round-4 scale extensions: the remaining operator shapes a 100 TB
+analytics/training-data platform runs daily that the registry did not yet
+cover — decayed averages (EWMA), bitmap-word exact distinct counting,
+small-file compaction planning, NOT IN three-valued-logic semantics, and a
+positional inverted index with phrase search.
+
+Determinism rules (cross-engine hash parity), same discipline as the rest
+of the package:
+
+* ewma_halflife: the decay is alpha = 1/2 over a FIXED 16-tap horizon, so
+  every weight is a power of two; the weighted sum is a single exact
+  BIGINT aggregate (order-free) and only the final normalization is one
+  IEEE double division — bit-identical on both engines.
+* bitmap_distinct_users: pure integer bit algebra (shiftleft / bit_or /
+  bit_count); no floats anywhere.
+* compaction_bins: integer prefix sums and floor division only.
+* not_in_null_semantics: counts under three join semantics; integers.
+* inverted index / phrase search: integer positions, deterministic
+  sorted-position CSV serialization.
+
+Scale notes (100 TB):
+
+* ewma_halflife: one shuffle on user_id; the 16-tap truncation bounds
+  per-key state to a constant (this is exactly how a feature store
+  materializes decayed features — full-history EWMA is a streaming
+  accumulator, not a batch scan).
+* bitmap_distinct_users: the classic bitmap-rollup trick — distinct
+  counting becomes two partial-aggregatable integer aggregations
+  ((day, word) bit_or, then day sum of popcounts); no count(distinct)
+  expansion, no shuffle of raw user ids beyond the first keyed agg.
+  Words are user_id DIV 32, so the intermediate is |days| x |users|/32
+  rows at worst — 32x smaller than the distinct expansion, and the
+  pattern composes with segment intersection (bit_and) for free.
+* compaction_bins: windows partition by ``source`` (a real table would
+  use its partition column) — per-partition sequential fill, no global
+  ordering anywhere.
+* not_in_null_semantics: Catalyst plans the NOT IN as a null-aware anti
+  join; the point of registering it is pinning the three-valued-logic
+  contract (NULL in the subquery annihilates NOT IN but not NOT EXISTS).
+* text_inverted_index / text_phrase_search: the posting-list build is one
+  (token, doc) agg; the phrase query is an equi-join on (doc_id,
+  position) — the distributed phrase-search shape, no regex over the
+  corpus at query time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.parquet import load_table
+
+# --------------------------------------------------------------------------
+# EWMA (half-life decay, 16-tap truncated horizon).
+# --------------------------------------------------------------------------
+EWMA_TAPS = 16
+EWMA_DENOM = float((1 << EWMA_TAPS) * 100)  # 2^16 scale x cents
+
+
+@query(
+    "ewma_halflife",
+    oracle=f"""
+    WITH tail AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_taps,
+           -- every weight is 2^(16-rn): the weighted sum is exact in BIGINT
+           -- and only this one division is floating point.
+           CAST(sum(cents * (CAST(1 AS BIGINT) << ({EWMA_TAPS} - rn))) AS DOUBLE)
+               / {EWMA_DENOM} AS ewma_value
+    FROM tail
+    WHERE rn <= {EWMA_TAPS}
+    GROUP BY user_id
+    """,
+)
+def ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of ``value`` per user with
+    alpha = 1/2, truncated to the 16 most recent events (tap j carries
+    weight 2^-(j+1); the omitted tail weight is < 2^-16 — the documented
+    contract, and the constant-state form a feature store materializes).
+
+    Because alpha is a power of two, scaling by 2^16 makes every term an
+    exact integer: the aggregate is an order-free BIGINT sum, immune to
+    shuffle layout, and the single final division is IEEE-identical on
+    both engines. One shuffle (the row_number window and the groupBy share
+    the user_id partitioning)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    tail = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= EWMA_TAPS
+    )
+    return tail.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_taps"),
+        (
+            F.sum(
+                F.col("cents")
+                * F.expr(f"shiftleft(CAST(1 AS BIGINT), {EWMA_TAPS} - rn)")
+            ).cast("double")
+            / F.lit(EWMA_DENOM)
+        ).alias("ewma_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bitmap-word exact distinct counting (the roaring-bitmap rollup shape).
+# --------------------------------------------------------------------------
+_DAY_NS = 86_400_000_000_000  # nanoseconds per day (engine side: int64 ns)
+
+
+@query(
+    "bitmap_distinct_users",
+    oracle="""
+    WITH words AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_id,
+               user_id // 32 AS word_id,
+               bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS word,
+               count(*) AS cnt
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT day_id,
+           CAST(sum(bit_count(word)) AS BIGINT) AS distinct_users,
+           CAST(sum(cnt) AS BIGINT) AS n_events
+    FROM words
+    GROUP BY day_id
+    """,
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily distinct users via bitmap words: user_id is packed into
+    32-bit words (word = id DIV 32, bit = id MOD 32), bit_or-ed per
+    (day, word), then popcount-summed per day. Distinct counting without a
+    count(distinct) expansion: both levels are partial-aggregatable
+    integer aggregations, the intermediate is 32x smaller than the raw
+    distinct shuffle, and day-over-day set intersection/union would be a
+    bit_and/bit_or join of the same words. Pure integer bit algebra —
+    nothing to diverge between engines."""
+    ev = load_table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            F.expr(f"ts div {_DAY_NS}").alias("day_id"),
+            F.expr("user_id div 32").alias("word_id"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("day_id", "word_id")
+        .agg(
+            F.expr("bit_or(mask)").alias("word"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return words.groupBy("day_id").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("distinct_users"),
+        F.sum("cnt").cast("long").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction planning (lakehouse table maintenance).
+# --------------------------------------------------------------------------
+COMPACT_TARGET = 4096  # target bytes (chars) per compacted output file
+
+
+@query(
+    "compaction_bins",
+    oracle=f"""
+    WITH offsets AS (
+        SELECT source,
+               doc_id,
+               n_chars,
+               CAST(coalesce(sum(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS start_offset
+        FROM documents
+    )
+    SELECT source,
+           start_offset // {COMPACT_TARGET} AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM offsets
+    GROUP BY source, bin_id
+    """,
+)
+def compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning for small files: within each ``source``
+    partition, files (documents, sized by n_chars) are packed in doc_id
+    order into target-sized bins by their exclusive prefix-sum start
+    offset — the sequential-fill policy a lakehouse OPTIMIZE job uses.
+    The window partitions by source (a real table's partition column), so
+    no global ordering exists anywhere and the plan stays fully parallel
+    across partitions. Integer prefix sums and floor division only."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("start_offset"),
+    )
+    return (
+        offsets.withColumn(
+            "bin_id", F.expr(f"start_offset div {COMPACT_TARGET}")
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# NOT IN three-valued logic vs NOT EXISTS (null-aware anti join contract).
+# --------------------------------------------------------------------------
+_NOT_IN_SQL = """
+    WITH sub AS (
+        SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END AS k
+        FROM orders
+    )
+    SELECT
+        CAST((SELECT count(*) FROM {customer} c
+              WHERE c.c_custkey NOT IN (SELECT k FROM sub)) AS BIGINT)
+            AS not_in_count,
+        CAST((SELECT count(*) FROM {customer} c
+              WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.k = c.c_custkey))
+             AS BIGINT) AS not_exists_count,
+        CAST((SELECT count(*) FROM {customer} c
+              WHERE c.c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL))
+             AS BIGINT) AS anti_nonnull_count,
+        CAST((SELECT count(*) FROM sub WHERE k IS NULL) AS BIGINT)
+            AS n_null_keys
+"""
+
+
+@query("not_in_null_semantics", oracle=_NOT_IN_SQL.format(customer="customer"))
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic contract of NOT IN vs NOT EXISTS over a nullable
+    subquery ('P'-status orders map to NULL): one NULL in the IN-list
+    makes ``x NOT IN (...)`` UNKNOWN for every non-matching row (so the
+    count collapses to 0 whenever a NULL key exists), while NOT EXISTS is
+    null-rejecting and still anti-joins. Catalyst plans the NOT IN as a
+    null-aware anti join; the null-free variant is the ordinary
+    LeftAnti. Registered precisely to pin this semantic corner — the
+    classic silent-wrong-answer trap when porting filters to a
+    distributed engine."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_NOT_IN_SQL.format(customer="customer"))
+
+
+# --------------------------------------------------------------------------
+# Positional inverted index + phrase search.
+# --------------------------------------------------------------------------
+_MIN_TOKEN_LEN = 6
+
+
+@query(
+    "text_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS token,
+               unnest(range(1, len(regexp_split_to_array(trim(text), '\\s+')) + 1))
+                   AS pos
+        FROM documents
+    )
+    SELECT token,
+           doc_id,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions_csv
+    FROM toks
+    WHERE length(token) >= {_MIN_TOKEN_LEN}
+    GROUP BY token, doc_id
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index over the corpus (vocabulary bounded to
+    tokens >= 6 chars): one posexplode into (token, doc, position), one
+    (token, doc) aggregation producing the sorted posting list as a CSV
+    string. The build is a single partial-aggregatable shuffle keyed on
+    (token, doc) — Zipf head spread by the doc component; serialization is
+    the sorted integer position list, deterministic under any layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos0", "token"),
+    ).filter(F.length("token") >= _MIN_TOKEN_LEN)
+    return (
+        toks.withColumn("pos", (F.col("pos0") + 1).cast("long"))
+        .groupBy("token", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("pos")),
+                    lambda p: p.cast("string"),
+                ),
+                ",",
+            ).alias("positions_csv"),
+        )
+    )
+
+
+PHRASE = ("fast", "table")
+
+
+@query(
+    "text_phrase_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS token,
+               unnest(range(1, len(regexp_split_to_array(trim(text), '\\s+')) + 1))
+                   AS pos
+        FROM documents
+    )
+    SELECT a.doc_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           min(a.pos) AS first_pos
+    FROM toks a
+    JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.token = '{PHRASE[0]}' AND b.token = '{PHRASE[1]}'
+    GROUP BY a.doc_id
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ('fast table') as a positional equi-join: each
+    side filters its term FIRST (the posting-list lookup), then joins on
+    (doc_id, adjacent position) — the inverted-index query shape, never a
+    regex over the corpus. Both join inputs are tiny post-filter; the join
+    keys on (doc_id, pos), so the candidate space is positions of the
+    rarer term, exactly as a search engine intersects posting lists."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos0", "token"),
+    ).withColumn("pos", (F.col("pos0") + 1).cast("long"))
+    a = toks.filter(F.col("token") == PHRASE[0]).select("doc_id", "pos")
+    b = toks.filter(F.col("token") == PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("pos").alias("first_pos"),
+        )
+    )

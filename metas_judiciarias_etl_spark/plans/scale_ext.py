@@ -368,3 +368,291 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pos").alias("first_pos"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: heavy-hitter frequency estimation.
+# --------------------------------------------------------------------------
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPK = 10
+
+
+def _cms_bucket_sql(token_expr: str, depth_expr: str) -> str:
+    from ..functions.hashing import sql_hash48
+
+    keyed = token_expr + " || '#' || CAST(" + depth_expr + " AS VARCHAR)"
+    return f"{sql_hash48(keyed)} % {CMS_WIDTH}"
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM documents
+    ), exact AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+        FROM toks GROUP BY token
+    ), rows_d AS (
+        SELECT unnest(range(0, {CMS_DEPTH})) AS d
+    ), sketch AS (
+        SELECT d,
+               {_cms_bucket_sql('token', 'd')} AS bucket,
+               CAST(sum(exact_count) AS BIGINT) AS bucket_sum
+        FROM exact, rows_d
+        GROUP BY 1, 2
+    ), top AS (
+        SELECT token, exact_count
+        FROM exact
+        ORDER BY exact_count DESC, token
+        LIMIT {CMS_TOPK}
+    )
+    SELECT t.token,
+           t.exact_count,
+           min(s.bucket_sum) AS cms_estimate
+    FROM top t
+    JOIN rows_d r ON true
+    JOIN sketch s
+      ON s.d = r.d AND s.bucket = {_cms_bucket_sql('t.token', 'r.d')}
+    GROUP BY t.token, t.exact_count
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus vocabulary: depth 4 x width 256,
+    bucket = md5-derived 48-bit hash of (token, row-seed) mod width. The
+    sketch is built as {CMS_DEPTH} partial-aggregatable (depth, bucket)
+    sums; point queries for the exact top-{CMS_TOPK} tokens take the min
+    across depths — the CMS upper-bound estimate (>= exact by
+    construction, equality when no collision). At 100 TB the sketch stays
+    {CMS_DEPTH}x{CMS_WIDTH} counters regardless of corpus size — the
+    whole point of sketching — while the exact side here exists only to
+    measure estimation error. Hashing is the engine-portable md5 path
+    (functions/hashing.py), so both engines compute identical buckets."""
+    from ..functions.hashing import hash48
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    depths = spark.range(CMS_DEPTH).select(F.col("id").cast("int").alias("d"))
+    bucket = (
+        hash48(F.concat(F.col("token"), F.lit("#"), F.col("d").cast("string")))
+        % CMS_WIDTH
+    )
+    sketch = (
+        exact.crossJoin(F.broadcast(depths))
+        .select("d", bucket.alias("bucket"), "exact_count")
+        .groupBy("d", "bucket")
+        .agg(F.sum("exact_count").cast("long").alias("bucket_sum"))
+    )
+    top = exact.orderBy(F.desc("exact_count"), F.asc("token")).limit(CMS_TOPK)
+    probes = top.crossJoin(F.broadcast(depths)).select(
+        "token", "exact_count", "d", bucket.alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("bucket_sum").alias("cms_estimate"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Chi-square test of independence (lang x source contingency table).
+# --------------------------------------------------------------------------
+@query(
+    "chisq_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+        FROM documents GROUP BY lang, source
+    ), tot AS (
+        SELECT CAST(sum(obs) AS BIGINT) AS n,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_lang,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_source
+        FROM cells
+    ), terms AS (
+        SELECT c.lang, c.source,
+               (c.obs - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / t.n)
+             * (c.obs - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / t.n)
+             / (CAST(rt.row_tot * ct.col_tot AS DOUBLE) / t.n) AS term
+        FROM cells c
+        JOIN (SELECT lang, CAST(sum(obs) AS BIGINT) AS row_tot
+              FROM cells GROUP BY lang) rt ON rt.lang = c.lang
+        JOIN (SELECT source, CAST(sum(obs) AS BIGINT) AS col_tot
+              FROM cells GROUP BY source) ct ON ct.source = c.source
+        CROSS JOIN tot t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           (SELECT (n_lang - 1) * (n_source - 1) FROM tot) AS dof,
+           list_reduce(
+               [0.0] || list_transform(
+                   list_sort(list(struct_pack(lang := lang,
+                                              source := source,
+                                              term := term))),
+                   x -> x.term),
+               (a, b) -> a + b) AS chi2
+    FROM terms
+    """,
+)
+def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the lang x source contingency
+    table. Observed counts and marginals are exact integers; each expected
+    value is one double division of identical operands; the chi2 sum folds
+    the per-cell terms in SORTED (lang, source) order with a 0.0 seed, so
+    float accumulation is bit-identical on both engines (entropy_fold
+    discipline). The contingency table is |lang| x |source| — the rollup
+    and both marginals are tiny partial-aggregatable shuffles; the term
+    join broadcasts marginal tables at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    row_tot = cells.groupBy("lang").agg(
+        F.sum("obs").cast("long").alias("row_tot")
+    )
+    col_tot = cells.groupBy("source").agg(
+        F.sum("obs").cast("long").alias("col_tot")
+    )
+    tot = cells.agg(
+        F.sum("obs").cast("long").alias("n"),
+        F.countDistinct("lang").cast("long").alias("n_lang"),
+        F.countDistinct("source").cast("long").alias("n_source"),
+    )
+    exp = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n")
+    terms = (
+        cells.join(F.broadcast(row_tot), "lang")
+        .join(F.broadcast(col_tot), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_lang",
+            "n_source",
+            ((F.col("obs") - exp) * (F.col("obs") - exp) / exp).alias("term"),
+        )
+    )
+    return terms.groupBy("n_lang", "n_source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sort_array(F.collect_list(F.struct("lang", "source", "term"))).alias(
+            "__lst"
+        ),
+    ).select(
+        "n_cells",
+        ((F.col("n_lang") - 1) * (F.col("n_source") - 1)).alias("dof"),
+        F.expr(
+            "aggregate(transform(__lst, x -> x.term),"
+            " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# k-core peeling (bounded-round iterative graph refinement).
+# --------------------------------------------------------------------------
+KCORE_K = 2
+KCORE_ROUNDS = 3
+_EDGE_PART_CAP = 300  # same co-order graph as graph_triangle_count
+
+
+def _kcore_oracle() -> str:
+    """Generate the unrolled peel as chained CTEs — the SQL twin is built
+    from the same round count as the Spark plan, so they cannot drift."""
+    parts = [
+        f"""
+    WITH picked AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_partkey <= {_EDGE_PART_CAP}
+    ), e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM picked a JOIN picked b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        prev = f"e{r - 1}"
+        parts.append(
+            f""", d{r} AS (
+        SELECT node, count(*) AS deg FROM (
+            SELECT u AS node FROM {prev}
+            UNION ALL SELECT v AS node FROM {prev}
+        ) GROUP BY node
+    ), k{r} AS (
+        SELECT node FROM d{r} WHERE deg >= {KCORE_K}
+    ), e{r} AS (
+        SELECT u, v FROM {prev}
+        WHERE u IN (SELECT node FROM k{r}) AND v IN (SELECT node FROM k{r})
+    )"""
+        )
+    selects = [
+        f"""SELECT {r} AS round,
+           (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges,
+           (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM (
+               SELECT u AS node FROM e{r} UNION ALL SELECT v AS node FROM e{r}
+           )) AS n_vertices"""
+        for r in range(1, KCORE_ROUNDS + 1)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@query("graph_kcore_peel", oracle=_kcore_oracle())
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling (k=2, 3 unrolled rounds)
+    over the part co-occurrence graph: each round recomputes degrees from
+    the surviving edge set and drops vertices below k, reporting
+    (round, n_edges, n_vertices) — the bounded-round iterative-refinement
+    shape (same family as the large-star/small-star CC loop in
+    operators/dedup.py, but with a degree predicate instead of label
+    propagation). Each round is one degree aggregation plus two semi
+    joins keyed on the vertex id; no collect, no driver loop over data —
+    the loop only builds the plan. The surviving edge set shrinks
+    monotonically, so at 100 TB later rounds are strictly cheaper and the
+    round count bounds total work."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") <= _EDGE_PART_CAP
+    )
+    picked = li.select("l_orderkey", "l_partkey")
+    a = picked.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = picked.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    stats = []
+    cur = edges
+    for r in range(1, KCORE_ROUNDS + 1):
+        nodes = cur.select(F.col("u").alias("node")).unionAll(
+            cur.select(F.col("v").alias("node"))
+        )
+        keep = (
+            nodes.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("node")
+        )
+        cur = cur.join(
+            keep.withColumnRenamed("node", "u"), "u", "left_semi"
+        ).join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+        cur = cur.persist()
+        survivors = cur.select(F.col("u").alias("node")).unionAll(
+            cur.select(F.col("v").alias("node"))
+        )
+        stats.append(
+            cur.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+            .crossJoin(
+                survivors.agg(
+                    F.countDistinct("node").cast("long").alias("n_vertices")
+                )
+            )
+            .select(F.lit(r).alias("round"), "n_edges", "n_vertices")
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out

@@ -564,3 +564,107 @@ def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# Scene-cut detection: frame-to-frame intensity change over chunked frames.
+# --------------------------------------------------------------------------
+SCENE_THRESH = 64  # |frame byte-sum delta| above this marks a cut (~2/byte)
+
+_FRAME_SUMS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_sum", T.LongType()),
+    ]
+)
+
+
+def _frame_sum_batches(
+    batches: Iterator["pd.DataFrame"],  # noqa: F821
+) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """mapInPandas worker: every FULL FRAME_BYTES frame with its exact
+    integer byte sum (the 'intensity' of the frame). Trailing partial
+    frames are dropped so every frame has the same denominator and the
+    cut predicate stays pure-integer. Row-exploding map — no shuffle."""
+    import pandas as pd
+
+    for pdf in batches:
+        ids: list[int] = []
+        idxs: list[int] = []
+        sums: list[int] = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_full = len(payload) // FRAME_BYTES
+            for i in range(n_full):
+                ids.append(doc_id)
+                idxs.append(i)
+                sums.append(sum(payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_sum": pd.Series(sums, dtype="int64"),
+            }
+        )
+
+
+@query(
+    "mm_scene_cuts",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id,
+               unnest(range(0, strlen(text) // {FRAME_BYTES})) AS frame_idx,
+               text
+        FROM documents
+    ), sums AS (
+        SELECT doc_id, frame_idx,
+               list_sum(list_transform(generate_series(1, {FRAME_BYTES}),
+                   __i -> ascii(substr(text,
+                       CAST(frame_idx * {FRAME_BYTES} AS BIGINT) + __i, 1))))
+                   AS frame_sum
+        FROM frames
+    ), lagged AS (
+        SELECT doc_id, frame_idx, frame_sum,
+               lag(frame_sum) OVER (
+                   PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        FROM sums
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(coalesce(sum(CASE WHEN prev IS NOT NULL
+                     AND abs(frame_sum - prev) > {SCENE_THRESH}
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cuts,
+           min(CASE WHEN prev IS NOT NULL
+                    AND abs(frame_sum - prev) > {SCENE_THRESH}
+                    THEN frame_idx END) AS first_cut_idx
+    FROM lagged
+    GROUP BY doc_id
+    """,
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection over a chunked binary payload (the video
+    keyframe-selection shape): the Arrow worker emits every full frame's
+    exact integer byte sum, then JVM-side a lag window per doc flags
+    frames whose intensity jumps more than SCENE_THRESH from their
+    predecessor — the Python decode feeds a Catalyst window, showing the
+    two execution domains composing. Pure integer deltas: nothing to
+    diverge between engines. One window shuffle on doc_id (frames of a
+    doc co-locate); the explode stays inside the scan partition."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = _payloads(docs).select("doc_id", "payload").mapInPandas(
+        _frame_sum_batches, schema=_FRAME_SUMS_SCHEMA
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    lagged = frames.withColumn("prev", F.lag("frame_sum").over(w))
+    cut = F.col("prev").isNotNull() & (
+        F.abs(F.col("frame_sum") - F.col("prev")) > SCENE_THRESH
+    )
+    return lagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.coalesce(F.sum(cut.cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_cuts"),
+        F.min(F.when(cut, F.col("frame_idx"))).alias("first_cut_idx"),
+    )

@@ -161,3 +161,43 @@ def stream_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"min(ts) div {_NS}").alias("first_seen_s"),
         (F.count(F.lit(1)) - 1).alias("n_suppressed"),
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT (CAST(floor(epoch(e.ts) / 3600) AS BIGINT) * 3600)
+               AS window_start_s,
+           c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id + 1
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/windows.py::static_enrich_counts — the
+    stream-static dimension-enrichment shape: events joined to a broadcast
+    user->segment dimension (customer keyed by user_id + 1), then
+    aggregated per (hour, segment). The dim broadcast means the join holds
+    no shuffle state at any stream rate; sums are exact integer cents.
+    The true-stream form (readStream + broadcast join + watermark window)
+    is exercised in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("dim_user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        ev.join(F.broadcast(cust), ev["user_id"] == cust["dim_user_id"])
+        .withColumn("window_start_s", floor_bucket_s("ts", 3600))
+        .groupBy("window_start_s", "segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+    )

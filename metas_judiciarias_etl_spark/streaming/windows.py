@@ -244,3 +244,32 @@ def ohlc_bars_stream(events: DataFrame, width: str = "1 hour",
             "n_ticks",
         )
     )
+
+
+def static_enrich_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a slowly-changing
+    dimension (user -> segment), then window-aggregate per segment.
+
+    The static side is broadcast — a stream-static join keeps NO join
+    state (each micro-batch probes the broadcast table), which is why it
+    is the right shape for dimension enrichment at any stream rate; only
+    the windowed aggregation holds state, bounded by the watermark. The
+    dim is re-read per micro-batch, so a slowly-changing dimension picks
+    up updates without restarting the query."""
+    enriched = events.withWatermark("ts", watermark).join(
+        F.broadcast(dim), events["user_id"] == dim["dim_user_id"]
+    )
+    return (
+        enriched.groupBy(F.window("ts", width).alias("w"), "segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+        )
+    )

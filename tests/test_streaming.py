@@ -342,3 +342,36 @@ def test_streaming_ohlc_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == exp
+
+
+def test_stream_static_enrich_matches_batch(spark, event_dir):
+    """Stream-static broadcast join: the streaming enrichment must produce
+    the same per-(window, segment) counts as the batch join over the same
+    files, and the join itself must hold no stream-stream state."""
+    dim = spark.createDataFrame(
+        [(1, "ALPHA"), (2, "BETA"), (3, "ALPHA")],
+        ["dim_user_id", "segment"],
+    )
+    _drain(
+        SW.static_enrich_counts(SW.read_event_stream(spark, event_dir), dim),
+        "enrich_out",
+        mode="update",
+    )
+    got = {
+        (str(r["window_start"]), r["segment"]): r["n_events"]
+        for r in spark.sql(
+            "SELECT window_start, segment, max(n_events) AS n_events "
+            "FROM enrich_out GROUP BY window_start, segment"
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.schema(SW.EVENT_SCHEMA).json(event_dir)
+        .join(F.broadcast(dim), F.col("user_id") == F.col("dim_user_id"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    exp = {(str(r["w"]["start"]), r["segment"]): r["n"] for r in batch}
+    assert got == exp and len(got) >= 3

@@ -119,6 +119,19 @@ HEADLINE = [
     "graph_degree_distribution",
     "text_lang_confusion",
     "scd2_as_of",
+    # round 4 additions: decayed features, bitmap distinct, compaction
+    # planning, sketch estimation, inverted-index search, graph peeling,
+    # scene cuts, stream-static enrichment.
+    "ewma_halflife",
+    "bitmap_distinct_users",
+    "compaction_bins",
+    "cms_heavy_hitters",
+    "chisq_independence",
+    "graph_kcore_peel",
+    "text_inverted_index",
+    "text_phrase_search",
+    "mm_scene_cuts",
+    "stream_static_enrich",
 ]
 
 

@@ -48,6 +48,17 @@ QUERIES = [
     "approx_percentile_by_key", # sketch-vs-exact rank-band contract
     "graph_degree_distribution",  # edge build + degree rollup
     "text_lang_confusion",      # composed classifier rollup
+    # round 4 additions
+    "ewma_halflife",            # windowed tail + power-of-two weighted sum
+    "bitmap_distinct_users",    # bit_or word accumulation across layouts
+    "compaction_bins",          # per-source prefix-sum packing
+    "cms_heavy_hitters",        # sketch bucket sums + top-k tie-break
+    "chisq_independence",       # sorted-order float fold of cell terms
+    "graph_kcore_peel",         # iterative degree peeling rounds
+    "text_inverted_index",      # sorted posting-list serialization
+    "text_phrase_search",       # positional join
+    "mm_scene_cuts",            # Arrow frame sums + lag window
+    "stream_static_enrich",     # broadcast dim join + windowed agg
 ]
 
 

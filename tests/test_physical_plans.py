@@ -499,3 +499,79 @@ def test_dataset_split_is_single_agg(spark, sf):
         "Exchange SinglePartition"
     ) + plan.count("Exchange rangepartitioning")
     assert n_shuffles == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions
+# ---------------------------------------------------------------------------
+def test_ewma_window_and_agg_share_user_shuffle(spark, sf):
+    df = registry.QUERIES["ewma_halflife"](spark, sf)
+    plan = _plan(df)
+    # row_number window and the groupBy both key on user_id: one exchange
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_bitmap_distinct_is_two_partial_aggs_no_expand(spark, sf):
+    df = registry.QUERIES["bitmap_distinct_users"](spark, sf)
+    plan = _plan(df)
+    # the whole point: distinct counting WITHOUT an Expand/count-distinct
+    # rewrite — two partial-aggregatable integer aggs, nothing else
+    assert "Expand" not in plan
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+
+
+def test_compaction_bins_window_partitions_by_source(spark, sf):
+    df = registry.QUERIES["compaction_bins"](spark, sf)
+    plan = _plan(df)
+    # the prefix-sum window must partition by source (no global ordering)
+    assert "Window" in plan
+    assert "hashpartitioning(source" in plan
+    # one shuffle for the window, one for the (source, bin) agg at most
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+
+
+def test_cms_sketch_and_probes_join_broadcast(spark, sf):
+    df = registry.QUERIES["cms_heavy_hitters"](spark, sf)
+    plan = _plan(df)
+    # the 4-row depth table and the 1024-cell sketch ride broadcasts;
+    # nothing fact-sized ever sort-merge-joins
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_phrase_search_filters_before_join(spark, sf):
+    df = registry.QUERIES["text_phrase_search"](spark, sf)
+    plan = _formatted(df)
+    # each side must filter its term BEFORE the positional join (posting-
+    # list probe, not corpus-wide join): the token predicates appear as
+    # Filter operators feeding the join, and the join is an equi hash join
+    assert "SortMergeJoin" in _plan(df) or "ShuffledHashJoin" in _plan(df) or "BroadcastHashJoin" in _plan(df)
+    assert plan.count("Filter") >= 2
+
+
+def test_kcore_rounds_reuse_persisted_edges(spark, sf):
+    df = registry.QUERIES["graph_kcore_peel"](spark, sf)
+    plan = _plan(df)
+    # every peel round reads the persisted edge set, not the raw scan:
+    # the lineitem self-join appears once as InMemoryTableScan reuse
+    assert "InMemoryTableScan" in plan
+
+
+def test_scene_cuts_single_doc_window_shuffle(spark, sf):
+    df = registry.QUERIES["mm_scene_cuts"](spark, sf)
+    plan = _plan(df)
+    # Arrow worker (map-only) -> one doc_id exchange shared by the lag
+    # window and the per-doc agg
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+
+
+def test_stream_static_enrich_broadcasts_dim(spark, sf):
+    df = registry.QUERIES["stream_static_enrich"](spark, sf)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

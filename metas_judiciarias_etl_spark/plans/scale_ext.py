@@ -656,3 +656,360 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stats[1:]:
         out = out.unionAll(s)
     return out
+
+
+# --------------------------------------------------------------------------
+# Winsorized statistics (rank-based trimming — robust aggregation).
+# --------------------------------------------------------------------------
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+@query(
+    "winsorized_stats",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                            l_orderkey, l_linenumber
+               ) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ), bounds AS (
+        SELECT l_returnflag,
+               CAST(max(n) AS BIGINT) AS n,
+               max(CASE WHEN rn = (n * {WINSOR_LO_PCT} + 99) // 100
+                        THEN cents END) AS lo_cents,
+               max(CASE WHEN rn = (n * {WINSOR_HI_PCT} + 99) // 100
+                        THEN cents END) AS hi_cents
+        FROM ranked GROUP BY l_returnflag
+    )
+    SELECT r.l_returnflag,
+           b.n,
+           b.lo_cents,
+           b.hi_cents,
+           CAST(sum(least(greatest(r.cents, b.lo_cents), b.hi_cents))
+                AS BIGINT) AS winsorized_sum_cents,
+           CAST(sum(least(greatest(r.cents, b.lo_cents), b.hi_cents))
+                AS DOUBLE) / (b.n * 100.0) AS winsorized_mean
+    FROM ranked r
+    JOIN bounds b ON b.l_returnflag = r.l_returnflag
+    GROUP BY r.l_returnflag, b.n, b.lo_cents, b.hi_cents
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: every value is clamped to the exact data
+    values at discrete ranks ceil(5% n) / ceil(95% n) before aggregating —
+    the robust-statistics shape that survives fat-tailed inputs. Bounds
+    are DISCRETE rank statistics (actual cents values under a total
+    order), not interpolated quantiles, so the whole computation is exact
+    integer arithmetic until one final mean division. One window shuffle
+    on the group key (rank + group count share it), a broadcast of the
+    per-group bounds back, one clamped aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {WINSOR_LO_PCT} + 99) div 100"),
+                F.col("cents"),
+            )
+        ).alias("lo_cents"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {WINSOR_HI_PCT} + 99) div 100"),
+                F.col("cents"),
+            )
+        ).alias("hi_cents"),
+    )
+    clamped = li.select("l_returnflag", "cents").join(
+        F.broadcast(bounds), "l_returnflag"
+    ).select(
+        "l_returnflag",
+        "n",
+        "lo_cents",
+        "hi_cents",
+        F.least(F.greatest("cents", "lo_cents"), "hi_cents").alias("cl"),
+    )
+    return clamped.groupBy("l_returnflag", "n", "lo_cents", "hi_cents").agg(
+        F.sum("cl").cast("long").alias("winsorized_sum_cents"),
+        (F.sum("cl").cast("double") / (F.col("n") * 100.0)).alias(
+            "winsorized_mean"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew profiling (Herfindahl concentration — partial-aggregatable).
+# --------------------------------------------------------------------------
+@query(
+    "key_skew_hhi",
+    oracle="""
+    WITH counts AS (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS total_rows,
+           CAST(max(cnt) AS BIGINT) AS top_key_cnt,
+           CAST(sum(CAST(cnt * cnt AS DECIMAL(38,0))) AS DOUBLE)
+               / (CAST(sum(cnt) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE)) AS hhi
+    FROM counts
+    """,
+)
+def key_skew_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of l_orderkey: key count, total rows, heaviest
+    key, and the Herfindahl concentration index sum(c_i^2)/T^2 — the
+    pre-flight check a 100 TB join plan runs to decide between plain
+    shuffle, AQE skew split, and salting. Unlike Gini (which needs a
+    globally sorted prefix sum), HHI is a pure partial-aggregatable sum of
+    per-key squares: two map-side-combining shuffles total, no global
+    sort, no window. Squares accumulate in DECIMAL(38,0) (exact beyond
+    2^53), with one final double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.max("cnt").cast("long").alias("top_key_cnt"),
+        (
+            F.sum(F.expr("CAST(cnt * cnt AS DECIMAL(38,0))")).cast("double")
+            / (
+                F.sum("cnt").cast("double")
+                * F.sum("cnt").cast("double")
+            )
+        ).alias("hhi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity orphan audit (anti-join data quality checks).
+# --------------------------------------------------------------------------
+@query(
+    "ri_orphan_audit",
+    oracle="""
+    WITH surviving_cust AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 3
+    )
+    SELECT
+        CAST((SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM surviving_cust c
+                                WHERE c.c_custkey = o.o_custkey))
+             AS BIGINT) AS orphan_orders,
+        CAST((SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+             AS BIGINT) AS orphan_lineitems,
+        CAST((SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey))
+             AS BIGINT) AS dangling_part_refs
+    """,
+)
+def ri_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit as anti-join counts: orders pointing at
+    customers lost to a simulated partition drop (custkey % 10 = 3),
+    lineitems without their order, lineitems without their part. The
+    100 TB form of a foreign-key check — three left-anti joins whose
+    probe sides stream and whose counts partial-aggregate; no row data
+    ever moves, only existence."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 != 3)
+        .select("c_custkey")
+    )
+    a = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("orphan_orders"))
+    )
+    b = (
+        li.join(
+            orders.select("o_orderkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).cast("long").alias("orphan_lineitems"))
+    )
+    c = (
+        li.join(
+            part.select("p_partkey"),
+            li["l_partkey"] == F.col("p_partkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).cast("long").alias("dangling_part_refs"))
+    )
+    return a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(c))
+
+
+# --------------------------------------------------------------------------
+# Period-over-period change (monthly revenue deltas per priority class).
+# --------------------------------------------------------------------------
+@query(
+    "period_over_period",
+    oracle="""
+    WITH monthly AS (
+        SELECT o_orderpriority,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           month,
+           rev_cents,
+           lag(rev_cents) OVER (
+               PARTITION BY o_orderpriority ORDER BY month) AS prev_cents,
+           CAST(rev_cents - lag(rev_cents) OVER (
+               PARTITION BY o_orderpriority ORDER BY month) AS DOUBLE)
+             / nullif(lag(rev_cents) OVER (
+               PARTITION BY o_orderpriority ORDER BY month), 0)
+               AS pct_change
+    FROM monthly
+    """,
+)
+def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change per order priority: exact cents
+    rollup to (priority, month), then a lag window within the priority
+    partition — the period-comparison report every warehouse runs.
+    Monthly grain bounds the window input to a tiny relation regardless
+    of fact size; the delta ratio is one double division of exact
+    integers (nullif guards a zero prior month identically on both
+    engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            "o_orderpriority",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("o_orderpriority", "month")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        "rev_cents",
+        F.lag("rev_cents").over(w).alias("prev_cents"),
+        (
+            (F.col("rev_cents") - F.lag("rev_cents").over(w)).cast("double")
+            / F.expr("nullif(lag(rev_cents) OVER (PARTITION BY o_orderpriority ORDER BY month), 0)")
+        ).alias("pct_change"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution-window functions: cume_dist / nth_value / frame last_value.
+# --------------------------------------------------------------------------
+@query(
+    "window_cume_dist_nth",
+    oracle="""
+    SELECT s_suppkey,
+           s_nationkey,
+           cume_dist() OVER w AS bal_cume_dist,
+           nth_value(s_suppkey, 2) OVER (
+               PARTITION BY s_nationkey
+               ORDER BY s_acctbal DESC, s_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_richest,
+           last_value(s_suppkey) OVER (
+               PARTITION BY s_nationkey
+               ORDER BY s_acctbal DESC, s_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS poorest
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def window_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-window surface: cume_dist over the balance ranking plus
+    nth_value/last_value over the full-partition frame (the 'second
+    richest / poorest supplier per nation' report). Ties are broken by
+    the unique s_suppkey so every window function is order-deterministic;
+    cume_dist is rank/n — one exact integer ratio per row. One window
+    shuffle on the nation key serves all three functions."""
+    sup = load_table(spark, sf_dir, "supplier")
+    order = [F.col("s_acctbal").desc(), F.col("s_suppkey")]
+    w = Window.partitionBy("s_nationkey").orderBy(*order)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+        F.nth_value("s_suppkey", 2).over(w_full).alias("second_richest"),
+        F.last("s_suppkey").over(w_full).alias("poorest"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Array set algebra (collection-function surface over tokenized text).
+# --------------------------------------------------------------------------
+_STOPWORDS = ("the", "a", "and", "of", "to")
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+
+
+@query(
+    "array_set_ops",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_unique,
+           CAST(len(list_distinct(list_intersect(toks, {_STOP_SQL})))
+                AS BIGINT) AS n_stopwords,
+           CAST(len(list_filter(toks, __t -> NOT list_contains({_STOP_SQL}, __t)))
+                AS BIGINT) AS n_content,
+           -- DuckDB's list_sort maps an empty intersection to NULL where
+           -- Spark's array_join yields '' — coalesce pins both to ''.
+           coalesce(array_to_string(list_sort(list_intersect(toks, {_STOP_SQL})), ','),
+                    '') AS stopwords_csv
+    FROM t
+    """,
+)
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-function surface: per-document distinct vocabulary
+    intersected / subtracted against a constant stopword list, with the
+    intersection serialized in sorted order. Everything runs as Catalyst
+    array expressions inside the scan projection (no explode, no shuffle
+    before the implicit exchange-free map) — at 100 TB this is a map-only
+    pass whose output is 4 scalar columns per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    toks = F.array_distinct(F.split(F.trim("text"), r"\s+"))
+    t = docs.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_unique"),
+        F.size(F.array_distinct(F.array_intersect("toks", stop)))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.size(F.array_except("toks", stop)).cast("long").alias("n_content"),
+        F.array_join(F.sort_array(F.array_intersect("toks", stop)), ",").alias(
+            "stopwords_csv"
+        ),
+    )

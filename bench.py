@@ -132,6 +132,11 @@ HEADLINE = [
     "text_phrase_search",
     "mm_scene_cuts",
     "stream_static_enrich",
+    "winsorized_stats",
+    "key_skew_hhi",
+    "ri_orphan_audit",
+    "period_over_period",
+    "array_set_ops",
 ]
 
 

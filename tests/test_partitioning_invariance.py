@@ -59,6 +59,12 @@ QUERIES = [
     "text_phrase_search",       # positional join
     "mm_scene_cuts",            # Arrow frame sums + lag window
     "stream_static_enrich",     # broadcast dim join + windowed agg
+    "winsorized_stats",         # rank-based bounds + broadcast clamp
+    "key_skew_hhi",             # DECIMAL sum of squares
+    "ri_orphan_audit",          # triple anti-join counts
+    "period_over_period",       # monthly rollup + lag ratio
+    "window_cume_dist_nth",     # distribution windows with tie-breaks
+    "array_set_ops",            # map-only collection expressions
 ]
 
 

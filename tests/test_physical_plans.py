@@ -575,3 +575,43 @@ def test_stream_static_enrich_broadcasts_dim(spark, sf):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_winsorized_bounds_broadcast_back(spark, sf):
+    df = registry.QUERIES["winsorized_stats"](spark, sf)
+    plan = _plan(df)
+    # the 3-row bounds table must come back via broadcast, and the rank
+    # window must not add a second fact-sized exchange beyond the group key
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_key_skew_hhi_two_partial_aggs_no_sort(spark, sf):
+    df = registry.QUERIES["key_skew_hhi"](spark, sf)
+    plan = _plan(df)
+    # the point vs Gini: concentration WITHOUT any global sort or window
+    assert "Window" not in plan
+    assert "Sort " not in plan
+    assert plan.count("Exchange") == 2
+
+
+def test_ri_audit_uses_anti_joins(spark, sf):
+    df = registry.QUERIES["ri_orphan_audit"](spark, sf)
+    plan = _plan(df)
+    assert plan.count("LeftAnti") >= 3
+
+
+def test_period_over_period_windows_after_rollup(spark, sf):
+    df = registry.QUERIES["period_over_period"](spark, sf)
+    plan = _plan(df)
+    # the lag window must run over the monthly rollup (tiny), never the
+    # raw fact rows: Window sits above the final HashAggregate
+    assert plan.index("Window") < plan.index("HashAggregate")
+    assert "Join" not in plan
+
+
+def test_array_set_ops_is_map_only(spark, sf):
+    df = registry.QUERIES["array_set_ops"](spark, sf)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Join" not in plan

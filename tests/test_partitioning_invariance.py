@@ -65,6 +65,11 @@ QUERIES = [
     "period_over_period",       # monthly rollup + lag ratio
     "window_cume_dist_nth",     # distribution windows with tie-breaks
     "array_set_ops",            # map-only collection expressions
+    # profiling & affinity batch
+    "dq_column_profile",        # Expand-based multi-column exact distinct
+    "basket_pair_counts",       # co-keyed self-join pairs + top-k tie-break
+    "interval_coverage",        # island-id prefix sum over tied timestamps
+    "path_trigrams",            # two leads sharing one partition sort
 ]
 
 

@@ -615,3 +615,44 @@ def test_array_set_ops_is_map_only(spark, sf):
     plan = _plan(df)
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_column_profile_single_pass_expand(spark, sf):
+    df = registry.QUERIES["dq_column_profile"](spark, sf)
+    plan = _plan(df)
+    # one Expand-based multi-distinct pass: distinct-expansion exchange +
+    # the final single-partition gather, nothing else; stack() runs above
+    # the aggregate, so no join and no window ever touch fact rows
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+
+
+def test_basket_pairs_no_cartesian_topk(spark, sf):
+    df = registry.QUERIES["basket_pair_counts"](spark, sf)
+    plan = _plan(df)
+    # pair generation is an equi-join on l_orderkey with the < predicate
+    # as a join condition — never a cartesian/nested-loop product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_interval_coverage_single_user_exchange(spark, sf):
+    df = registry.QUERIES["interval_coverage"](spark, sf)
+    plan = _plan(df)
+    # gaps-and-islands end-to-end on ONE user_id exchange: both windows,
+    # the per-island extent agg, and the per-user rollup reuse it
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 2
+    assert "Join" not in plan
+
+
+def test_path_trigrams_shared_window_sort(spark, sf):
+    df = registry.QUERIES["path_trigrams"](spark, sf)
+    plan = _plan(df)
+    # both lead() columns fold into one Window over one (user_id) sort;
+    # top-k is TakeOrderedAndProject, not a global sort
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 2
+    assert "TakeOrderedAndProject" in plan

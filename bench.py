@@ -142,6 +142,10 @@ HEADLINE = [
     "basket_pair_counts",
     "interval_coverage",
     "path_trigrams",
+    "attribution_last_touch",
+    "vocab_coverage",
+    "token_df_spectrum",
+    "graph_label_propagation",
 ]
 
 

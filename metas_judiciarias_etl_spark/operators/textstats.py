@@ -26,7 +26,7 @@ partitions, scan-bound.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MINHASH_P, SQL_TOKENS, hash48, sql_hash48, tokens
@@ -707,4 +707,143 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = QUERIES["text_lang_id"](spark, sf_dir)
     return pred.groupBy("lang_label", "lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage: what fraction of token occurrences a top-V
+# vocabulary captures (the go/no-go number for a fixed-vocab tokenizer).
+# --------------------------------------------------------------------------
+_VOCAB_SIZES = (100, 500)
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_SQL_TOKS}) AS token FROM documents
+    ), counts AS (
+        SELECT token, count(*) AS n FROM tok GROUP BY token
+    ), ranked AS (
+        SELECT n, rank() OVER (ORDER BY n DESC, token) AS r FROM counts
+    ), wide AS (
+        SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN r <= {_VOCAB_SIZES[0]} THEN n ELSE 0 END)
+                    AS BIGINT) AS cov_a,
+               CAST(sum(CASE WHEN r <= {_VOCAB_SIZES[1]} THEN n ELSE 0 END)
+                    AS BIGINT) AS cov_b
+        FROM ranked
+    )
+    SELECT v.v_size, w.total_tokens,
+           CASE v.v_size WHEN {_VOCAB_SIZES[0]} THEN w.cov_a
+                         ELSE w.cov_b END AS covered_tokens,
+           CASE v.v_size WHEN {_VOCAB_SIZES[0]} THEN w.cov_a
+                         ELSE w.cov_b END
+               / CAST(w.total_tokens AS DOUBLE) AS coverage
+    FROM wide w, (VALUES ({_VOCAB_SIZES[0]}), ({_VOCAB_SIZES[1]})) v(v_size)
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-V vocabulary coverage: the share of all token occurrences that
+    the V most frequent tokens capture, for V in {100, 500}. Membership
+    uses rank() over the total (count desc, token asc) order, so
+    boundary ties resolve identically on both engines; coverage is ONE
+    IEEE division of two exact integers.
+
+    Plan shape: explode + one token-keyed count shuffle; the rank window
+    then sorts the VOCABULARY (|V| rows, corpus-independent) on a single
+    partition — the fact-scale work never sees a global sort. The final
+    conditional sums collapse to one row before the 2-row V fan-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = counts.select(
+        "n", F.rank().over(Window.orderBy(F.desc("n"), F.asc("token"))).alias("r")
+    )
+    wide = ranked.agg(
+        F.sum("n").alias("total_tokens"),
+        F.sum(F.when(F.col("r") <= _VOCAB_SIZES[0], F.col("n")).otherwise(0)).alias(
+            "cov_a"
+        ),
+        F.sum(F.when(F.col("r") <= _VOCAB_SIZES[1], F.col("n")).otherwise(0)).alias(
+            "cov_b"
+        ),
+    )
+    sizes = F.explode(
+        F.array(*[F.lit(v) for v in _VOCAB_SIZES])
+    ).alias("v_size")
+    return (
+        wide.select(sizes, "total_tokens", "cov_a", "cov_b")
+        .select(
+            "v_size",
+            "total_tokens",
+            F.when(F.col("v_size") == _VOCAB_SIZES[0], F.col("cov_a"))
+            .otherwise(F.col("cov_b"))
+            .alias("covered_tokens"),
+            (
+                F.when(F.col("v_size") == _VOCAB_SIZES[0], F.col("cov_a")).otherwise(
+                    F.col("cov_b")
+                )
+                / F.col("total_tokens").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Document-frequency spectrum: how many vocabulary terms live in each
+# power-of-two document-frequency band (rare-tail vs stopword-head shape).
+# --------------------------------------------------------------------------
+def _df_bucket_case(col: str, max_pow: int = 12) -> str:
+    """Integer-only power-of-two bucketing CASE, shared verbatim by both
+    engines (no log2 floats: libm rounding at exact powers of two could
+    split the engines)."""
+    arms = " ".join(
+        f"WHEN {col} <= {1 << p} THEN {p}" for p in range(max_pow + 1)
+    )
+    return f"CASE {arms} ELSE {max_pow + 1} END"
+
+
+@query(
+    "token_df_spectrum",
+    oracle=f"""
+    WITH td AS (
+        SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ), dfreq AS (
+        SELECT token, count(*) AS df FROM td GROUP BY token
+    )
+    SELECT {_df_bucket_case('df')} AS df_bucket,
+           count(*) AS n_terms,
+           CAST(sum(df) AS BIGINT) AS sum_df
+    FROM dfreq
+    GROUP BY df_bucket
+    """,
+)
+def token_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency spectrum: bucket every vocabulary term by
+    ceil-log2 of its document frequency (terms appearing in <=2^p docs),
+    reporting terms-per-band and total df mass. The Zipf shape check a
+    tokenizer/TF-IDF pipeline runs before fixing min_df/max_df cutoffs.
+
+    Plan shape: explode in partition → (doc_id, token) distinct-agg →
+    token-keyed df count → tiny band rollup. The distinct and the df
+    count both key on token-bearing tuples, so skew lands on the Zipf
+    head where map-side partials absorb it; bucketing is integer CASE
+    compares shared verbatim with the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    td = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    dfreq = td.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        dfreq.select(F.expr(_df_bucket_case("df")).alias("df_bucket"), "df")
+        .groupBy("df_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("df").cast("long").alias("sum_df"),
+        )
     )

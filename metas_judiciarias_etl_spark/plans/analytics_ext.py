@@ -1201,3 +1201,103 @@ def scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "attr_value", "valid_from_s", "as_of_s")
     )
+
+
+# --------------------------------------------------------------------------
+# Graph analytics: synchronized label propagation (community detection),
+# unrolled to a fixed iteration count with a deterministic tie-break.
+# --------------------------------------------------------------------------
+_LPA_ITERS = 2
+_LPA_SEED_MOD = 4
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH picked AS (
+        SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey <= 300
+    ), edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM picked a JOIN picked b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), nbr AS (
+        SELECT u AS node, v AS nb FROM edges
+        UNION ALL
+        SELECT v AS node, u AS nb FROM edges
+    ), l0 AS (
+        SELECT DISTINCT node, node % {_LPA_SEED_MOD} AS lbl FROM nbr
+    ), votes1 AS (
+        SELECT n.node, l.lbl, count(*) AS c
+        FROM nbr n JOIN l0 l ON l.node = n.nb
+        GROUP BY n.node, l.lbl
+    ), mx1 AS (
+        SELECT node, lbl, c, max(c) OVER (PARTITION BY node) AS m FROM votes1
+    ), l1 AS (
+        SELECT node, min(lbl) AS lbl FROM mx1 WHERE c = m GROUP BY node
+    ), votes2 AS (
+        SELECT n.node, l.lbl, count(*) AS c
+        FROM nbr n JOIN l1 l ON l.node = n.nb
+        GROUP BY n.node, l.lbl
+    ), mx2 AS (
+        SELECT node, lbl, c, max(c) OVER (PARTITION BY node) AS m FROM votes2
+    ), l2 AS (
+        SELECT node, min(lbl) AS lbl FROM mx2 WHERE c = m GROUP BY node
+    )
+    SELECT node, lbl AS label FROM l2
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronized label propagation on the part co-occurrence graph
+    (same edge set as graph_triangle_count): every node adopts the most
+    frequent label among its neighbors each round, ties broken toward
+    the SMALLEST label — the (max-count, min-label) rule both engines
+    evaluate identically, unlike max_by/arg_max whose tie order is
+    engine-defined. Fixed {n} synchronized rounds, seed label node % {m}.
+
+    Plan shape per round: one join of the neighbor list against the
+    label table (both keyed on node ids), a (node, lbl) vote count, a
+    node-partitioned max window, and a node rollup — every shuffle keys
+    on node ids, so a power-law degree skew lands where AQE skew
+    handling and map-side partials absorb it. The neighbor list is
+    iteration-invariant: at scale, persist it once (the kcore pattern,
+    graph_kcore_peel) instead of recomputing; here the unrolled plan
+    lets Spark's exchange reuse dedupe the identical edge subtrees."""
+    li = load_table(spark, sf_dir, "lineitem")
+    picked = li.filter(F.col("l_partkey") <= 300).select("l_orderkey", "l_partkey")
+    a = picked.alias("a")
+    b = picked.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    nbr = edges.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    labels = nbr.select(
+        "node", (F.col("node") % _LPA_SEED_MOD).alias("lbl")
+    ).distinct()
+    for _ in range(_LPA_ITERS):
+        votes = (
+            nbr.join(
+                labels.select(F.col("node").alias("nb"), "lbl"), "nb"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        mx = votes.withColumn("m", F.max("c").over(Window.partitionBy("node")))
+        labels = (
+            mx.filter(F.col("c") == F.col("m"))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    return labels.select("node", F.col("lbl").alias("label"))
+
+
+graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
+    n=_LPA_ITERS, m=_LPA_SEED_MOD
+)

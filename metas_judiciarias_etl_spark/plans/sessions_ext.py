@@ -506,3 +506,95 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("w_day").cast("long").alias("day"))
         .agg(F.count(F.lit(1)).cast("long").alias("active_users_7d"))
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution: purchases credited to the most recent preceding
+# marketing touch (click/view) within a lookback window.
+# --------------------------------------------------------------------------
+ATTR_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000  # 7-day attribution window
+
+
+@query(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+    ), touched AS (
+        SELECT user_id, event_id, event_type, ts_us,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN ts_us END IGNORE NULLS) OVER w AS t_ts,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS) OVER w AS t_type
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN t_ts IS NOT NULL
+                     AND ts_us - t_ts <= {ATTR_LOOKBACK_US}
+                THEN t_type ELSE 'none' END AS touch_type,
+           count(*) AS n_purchases,
+           CAST(coalesce(sum(CASE WHEN t_ts IS NOT NULL
+                         AND ts_us - t_ts <= {ATTR_LOOKBACK_US}
+                    THEN ts_us - t_ts END), 0) AS BIGINT) AS total_lag_us
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY touch_type
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent preceding click/view within a 7-day lookback
+    ('none' when no touch qualifies). The running ``last(ignorenulls)``
+    carries the touch's timestamp and type from the SAME qualifying row
+    (both windows share one frame), so the lookback check is a plain
+    post-window predicate.
+
+    Plan shape: ONE user_id exchange serves both last() windows (shared
+    partition+sort spec); the channel rollup then shuffles a 3-key
+    relation. No self-join, no inequality join — the same running-window
+    as-of composition as asof_join_tolerance (joins_ext.py)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    touched = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.last(F.when(is_touch, F.col("ts_us")), ignorenulls=True)
+        .over(w)
+        .alias("t_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("t_type"),
+    )
+    fresh = F.col("t_ts").isNotNull() & (
+        (F.col("ts_us") - F.col("t_ts")) <= ATTR_LOOKBACK_US
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(fresh, F.col("t_type")).otherwise(F.lit("none")).alias(
+                "touch_type"
+            ),
+            F.when(fresh, F.col("ts_us") - F.col("t_ts")).alias("lag_us"),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.coalesce(F.sum("lag_us"), F.lit(0)).cast("long").alias(
+                "total_lag_us"
+            ),
+        )
+    )

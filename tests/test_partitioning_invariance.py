@@ -70,6 +70,10 @@ QUERIES = [
     "basket_pair_counts",       # co-keyed self-join pairs + top-k tie-break
     "interval_coverage",        # island-id prefix sum over tied timestamps
     "path_trigrams",            # two leads sharing one partition sort
+    "attribution_last_touch",   # running last(ignorenulls) touch carry
+    "vocab_coverage",           # global rank boundary + conditional sums
+    "token_df_spectrum",        # two-level distinct + integer banding
+    "graph_label_propagation",  # iterative majority vote, min-label ties
 ]
 
 

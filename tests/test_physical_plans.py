@@ -656,3 +656,39 @@ def test_path_trigrams_shared_window_sort(spark, sf):
     assert plan.count("Window") == 1
     assert plan.count("Exchange") == 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_attribution_shares_window_exchange(spark, sf):
+    df = registry.QUERIES["attribution_last_touch"](spark, sf)
+    plan = _plan(df)
+    # both running last() columns fold into ONE Window over one user_id
+    # exchange; the only other exchange is the 3-key channel rollup
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+
+
+def test_vocab_coverage_ranks_vocabulary_not_corpus(spark, sf):
+    df = registry.QUERIES["vocab_coverage"](spark, sf)
+    plan = _plan(df)
+    # the rank window's single-partition sort must sit ABOVE the token
+    # count aggregate (vocabulary-sized input), never below it
+    assert plan.index("HashAggregate") < plan.index("Window")
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+
+
+def test_df_spectrum_no_joins_three_aggs(spark, sf):
+    df = registry.QUERIES["token_df_spectrum"](spark, sf)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 3
+
+
+def test_label_propagation_no_cartesian(spark, sf):
+    df = registry.QUERIES["graph_label_propagation"](spark, sf)
+    plan = _plan(df)
+    # every per-round join is an equi-join on node ids
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -262,3 +262,230 @@ def test_kcore_result_is_a_2core(spark, sf_small):
     verts = [r["n_vertices"] for r in rows]
     assert edges == sorted(edges, reverse=True)
     assert verts == sorted(verts, reverse=True)
+
+
+# --------------------------------------------------------------------------
+# Profiling & affinity batch: brute-force references in pure Python over
+# the same parquet fixtures.
+# --------------------------------------------------------------------------
+def _events_pdf(sf_small):
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(f"{sf_small}/events.parquet").to_pandas()
+    pdf["ts_us"] = pdf["ts"].astype("int64")  # timestamp[us] -> epoch micros
+    return pdf
+
+
+def test_interval_coverage_matches_bruteforce(spark, sf_small):
+    """Merged-interval coverage must equal a pure-Python sweep-line merge
+    of the same [ts, ts+5min) intervals."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+
+    pdf = _events_pdf(sf_small)
+    iv = 300_000_000
+    expected = {}
+    for uid, grp in pdf.groupby("user_id"):
+        spans = sorted((t, t + iv) for t in grp["ts_us"])
+        islands = []
+        for s, e in spans:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        expected[uid] = (len(islands), sum(e - s for s, e in islands))
+
+    got = {
+        r["user_id"]: (r["n_islands"], r["covered_us"])
+        for r in registry.QUERIES["interval_coverage"](spark, sf_small).collect()
+    }
+    assert got == expected
+
+
+def test_attribution_conserves_purchases_and_matches_bruteforce(spark, sf_small):
+    """Every purchase lands in exactly one channel bucket, and the
+    channel totals match a per-user Python replay of the last-touch
+    rule."""
+    from collections import defaultdict
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    from metas_judiciarias_etl_spark.plans.sessions_ext import ATTR_LOOKBACK_US
+
+    pdf = _events_pdf(sf_small)
+    expected = defaultdict(lambda: [0, 0])
+    for _, grp in pdf.groupby("user_id"):
+        last = None  # (ts_us, type) of most recent click/view
+        for r in grp.sort_values(["ts_us", "event_id"]).itertuples():
+            if r.event_type == "purchase":
+                if last is not None and r.ts_us - last[0] <= ATTR_LOOKBACK_US:
+                    expected[last[1]][0] += 1
+                    expected[last[1]][1] += r.ts_us - last[0]
+                else:
+                    expected["none"][0] += 1
+            if r.event_type in ("click", "view"):
+                last = (r.ts_us, r.event_type)
+
+    rows = registry.QUERIES["attribution_last_touch"](spark, sf_small).collect()
+    got = {r["touch_type"]: [r["n_purchases"], r["total_lag_us"]] for r in rows}
+    assert got == dict(expected)
+    assert sum(v[0] for v in got.values()) == int(
+        (pdf["event_type"] == "purchase").sum()
+    )
+
+
+def test_path_trigrams_matches_bruteforce(spark, sf_small):
+    """Top trigram counts must equal a per-user Python sequence scan."""
+    from collections import Counter
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+
+    pdf = _events_pdf(sf_small)
+    cnt = Counter()
+    for _, grp in pdf.groupby("user_id"):
+        seq = list(grp.sort_values(["ts_us", "event_id"])["event_type"])
+        for i in range(len(seq) - 2):
+            cnt[tuple(seq[i : i + 3])] += 1
+    expected = sorted(
+        ((n, t) for t, n in cnt.items()), key=lambda x: (-x[0], x[1])
+    )[:15]
+
+    rows = registry.QUERIES["path_trigrams"](spark, sf_small).collect()
+    got = [(r["n_paths"], (r["e1"], r["e2"], r["e3"])) for r in rows]
+    assert sorted(got, key=lambda x: (-x[0], x[1])) == expected
+
+
+def test_basket_pairs_match_bruteforce(spark, sf_small):
+    """Pair counts must equal a Python itertools scan over capped
+    baskets."""
+    from collections import Counter
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    from metas_judiciarias_etl_spark.plans.profiling_ext import MAX_BASKET
+
+    pdf = pq.read_table(
+        f"{sf_small}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    cnt = Counter()
+    for _, grp in pdf.groupby("l_orderkey"):
+        parts = sorted(set(grp["l_partkey"]))
+        if len(parts) <= MAX_BASKET:
+            for a, b in combinations(parts, 2):
+                cnt[(a, b)] += 1
+    expected = sorted(
+        ((n, p) for p, n in cnt.items()), key=lambda x: (-x[0], x[1])
+    )[:20]
+
+    rows = registry.QUERIES["basket_pair_counts"](spark, sf_small).collect()
+    got = [(r["n_orders"], (r["part_a"], r["part_b"])) for r in rows]
+    assert sorted(got, key=lambda x: (-x[0], x[1])) == expected
+
+
+def test_vocab_coverage_monotone_and_bounded(spark, sf_small):
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+
+    rows = {
+        r["v_size"]: r
+        for r in registry.QUERIES["vocab_coverage"](spark, sf_small).collect()
+    }
+    small, large = rows[100], rows[500]
+    assert small["total_tokens"] == large["total_tokens"]
+    assert 0 < small["covered_tokens"] <= large["covered_tokens"]
+    assert large["covered_tokens"] <= large["total_tokens"]
+    assert 0.0 < small["coverage"] <= large["coverage"] <= 1.0
+
+
+def test_df_spectrum_totals_match_vocabulary(spark, sf_small):
+    """Band totals must add up to the vocabulary size and the distinct
+    (doc, token) pair count — nothing dropped, nothing double-counted."""
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+
+    pdf = pq.read_table(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    pairs = {
+        (d, t)
+        for d, txt in zip(pdf["doc_id"], pdf["text"])
+        for t in txt.strip().split()
+    }
+    vocab = {t for _, t in pairs}
+
+    rows = registry.QUERIES["token_df_spectrum"](spark, sf_small).collect()
+    assert sum(r["n_terms"] for r in rows) == len(vocab)
+    assert sum(r["sum_df"] for r in rows) == len(pairs)
+
+
+def test_label_propagation_matches_python_reference(spark, sf_small):
+    """The unrolled Spark LPA must agree with an independent Python
+    implementation of the same synchronized min-tie-break rule."""
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    from metas_judiciarias_etl_spark.plans.analytics_ext import (
+        _LPA_ITERS,
+        _LPA_SEED_MOD,
+    )
+
+    pdf = pq.read_table(
+        f"{sf_small}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    nbrs = defaultdict(set)
+    for _, grp in pdf[pdf["l_partkey"] <= 300].groupby("l_orderkey"):
+        parts = sorted(set(grp["l_partkey"]))
+        for i, u in enumerate(parts):
+            for v in parts[i + 1 :]:
+                nbrs[u].add(v)
+                nbrs[v].add(u)
+    labels = {n: n % _LPA_SEED_MOD for n in nbrs}
+    for _ in range(_LPA_ITERS):
+        nxt = {}
+        for n, ns in nbrs.items():
+            votes = Counter(labels[x] for x in ns)
+            top = max(votes.values())
+            nxt[n] = min(l for l, c in votes.items() if c == top)
+        labels = nxt
+
+    rows = registry.QUERIES["graph_label_propagation"](spark, sf_small).collect()
+    got = {r["node"]: r["label"] for r in rows}
+    assert got == labels
+
+
+def test_column_profile_matches_pandas(spark, sf_small):
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    from metas_judiciarias_etl_spark.plans.profiling_ext import _PROFILE_COLS
+
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(
+        f"{sf_small}/lineitem.parquet", columns=list(_PROFILE_COLS)
+    ).to_pandas()
+    rows = registry.QUERIES["dq_column_profile"](spark, sf_small).collect()
+    assert {r["column_name"] for r in rows} == set(_PROFILE_COLS)
+    for r in rows:
+        s = pdf[r["column_name"]]
+        assert r["n_rows"] == len(s)
+        assert r["n_null"] == int(s.isna().sum())
+        assert r["n_distinct"] == s.nunique()
+        assert r["min_val"] == s.min()
+        assert r["max_val"] == s.max()

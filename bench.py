@@ -146,6 +146,8 @@ HEADLINE = [
     "vocab_coverage",
     "token_df_spectrum",
     "graph_label_propagation",
+    "histogram_equi_depth",
+    "emb_outlier_zscore",
 ]
 
 

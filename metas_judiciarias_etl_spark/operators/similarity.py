@@ -1174,3 +1174,127 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Per-label diagonal-covariance outlier scan: the embedding-space QA pass
+# (corrupt vectors, wrong-label shards) run before any ANN index build.
+# --------------------------------------------------------------------------
+_ZOUT_THRESHOLD = 3.0
+_ZOUT_EPS = 1e-9
+
+
+@query(
+    "emb_outlier_zscore",
+    oracle=f"""
+    WITH x AS (
+        SELECT label, vec_id,
+               unnest(generate_series(1, {DIM})) AS dim,
+               embedding
+        FROM embeddings
+    ), v AS (
+        SELECT label, vec_id, dim,
+               CAST(embedding[dim] AS DOUBLE) AS xv
+        FROM x
+    ), g AS (
+        SELECT label, dim, count(*) AS n,
+               list_sort(list(struct_pack(v := vec_id, x := xv))) AS ds
+        FROM v GROUP BY label, dim
+    ), stats AS (
+        SELECT label, dim, n,
+               list_reduce([0.0] || list_transform(ds, __s -> __s.x),
+                           (a, b) -> a + b) / n AS mu,
+               list_reduce([0.0] || list_transform(ds, __s -> __s.x * __s.x),
+                           (a, b) -> a + b) / n AS ex2
+        FROM g
+    ), z AS (
+        SELECT v.label, v.vec_id,
+               abs(v.xv - s.mu)
+                   / sqrt(greatest(s.ex2 - s.mu * s.mu, 0.0) + {_ZOUT_EPS})
+                   AS zv
+        FROM v JOIN stats s ON v.label = s.label AND v.dim = s.dim
+    ), per_vec AS (
+        SELECT label, vec_id, max(zv) AS max_z FROM z GROUP BY label, vec_id
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(sum(CASE WHEN max_z > {_ZOUT_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           max(max_z) AS worst_z
+    FROM per_vec GROUP BY label
+    """,
+)
+def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outliers under a per-(label, dimension) z-score: a vector
+    is flagged when ANY of its coordinates sits more than 3 standard
+    deviations from its label's per-dimension mean (diagonal-covariance
+    Mahalanobis). Reports per-label vector/outlier counts and the worst
+    score — the shard-QA table read before building an ANN index over a
+    new embedding drop.
+
+    Determinism: mean and E[x²] both come from the vec_id-sorted
+    struct-list fold (the emb_centroids discipline), so variance, the
+    epsilon-stabilized sqrt, and every |z| > 3 comparison evaluate on
+    bit-identical doubles in both engines. Plan shape: one (label, dim)
+    shuffle for the moment table (bounded: labels × {DIM} rows), which
+    broadcasts back onto the exploded scan; the per-vector max and the
+    label rollup key on (label, vec_id) — max() is order-insensitive, so
+    those aggs need no pinning. At 100 TB the moment table stays tiny
+    while the fact side streams; for unbounded group sizes swap the exact
+    fold for a DECIMAL-quantized sum (emb_norm_stats pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label",
+        "vec_id",
+        (F.col("pos0") + 1).alias("dim"),
+        F.col("val").cast("double").alias("xv"),
+    )
+    g = v.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("vec_id").alias("v"), F.col("xv").alias("x")))
+        ).alias("ds"),
+    )
+    stats = g.select(
+        "label",
+        "dim",
+        (
+            F.expr(
+                "aggregate(transform(ds, __s -> __s.x),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+            / F.col("n")
+        ).alias("mu"),
+        (
+            F.expr(
+                "aggregate(transform(ds, __s -> __s.x * __s.x),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+            / F.col("n")
+        ).alias("ex2"),
+    )
+    z = v.join(F.broadcast(stats), ["label", "dim"]).select(
+        "label",
+        "vec_id",
+        (
+            F.abs(F.col("xv") - F.col("mu"))
+            / F.sqrt(
+                F.greatest(
+                    F.col("ex2") - F.col("mu") * F.col("mu"), F.lit(0.0)
+                )
+                + F.lit(_ZOUT_EPS)
+            )
+        ).alias("zv"),
+    )
+    per_vec = z.groupBy("label", "vec_id").agg(F.max("zv").alias("max_z"))
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(
+            F.when(F.col("max_z") > _ZOUT_THRESHOLD, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        F.max("max_z").alias("worst_z"),
+    )

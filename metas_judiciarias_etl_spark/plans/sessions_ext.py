@@ -598,3 +598,73 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram: quantile binning (the complement of the
+# equi-width histogram above; what a feature-binning / stats-collection
+# pass actually wants for skewed money-like columns).
+# --------------------------------------------------------------------------
+_EQD_BINS = 8
+
+
+def _eqd_oracle() -> str:
+    qs = ", ".join(
+        f"quantile_cont(cents, {k}/{_EQD_BINS}.0) AS b{k}"
+        for k in range(1, _EQD_BINS)
+    )
+    binexpr = " + ".join(f"CAST(cents > b{k} AS INT)" for k in range(1, _EQD_BINS))
+    return f"""
+    WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), b AS (
+        SELECT {qs} FROM c
+    )
+    SELECT ({binexpr}) AS bin,
+           count(*) AS n_rows,
+           min(cents) AS lo_cents,
+           max(cents) AS hi_cents
+    FROM c CROSS JOIN b
+    GROUP BY bin
+    """
+
+
+@query("histogram_equi_depth", oracle=_eqd_oracle())
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram of extended price in 8 bins: bin
+    boundaries are the exact k/8 quantiles, row assignment counts how
+    many boundaries the value exceeds. Values quantize to integer cents
+    first, so the linearly-interpolated boundaries land on exact
+    multiples of 1/8 cent and every boundary comparison is between
+    exactly-representable doubles — identical on both engines (the
+    mad_robust_outliers determinism discipline).
+
+    Plan shape: one exact-percentile aggregation produces the 7-value
+    boundary row (exact percentile holds the column's values ONCE — at
+    unbounded scale swap approx_percentile, same contract as
+    percentile_agg); the single-row boundary table broadcasts back onto
+    the scan; the bin rollup is an 8-key aggregate. No window, no sort,
+    no fact-sized join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    bounds = c.agg(
+        *[
+            F.percentile("cents", F.lit(k / _EQD_BINS)).alias(f"b{k}")
+            for k in range(1, _EQD_BINS)
+        ]
+    )
+    binned = c.crossJoin(F.broadcast(bounds)).select(
+        sum(
+            [(F.col("cents") > F.col(f"b{k}")).cast("int") for k in range(1, _EQD_BINS)],
+            F.lit(0),
+        ).alias("bin"),
+        "cents",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )

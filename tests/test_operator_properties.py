@@ -489,3 +489,69 @@ def test_column_profile_matches_pandas(spark, sf_small):
         assert r["n_distinct"] == s.nunique()
         assert r["min_val"] == s.min()
         assert r["max_val"] == s.max()
+
+
+def test_equi_depth_bins_cover_all_rows_and_balance(spark, sf_small):
+    """Every row lands in exactly one bin, bins tile the value range in
+    order, and depths are balanced up to boundary-tie slack."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["histogram_equi_depth"](spark, sf_small).collect(),
+        key=lambda r: r["bin"],
+    )
+    n_total = sum(r["n_rows"] for r in rows)
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(
+        f"{sf_small}/lineitem.parquet", columns=["l_extendedprice"]
+    ).to_pandas()
+    assert n_total == len(pdf)
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["hi_cents"] <= cur["lo_cents"]
+    # equi-depth balance: no bin more than 2x the ideal depth (ties at
+    # quantile boundaries can shift rows between neighbors, not explode)
+    ideal = n_total / len(rows)
+    assert all(r["n_rows"] < 2 * ideal for r in rows)
+
+
+def test_emb_outlier_matches_numpy(spark, sf_small):
+    """Outlier counts must match a numpy replay of the per-(label, dim)
+    z-score rule (tolerating only float-sum association differences,
+    which the sorted fold removes — so exact equality)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.similarity import (
+        _ZOUT_EPS,
+        _ZOUT_THRESHOLD,
+    )
+
+    registry.load_all()
+    tbl = pq.read_table(f"{sf_small}/embeddings.parquet").to_pandas()
+    expected = {}
+    for label, grp in tbl.groupby("label"):
+        grp = grp.sort_values("vec_id")
+        m = np.array(
+            [np.asarray(e, dtype=np.float32) for e in grp["embedding"]],
+            dtype=np.float64,
+        )
+        n = len(grp)
+        # mirror the engine's fold order: vec_id-ascending left fold
+        mu = np.zeros(m.shape[1])
+        ex2 = np.zeros(m.shape[1])
+        for row in m:  # sequential fold, same order as the sorted list
+            mu += row
+            ex2 += row * row
+        mu /= n
+        ex2 /= n
+        sd = np.sqrt(np.maximum(ex2 - mu * mu, 0.0) + _ZOUT_EPS)
+        z = np.abs(m - mu) / sd
+        max_z = z.max(axis=1)
+        expected[label] = (n, int((max_z > _ZOUT_THRESHOLD).sum()))
+
+    rows = registry.QUERIES["emb_outlier_zscore"](spark, sf_small).collect()
+    got = {r["label"]: (r["n_vecs"], r["n_outliers"]) for r in rows}
+    assert got == expected

@@ -74,6 +74,8 @@ QUERIES = [
     "vocab_coverage",           # global rank boundary + conditional sums
     "token_df_spectrum",        # two-level distinct + integer banding
     "graph_label_propagation",  # iterative majority vote, min-label ties
+    "histogram_equi_depth",     # interpolated quantile boundary compares
+    "emb_outlier_zscore",       # order-pinned moment folds + 3-sigma gate
 ]
 
 

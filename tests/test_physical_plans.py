@@ -692,3 +692,23 @@ def test_label_propagation_no_cartesian(spark, sf):
     # every per-round join is an equi-join on node ids
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_equi_depth_boundary_row_broadcasts(spark, sf):
+    df = registry.QUERIES["histogram_equi_depth"](spark, sf)
+    plan = _plan(df)
+    # the 1-row quantile boundary table must come back via broadcast;
+    # no window/sort anywhere — just two aggs and the broadcast join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_emb_outlier_moments_broadcast_back(spark, sf):
+    df = registry.QUERIES["emb_outlier_zscore"](spark, sf)
+    plan = _plan(df)
+    # the (label, dim) moment table joins back by broadcast — the
+    # exploded fact side must never shuffle for the join itself
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -148,6 +148,7 @@ HEADLINE = [
     "graph_label_propagation",
     "histogram_equi_depth",
     "emb_outlier_zscore",
+    "sim_rank_fusion_rrf",
 ]
 
 

@@ -1298,3 +1298,75 @@ def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_outliers"),
         F.max("max_z").alias("worst_z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion: merge two ANN candidate lists into one ranking
+# (the standard hybrid-retrieval combiner; Cormack et al.'s RRF).
+# --------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_TOP = 5
+
+
+def _rrf_oracle() -> str:
+    from ..registry import ORACLES
+
+    rank = (
+        "row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cosine DESC, vec_id)"
+    )
+    return f"""
+    WITH la AS ({ORACLES['sim_cosine_topk_lsh']}),
+    lb AS ({ORACLES['sim_cosine_topk_ivf']}),
+    ra AS (SELECT query_id, vec_id, {rank} AS r FROM la),
+    rb AS (SELECT query_id, vec_id, {rank} AS r FROM lb),
+    u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb),
+    s AS (
+        SELECT query_id, vec_id,
+               sum(1.0 / ({_RRF_K} + r)) AS rrf_score,
+               CAST(count(*) AS BIGINT) AS n_lists
+        FROM u GROUP BY query_id, vec_id
+    )
+    SELECT query_id, vec_id, rrf_score, n_lists FROM (
+        SELECT s.*,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_score DESC, vec_id) AS rn
+        FROM s
+    ) WHERE rn <= {_RRF_TOP}
+    """
+
+
+@query("sim_rank_fusion_rrf", oracle=_rrf_oracle())
+def sim_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the LSH and IVF candidate lists with
+    reciprocal-rank fusion (score = Σ 1/(60 + rank)) and keep the top-5
+    per query. Composes the two REGISTERED indexes on both engine and
+    oracle sides, so the fusion can never drift from what the indexes
+    actually return; each pair contributes at most two IEEE terms, whose
+    addition is order-insensitive bitwise, and every ranking carries a
+    vec_id tiebreak.
+
+    At 100 TB both inputs are per-query top-k lists (N_QUERIES × TOPK
+    rows — driver-scale, not corpus-scale), so the fusion itself is a
+    tiny keyed aggregation; the heavy lifting stays inside the composed
+    index scans, which swap freely for any registered ANN variant."""
+    from ..registry import QUERIES
+
+    def ranked(name: str) -> DataFrame:
+        lst = QUERIES[name](spark, sf_dir)
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+        return lst.select(
+            "query_id", "vec_id", F.row_number().over(w).alias("r")
+        )
+
+    u = ranked("sim_cosine_topk_lsh").unionAll(ranked("sim_cosine_topk_ivf"))
+    s = u.groupBy("query_id", "vec_id").agg(
+        F.sum(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r"))).alias("rrf_score"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("vec_id"))
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RRF_TOP)
+        .select("query_id", "vec_id", "rrf_score", "n_lists")
+    )

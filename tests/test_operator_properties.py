@@ -555,3 +555,41 @@ def test_emb_outlier_matches_numpy(spark, sf_small):
     rows = registry.QUERIES["emb_outlier_zscore"](spark, sf_small).collect()
     got = {r["label"]: (r["n_vecs"], r["n_outliers"]) for r in rows}
     assert got == expected
+
+
+def test_rrf_fusion_scores_match_python_replay(spark, sf_small):
+    """The fused ranking must equal a Python RRF replay over the two
+    collected candidate lists."""
+    from collections import defaultdict
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.similarity import _RRF_K, _RRF_TOP
+
+    registry.load_all()
+    score = defaultdict(float)
+    lists = defaultdict(int)
+    for name in ("sim_cosine_topk_lsh", "sim_cosine_topk_ivf"):
+        rows = registry.QUERIES[name](spark, sf_small).collect()
+        per_q = defaultdict(list)
+        for r in rows:
+            per_q[r["query_id"]].append((-r["cosine"], r["vec_id"]))
+        for q, lst in per_q.items():
+            for rank, (_, vid) in enumerate(sorted(lst), 1):
+                score[(q, vid)] += 1.0 / (_RRF_K + rank)
+                lists[(q, vid)] += 1
+    expected = {}
+    by_q = defaultdict(list)
+    for (q, vid), s in score.items():
+        by_q[q].append((-s, vid))
+    for q, lst in by_q.items():
+        for (negs, vid) in sorted(lst)[:_RRF_TOP]:
+            expected[(q, vid)] = (-negs, lists[(q, vid)])
+
+    got = {
+        (r["query_id"], r["vec_id"]): (r["rrf_score"], r["n_lists"])
+        for r in registry.QUERIES["sim_rank_fusion_rrf"](spark, sf_small).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (s, n) in got.items():
+        assert n == expected[k][1]
+        assert abs(s - expected[k][0]) < 1e-15

@@ -76,6 +76,7 @@ QUERIES = [
     "graph_label_propagation",  # iterative majority vote, min-label ties
     "histogram_equi_depth",     # interpolated quantile boundary compares
     "emb_outlier_zscore",       # order-pinned moment folds + 3-sigma gate
+    "sim_rank_fusion_rrf",      # two-list RRF sum + fused-rank tie-break
 ]
 
 

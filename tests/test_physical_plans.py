@@ -704,6 +704,17 @@ def test_equi_depth_boundary_row_broadcasts(spark, sf):
     assert "SortMergeJoin" not in plan
 
 
+def test_rrf_fusion_adds_no_fact_scale_work(spark, sf):
+    df = registry.QUERIES["sim_rank_fusion_rrf"](spark, sf)
+    plan = _plan(df)
+    # fusion layers two windows + one keyed agg over per-query top-k
+    # lists; it must not introduce any cartesian/nested-loop join beyond
+    # what the composed indexes already use
+    assert "CartesianProduct" not in plan
+    fused_windows = plan.count("Window")
+    assert fused_windows >= 3  # per-list re-rank x2 + fused top-k
+
+
 def test_emb_outlier_moments_broadcast_back(spark, sf):
     df = registry.QUERIES["emb_outlier_zscore"](spark, sf)
     plan = _plan(df)

@@ -149,6 +149,7 @@ HEADLINE = [
     "histogram_equi_depth",
     "emb_outlier_zscore",
     "sim_rank_fusion_rrf",
+    "dedup_source_matrix",
 ]
 
 

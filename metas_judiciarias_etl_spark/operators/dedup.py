@@ -774,3 +774,69 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(canon.cast("int")).cast("long").alias("n_canonical_dups"),
         F.sum(novel.cast("int")).cast("long").alias("n_novel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup source matrix: where does duplication live — inside a source
+# (boilerplate/templates) or across sources (mirrors/scrapes)? The table
+# that decides whether dedup should run per-source or globally.
+# ---------------------------------------------------------------------------
+def _source_matrix_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH pairs AS ({ORACLES['dedup_minhash_lsh']}),
+    src AS (SELECT doc_id, source FROM documents),
+    tagged AS (
+        SELECT least(sa.source, sb.source) AS src_a,
+               greatest(sa.source, sb.source) AS src_b,
+               p.jaccard
+        FROM pairs p
+        JOIN src sa ON sa.doc_id = p.a_id
+        JOIN src sb ON sb.doc_id = p.b_id
+    )
+    SELECT src_a, src_b,
+           count(*) AS n_pairs,
+           CAST(src_a = src_b AS INT) AS within_source,
+           min(jaccard) AS min_jaccard,
+           max(jaccard) AS max_jaccard
+    FROM tagged
+    GROUP BY src_a, src_b
+    """
+
+
+@query("dedup_source_matrix", oracle=_source_matrix_oracle())
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate source matrix: the verified MinHash-LSH pairs
+    (composes the REGISTERED dedup_minhash_lsh on both sides) classified
+    by the (source, source) pair they straddle, with least/greatest
+    canonicalization so (a,b) and (b,a) land in one cell. Within-source
+    mass means template boilerplate — dedup per source shard; off-diagonal
+    mass means mirrored content — dedup must be global.
+
+    Plan shape: the pair list is near-dup-sized, not corpus-sized; the
+    two doc_id→source lookups are equi-joins against a 2-column
+    projection of documents; the matrix rollup keys on the tiny
+    (src_a, src_b) space. All the heavy lifting stays inside the
+    composed LSH query with its bucketed candidate generation."""
+    from ..registry import QUERIES
+
+    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb"))
+    tagged = (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            "jaccard",
+        )
+    )
+    return tagged.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.col("src_a") == F.col("src_b")).cast("int").alias("within_source"),
+        F.min("jaccard").alias("min_jaccard"),
+        F.max("jaccard").alias("max_jaccard"),
+    )

@@ -593,3 +593,19 @@ def test_rrf_fusion_scores_match_python_replay(spark, sf_small):
     for k, (s, n) in got.items():
         assert n == expected[k][1]
         assert abs(s - expected[k][0]) < 1e-15
+
+
+def test_source_matrix_accounts_for_every_lsh_pair(spark, sf_small):
+    """Matrix cell counts must sum to the composed pair-list size, cells
+    must be canonicalized (src_a <= src_b), and the within_source flag
+    must match the diagonal."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    n_pairs = registry.QUERIES["dedup_minhash_lsh"](spark, sf_small).count()
+    rows = registry.QUERIES["dedup_source_matrix"](spark, sf_small).collect()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+    for r in rows:
+        assert r["src_a"] <= r["src_b"]
+        assert r["within_source"] == int(r["src_a"] == r["src_b"])
+        assert 0 < r["min_jaccard"] <= r["max_jaccard"] <= 1.0

@@ -77,6 +77,7 @@ QUERIES = [
     "histogram_equi_depth",     # interpolated quantile boundary compares
     "emb_outlier_zscore",       # order-pinned moment folds + 3-sigma gate
     "sim_rank_fusion_rrf",      # two-list RRF sum + fused-rank tie-break
+    "dedup_source_matrix",      # composed LSH pairs + canonicalized cells
 ]
 
 

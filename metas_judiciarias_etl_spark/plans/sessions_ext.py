@@ -609,17 +609,16 @@ _EQD_BINS = 8
 
 
 def _eqd_oracle() -> str:
-    qs = ", ".join(
-        f"quantile_cont(cents, {k}/{_EQD_BINS}.0) AS b{k}"
-        for k in range(1, _EQD_BINS)
+    fracs = ", ".join(f"{k}/{_EQD_BINS}.0" for k in range(1, _EQD_BINS))
+    binexpr = " + ".join(
+        f"CAST(cents > bs[{k}] AS INT)" for k in range(1, _EQD_BINS)
     )
-    binexpr = " + ".join(f"CAST(cents > b{k} AS INT)" for k in range(1, _EQD_BINS))
     return f"""
     WITH c AS (
         SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
         FROM lineitem
     ), b AS (
-        SELECT {qs} FROM c
+        SELECT quantile_cont(cents, [{fracs}]) AS bs FROM c
     )
     SELECT ({binexpr}) AS bin,
            count(*) AS n_rows,
@@ -650,15 +649,21 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = li.select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
     )
+    # ONE array-percentile aggregate: all 7 boundaries share a single
+    # per-partition value buffer (7 scalar percentile() aggs each buffer
+    # the whole column — measured 7x slower at sf0.1)
     bounds = c.agg(
-        *[
-            F.percentile("cents", F.lit(k / _EQD_BINS)).alias(f"b{k}")
-            for k in range(1, _EQD_BINS)
-        ]
+        F.percentile(
+            "cents",
+            F.array(*[F.lit(k / _EQD_BINS) for k in range(1, _EQD_BINS)]),
+        ).alias("bs")
     )
     binned = c.crossJoin(F.broadcast(bounds)).select(
         sum(
-            [(F.col("cents") > F.col(f"b{k}")).cast("int") for k in range(1, _EQD_BINS)],
+            [
+                (F.col("cents") > F.col("bs")[k - 1]).cast("int")
+                for k in range(1, _EQD_BINS)
+            ],
             F.lit(0),
         ).alias("bin"),
         "cents",

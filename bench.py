@@ -150,6 +150,7 @@ HEADLINE = [
     "emb_outlier_zscore",
     "sim_rank_fusion_rrf",
     "dedup_source_matrix",
+    "sim_label_margin",
 ]
 
 

@@ -1370,3 +1370,83 @@ def sim_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _RRF_TOP)
         .select("query_id", "vec_id", "rrf_score", "n_lists")
     )
+
+
+# --------------------------------------------------------------------------
+# Label margin: per query, best same-label vs best other-label cosine —
+# the separability score that predicts kNN/centroid classifier quality.
+# --------------------------------------------------------------------------
+def _label_margin_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH topk AS ({ORACLES['sim_cosine_topk_bruteforce']}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    tagged AS (
+        SELECT t.query_id, t.vec_id, t.cosine,
+               CAST(ln.label = lq.label AS INT) AS same_label
+        FROM topk t
+        JOIN lab ln ON ln.vec_id = t.vec_id
+        JOIN lab lq ON lq.vec_id = t.query_id
+        WHERE t.vec_id <> t.query_id
+    )
+    SELECT query_id,
+           max(CASE WHEN same_label = 1 THEN cosine END) AS best_same,
+           max(CASE WHEN same_label = 0 THEN cosine END) AS best_other,
+           coalesce(max(CASE WHEN same_label = 1 THEN cosine END), -1.0)
+             - coalesce(max(CASE WHEN same_label = 0 THEN cosine END), -1.0)
+             AS margin,
+           CAST(sum(same_label) AS BIGINT) AS n_same_in_topk
+    FROM tagged
+    GROUP BY query_id
+    """
+
+
+@query("sim_label_margin", oracle=_label_margin_oracle())
+def sim_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval separability: for each query, the best same-label and
+    best other-label cosine among its top-k neighbors (self excluded),
+    their margin, and how many of the top-k share the query's label. A
+    positive margin everywhere means nearest-neighbor classification is
+    easy; negative margins localize label noise. Composes the REGISTERED
+    brute-force top-k on both sides; max() over rounded cosines is
+    order-insensitive, missing cases pinned via coalesce(-1).
+
+    At 100 TB: the top-k list is query-scale; the two label lookups are
+    equi-joins of that tiny list against a 2-column projection — the
+    corpus-scale work stays inside the composed index, swappable for any
+    registered ANN variant."""
+    from ..registry import QUERIES
+
+    topk = QUERIES["sim_cosine_topk_bruteforce"](spark, sf_dir).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    tagged = (
+        topk.join(F.broadcast(lab.withColumnRenamed("label", "n_label")), "vec_id")
+        .join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("q_label"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "cosine",
+            (F.col("n_label") == F.col("q_label")).cast("int").alias("same_label"),
+        )
+    )
+    best_same = F.max(F.when(F.col("same_label") == 1, F.col("cosine")))
+    best_other = F.max(F.when(F.col("same_label") == 0, F.col("cosine")))
+    return tagged.groupBy("query_id").agg(
+        best_same.alias("best_same"),
+        best_other.alias("best_other"),
+        (
+            F.coalesce(best_same, F.lit(-1.0))
+            - F.coalesce(best_other, F.lit(-1.0))
+        ).alias("margin"),
+        F.sum("same_label").cast("long").alias("n_same_in_topk"),
+    )

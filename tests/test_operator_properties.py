@@ -609,3 +609,36 @@ def test_source_matrix_accounts_for_every_lsh_pair(spark, sf_small):
         assert r["src_a"] <= r["src_b"]
         assert r["within_source"] == int(r["src_a"] == r["src_b"])
         assert 0 < r["min_jaccard"] <= r["max_jaccard"] <= 1.0
+
+
+def test_label_margin_consistent_with_knn_votes(spark, sf_small):
+    """n_same_in_topk must equal the kNN vote count for the query's own
+    label (both compose the same brute-force top-k), and margin must be
+    best_same - best_other whenever both exist."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    margins = {
+        r["query_id"]: r
+        for r in registry.QUERIES["sim_label_margin"](spark, sf_small).collect()
+    }
+    topk = registry.QUERIES["sim_cosine_topk_bruteforce"](spark, sf_small).collect()
+    import pyarrow.parquet as pq
+
+    lab = dict(
+        zip(
+            *(
+                lambda t: (t["vec_id"], t["label"])
+            )(pq.read_table(f"{sf_small}/embeddings.parquet").to_pandas())
+        )
+    )
+    from collections import defaultdict
+
+    same_count = defaultdict(int)
+    for r in topk:
+        if r["vec_id"] != r["query_id"] and lab[r["vec_id"]] == lab[r["query_id"]]:
+            same_count[r["query_id"]] += 1
+    for q, row in margins.items():
+        assert row["n_same_in_topk"] == same_count[q]
+        if row["best_same"] is not None and row["best_other"] is not None:
+            assert abs(row["margin"] - (row["best_same"] - row["best_other"])) < 1e-12

@@ -78,6 +78,7 @@ QUERIES = [
     "emb_outlier_zscore",       # order-pinned moment folds + 3-sigma gate
     "sim_rank_fusion_rrf",      # two-list RRF sum + fused-rank tie-break
     "dedup_source_matrix",      # composed LSH pairs + canonicalized cells
+    "sim_label_margin",         # composed top-k + conditional max margins
 ]
 
 

@@ -826,8 +826,8 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb"))
     tagged = (
-        pairs.join(sa, "a_id")
-        .join(sb, "b_id")
+        pairs.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
         .select(
             F.least("sa", "sb").alias("src_a"),
             F.greatest("sa", "sb").alias("src_b"),

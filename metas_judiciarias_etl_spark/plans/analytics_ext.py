@@ -558,19 +558,47 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --------------------------------------------------------------------------
+# Shared part co-occurrence graph: ONE edge definition (and one oracle CTE)
+# for triangle counting, degree distribution, and label propagation — a
+# change to the cap or the build cannot silently diverge the three.
+# --------------------------------------------------------------------------
+_PART_EDGE_CAP = 300
+
+_SQL_PART_EDGES = f"""picked AS (
+        SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey <= {_PART_EDGE_CAP}
+    ), edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM picked a JOIN picked b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""
+
+
+def _part_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct u<v part co-occurrence edges (per-order self-join bounded
+    by order width; the cap keeps the demo graph small)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") <= _PART_EDGE_CAP
+    )
+    picked = li.select("l_orderkey", "l_partkey")
+    a = picked.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = picked.select("l_orderkey", F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
 # --------------------------------------------------------------------------
 # Graph analytics: triangle counting (the two-join wedge-close pattern).
 # --------------------------------------------------------------------------
 @query(
     "graph_triangle_count",
-    oracle="""
-    WITH picked AS (
-        SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey <= 300
-    ), edges AS (
-        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        FROM picked a JOIN picked b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ), wedges AS (
+    oracle=f"""
+    WITH {_SQL_PART_EDGES}, wedges AS (
         SELECT e1.u AS a, e1.v AS b, e2.v AS c
         FROM edges e1 JOIN edges e2 ON e1.v = e2.u
     )
@@ -592,17 +620,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacency, the standard way to keep the intermediate bounded on
     skewed degree distributions. Two shuffle joins on int keys; the edge
     build itself is a per-order self-join bounded by order width."""
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 300)
-    picked = li.select("l_orderkey", "l_partkey")
-    a = picked.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = picked.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .persist()
-    )
+    edges = _part_cooccurrence_edges(spark, sf_dir).persist()
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
     wedges = e1.join(e2, "b").select("a", "c")
@@ -1097,14 +1115,8 @@ def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "graph_degree_distribution",
-    oracle="""
-    WITH picked AS (
-        SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey <= 300
-    ), edges AS (
-        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        FROM picked a JOIN picked b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ), deg AS (
+    oracle=f"""
+    WITH {_SQL_PART_EDGES}, deg AS (
         SELECT node, count(*) AS degree FROM (
             SELECT u AS node FROM edges
             UNION ALL
@@ -1126,16 +1138,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank) need salting before they run. Two count aggregations over
     the edge list; the edge build dominates and is shared logic with the
     triangle counter."""
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 300)
-    picked = li.select("l_orderkey", "l_partkey")
-    a = picked.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = picked.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    edges = _part_cooccurrence_edges(spark, sf_dir)
     nodes = edges.select(F.col("u").alias("node")).unionAll(
         edges.select(F.col("v").alias("node"))
     )
@@ -1214,13 +1217,7 @@ _LPA_SEED_MOD = 4
 @query(
     "graph_label_propagation",
     oracle=f"""
-    WITH picked AS (
-        SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey <= 300
-    ), edges AS (
-        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        FROM picked a JOIN picked b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ), nbr AS (
+    WITH {_SQL_PART_EDGES}, nbr AS (
         SELECT u AS node, v AS nb FROM edges
         UNION ALL
         SELECT v AS node, u AS nb FROM edges
@@ -1252,7 +1249,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent label among its neighbors each round, ties broken toward
     the SMALLEST label — the (max-count, min-label) rule both engines
     evaluate identically, unlike max_by/arg_max whose tie order is
-    engine-defined. Fixed {n} synchronized rounds, seed label node % {m}.
+    engine-defined. Fixed 2 synchronized rounds, seed label node % 4
+    (_LPA_ITERS / _LPA_SEED_MOD).
 
     Plan shape per round: one join of the neighbor list against the
     label table (both keyed on node ids), a (node, lbl) vote count, a
@@ -1262,19 +1260,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration-invariant: at scale, persist it once (the kcore pattern,
     graph_kcore_peel) instead of recomputing; here the unrolled plan
     lets Spark's exchange reuse dedupe the identical edge subtrees."""
-    li = load_table(spark, sf_dir, "lineitem")
-    picked = li.filter(F.col("l_partkey") <= 300).select("l_orderkey", "l_partkey")
-    a = picked.alias("a")
-    b = picked.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    edges = _part_cooccurrence_edges(spark, sf_dir)
     nbr = edges.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
         edges.select(F.col("v").alias("node"), F.col("u").alias("nb"))
     )
@@ -1297,7 +1283,3 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return labels.select("node", F.col("lbl").alias("label"))
 
-
-graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
-    n=_LPA_ITERS, m=_LPA_SEED_MOD
-)

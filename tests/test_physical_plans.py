@@ -723,3 +723,21 @@ def test_emb_outlier_moments_broadcast_back(spark, sf):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_source_matrix_lookups_broadcast(spark, sf):
+    df = registry.QUERIES["dedup_source_matrix"](spark, sf)
+    plan = _plan(df)
+    # both doc_id -> source lookups ride explicit broadcasts; the pair
+    # list must never be shuffled for them
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_label_margin_lookups_broadcast(spark, sf):
+    df = registry.QUERIES["sim_label_margin"](spark, sf)
+    plan = _plan(df)
+    # the two label lookups against the top-k list are broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

@@ -151,6 +151,7 @@ HEADLINE = [
     "sim_rank_fusion_rrf",
     "dedup_source_matrix",
     "sim_label_margin",
+    "source_vocab_overlap",
 ]
 
 

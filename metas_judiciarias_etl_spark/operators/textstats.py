@@ -847,3 +847,76 @@ def token_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("df").cast("long").alias("sum_df"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Source vocabulary overlap: Jaccard similarity of the token vocabularies
+# of every source pair — the corpus-level cousin of document dedup
+# (which sources speak the same language / mirror the same content?).
+# --------------------------------------------------------------------------
+@query(
+    "source_vocab_overlap",
+    oracle=f"""
+    WITH st AS (
+        SELECT DISTINCT source, unnest({_SQL_TOKS}) AS token FROM documents
+    ), vocab AS (
+        SELECT source, count(*) AS v FROM st GROUP BY source
+    ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(va.v AS BIGINT) AS vocab_a,
+           CAST(vb.v AS BIGINT) AS vocab_b,
+           i.n_common / CAST(va.v + vb.v - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN vocab va ON va.source = i.src_a
+    JOIN vocab vb ON vb.source = i.src_b
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard: for every (source, source)
+    pair with src_a < src_b, the shared-token count against both vocab
+    sizes. High overlap across sources predicts cross-source near-dups
+    before any pairwise document work runs (the cheap pre-check for
+    dedup_source_matrix). One IEEE division of exact integers.
+
+    Plan shape: the (source, token) distinct collapses the corpus to
+    vocabulary scale; the pair join keys on token, so a term shared by
+    all sources contributes |S|²/2 rows — bounded by the SOURCE count
+    squared, not the corpus; vocab sizes join back via tiny broadcast.
+    At 100 TB the distinct is the only fact-scale shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    ).distinct()
+    vocab = st.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = st.select(F.col("source").alias("src_a"), "token")
+    b = st.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    va = vocab.select(F.col("source").alias("src_a"), F.col("v").alias("vocab_a"))
+    vb = vocab.select(F.col("source").alias("src_b"), F.col("v").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("vocab_a").cast("long").alias("vocab_a"),
+            F.col("vocab_b").cast("long").alias("vocab_b"),
+            (
+                F.col("n_common")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

@@ -642,3 +642,36 @@ def test_label_margin_consistent_with_knn_votes(spark, sf_small):
         assert row["n_same_in_topk"] == same_count[q]
         if row["best_same"] is not None and row["best_other"] is not None:
             assert abs(row["margin"] - (row["best_same"] - row["best_other"])) < 1e-12
+
+
+def test_source_vocab_overlap_matches_python_sets(spark, sf_small):
+    """Jaccard cells must equal pure-Python set arithmetic over the same
+    whitespace vocabularies."""
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    pdf = pq.read_table(
+        f"{sf_small}/documents.parquet", columns=["source", "text"]
+    ).to_pandas()
+    vocab = {}
+    for src, grp in pdf.groupby("source"):
+        vocab[src] = set(t for txt in grp["text"] for t in txt.strip().split())
+    expected = {}
+    for a, b in combinations(sorted(vocab), 2):
+        inter = len(vocab[a] & vocab[b])
+        if inter:
+            expected[(a, b)] = (inter, len(vocab[a]), len(vocab[b]))
+
+    rows = registry.QUERIES["source_vocab_overlap"](spark, sf_small).collect()
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_common"], r["vocab_a"], r["vocab_b"])
+        for r in rows
+    }
+    assert got == expected
+    for r in rows:
+        i, va, vb = r["n_common"], r["vocab_a"], r["vocab_b"]
+        assert r["jaccard"] == i / float(va + vb - i)

@@ -79,6 +79,7 @@ QUERIES = [
     "sim_rank_fusion_rrf",      # two-list RRF sum + fused-rank tie-break
     "dedup_source_matrix",      # composed LSH pairs + canonicalized cells
     "sim_label_margin",         # composed top-k + conditional max margins
+    "source_vocab_overlap",     # vocab-scale pair join + exact-int jaccard
 ]
 
 

@@ -152,6 +152,7 @@ HEADLINE = [
     "dedup_source_matrix",
     "sim_label_margin",
     "source_vocab_overlap",
+    "customer_rfm_segments",
 ]
 
 

@@ -673,3 +673,125 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("lo_cents"),
         F.max("cents").alias("hi_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: recency/frequency/monetary quartile scores per
+# customer, rolled up per segment — the classic behavioral cut, scored
+# with the same exactly-representable quartile-boundary discipline as
+# histogram_equi_depth (never ntile, whose tie assignment is
+# order-dependent).
+# --------------------------------------------------------------------------
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS day,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), cust AS (
+        SELECT o_custkey,
+               max(day) AS last_day,
+               count(*) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS m_cents
+        FROM o GROUP BY o_custkey
+    ), ref AS (SELECT max(last_day) AS ref_day FROM cust),
+    feats AS (
+        SELECT c.*, r.ref_day - c.last_day AS rec_days
+        FROM cust c CROSS JOIN ref r
+    ), b AS (
+        SELECT quantile_cont(rec_days, [0.25, 0.5, 0.75]) AS br,
+               quantile_cont(n_orders, [0.25, 0.5, 0.75]) AS bf,
+               quantile_cont(m_cents,  [0.25, 0.5, 0.75]) AS bm
+        FROM feats
+    ), scored AS (
+        SELECT f.o_custkey, f.m_cents,
+               CAST(f.rec_days > b.br[1] AS INT) + CAST(f.rec_days > b.br[2] AS INT)
+                 + CAST(f.rec_days > b.br[3] AS INT) AS r_s,
+               CAST(f.n_orders > b.bf[1] AS INT) + CAST(f.n_orders > b.bf[2] AS INT)
+                 + CAST(f.n_orders > b.bf[3] AS INT) AS f_s,
+               CAST(f.m_cents > b.bm[1] AS INT) + CAST(f.m_cents > b.bm[2] AS INT)
+                 + CAST(f.m_cents > b.bm[3] AS INT) AS m_s
+        FROM feats f CROSS JOIN b
+    )
+    SELECT 'R' || CAST(r_s AS VARCHAR) || 'F' || CAST(f_s AS VARCHAR)
+               || 'M' || CAST(m_s AS VARCHAR) AS segment,
+           count(*) AS n_customers,
+           CAST(sum(m_cents) AS BIGINT) AS total_cents
+    FROM scored
+    GROUP BY segment
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, recency (days since last order,
+    against the corpus max), frequency (order count), monetary (total
+    cents); each scored 0-3 by how many exact quartile boundaries it
+    exceeds, then rolled up per 'R{{r}}F{{f}}M{{m}}' segment. Quartile
+    fractions k/4 are binary-exact, inputs are integers, so interpolated
+    boundaries — and every comparison — evaluate identically on both
+    engines; ntile() would instead split ties by partition order.
+
+    Plan shape: one o_custkey aggregation over orders (fact-scale
+    shuffle #1 and the only one); the 1-row reference day and the 1-row
+    boundary triple both come back via broadcast; the segment rollup has
+    ≤64 keys. Exact quantile_cont buffers CUSTOMER-grain rows — at
+    unbounded customer counts swap approx_percentile (percentile_agg
+    contract)."""
+    orders = load_table(spark, sf_dir, "orders")
+    # datediff over CAST-to-date works for both TIMESTAMP and
+    # TIMESTAMP_NTZ fixture generations (unix_micros rejects NTZ)
+    o = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = o.groupBy("o_custkey").agg(
+        F.max("day").alias("last_day"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("m_cents"),
+    )
+    ref = cust.agg(F.max("last_day").alias("ref_day"))
+    feats = cust.crossJoin(F.broadcast(ref)).withColumn(
+        "rec_days", F.col("ref_day") - F.col("last_day")
+    )
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    b = feats.agg(
+        F.percentile("rec_days", qs).alias("br"),
+        F.percentile("n_orders", qs).alias("bf"),
+        F.percentile("m_cents", qs).alias("bm"),
+    )
+
+    def _score(col: str, bs: str):
+        return sum(
+            [(F.col(col) > F.col(bs)[k]).cast("int") for k in range(3)],
+            F.lit(0),
+        )
+
+    scored = feats.crossJoin(F.broadcast(b)).select(
+        "m_cents",
+        _score("rec_days", "br").alias("r_s"),
+        _score("n_orders", "bf").alias("f_s"),
+        _score("m_cents", "bm").alias("m_s"),
+    )
+    return (
+        scored.select(
+            F.concat(
+                F.lit("R"), F.col("r_s").cast("string"),
+                F.lit("F"), F.col("f_s").cast("string"),
+                F.lit("M"), F.col("m_s").cast("string"),
+            ).alias("segment"),
+            "m_cents",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("m_cents").cast("long").alias("total_cents"),
+        )
+    )

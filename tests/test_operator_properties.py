@@ -675,3 +675,53 @@ def test_source_vocab_overlap_matches_python_sets(spark, sf_small):
     for r in rows:
         i, va, vb = r["n_common"], r["vocab_a"], r["vocab_b"]
         assert r["jaccard"] == i / float(va + vb - i)
+
+
+def test_rfm_segments_match_python_replay(spark, sf_small):
+    """Segment assignment and totals must equal a pure-Python replay of
+    the quartile-boundary scoring rule."""
+    from collections import defaultdict
+    from datetime import date
+
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    pdf = pq.read_table(
+        f"{sf_small}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).to_pandas()
+    epoch = date(1970, 1, 1)
+    pdf["day"] = pdf["o_orderdate"].dt.date.map(lambda d: (d - epoch).days)
+    pdf["cents"] = (pdf["o_totalprice"] * 100).round().astype("int64")
+    cust = pdf.groupby("o_custkey").agg(
+        last_day=("day", "max"), n_orders=("day", "size"), m_cents=("cents", "sum")
+    )
+    ref = cust["last_day"].max()
+    cust["rec_days"] = ref - cust["last_day"]
+
+    def qcont(vals, f):
+        vals = sorted(vals)
+        pos = (len(vals) - 1) * f
+        lo = int(pos)
+        frac = pos - lo
+        hi = min(lo + 1, len(vals) - 1)
+        return vals[lo] + (vals[hi] - vals[lo]) * frac
+
+    def score(series):
+        bs = [qcont(list(series), f) for f in (0.25, 0.5, 0.75)]
+        return series.map(lambda v: sum(v > b for b in bs))
+
+    cust["r"] = score(cust["rec_days"])
+    cust["f"] = score(cust["n_orders"])
+    cust["m"] = score(cust["m_cents"])
+    expected = defaultdict(lambda: [0, 0])
+    for row in cust.itertuples():
+        seg = f"R{row.r}F{row.f}M{row.m}"
+        expected[seg][0] += 1
+        expected[seg][1] += row.m_cents
+
+    rows = registry.QUERIES["customer_rfm_segments"](spark, sf_small).collect()
+    got = {r["segment"]: [r["n_customers"], r["total_cents"]] for r in rows}
+    assert got == dict(expected)

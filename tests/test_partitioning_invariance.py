@@ -80,6 +80,7 @@ QUERIES = [
     "dedup_source_matrix",      # composed LSH pairs + canonicalized cells
     "sim_label_margin",         # composed top-k + conditional max margins
     "source_vocab_overlap",     # vocab-scale pair join + exact-int jaccard
+    "customer_rfm_segments",    # interpolated quartile scores, 3 metrics
 ]
 
 

@@ -57,3 +57,20 @@ def test_query_output_is_driver_hashable(name, spark, sf_oracle):
         if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
     ]
     assert not bad, f"{name}: complex-typed output columns {bad} break the driver compare"
+
+
+def test_harness_detects_value_and_count_divergence(spark, sf_oracle, con):
+    """Meta-test of the gate itself: compare() must FAIL when the oracle
+    is wrong — a value off by one, a missing row, and a renamed column
+    all have to produce problems. A silently-lenient harness would make
+    every green row above meaningless."""
+    name = "q6_forecast_revenue"
+    df = registry.QUERIES[name](spark, sf_oracle)
+    good = registry.ORACLES[name]
+    assert not compare(name, df, good, con)
+    # value perturbation
+    assert compare(name, df, f"SELECT revenue + 1 AS revenue FROM ({good})", con)
+    # row-count perturbation
+    assert compare(name, df, f"SELECT * FROM ({good}) WHERE 1 = 0", con)
+    # column-name perturbation (driver sorts by name before hashing)
+    assert compare(name, df, f"SELECT revenue AS rev FROM ({good})", con)

@@ -153,6 +153,8 @@ HEADLINE = [
     "sim_label_margin",
     "source_vocab_overlap",
     "customer_rfm_segments",
+    "cycle_time_percentiles",
+    "text_novelty_ratio",
 ]
 
 

@@ -920,3 +920,83 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Shingle novelty: what fraction of each document's shingles appear here
+# for the FIRST time (by doc_id order) — the marginal-content curve that
+# says when a crawl stops adding new text.
+# --------------------------------------------------------------------------
+def _novelty_oracle() -> str:
+    from ..functions.hashing import sql_word_shingles
+
+    shingles = f"list_distinct({sql_word_shingles(_SQL_TOKS, 3)})"
+    return f"""
+    WITH ds AS (
+        SELECT doc_id, source, unnest({shingles}) AS shingle
+        FROM documents
+    ), firsts AS (
+        SELECT shingle, min(doc_id) AS first_doc FROM ds GROUP BY shingle
+    ), per_doc AS (
+        SELECT d.doc_id, d.source,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM ds d JOIN firsts f ON f.shingle = d.shingle
+        GROUP BY d.doc_id, d.source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_shingles) AS BIGINT) AS total_shingles,
+           CAST(sum(n_novel) AS BIGINT) AS novel_shingles,
+           sum(n_novel) / CAST(sum(n_shingles) AS DOUBLE) AS novelty_ratio
+    FROM per_doc
+    GROUP BY source
+    """
+
+
+@query("text_novelty_ratio", oracle=_novelty_oracle())
+def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source shingle novelty: the share of 3-token shingle
+    occurrences whose FIRST appearance (minimum doc_id) is in that very
+    document — high novelty means the source still contributes fresh
+    text; a collapsing ratio says the crawl is re-reading itself. Uses
+    the same 3-token shingles as the MinHash dedup family; ingestion
+    order is pinned to doc_id so both engines agree on 'first'.
+
+    Plan shape: one shingle-keyed min aggregation (map-side partials
+    absorb the boilerplate head), joined back to the shingle stream on
+    the same key — the shuffle layout is reused, not re-keyed; then two
+    shrinking rollups (doc, then source). One IEEE division of exact
+    integer sums at source grain."""
+    from ..functions.hashing import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    ds = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), 3))
+        ).alias("shingle"),
+    )
+    firsts = ds.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        ds.join(firsts, "shingle")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_shingles").cast("long").alias("total_shingles"),
+        F.sum("n_novel").cast("long").alias("novel_shingles"),
+        (
+            F.sum("n_novel") / F.sum("n_shingles").cast("double")
+        ).alias("novelty_ratio"),
+    )

@@ -1283,3 +1283,61 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return labels.select("node", F.col("lbl").alias("label"))
 
+
+
+# --------------------------------------------------------------------------
+# Order cycle time: orderdate -> last shipment duration percentiles per
+# priority band (the ops-latency SLA table).
+# --------------------------------------------------------------------------
+@query(
+    "cycle_time_percentiles",
+    oracle="""
+    WITH spans AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(max(l.l_shipdate) AS DATE)) AS cycle_days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           quantile_cont(cycle_days, 0.50) AS p50_days,
+           quantile_cont(cycle_days, 0.90) AS p90_days,
+           max(cycle_days) AS max_days
+    FROM spans
+    GROUP BY o_orderpriority
+    """,
+)
+def cycle_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order fulfillment cycle time (order date to last line shipment) in
+    integer days, with exact p50/p90 per priority band. Integer-day
+    inputs keep the interpolated percentiles on exact multiples of
+    1/100 day — identical on both engines (the cents discipline of
+    mad_robust_outliers applied to dates; date_diff over CAST-to-date
+    works for both TIMESTAMP and TIMESTAMP_NTZ fixture generations).
+
+    Plan shape: one l_orderkey aggregation (max shipdate) joined to
+    orders on the same key, then a 5-group exact-percentile aggregate —
+    each group holds order-grain durations; for unbounded bands swap
+    approx_percentile (percentile_agg contract)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    spans = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("__last_ship"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("__last_ship").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("cycle_days"),
+        )
+    )
+    return spans.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.percentile("cycle_days", F.lit(0.50)).alias("p50_days"),
+        F.percentile("cycle_days", F.lit(0.90)).alias("p90_days"),
+        F.max("cycle_days").cast("long").alias("max_days"),
+    )

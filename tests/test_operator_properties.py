@@ -725,3 +725,70 @@ def test_rfm_segments_match_python_replay(spark, sf_small):
     rows = registry.QUERIES["customer_rfm_segments"](spark, sf_small).collect()
     got = {r["segment"]: [r["n_customers"], r["total_cents"]] for r in rows}
     assert got == dict(expected)
+
+
+def test_cycle_time_matches_python_quantiles(spark, sf_small):
+    """p50/p90 must equal pure-Python linear-interpolated quantiles over
+    the same integer day spans."""
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    li = pq.read_table(
+        f"{sf_small}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).to_pandas()
+    o = pq.read_table(
+        f"{sf_small}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    ).to_pandas()
+    last = li.groupby("l_orderkey")["l_shipdate"].max().reset_index()
+    m = last.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    m["days"] = (m["l_shipdate"].dt.date - m["o_orderdate"].dt.date).map(
+        lambda d: d.days
+    )
+
+    def qcont(vals, f):
+        vals = sorted(vals)
+        pos = (len(vals) - 1) * f
+        lo = int(pos)
+        hi = min(lo + 1, len(vals) - 1)
+        return vals[lo] + (vals[hi] - vals[lo]) * (pos - lo)
+
+    rows = registry.QUERIES["cycle_time_percentiles"](spark, sf_small).collect()
+    for r in rows:
+        vals = list(m[m["o_orderpriority"] == r["o_orderpriority"]]["days"])
+        assert r["n_orders"] == len(vals)
+        assert r["p50_days"] == qcont(vals, 0.50)
+        assert r["p90_days"] == qcont(vals, 0.90)
+        assert r["max_days"] == max(vals)
+
+
+def test_novelty_totals_conserved_and_first_doc_rule(spark, sf_small):
+    """Novel shingle occurrences across sources must equal the global
+    distinct shingle count (each shingle is novel exactly once), and
+    totals must equal the distinct (doc, shingle) pair count."""
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    pdf = pq.read_table(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    pairs = set()
+    for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
+        toks = txt.strip().split()
+        sh = (
+            {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            if len(toks) >= 3
+            else {" ".join(toks)}
+        )
+        pairs.update((doc_id, s) for s in sh)
+    vocab = {s for _, s in pairs}
+
+    rows = registry.QUERIES["text_novelty_ratio"](spark, sf_small).collect()
+    assert sum(r["novel_shingles"] for r in rows) == len(vocab)
+    assert sum(r["total_shingles"] for r in rows) == len(pairs)
+    for r in rows:
+        assert r["novelty_ratio"] == r["novel_shingles"] / float(r["total_shingles"])

@@ -81,6 +81,8 @@ QUERIES = [
     "sim_label_margin",         # composed top-k + conditional max margins
     "source_vocab_overlap",     # vocab-scale pair join + exact-int jaccard
     "customer_rfm_segments",    # interpolated quartile scores, 3 metrics
+    "cycle_time_percentiles",   # integer-day interpolated percentiles
+    "text_novelty_ratio",       # min-doc first-appearance + ratio
 ]
 
 

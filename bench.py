@@ -155,6 +155,8 @@ HEADLINE = [
     "customer_rfm_segments",
     "cycle_time_percentiles",
     "text_novelty_ratio",
+    "events_dow_hour_profile",
+    "rolling_median_smooth",
 ]
 
 

@@ -369,3 +369,107 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Calendar activity profile: day-of-week x hour event heatmap, from pure
+# integer epoch math (no timezone/locale function can split the engines:
+# 1970-01-01 was a Thursday, so dow = (epoch_day + 4) % 7 with Sunday=0).
+# --------------------------------------------------------------------------
+_HOUR_US = 3_600_000_000
+_DAY_US_CAL = 86_400_000_000
+
+
+@query(
+    "events_dow_hour_profile",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id,
+               (epoch_us(ts) // {_DAY_US_CAL} + 4) % 7 AS dow,
+               (epoch_us(ts) // {_HOUR_US}) % 24 AS hour
+        FROM events
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(hour AS BIGINT) AS hour,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM e GROUP BY dow, hour
+    """,
+)
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap (events and distinct users per
+    cell) — the load-shape profile behind capacity planning and bot
+    detection. Weekday derives from integer epoch arithmetic rather than
+    dayofweek()/strftime, whose week-start and locale conventions differ
+    between engines.
+
+    Plan shape: the projection stays in the scan stage; ONE aggregation
+    onto at most 168 (dow, hour) cells — the distinct-user count expands
+    rows map-side but partials collapse per cell. Scan-bound at any
+    scale."""
+    ev = load_table(spark, sf_dir, "events")
+    # ts is int64 nanos; all math stays in integer division/modulo
+    e = ev.select(
+        "user_id",
+        F.expr(f"(((ts div 1000) div {_DAY_US_CAL}) + 4) % 7").alias("dow"),
+        F.expr(f"((ts div 1000) div {_HOUR_US}) % 24").alias("hour"),
+    )
+    return e.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling median smoothing: exact 5-row centered median per user — the
+# robust alternative to the moving average (window_moving_avg), immune
+# to single-spike outliers.
+# --------------------------------------------------------------------------
+@query(
+    "rolling_median_smooth",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS ts_us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT user_id, event_id,
+           quantile_cont(cents, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+           ) / 100.0 AS smoothed_value
+    FROM e
+    """,
+)
+def rolling_median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 5-row rolling median of event value per user (exact, via
+    the percentile aggregate as a window function). Values quantize to
+    integer cents, so the interpolated median of an even-sized edge
+    frame lands on exact half-cent multiples and the final /100
+    division is exact on both engines — the mad_robust_outliers
+    discipline in a sliding frame.
+
+    Plan shape: ONE user_id exchange + sort; each frame holds ≤5 values,
+    so the per-row percentile state is constant-size — unlike a rank
+    window, the frame never grows with history. Scan-bound after the
+    single shuffle at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.percentile("cents", F.lit(0.5)).over(w) / 100.0).alias(
+            "smoothed_value"
+        ),
+    )

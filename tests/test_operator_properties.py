@@ -792,3 +792,55 @@ def test_novelty_totals_conserved_and_first_doc_rule(spark, sf_small):
     assert sum(r["total_shingles"] for r in rows) == len(pairs)
     for r in rows:
         assert r["novelty_ratio"] == r["novel_shingles"] / float(r["total_shingles"])
+
+
+def test_dow_hour_profile_matches_python_calendar(spark, sf_small):
+    """Cell counts must equal a Python replay of the integer epoch
+    arithmetic, and totals must conserve the event count."""
+    from collections import defaultdict
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    pdf = _events_pdf(sf_small)
+    expected = defaultdict(lambda: [0, set()])
+    for r in pdf.itertuples():
+        us = r.ts_us
+        dow = (us // 86_400_000_000 + 4) % 7
+        hour = (us // 3_600_000_000) % 24
+        expected[(dow, hour)][0] += 1
+        expected[(dow, hour)][1].add(r.user_id)
+
+    rows = registry.QUERIES["events_dow_hour_profile"](spark, sf_small).collect()
+    got = {(r["dow"], r["hour"]): (r["n_events"], r["n_users"]) for r in rows}
+    assert got == {k: (v[0], len(v[1])) for k, v in expected.items()}
+    assert sum(r["n_events"] for r in rows) == len(pdf)
+
+
+def test_rolling_median_matches_python_frames(spark, sf_small):
+    """Every smoothed value must equal the Python median of its centered
+    5-row frame (interpolated on even edge frames)."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    pdf = _events_pdf(sf_small)
+    pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+
+    def qcont(vals, f=0.5):
+        vals = sorted(vals)
+        pos = (len(vals) - 1) * f
+        lo = int(pos)
+        hi = min(lo + 1, len(vals) - 1)
+        return vals[lo] + (vals[hi] - vals[lo]) * (pos - lo)
+
+    expected = {}
+    for _, grp in pdf.groupby("user_id"):
+        grp = grp.sort_values(["ts_us", "event_id"]).reset_index()
+        cents = list(grp["cents"])
+        for i, eid in enumerate(grp["event_id"]):
+            frame = cents[max(0, i - 2) : i + 3]
+            expected[eid] = qcont(frame) / 100.0
+
+    rows = registry.QUERIES["rolling_median_smooth"](spark, sf_small).collect()
+    got = {r["event_id"]: r["smoothed_value"] for r in rows}
+    assert got == expected

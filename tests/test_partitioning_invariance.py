@@ -83,6 +83,8 @@ QUERIES = [
     "customer_rfm_segments",    # interpolated quartile scores, 3 metrics
     "cycle_time_percentiles",   # integer-day interpolated percentiles
     "text_novelty_ratio",       # min-doc first-appearance + ratio
+    "events_dow_hour_profile",  # integer epoch dow/hour + distinct users
+    "rolling_median_smooth",    # centered exact median frames
 ]
 
 

@@ -157,6 +157,7 @@ HEADLINE = [
     "text_novelty_ratio",
     "events_dow_hour_profile",
     "rolling_median_smooth",
+    "basket_association_rules",
 ]
 
 

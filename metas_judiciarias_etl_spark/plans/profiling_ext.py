@@ -266,3 +266,111 @@ def path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# Association rules: confidence and lift over the capped basket pairs —
+# market-basket mining's actual deliverable (the pair counts alone say
+# nothing about whether co-occurrence beats chance).
+# --------------------------------------------------------------------------
+MIN_PAIR_SUPPORT = 2
+
+
+@query(
+    "basket_association_rules",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ok AS (
+        SELECT l_orderkey FROM op
+        GROUP BY l_orderkey HAVING count(*) <= {MAX_BASKET}
+    ),
+    p AS (SELECT op.l_orderkey, op.l_partkey FROM op JOIN ok USING (l_orderkey)),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM p),
+    df AS (SELECT l_partkey, count(*) AS part_orders FROM p GROUP BY l_partkey),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_pairs
+        FROM p a JOIN p b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+        HAVING count(*) >= {MIN_PAIR_SUPPORT}
+    )
+    SELECT pr.part_a, pr.part_b,
+           CAST(pr.n_pairs AS BIGINT) AS n_pairs,
+           pr.n_pairs / CAST(da.part_orders AS DOUBLE) AS confidence_a_to_b,
+           pr.n_pairs * CAST(n.n_baskets AS DOUBLE)
+               / (CAST(da.part_orders AS DOUBLE) * db.part_orders) AS lift
+    FROM pairs pr
+    JOIN df da ON da.l_partkey = pr.part_a
+    JOIN df db ON db.l_partkey = pr.part_b
+    CROSS JOIN n
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the capped baskets: for every part pair
+    with support >= {MIN_PAIR_SUPPORT}, confidence(a→b) = P(b|a) and
+    lift = P(a,b)/(P(a)P(b)). Lift > 1 means the pair co-occurs beyond
+    chance — the signal basket_pair_counts' raw counts can't give.
+    Ratios are single IEEE expressions over exact integer counts
+    evaluated in the same literal form on both engines.
+
+    Plan shape: the pair join is the same co-keyed self-join as
+    basket_pair_counts (MAX_BASKET bounds the quadratic blowup); the
+    per-part document frequencies and the 1-row basket count come back
+    via broadcast onto the support-filtered pair list — at 100 TB the
+    pair list after the support filter is the only surviving large
+    relation, and every enrichment side is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    ok = op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k")).filter(
+        F.col("k") <= MAX_BASKET
+    )
+    p = op.join(ok.select("l_orderkey"), "l_orderkey")
+    n = p.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    df = p.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("part_orders"))
+    a = p.alias("a")
+    b = p.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= MIN_PAIR_SUPPORT)
+    )
+    da = df.select(F.col("l_partkey").alias("part_a"), F.col("part_orders").alias("df_a"))
+    db = df.select(F.col("l_partkey").alias("part_b"), F.col("part_orders").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "part_a")
+        .join(F.broadcast(db), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            (F.col("n_pairs") / F.col("df_a").cast("double")).alias(
+                "confidence_a_to_b"
+            ),
+            (
+                F.col("n_pairs")
+                * F.col("n_baskets").cast("double")
+                / (F.col("df_a").cast("double") * F.col("df_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+basket_association_rules.__doc__ = (
+    basket_association_rules.__doc__
+    if basket_association_rules.__doc__ is None
+    else basket_association_rules.__doc__.replace(
+        "{MIN_PAIR_SUPPORT}", str(MIN_PAIR_SUPPORT)
+    )
+)

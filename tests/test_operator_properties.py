@@ -844,3 +844,41 @@ def test_rolling_median_matches_python_frames(spark, sf_small):
     rows = registry.QUERIES["rolling_median_smooth"](spark, sf_small).collect()
     got = {r["event_id"]: r["smoothed_value"] for r in rows}
     assert got == expected
+
+
+def test_association_rules_match_python_counts(spark, sf_small):
+    """Confidence and lift must equal Python set arithmetic over the
+    same capped baskets."""
+    from collections import Counter
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.profiling_ext import (
+        MAX_BASKET,
+        MIN_PAIR_SUPPORT,
+    )
+
+    registry.load_all()
+    pdf = pq.read_table(
+        f"{sf_small}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    baskets = []
+    for _, grp in pdf.groupby("l_orderkey"):
+        parts = sorted(set(grp["l_partkey"]))
+        if len(parts) <= MAX_BASKET:
+            baskets.append(parts)
+    n_baskets = len(baskets)
+    df = Counter(p for b in baskets for p in b)
+    pair = Counter(pr for b in baskets for pr in combinations(b, 2))
+
+    rows = registry.QUERIES["basket_association_rules"](spark, sf_small).collect()
+    got = {(r["part_a"], r["part_b"]): r for r in rows}
+    expected_keys = {p for p, c in pair.items() if c >= MIN_PAIR_SUPPORT}
+    assert set(got) == expected_keys
+    for (pa, pb), r in got.items():
+        c = pair[(pa, pb)]
+        assert r["n_pairs"] == c
+        assert r["confidence_a_to_b"] == c / float(df[pa])
+        assert r["lift"] == c * float(n_baskets) / (float(df[pa]) * df[pb])

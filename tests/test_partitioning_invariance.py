@@ -85,6 +85,7 @@ QUERIES = [
     "text_novelty_ratio",       # min-doc first-appearance + ratio
     "events_dow_hour_profile",  # integer epoch dow/hour + distinct users
     "rolling_median_smooth",    # centered exact median frames
+    "basket_association_rules", # support filter + broadcast df/lift math
 ]
 
 

@@ -158,6 +158,8 @@ HEADLINE = [
     "events_dow_hour_profile",
     "rolling_median_smooth",
     "basket_association_rules",
+    "purchase_gap_survival",
+    "graph_link_prediction",
 ]
 
 

@@ -1341,3 +1341,91 @@ def cycle_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("cycle_days", F.lit(0.90)).alias("p90_days"),
         F.max("cycle_days").cast("long").alias("max_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Link prediction: Jaccard similarity of neighborhoods for NON-edges that
+# share at least one neighbor (the classic common-neighbors candidate
+# set) — "which parts will co-occur next".
+# --------------------------------------------------------------------------
+LINKPRED_TOP = 25
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH {_SQL_PART_EDGES},
+    nbr AS (
+        SELECT u AS node, v AS nb FROM edges
+        UNION ALL
+        SELECT v AS node, u AS nb FROM edges
+    ), deg AS (
+        SELECT node, count(*) AS d FROM nbr GROUP BY node
+    ), wedge AS (
+        SELECT a.node AS x, b.node AS y, count(*) AS common
+        FROM nbr a JOIN nbr b ON a.nb = b.nb AND a.node < b.node
+        GROUP BY a.node, b.node
+    ), cand AS (
+        SELECT w.x, w.y, w.common
+        FROM wedge w
+        LEFT JOIN edges e ON e.u = w.x AND e.v = w.y
+        WHERE e.u IS NULL
+    )
+    SELECT c.x AS node_a, c.y AS node_b,
+           CAST(c.common AS BIGINT) AS n_common,
+           c.common / CAST(da.d + db.d - c.common AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN deg da ON da.node = c.x
+    JOIN deg db ON db.node = c.y
+    ORDER BY jaccard DESC, node_a, node_b
+    LIMIT {LINKPRED_TOP}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction on the part co-occurrence graph:
+    for every NON-adjacent pair sharing at least one neighbor, the
+    Jaccard similarity of their neighborhoods; top candidates are the
+    pairs most likely to co-occur next. Shares the canonical edge set
+    (_part_cooccurrence_edges) with the other graph operators.
+
+    Plan shape: candidate generation is the wedge join (nbr ⋈ nbr on the
+    shared neighbor — the triangle-count shape, bounded by Σdeg², never
+    all-pairs); the existing-edge exclusion is a LEFT ANTI equi-join;
+    degrees broadcast back; top-k is a total (score, a, b) order. On a
+    skewed graph, cap the hub fan-out the way dedup caps buckets —
+    documented recall knob, not needed at the demo cap."""
+    edges = _part_cooccurrence_edges(spark, sf_dir)
+    nbr = edges.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    a = nbr.select(F.col("node").alias("x"), "nb")
+    b = nbr.select(F.col("node").alias("y"), "nb")
+    wedge = (
+        a.join(b, "nb")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = wedge.join(
+        edges,
+        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("x"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("y"), F.col("d").alias("db"))
+    return (
+        cand.join(F.broadcast(da), "x")
+        .join(F.broadcast(db), "y")
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            F.col("common").cast("long").alias("n_common"),
+            (
+                F.col("common")
+                / (F.col("da") + F.col("db") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "node_a", "node_b")
+        .limit(LINKPRED_TOP)
+    )

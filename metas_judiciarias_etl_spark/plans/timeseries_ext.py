@@ -473,3 +473,79 @@ def rolling_median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "smoothed_value"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-purchase gap survival curve: share of purchase gaps that survive
+# past each day boundary — the repeat-purchase analytic behind churn
+# windows and re-engagement timing.
+# --------------------------------------------------------------------------
+@query(
+    "purchase_gap_survival",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'purchase'
+    ), gaps AS (
+        SELECT (lead(ts_us) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id
+                ) - ts_us) // {_DAY_US_CAL} AS gap_days
+        FROM p
+    ), hist AS (
+        SELECT gap_days, count(*) AS n_gaps
+        FROM gaps WHERE gap_days IS NOT NULL
+        GROUP BY gap_days
+    ), tot AS (SELECT CAST(sum(n_gaps) AS BIGINT) AS n_total FROM hist)
+    SELECT CAST(h.gap_days AS BIGINT) AS gap_days,
+           CAST(h.n_gaps AS BIGINT) AS n_gaps,
+           CAST(t.n_total
+                - sum(h.n_gaps) OVER (ORDER BY h.gap_days
+                                      ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS n_surviving,
+           CAST(t.n_total
+                - sum(h.n_gaps) OVER (ORDER BY h.gap_days
+                                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / t.n_total AS survival
+    FROM hist h CROSS JOIN tot t
+    """,
+)
+def purchase_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve of inter-purchase gaps: per whole-day bucket, how
+    many gaps and what share of ALL gaps are strictly longer (the
+    complementary cumulative distribution). The curve's knee is where
+    churn windows and re-engagement nudges get set.
+
+    Plan shape: one user_id window pass builds gaps; the day histogram
+    collapses to O(#distinct gap-days) rows BEFORE the running-sum
+    window, which therefore orders a bounded single partition (the
+    concurrent_intervals discipline); one IEEE division of exact
+    integers per row."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = (
+        p.select(
+            (F.lead("ts_us").over(w) - F.col("ts_us")).alias("gap_us")
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select(F.expr(f"gap_us div {_DAY_US_CAL}").alias("gap_days"))
+    )
+    hist = gaps.groupBy("gap_days").agg(F.count(F.lit(1)).alias("n_gaps"))
+    tot = hist.agg(F.sum("n_gaps").cast("long").alias("n_total"))
+    wrun = Window.orderBy("gap_days").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("gap_days").cast("long").alias("gap_days"),
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            (F.col("n_total") - F.sum("n_gaps").over(wrun))
+            .cast("long")
+            .alias("n_surviving"),
+            (
+                (F.col("n_total") - F.sum("n_gaps").over(wrun)).cast("double")
+                / F.col("n_total")
+            ).alias("survival"),
+        )
+    )

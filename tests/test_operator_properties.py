@@ -882,3 +882,79 @@ def test_association_rules_match_python_counts(spark, sf_small):
         assert r["n_pairs"] == c
         assert r["confidence_a_to_b"] == c / float(df[pa])
         assert r["lift"] == c * float(n_baskets) / (float(df[pa]) * df[pb])
+
+
+def test_survival_curve_is_valid_ccdf(spark, sf_small):
+    """Survival must be a monotone-decreasing complementary CDF that
+    conserves the total gap count and matches a Python replay."""
+    from collections import Counter
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    pdf = _events_pdf(sf_small)
+    p = pdf[pdf["event_type"] == "purchase"]
+    hist = Counter()
+    for _, grp in p.groupby("user_id"):
+        ts = sorted(zip(grp["ts_us"], grp["event_id"]))
+        for (t1, _), (t2, _) in zip(ts, ts[1:]):
+            hist[(t2 - t1) // 86_400_000_000] += 1
+    total = sum(hist.values())
+
+    rows = sorted(
+        registry.QUERIES["purchase_gap_survival"](spark, sf_small).collect(),
+        key=lambda r: r["gap_days"],
+    )
+    assert {r["gap_days"]: r["n_gaps"] for r in rows} == dict(hist)
+    running = 0
+    prev = 1.1
+    for r in rows:
+        running += r["n_gaps"]
+        assert r["n_surviving"] == total - running
+        assert r["survival"] == (total - running) / total
+        assert r["survival"] < prev
+        prev = r["survival"]
+
+
+def test_link_prediction_matches_python_sets(spark, sf_small):
+    """Top candidates must equal Python neighborhood-set arithmetic:
+    non-edges with common neighbors, scored by Jaccard."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.analytics_ext import LINKPRED_TOP
+
+    registry.load_all()
+    pdf = pq.read_table(
+        f"{sf_small}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    nbrs = defaultdict(set)
+    edges = set()
+    for _, grp in pdf[pdf["l_partkey"] <= 300].groupby("l_orderkey"):
+        parts = sorted(set(grp["l_partkey"]))
+        for i, u in enumerate(parts):
+            for v in parts[i + 1 :]:
+                edges.add((u, v))
+                nbrs[u].add(v)
+                nbrs[v].add(u)
+    scored = []
+    nodes = sorted(nbrs)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1 :]:
+            if (x, y) in edges:
+                continue
+            common = len(nbrs[x] & nbrs[y])
+            if common:
+                j = common / float(len(nbrs[x] | nbrs[y]))
+                scored.append((-j, x, y, common))
+    expected = [
+        (x, y, c, -nj) for nj, x, y, c in sorted(scored)[:LINKPRED_TOP]
+    ]
+
+    rows = registry.QUERIES["graph_link_prediction"](spark, sf_small).collect()
+    got = [
+        (r["node_a"], r["node_b"], r["n_common"], r["jaccard"]) for r in rows
+    ]
+    assert sorted(got, key=lambda t: (-t[3], t[0], t[1])) == expected

@@ -86,6 +86,8 @@ QUERIES = [
     "events_dow_hour_profile",  # integer epoch dow/hour + distinct users
     "rolling_median_smooth",    # centered exact median frames
     "basket_association_rules", # support filter + broadcast df/lift math
+    "purchase_gap_survival",    # ccdf running sums over day histogram
+    "graph_link_prediction",    # wedge candidates + anti-join + jaccard
 ]
 
 

@@ -160,6 +160,7 @@ HEADLINE = [
     "basket_association_rules",
     "purchase_gap_survival",
     "graph_link_prediction",
+    "mm_audio_quiet_segments",
 ]
 
 

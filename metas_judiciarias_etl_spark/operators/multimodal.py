@@ -32,7 +32,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -667,4 +667,87 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_cuts"),
         F.min(F.when(cut, F.col("frame_idx"))).alias("first_cut_idx"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quiet-segment detection (VAD shape): contiguous runs of low-energy RMS
+# windows per payload — the silence-trimming / speech-activity primitive,
+# composed from the REGISTERED window-energy operator.
+# --------------------------------------------------------------------------
+QUIET_RMS = 97.5  # ~p10 of the corpus window energies
+
+
+def _quiet_segments_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH rms AS ({ORACLES['mm_audio_rms_windows']}),
+    quiet AS (
+        SELECT doc_id, win_idx FROM rms WHERE rms < {QUIET_RMS}
+    ), flagged AS (
+        SELECT doc_id, win_idx,
+               CASE WHEN win_idx - lag(win_idx) OVER (
+                        PARTITION BY doc_id ORDER BY win_idx
+                    ) = 1 THEN 0 ELSE 1 END AS new_seg
+        FROM quiet
+    ), segs AS (
+        SELECT doc_id, win_idx,
+               sum(new_seg) OVER (PARTITION BY doc_id ORDER BY win_idx
+                                  ROWS UNBOUNDED PRECEDING) AS seg_id
+        FROM flagged
+    ), extents AS (
+        SELECT doc_id, seg_id, count(*) AS seg_len
+        FROM segs GROUP BY doc_id, seg_id
+    )
+    SELECT doc_id,
+           count(*) AS n_segments,
+           CAST(max(seg_len) AS BIGINT) AS longest_run,
+           CAST(sum(seg_len) AS BIGINT) AS quiet_windows
+    FROM extents GROUP BY doc_id
+    """
+
+
+@query("mm_audio_quiet_segments", oracle=_quiet_segments_oracle())
+def mm_audio_quiet_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous quiet segments per audio payload: windows whose RMS
+    falls below the corpus p10 threshold, merged into runs of adjacent
+    window indices (gaps-and-islands over integers) — per payload, the
+    segment count, longest run, and total quiet windows. The
+    silence-trimming decision table of a speech pipeline, composed from
+    the REGISTERED mm_audio_rms_windows on both engine and oracle sides,
+    so the energy definition can never drift from the segmenter.
+
+    Plan shape: the decode+energy stage stays the map-only Arrow
+    pipeline; segmentation adds ONE doc_id exchange serving the lag
+    window, the run-id prefix sum, and both rollups. RMS values are
+    bit-identical across engines (exact integer sums, one division,
+    one sqrt), so the threshold comparison cannot split them."""
+    from ..registry import QUERIES
+
+    rms = QUERIES["mm_audio_rms_windows"](spark, sf_dir)
+    quiet = rms.filter(F.col("rms") < QUIET_RMS).select("doc_id", "win_idx")
+    w = Window.partitionBy("doc_id").orderBy("win_idx")
+    flagged = quiet.select(
+        "doc_id",
+        "win_idx",
+        F.when(
+            F.col("win_idx") - F.lag("win_idx").over(w) == 1, F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("new_seg"),
+    )
+    segs = flagged.select(
+        "doc_id",
+        F.sum("new_seg")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("seg_id"),
+    )
+    extents = segs.groupBy("doc_id", "seg_id").agg(
+        F.count(F.lit(1)).alias("seg_len")
+    )
+    return extents.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.max("seg_len").cast("long").alias("longest_run"),
+        F.sum("seg_len").cast("long").alias("quiet_windows"),
     )

@@ -958,3 +958,36 @@ def test_link_prediction_matches_python_sets(spark, sf_small):
         (r["node_a"], r["node_b"], r["n_common"], r["jaccard"]) for r in rows
     ]
     assert sorted(got, key=lambda t: (-t[3], t[0], t[1])) == expected
+
+
+def test_quiet_segments_match_python_runs(spark, sf_small):
+    """Segment counts and runs must equal a Python replay over the
+    collected RMS windows (same threshold, same adjacency rule)."""
+    from collections import defaultdict
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.multimodal import QUIET_RMS
+
+    registry.load_all()
+    rms = registry.QUERIES["mm_audio_rms_windows"](spark, sf_small).collect()
+    quiet = defaultdict(list)
+    for r in rms:
+        if r["rms"] < QUIET_RMS:
+            quiet[r["doc_id"]].append(r["win_idx"])
+    expected = {}
+    for doc, idxs in quiet.items():
+        runs = []
+        for i in sorted(idxs):
+            if runs and i == runs[-1][1] + 1:
+                runs[-1][1] = i
+            else:
+                runs.append([i, i])
+        lens = [b - a + 1 for a, b in runs]
+        expected[doc] = (len(runs), max(lens), sum(lens))
+
+    rows = registry.QUERIES["mm_audio_quiet_segments"](spark, sf_small).collect()
+    got = {
+        r["doc_id"]: (r["n_segments"], r["longest_run"], r["quiet_windows"])
+        for r in rows
+    }
+    assert got == expected

@@ -88,6 +88,7 @@ QUERIES = [
     "basket_association_rules", # support filter + broadcast df/lift math
     "purchase_gap_survival",    # ccdf running sums over day histogram
     "graph_link_prediction",    # wedge candidates + anti-join + jaccard
+    "mm_audio_quiet_segments",  # Arrow RMS + integer-run islands
 ]
 
 

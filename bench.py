@@ -161,6 +161,7 @@ HEADLINE = [
     "purchase_gap_survival",
     "graph_link_prediction",
     "mm_audio_quiet_segments",
+    "markov_stationary",
 ]
 
 

@@ -1429,3 +1429,89 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "node_a", "node_b")
         .limit(LINKPRED_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Markov stationary distribution: unrolled power iteration over the
+# event-type transition matrix — where user journeys settle long-run.
+# --------------------------------------------------------------------------
+_MARKOV_ITERS = 3
+
+
+def _markov_oracle() -> str:
+    from ..registry import ORACLES
+
+    fold = (
+        "list_reduce([0.0] || list_transform(list_sort(list(struct_pack("
+        "s := src, t := {term}))), __x -> __x.t), (a, b) -> a + b)"
+    )
+    ctes = [
+        f"counts AS ({ORACLES['event_transitions']})",
+        "tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS row_n FROM counts GROUP BY src)",
+        "p AS (SELECT c.src, c.dst, c.n / CAST(t.row_n AS DOUBLE) AS prob"
+        "      FROM counts c JOIN tot t ON t.src = c.src)",
+        "states AS (SELECT DISTINCT src AS state FROM counts)",
+        "k AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM states)",
+        "v0 AS (SELECT state, 1.0 / k.ns AS prob FROM states CROSS JOIN k)",
+    ]
+    prev = "v0"
+    for i in range(1, _MARKOV_ITERS + 1):
+        ctes.append(
+            f"v{i} AS ("
+            f" SELECT p.dst AS state, {fold.format(term='v.prob * p.prob')} AS prob"
+            f" FROM {prev} v JOIN p ON p.src = v.state GROUP BY p.dst)"
+        )
+        prev = f"v{i}"
+    return (
+        "WITH " + ", ".join(ctes) + f" SELECT state, prob AS pi_approx FROM {prev}"
+    )
+
+
+@query("markov_stationary", oracle=_markov_oracle())
+def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate stationary distribution of the event-type Markov chain:
+    row-normalize the REGISTERED transition counts (event_transitions,
+    composed on both sides), start uniform, and apply the transition
+    matrix 3 times (unrolled power iteration). Where user journeys
+    concentrate in the long run — the steady-state complement of the
+    funnel operators.
+
+    Determinism: each matrix-vector product sums |states| float terms
+    through a src-sorted struct fold with a 0.0 seed (the emb_centroids
+    discipline), so both engines accumulate bit-identically; the
+    normalized probabilities are single IEEE divisions of exact counts.
+    Plan shape: every join keys on the state id over a |types|²-row
+    matrix — driver-scale relations end to end; only the composed
+    transition count ever touches fact rows."""
+    from ..registry import QUERIES
+
+    counts = QUERIES["event_transitions"](spark, sf_dir)
+    tot = counts.groupBy("src").agg(F.sum("n").alias("row_n"))
+    p = counts.join(tot, "src").select(
+        "src", "dst", (F.col("n") / F.col("row_n").cast("double")).alias("pprob")
+    )
+    states = counts.select(F.col("src").alias("state")).distinct()
+    k = states.agg(F.count(F.lit(1)).cast("double").alias("ns"))
+    v = states.crossJoin(F.broadcast(k)).select(
+        "state", (F.lit(1.0) / F.col("ns")).alias("vprob")
+    )
+    fold = (
+        "aggregate(transform(ds, __x -> __x.t), CAST(0.0 AS DOUBLE),"
+        " (a, b) -> a + b)"
+    )
+    for _ in range(_MARKOV_ITERS):
+        terms = v.join(p, F.col("state") == F.col("src")).select(
+            F.col("dst").alias("nstate"),
+            F.col("src").alias("s"),
+            (F.col("vprob") * F.col("pprob")).alias("t"),
+        )
+        v = (
+            terms.groupBy("nstate")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("s"), F.col("t")))
+                ).alias("ds")
+            )
+            .select(F.col("nstate").alias("state"), F.expr(fold).alias("vprob"))
+        )
+    return v.select("state", F.col("vprob").alias("pi_approx"))

@@ -991,3 +991,32 @@ def test_quiet_segments_match_python_runs(spark, sf_small):
         for r in rows
     }
     assert got == expected
+
+
+def test_markov_stationary_matches_numpy_power_iteration(spark, sf_small):
+    """pi_approx must equal numpy's v @ P^3 from the uniform start, and
+    remain a probability vector (sums to ~1)."""
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.analytics_ext import _MARKOV_ITERS
+
+    registry.load_all()
+    counts = registry.QUERIES["event_transitions"](spark, sf_small).collect()
+    states = sorted({r["src"] for r in counts})
+    idx = {s: i for i, s in enumerate(states)}
+    P = np.zeros((len(states), len(states)))
+    for r in counts:
+        if r["dst"] in idx:
+            P[idx[r["src"]], idx[r["dst"]]] = r["n"]
+    P = P / P.sum(axis=1, keepdims=True)
+    v = np.full(len(states), 1.0 / len(states))
+    for _ in range(_MARKOV_ITERS):
+        v = v @ P
+
+    rows = registry.QUERIES["markov_stationary"](spark, sf_small).collect()
+    got = {r["state"]: r["pi_approx"] for r in rows}
+    assert set(got) == set(states)
+    for s in states:
+        assert abs(got[s] - v[idx[s]]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9

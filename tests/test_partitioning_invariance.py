@@ -89,6 +89,7 @@ QUERIES = [
     "purchase_gap_survival",    # ccdf running sums over day histogram
     "graph_link_prediction",    # wedge candidates + anti-join + jaccard
     "mm_audio_quiet_segments",  # Arrow RMS + integer-run islands
+    "markov_stationary",        # unrolled power iteration, sorted folds
 ]
 
 

@@ -162,6 +162,7 @@ HEADLINE = [
     "graph_link_prediction",
     "mm_audio_quiet_segments",
     "markov_stationary",
+    "emb_pca_top_component",
 ]
 
 

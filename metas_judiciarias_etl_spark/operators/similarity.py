@@ -1450,3 +1450,172 @@ def sim_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("margin"),
         F.sum("same_label").cast("long").alias("n_same_in_topk"),
     )
+
+
+# --------------------------------------------------------------------------
+# Top principal component by power iteration: the distributed linear
+# algebra flagship — exact covariance from order-pinned folds, then an
+# unrolled matrix-vector loop (used for PCA whitening, OPQ rotation
+# initialization, and embedding-drift monitoring).
+# --------------------------------------------------------------------------
+_PCA_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    fold_vec = (
+        "list_reduce([0.0] || list_transform(list_sort(list(struct_pack("
+        "k := {key}, t := {term}))), __x -> __x.t), (a, b) -> a + b)"
+    )
+    ctes = [
+        f"""x AS (
+        SELECT vec_id, unnest(generate_series(1, {DIM})) AS i, embedding
+        FROM embeddings
+    )""",
+        """v AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xi FROM x
+    )""",
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM embeddings)",
+        f"""mu AS (
+        SELECT i, {fold_vec.format(key='vec_id', term='xi')} / max(n.nv) AS m
+        FROM v CROSS JOIN n GROUP BY i
+    )""",
+        """xc AS (
+        SELECT v.vec_id, v.i, v.xi - mu.m AS c
+        FROM v JOIN mu ON mu.i = v.i
+    )""",
+        """xq AS (
+        SELECT vec_id, i, CAST(round(c * 1048576.0) AS BIGINT) AS q FROM xc
+    )""",
+        """cov AS (
+        SELECT a.i AS i, b.i AS j,
+               CAST(sum(a.q * b.q) AS DOUBLE)
+                   / (max(n.nv) * 1099511627776.0) AS cij
+        FROM xq a JOIN xq b ON a.vec_id = b.vec_id
+        CROSS JOIN n
+        GROUP BY a.i, b.i
+    )""",
+        f"v0 AS (SELECT i AS dim, 1.0 / {DIM // 8}.0 AS w FROM mu)",
+    ]
+    prev = "v0"
+    for it in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"""w{it} AS (
+        SELECT c.i AS dim, {fold_vec.format(key='c.j', term='c.cij * p.w')} AS w
+        FROM cov c JOIN {prev} p ON p.dim = c.j GROUP BY c.i
+    )"""
+        )
+        ctes.append(
+            f"""nrm{it} AS (
+        SELECT sqrt({fold_vec.format(key='dim', term='w * w')}) AS nn FROM w{it}
+    )"""
+        )
+        ctes.append(
+            f"v{it} AS (SELECT dim, w / nn AS w FROM w{it} CROSS JOIN nrm{it})"
+        )
+        prev = f"v{it}"
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT CAST(dim AS BIGINT) AS dim, w AS component FROM {prev}"
+    )
+
+
+@query("emb_pca_top_component", oracle=_pca_oracle())
+def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus: mean-centered
+    covariance over 2^-20 fixed-point centered values (plain integer
+    sums — order-free AND engine-exact, no per-cell list state; the
+    exact-fold variant was measured 7x slower), then 3 unrolled
+    power-iteration steps with
+    a normalize after each (the norm itself a dim-sorted fold). The
+    uniform start 1/8 = 1/sqrt(64) is binary-exact; every subsequent
+    quantity is the same IEEE expression over bit-identical operands on
+    both engines, so even the eigenvector's sign matches.
+
+    Plan shape: the covariance build is the expensive step — a per-vector
+    dim×dim self-join (rows multiply by DIM², bytes per row stay tiny)
+    followed by ONE (i, j) shuffle whose integer-sum state is
+    partial-aggregatable map-side (at larger n, widen to DECIMAL(38,0)
+    before int64 headroom runs out). The iteration loop then runs
+    entirely on DIM²-row relations — driver-scale, like
+    markov_stationary."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p0", "val")
+    ).select(
+        "vec_id", (F.col("p0") + 1).alias("i"), F.col("val").cast("double").alias("xi")
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("double").alias("nv"))
+    fold = (
+        "aggregate(transform(ds, __x -> __x.t), CAST(0.0 AS DOUBLE),"
+        " (a, b) -> a + b)"
+    )
+    mu = (
+        x.groupBy("i")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("vec_id").alias("k"), F.col("xi").alias("t")))
+            ).alias("ds")
+        )
+        .crossJoin(F.broadcast(n))
+        .select("i", (F.expr(fold) / F.col("nv")).alias("m"))
+    )
+    xc = x.join(F.broadcast(mu), "i").select(
+        "vec_id", "i", (F.col("xi") - F.col("m")).alias("c")
+    )
+    # Fixed-point covariance: centered values quantize to integer
+    # 2^20ths (identical round on identical doubles), so the per-cell
+    # accumulation is a PLAIN integer sum — order-free, partial-
+    # aggregatable, no per-cell list state. Worst-case |sum| is
+    # n * (2^21)^2 ≈ 2^53 at this corpus — well inside int64.
+    xq = xc.select(
+        "vec_id", "i", F.round(F.col("c") * (1 << 20)).cast("long").alias("q")
+    )
+    a = xq.select("vec_id", F.col("i").alias("ai"), F.col("q").alias("aq"))
+    b = xq.select("vec_id", F.col("i").alias("bj"), F.col("q").alias("bq"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+        .agg(F.sum(F.col("aq") * F.col("bq")).alias("sq"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (F.col("sq").cast("double") / (F.col("nv") * float(1 << 40))).alias(
+                "cij"
+            ),
+        )
+    )
+    v = mu.select(F.col("i").alias("dim"), F.lit(1.0 / (DIM // 8)).alias("w"))
+    for _ in range(_PCA_ITERS):
+        w = (
+            cov.join(
+                F.broadcast(v.select(F.col("dim").alias("j"), F.col("w").alias("vw"))),
+                "j",
+            )
+            .groupBy("i")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("j").alias("k"),
+                            (F.col("cij") * F.col("vw")).alias("t"),
+                        )
+                    )
+                ).alias("ds")
+            )
+            .select(F.col("i").alias("dim"), F.expr(fold).alias("w"))
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.expr(
+                    "aggregate(transform(sort_array(collect_list("
+                    "struct(dim AS k, w * w AS t))), __x -> __x.t),"
+                    " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+                )
+            ).alias("nn")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "dim", (F.col("w") / F.col("nn")).alias("w")
+        )
+    return v.select(F.col("dim").cast("long").alias("dim"), F.col("w").alias("component"))

@@ -90,6 +90,7 @@ QUERIES = [
     "graph_link_prediction",    # wedge candidates + anti-join + jaccard
     "mm_audio_quiet_segments",  # Arrow RMS + integer-run islands
     "markov_stationary",        # unrolled power iteration, sorted folds
+    "emb_pca_top_component",    # covariance folds + normalized iteration
 ]
 
 

@@ -816,9 +816,13 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the pair list is near-dup-sized, not corpus-sized; the
     two doc_id→source lookups are equi-joins against a 2-column
-    projection of documents; the matrix rollup keys on the tiny
-    (src_a, src_b) space. All the heavy lifting stays inside the
-    composed LSH query with its bucketed candidate generation."""
+    projection of the CORPUS-cardinality documents table, so the
+    broadcast decision is left to size statistics / AQE (auto-broadcast
+    at test scale, shuffle join at corpus scale — forcing a broadcast of
+    every doc_id would OOM at 100 TB even as two columns); the matrix
+    rollup keys on the tiny (src_a, src_b) space. All the heavy lifting
+    stays inside the composed LSH query with its bucketed candidate
+    generation."""
     from ..registry import QUERIES
 
     pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
@@ -826,8 +830,8 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb"))
     tagged = (
-        pairs.join(F.broadcast(sa), "a_id")
-        .join(F.broadcast(sb), "b_id")
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
         .select(
             F.least("sa", "sb").alias("src_a"),
             F.greatest("sa", "sb").alias("src_b"),

@@ -53,6 +53,35 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# Fixed-point discipline for unbounded-group float statistics: quantize to
+# integer 2^-20ths, then accumulate with a PLAIN integer sum — order-free,
+# partial-aggregatable map-side, engine-exact (no per-group list state).
+# round() is half-away-from-zero on both engines for doubles, so the codes
+# match bitwise; the bound guard makes the int64-headroom assumption a
+# runtime error instead of a silent wrap (Spark's non-ANSI long sum would
+# otherwise diverge from DuckDB's HUGEINT promotion without any signal).
+_FXP_SHIFT = 20
+_FXP_SCALE = float(1 << _FXP_SHIFT)          # 1048576.0
+_FXP_SCALE_SQ = float(1 << (2 * _FXP_SHIFT))  # 1099511627776.0
+_FXP_BOUND = 2.0  # |value| <= 2 => |q| <= 2^21; fixture max |x| ~ 0.58
+
+
+def _fxp_q(c: Column, what: str) -> Column:
+    """Guarded quantization |c| <= 2 → round(c * 2^20) as int64."""
+    return (
+        F.when(F.abs(c) <= F.lit(_FXP_BOUND), F.round(c * _FXP_SCALE))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"{what}: |value| exceeds fixed-point bound "
+                    f"{_FXP_BOUND} — widen the accumulator to DECIMAL(38,0)"
+                )
+            )
+        )
+        .cast("long")
+    )
+
+
 def _with_norm(df: DataFrame) -> DataFrame:
     return df.select(
         "vec_id",
@@ -1019,61 +1048,57 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(generate_series(1, {DIM})) AS dim,
                embedding
         FROM embeddings
+    ), q AS (
+        SELECT label, dim,
+               CAST(round(CAST(embedding[dim] AS DOUBLE) * {_FXP_SCALE})
+                    AS BIGINT) AS qv
+        FROM x
     ), g AS (
         SELECT label, dim,
                count(*) AS n_vecs,
-               list_sort(list(struct_pack(
-                   v := vec_id,
-                   x := CAST(embedding[dim] AS DOUBLE)))) AS ds
-        FROM x GROUP BY label, dim
+               CAST(sum(qv) AS BIGINT) AS sq
+        FROM q GROUP BY label, dim
     )
     SELECT label,
            CAST(dim AS BIGINT) AS dim,
            CAST(n_vecs AS BIGINT) AS n_vecs,
-           list_reduce([0.0] || list_transform(ds, __s -> __s.x),
-                       (a, b) -> a + b) / n_vecs AS centroid
+           CAST(sq AS DOUBLE) / (n_vecs * {_FXP_SCALE}) AS centroid
     FROM g
     """,
 )
 def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding, one row per (label, dimension) — the class
     prototype used for nearest-centroid classification and the natural
-    initializer for IVF/k-means cells.
+    initializer for IVF/k-means cells. The centroid is the mean of the
+    2^-20 fixed-point quantized coordinates (quantization error <= 2^-21
+    per coordinate, far below float32 input noise).
 
-    Float summation is order-dependent, so the per-group sum folds a
-    vec_id-SORTED struct list with a 0.0 seed — the same order-pinning
-    discipline as the PQ ADC fold; both engines accumulate bit-identically
-    and the single final division preserves that. Plan: posexplode stays
-    in its partition; ONE shuffle on (label, dim) — at production
-    dimensionality the exploded width multiplies rows, not bytes-per-row,
-    and the per-group state is one list of (id, float) pairs. For
-    unbounded group sizes swap the exact fold for a DECIMAL-quantized sum
-    (emb_norm_stats shows that pattern)."""
+    Scale posture: coordinates quantize to integer 2^-20ths, so the
+    per-group accumulator is a PLAIN integer sum — order-free,
+    engine-exact, and partial-aggregatable map-side, with O(1) state per
+    (label, dim) group regardless of corpus size (the previous
+    vec_id-sorted collect_list fold buffered every vector of the group).
+    Plan: posexplode stays in its partition; ONE shuffle on (label, dim).
+    |q| <= 2^21 is guarded at runtime; int64 headroom then lasts to
+    ~2^42 vectors per label — widen to DECIMAL(38,0) beyond that."""
     emb = load_table(spark, sf_dir, "embeddings")
     x = emb.select(
-        "label", "vec_id", F.posexplode("embedding").alias("pos0", "val")
+        "label", F.posexplode("embedding").alias("pos0", "val")
     ).select(
         "label",
-        "vec_id",
         (F.col("pos0") + 1).alias("dim"),
         F.col("val").cast("double").alias("x"),
     )
     g = x.groupBy("label", "dim").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.sort_array(
-            F.collect_list(F.struct(F.col("vec_id").alias("v"), F.col("x")))
-        ).alias("ds"),
+        F.sum(_fxp_q(F.col("x"), "emb_centroids")).alias("sq"),
     )
     return g.select(
         "label",
         F.col("dim").cast("long").alias("dim"),
         F.col("n_vecs").cast("long").alias("n_vecs"),
         (
-            F.expr(
-                "aggregate(transform(ds, __s -> __s.x),"
-                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
-            )
-            / F.col("n_vecs")
+            F.col("sq").cast("double") / (F.col("n_vecs") * F.lit(_FXP_SCALE))
         ).alias("centroid"),
     )
 
@@ -1196,16 +1221,19 @@ _ZOUT_EPS = 1e-9
         SELECT label, vec_id, dim,
                CAST(embedding[dim] AS DOUBLE) AS xv
         FROM x
+    ), vq AS (
+        SELECT label, vec_id, dim, xv,
+               CAST(round(xv * {_FXP_SCALE}) AS BIGINT) AS qv
+        FROM v
     ), g AS (
         SELECT label, dim, count(*) AS n,
-               list_sort(list(struct_pack(v := vec_id, x := xv))) AS ds
-        FROM v GROUP BY label, dim
+               CAST(sum(qv) AS BIGINT) AS sq,
+               CAST(sum(qv * qv) AS BIGINT) AS sqq
+        FROM vq GROUP BY label, dim
     ), stats AS (
         SELECT label, dim, n,
-               list_reduce([0.0] || list_transform(ds, __s -> __s.x),
-                           (a, b) -> a + b) / n AS mu,
-               list_reduce([0.0] || list_transform(ds, __s -> __s.x * __s.x),
-                           (a, b) -> a + b) / n AS ex2
+               CAST(sq AS DOUBLE) / (n * {_FXP_SCALE}) AS mu,
+               CAST(sqq AS DOUBLE) / (n * {_FXP_SCALE_SQ}) AS ex2
         FROM g
     ), z AS (
         SELECT v.label, v.vec_id,
@@ -1232,16 +1260,19 @@ def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     score — the shard-QA table read before building an ANN index over a
     new embedding drop.
 
-    Determinism: mean and E[x²] both come from the vec_id-sorted
-    struct-list fold (the emb_centroids discipline), so variance, the
-    epsilon-stabilized sqrt, and every |z| > 3 comparison evaluate on
-    bit-identical doubles in both engines. Plan shape: one (label, dim)
-    shuffle for the moment table (bounded: labels × {DIM} rows), which
-    broadcasts back onto the exploded scan; the per-vector max and the
-    label rollup key on (label, vec_id) — max() is order-insensitive, so
-    those aggs need no pinning. At 100 TB the moment table stays tiny
-    while the fact side streams; for unbounded group sizes swap the exact
-    fold for a DECIMAL-quantized sum (emb_norm_stats pattern)."""
+    Determinism + scale posture: mean and E[x²] come from 2^-20
+    fixed-point quantized coordinates accumulated with PLAIN integer sums
+    — order-free, engine-exact, partial-aggregatable, O(1) state per
+    (label, dim) group at any corpus size (the previous vec_id-sorted
+    collect_list fold buffered every vector of the group). Variance, the
+    epsilon-stabilized sqrt, and every |z| > 3 comparison then evaluate
+    on bit-identical doubles in both engines. Plan shape: one
+    (label, dim) shuffle for the moment table (bounded: labels × {DIM}
+    rows), which broadcasts back onto the exploded scan; the per-vector
+    max and the label rollup key on (label, vec_id) — max() is
+    order-insensitive, so those aggs need no pinning. |q| <= 2^21 is
+    guarded at runtime; the q² sum has int64 headroom to ~2^21 vectors
+    per label — widen that accumulator to DECIMAL(38,0) beyond that."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "label", "vec_id", F.posexplode("embedding").alias("pos0", "val")
@@ -1251,28 +1282,20 @@ def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).alias("dim"),
         F.col("val").cast("double").alias("xv"),
     )
-    g = v.groupBy("label", "dim").agg(
+    vq = v.withColumn("qv", _fxp_q(F.col("xv"), "emb_outlier_zscore"))
+    g = vq.groupBy("label", "dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sort_array(
-            F.collect_list(F.struct(F.col("vec_id").alias("v"), F.col("xv").alias("x")))
-        ).alias("ds"),
+        F.sum("qv").alias("sq"),
+        F.sum(F.col("qv") * F.col("qv")).alias("sqq"),
     )
     stats = g.select(
         "label",
         "dim",
+        (F.col("sq").cast("double") / (F.col("n") * F.lit(_FXP_SCALE))).alias(
+            "mu"
+        ),
         (
-            F.expr(
-                "aggregate(transform(ds, __s -> __s.x),"
-                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
-            )
-            / F.col("n")
-        ).alias("mu"),
-        (
-            F.expr(
-                "aggregate(transform(ds, __s -> __s.x * __s.x),"
-                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
-            )
-            / F.col("n")
+            F.col("sqq").cast("double") / (F.col("n") * F.lit(_FXP_SCALE_SQ))
         ).alias("ex2"),
     )
     z = v.join(F.broadcast(stats), ["label", "dim"]).select(
@@ -1413,7 +1436,11 @@ def sim_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-insensitive, missing cases pinned via coalesce(-1).
 
     At 100 TB: the top-k list is query-scale; the two label lookups are
-    equi-joins of that tiny list against a 2-column projection — the
+    equi-joins of that tiny list against a 2-column projection of the
+    CORPUS-cardinality embeddings table — so the broadcast decision is
+    deliberately left to size statistics / AQE (auto-broadcast at test
+    scale, shuffle join at corpus scale; a forced broadcast of all
+    vec_ids would OOM a 100 TB corpus even as two columns). The
     corpus-scale work stays inside the composed index, swappable for any
     registered ANN variant."""
     from ..registry import QUERIES
@@ -1423,9 +1450,9 @@ def sim_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     tagged = (
-        topk.join(F.broadcast(lab.withColumnRenamed("label", "n_label")), "vec_id")
+        topk.join(lab.withColumnRenamed("label", "n_label"), "vec_id")
         .join(
-            F.broadcast(
+            (
                 lab.select(
                     F.col("vec_id").alias("query_id"),
                     F.col("label").alias("q_label"),
@@ -1475,9 +1502,13 @@ def _pca_oracle() -> str:
         SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xi FROM x
     )""",
         "n AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM embeddings)",
+        f"""vq0 AS (
+        SELECT vec_id, i, CAST(round(xi * {_FXP_SCALE}) AS BIGINT) AS q0 FROM v
+    )""",
         f"""mu AS (
-        SELECT i, {fold_vec.format(key='vec_id', term='xi')} / max(n.nv) AS m
-        FROM v CROSS JOIN n GROUP BY i
+        SELECT i, CAST(CAST(sum(q0) AS BIGINT) AS DOUBLE)
+                      / (max(n.nv) * {_FXP_SCALE}) AS m
+        FROM vq0 CROSS JOIN n GROUP BY i
     )""",
         """xc AS (
         SELECT v.vec_id, v.i, v.xi - mu.m AS c
@@ -1522,12 +1553,13 @@ def _pca_oracle() -> str:
 
 @query("emb_pca_top_component", oracle=_pca_oracle())
 def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding corpus: mean-centered
-    covariance over 2^-20 fixed-point centered values (plain integer
-    sums — order-free AND engine-exact, no per-cell list state; the
-    exact-fold variant was measured 7x slower), then 3 unrolled
-    power-iteration steps with
-    a normalize after each (the norm itself a dim-sorted fold). The
+    """Top principal component of the embedding corpus: mean and
+    mean-centered covariance both over 2^-20 fixed-point values (plain
+    integer sums — order-free AND engine-exact, no per-group list state;
+    the sorted-fold covariance variant measured 3x slower), then 3
+    unrolled power-iteration steps with
+    a normalize after each (the norm itself a dim-sorted fold over DIM
+    bounded terms). The
     uniform start 1/8 = 1/sqrt(64) is binary-exact; every subsequent
     quantity is the same IEEE expression over bit-identical operands on
     both engines, so even the eigenvector's sign matches.
@@ -1535,9 +1567,12 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the covariance build is the expensive step — a per-vector
     dim×dim self-join (rows multiply by DIM², bytes per row stay tiny)
     followed by ONE (i, j) shuffle whose integer-sum state is
-    partial-aggregatable map-side (at larger n, widen to DECIMAL(38,0)
-    before int64 headroom runs out). The iteration loop then runs
-    entirely on DIM²-row relations — driver-scale, like
+    partial-aggregatable map-side; the mean step is the same discipline
+    on one (i) shuffle (O(1) state per dimension — no collect_list over
+    the corpus). |q| <= 2^21 is guarded at runtime in both steps; at
+    larger n widen the covariance accumulator to DECIMAL(38,0) before
+    int64 headroom (~2^21 vectors) runs out. The iteration loop then
+    runs entirely on DIM²-row relations — driver-scale, like
     markov_stationary."""
     emb = load_table(spark, sf_dir, "embeddings")
     x = emb.select(
@@ -1552,13 +1587,14 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu = (
         x.groupBy("i")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("vec_id").alias("k"), F.col("xi").alias("t")))
-            ).alias("ds")
-        )
+        .agg(F.sum(_fxp_q(F.col("xi"), "emb_pca mean")).alias("sq"))
         .crossJoin(F.broadcast(n))
-        .select("i", (F.expr(fold) / F.col("nv")).alias("m"))
+        .select(
+            "i",
+            (
+                F.col("sq").cast("double") / (F.col("nv") * F.lit(_FXP_SCALE))
+            ).alias("m"),
+        )
     )
     xc = x.join(F.broadcast(mu), "i").select(
         "vec_id", "i", (F.col("xi") - F.col("m")).alias("c")
@@ -1567,10 +1603,9 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2^20ths (identical round on identical doubles), so the per-cell
     # accumulation is a PLAIN integer sum — order-free, partial-
     # aggregatable, no per-cell list state. Worst-case |sum| is
-    # n * (2^21)^2 ≈ 2^53 at this corpus — well inside int64.
-    xq = xc.select(
-        "vec_id", "i", F.round(F.col("c") * (1 << 20)).cast("long").alias("q")
-    )
+    # n * (2^21)^2 ≈ 2^53 at this corpus — inside int64, and the
+    # |c| <= 2 assumption is now a guarded runtime error, not a comment.
+    xq = xc.select("vec_id", "i", _fxp_q(F.col("c"), "emb_pca covariance").alias("q"))
     a = xq.select("vec_id", F.col("i").alias("ai"), F.col("q").alias("aq"))
     b = xq.select("vec_id", F.col("i").alias("bj"), F.col("q").alias("bq"))
     cov = (

@@ -30,7 +30,7 @@ QUERIES = [
     "spatial_grid_join",        # 3x3 cell candidate generation
     "skew_salted_join",         # salt spread + re-merge
     # round 3 additions
-    "emb_centroids",            # vec_id-sorted struct-fold float sums
+    "emb_centroids",            # fixed-point integer-sum means
     "sim_l2_topk_ivfpq",        # cell argmin + ADC fold + top-k ranking
     "bpe_merge_steps",          # iterative top-pair selection per step
     "mad_robust_outliers",      # interpolated medians + boundary compares
@@ -75,7 +75,7 @@ QUERIES = [
     "token_df_spectrum",        # two-level distinct + integer banding
     "graph_label_propagation",  # iterative majority vote, min-label ties
     "histogram_equi_depth",     # interpolated quantile boundary compares
-    "emb_outlier_zscore",       # order-pinned moment folds + 3-sigma gate
+    "emb_outlier_zscore",       # fixed-point integer moments + 3-sigma gate
     "sim_rank_fusion_rrf",      # two-list RRF sum + fused-rank tie-break
     "dedup_source_matrix",      # composed LSH pairs + canonicalized cells
     "sim_label_margin",         # composed top-k + conditional max margins

@@ -725,6 +725,29 @@ def test_emb_outlier_moments_broadcast_back(spark, sf):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["emb_centroids", "emb_outlier_zscore", "emb_pca_top_component"]
+)
+def test_embedding_moments_are_partial_aggregatable(spark, sf, name):
+    df = registry.QUERIES[name](spark, sf)
+    plan = _plan(df)
+    # the fact-scale moment aggregations are plain integer sums: codegen
+    # HashAggregate with map-side partials, NOT an ObjectHashAggregate
+    # buffering a collect_list of the whole group (the 100x scale-killer
+    # this family used to carry). emb_pca's power-iteration loop still
+    # folds DIM-bounded lists — those groups are 64 rows, fine — so the
+    # assertion is on the object-agg operator, absent everywhere except
+    # that bounded loop.
+    assert "HashAggregate" in plan
+    if name != "emb_pca_top_component":
+        assert "collect_list" not in plan
+        assert "ObjectHashAggregate" not in plan
+    else:
+        # mean + covariance steps: integer partial sums (the only
+        # collect_lists left sit in the DIM²-row iteration tail)
+        assert "partial_sum" in plan or "sum(" in plan
+
+
 def test_source_matrix_lookups_broadcast(spark, sf):
     df = registry.QUERIES["dedup_source_matrix"](spark, sf)
     plan = _plan(df)

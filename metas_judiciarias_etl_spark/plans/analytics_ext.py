@@ -177,6 +177,72 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scale-mode twin: the SAME quantile surface on the mergeable-sketch path.
+_PCTL_QS = (0.25, 0.5, 0.75, 0.95)
+_PCTL_EPS = 0.02  # rank-error budget; Spark accuracy=10000 => error 1e-4
+
+
+def _pctl_approx_oracle() -> str:
+    qs = ", ".join(str(q) for q in _PCTL_QS)
+    lo = ", ".join(str(round(q - _PCTL_EPS, 2)) for q in _PCTL_QS)
+    hi = ", ".join(str(round(q + _PCTL_EPS, 2)) for q in _PCTL_QS)
+    flags = ", ".join(
+        f"CAST(ap[{i + 1}] BETWEEN lo[{i + 1}] AND hi[{i + 1}] AS INT)"
+        f" AS p{int(q * 100)}_ok"
+        for i, q in enumerate(_PCTL_QS)
+    )
+    return f"""
+    WITH g AS (
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               approx_quantile(l_extendedprice, [{qs}]) AS ap,
+               quantile_cont(l_extendedprice, [{lo}]) AS lo,
+               quantile_cont(l_extendedprice, [{hi}]) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_rows, {flags} FROM g
+    """
+
+
+@query("percentile_agg_approx", oracle=_pctl_approx_oracle())
+def percentile_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-mode twin of percentile_agg: the same four quantiles per
+    group from approx_percentile — the mergeable-sketch aggregation whose
+    per-group state is O(accuracy), not O(group), i.e. the plan actually
+    run at 100x. Sketch values are engine-specific, so the cross-engine
+    contract is the bounded-RANK-error assertion of
+    approx_percentile_sketch: each engine's own approximate quantile must
+    land between its own exact (q±2%) percentiles. The exact band
+    aggregate here is the VALIDATION harness, not the operator — a
+    production job ships only the sketch column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(*[F.lit(q) for q in _PCTL_QS]), 10000
+        ).alias("__ap"),
+        F.percentile(
+            "l_extendedprice",
+            F.array(*[F.lit(round(q - _PCTL_EPS, 2)) for q in _PCTL_QS]),
+        ).alias("__lo"),
+        F.percentile(
+            "l_extendedprice",
+            F.array(*[F.lit(round(q + _PCTL_EPS, 2)) for q in _PCTL_QS]),
+        ).alias("__hi"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n_rows",
+        *[
+            F.element_at("__ap", i + 1)
+            .between(F.element_at("__lo", i + 1), F.element_at("__hi", i + 1))
+            .cast("int")
+            .alias(f"p{int(q * 100)}_ok")
+            for i, q in enumerate(_PCTL_QS)
+        ],
+    )
+
+
 # --------------------------------------------------------------------------
 # Time-bucket rollup with gap-fill + LOCF (the hypertable-rollup shape).
 # --------------------------------------------------------------------------
@@ -1340,6 +1406,88 @@ def cycle_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("cycle_days", F.lit(0.50)).alias("p50_days"),
         F.percentile("cycle_days", F.lit(0.90)).alias("p90_days"),
         F.max("cycle_days").cast("long").alias("max_days"),
+    )
+
+
+# Scale-mode twin of cycle_time_percentiles on the mergeable-sketch path.
+_CYCLE_EPS = 0.04
+
+
+@query(
+    "cycle_time_percentiles_approx",
+    oracle=f"""
+    WITH spans AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(max(l.l_shipdate) AS DATE)) AS cycle_days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    ), g AS (
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               max(cycle_days) AS max_days,
+               approx_quantile(cycle_days, [0.50, 0.90]) AS ap,
+               quantile_cont(cycle_days, [{0.50 - _CYCLE_EPS}, {0.90 - _CYCLE_EPS}]) AS lo,
+               quantile_cont(cycle_days, [{0.50 + _CYCLE_EPS}, {0.90 + _CYCLE_EPS}]) AS hi
+        FROM spans GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_orders, CAST(max_days AS BIGINT) AS max_days,
+           CAST(ap[1] BETWEEN lo[1] AND hi[1] AS INT) AS p50_ok,
+           CAST(ap[2] BETWEEN lo[2] AND hi[2] AS INT) AS p90_ok
+    FROM g
+    """,
+)
+def cycle_time_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-mode twin of cycle_time_percentiles: p50/p90 cycle time per
+    priority band via approx_percentile — O(accuracy) mergeable per-group
+    state instead of buffering every order's duration, i.e. the plan run
+    when bands are unbounded. Contract: bounded-rank-error flags (each
+    engine's own sketch value inside its own exact q±4% band — wider than
+    percentile_agg_approx's because integer-day durations tie heavily);
+    n_orders and max_days stay exact and engine-invariant. The exact band
+    aggregate is the validation harness, not the operator."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    spans = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("__last_ship"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("__last_ship").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("cycle_days"),
+        )
+    )
+    g = spans.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("cycle_days").cast("long").alias("max_days"),
+        F.percentile_approx(
+            "cycle_days", F.array(F.lit(0.50), F.lit(0.90)), 10000
+        ).alias("__ap"),
+        F.percentile(
+            "cycle_days",
+            F.array(F.lit(0.50 - _CYCLE_EPS), F.lit(0.90 - _CYCLE_EPS)),
+        ).alias("__lo"),
+        F.percentile(
+            "cycle_days",
+            F.array(F.lit(0.50 + _CYCLE_EPS), F.lit(0.90 + _CYCLE_EPS)),
+        ).alias("__hi"),
+    )
+    return g.select(
+        "o_orderpriority",
+        "n_orders",
+        "max_days",
+        F.element_at("__ap", 1)
+        .between(F.element_at("__lo", 1), F.element_at("__hi", 1))
+        .cast("int")
+        .alias("p50_ok"),
+        F.element_at("__ap", 2)
+        .between(F.element_at("__lo", 2), F.element_at("__hi", 2))
+        .cast("int")
+        .alias("p90_ok"),
     )
 
 

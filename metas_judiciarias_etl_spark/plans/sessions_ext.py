@@ -675,6 +675,82 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scale-mode twin: equi-depth binning from sketch boundaries.
+_EQD_TOL = 0.05  # per-bin mass tolerance (sketch rank error ~1e-4 << this)
+
+
+def _eqd_approx_oracle() -> str:
+    # decimal literals, not k/8.0 expressions: DuckDB's list-valued
+    # approx_quantile binds FLOAT[], and a DOUBLE[] expression list has no
+    # implicit downcast; k/8 literals are dyadic so FLOAT holds them exact
+    fracs = ", ".join(str(k / _EQD_BINS) for k in range(1, _EQD_BINS))
+    binexpr = " + ".join(
+        f"CAST(cents > bs[{k}] AS INT)" for k in range(1, _EQD_BINS)
+    )
+    return f"""
+    WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), b AS (
+        SELECT approx_quantile(cents, [{fracs}]) AS bs FROM c
+    ), t AS (SELECT count(*) AS n_total FROM c),
+    pb AS (
+        SELECT ({binexpr}) AS bin, count(*) AS n
+        FROM c CROSS JOIN b
+        GROUP BY bin
+    )
+    SELECT bin, n_total,
+           CAST(abs(n - n_total / {_EQD_BINS}.0)
+                <= n_total * {_EQD_TOL} AS INT) AS equi_depth_ok
+    FROM pb CROSS JOIN t
+    """
+
+
+@query("histogram_equi_depth_approx", oracle=_eqd_approx_oracle())
+def histogram_equi_depth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-mode twin of histogram_equi_depth: bin boundaries come from
+    approx_percentile — the mergeable sketch whose state is O(accuracy),
+    not O(column), i.e. the boundary build actually run at 100x. Sketch
+    boundaries are engine-specific, so per-bin counts cannot be compared
+    directly; the cross-engine contract is the equi-depth property
+    itself — each engine asserts its own bins each hold n/8 of the rows
+    within a {_EQD_TOL:.0%} mass tolerance (sketch rank error is ~1e-4,
+    orders of magnitude inside it). bin ids and the exact total row
+    count stay engine-invariant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    bounds = c.agg(
+        F.percentile_approx(
+            "cents",
+            F.array(*[F.lit(k / _EQD_BINS) for k in range(1, _EQD_BINS)]),
+            10000,
+        ).alias("bs")
+    )
+    tot = c.agg(F.count(F.lit(1)).alias("n_total"))
+    binned = c.crossJoin(F.broadcast(bounds)).select(
+        sum(
+            [
+                (F.col("cents") > F.col("bs")[k - 1]).cast("int")
+                for k in range(1, _EQD_BINS)
+            ],
+            F.lit(0),
+        ).alias("bin")
+    )
+    pb = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    return pb.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_total",
+        (
+            F.abs(F.col("n") - F.col("n_total") / float(_EQD_BINS))
+            <= F.col("n_total") * _EQD_TOL
+        )
+        .cast("int")
+        .alias("equi_depth_ok"),
+    )
+
+
 # --------------------------------------------------------------------------
 # RFM segmentation: recency/frequency/monetary quartile scores per
 # customer, rolled up per segment — the classic behavioral cut, scored
@@ -794,4 +870,159 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.sum("m_cents").cast("long").alias("total_cents"),
         )
+    )
+
+# Scale-mode twin: RFM scoring from sketch quartiles.
+_RFM_EPS = 0.03
+
+
+@query(
+    "customer_rfm_segments_approx",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS day,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), cust AS (
+        SELECT o_custkey,
+               max(day) AS last_day,
+               count(*) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS m_cents
+        FROM o GROUP BY o_custkey
+    ), ref AS (SELECT max(last_day) AS ref_day FROM cust),
+    feats AS (
+        SELECT c.*, r.ref_day - c.last_day AS rec_days
+        FROM cust c CROSS JOIN ref r
+    ), b AS (
+        SELECT approx_quantile(rec_days, [0.25, 0.5, 0.75]) AS br,
+               approx_quantile(n_orders, [0.25, 0.5, 0.75]) AS bf,
+               approx_quantile(m_cents,  [0.25, 0.5, 0.75]) AS bm,
+               quantile_cont(rec_days, [{0.25 - _RFM_EPS}, {0.5 - _RFM_EPS},
+                                        {0.75 - _RFM_EPS}]) AS br_lo,
+               quantile_cont(rec_days, [{0.25 + _RFM_EPS}, {0.5 + _RFM_EPS},
+                                        {0.75 + _RFM_EPS}]) AS br_hi,
+               quantile_cont(m_cents, [{0.25 - _RFM_EPS}, {0.5 - _RFM_EPS},
+                                       {0.75 - _RFM_EPS}]) AS bm_lo,
+               quantile_cont(m_cents, [{0.25 + _RFM_EPS}, {0.5 + _RFM_EPS},
+                                       {0.75 + _RFM_EPS}]) AS bm_hi
+        FROM feats
+    ), scored AS (
+        SELECT f.o_custkey, f.m_cents,
+               CAST(f.rec_days > b.br[1] AS INT) + CAST(f.rec_days > b.br[2] AS INT)
+                 + CAST(f.rec_days > b.br[3] AS INT) AS r_s,
+               CAST(f.n_orders > b.bf[1] AS INT) + CAST(f.n_orders > b.bf[2] AS INT)
+                 + CAST(f.n_orders > b.bf[3] AS INT) AS f_s,
+               CAST(f.m_cents > b.bm[1] AS INT) + CAST(f.m_cents > b.bm[2] AS INT)
+                 + CAST(f.m_cents > b.bm[3] AS INT) AS m_s
+        FROM feats f CROSS JOIN b
+    ), seg AS (
+        SELECT 'R' || CAST(r_s AS VARCHAR) || 'F' || CAST(f_s AS VARCHAR)
+                   || 'M' || CAST(m_s AS VARCHAR) AS segment,
+               count(*) AS n_customers,
+               CAST(sum(m_cents) AS BIGINT) AS total_cents
+        FROM scored GROUP BY segment
+    )
+    SELECT CAST(sum(n_customers) AS BIGINT) AS n_customers,
+           CAST(sum(total_cents) AS BIGINT) AS total_cents,
+           (SELECT CAST(br[1] BETWEEN br_lo[1] AND br_hi[1] AS INT)
+                 + CAST(br[2] BETWEEN br_lo[2] AND br_hi[2] AS INT)
+                 + CAST(br[3] BETWEEN br_lo[3] AND br_hi[3] AS INT)
+            FROM b) AS n_rec_bounds_ok,
+           (SELECT CAST(bm[1] BETWEEN bm_lo[1] AND bm_hi[1] AS INT)
+                 + CAST(bm[2] BETWEEN bm_lo[2] AND bm_hi[2] AS INT)
+                 + CAST(bm[3] BETWEEN bm_lo[3] AND bm_hi[3] AS INT)
+            FROM b) AS n_mon_bounds_ok
+    FROM seg
+    """,
+)
+def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-mode twin of customer_rfm_segments: quartile boundaries for
+    all three features come from approx_percentile (O(accuracy) mergeable
+    state — the boundary build run at unbounded customer counts), scoring
+    and segment rollup unchanged. Sketch boundaries are engine-specific,
+    so per-segment counts cannot be compared; the contract is (a)
+    conservation — segment counts and money must sum back to the exact
+    customer total and global cents total (forces the full scoring
+    pipeline to execute), and (b) bounded rank error — each engine's
+    recency and monetary quartiles inside its own exact q±3% bands
+    (frequency is excluded from (b): small-integer order counts tie so
+    heavily that exact rank bands collapse; its sketch still drives
+    scoring and is covered by (a))."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = o.groupBy("o_custkey").agg(
+        F.max("day").alias("last_day"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("m_cents"),
+    )
+    ref = cust.agg(F.max("last_day").alias("ref_day"))
+    feats = cust.crossJoin(F.broadcast(ref)).withColumn(
+        "rec_days", F.col("ref_day") - F.col("last_day")
+    )
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    qs_lo = F.array(*[F.lit(q - _RFM_EPS) for q in (0.25, 0.5, 0.75)])
+    qs_hi = F.array(*[F.lit(q + _RFM_EPS) for q in (0.25, 0.5, 0.75)])
+    b = feats.agg(
+        F.percentile_approx("rec_days", qs, 10000).alias("br"),
+        F.percentile_approx("n_orders", qs, 10000).alias("bf"),
+        F.percentile_approx("m_cents", qs, 10000).alias("bm"),
+        F.percentile("rec_days", qs_lo).alias("br_lo"),
+        F.percentile("rec_days", qs_hi).alias("br_hi"),
+        F.percentile("m_cents", qs_lo).alias("bm_lo"),
+        F.percentile("m_cents", qs_hi).alias("bm_hi"),
+    )
+
+    def _score(col: str, bs: str):
+        return sum(
+            [(F.col(col) > F.col(bs)[k]).cast("int") for k in range(3)],
+            F.lit(0),
+        )
+
+    def _bounds_ok(ap: str, lo: str, hi: str):
+        return sum(
+            [
+                F.col(ap)[k]
+                .between(F.col(lo)[k], F.col(hi)[k])
+                .cast("int")
+                for k in range(3)
+            ],
+            F.lit(0),
+        )
+
+    scored = feats.crossJoin(F.broadcast(b)).select(
+        "m_cents",
+        _score("rec_days", "br").alias("r_s"),
+        _score("n_orders", "bf").alias("f_s"),
+        _score("m_cents", "bm").alias("m_s"),
+        _bounds_ok("br", "br_lo", "br_hi").alias("__rok"),
+        _bounds_ok("bm", "bm_lo", "bm_hi").alias("__mok"),
+    )
+    seg = scored.select(
+        F.concat(
+            F.lit("R"), F.col("r_s").cast("string"),
+            F.lit("F"), F.col("f_s").cast("string"),
+            F.lit("M"), F.col("m_s").cast("string"),
+        ).alias("segment"),
+        "m_cents",
+        "__rok",
+        "__mok",
+    ).groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("m_cents").cast("long").alias("total_cents"),
+        F.max("__rok").alias("__rok"),
+        F.max("__mok").alias("__mok"),
+    )
+    return seg.agg(
+        F.sum("n_customers").cast("long").alias("n_customers"),
+        F.sum("total_cents").cast("long").alias("total_cents"),
+        F.max("__rok").cast("int").alias("n_rec_bounds_ok"),
+        F.max("__mok").cast("int").alias("n_mon_bounds_ok"),
     )

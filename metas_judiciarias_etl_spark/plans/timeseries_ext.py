@@ -371,6 +371,75 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scale-mode twin: median + MAD on the mergeable-sketch path.
+_MAD_EPS = 0.04
+
+
+@query(
+    "mad_robust_outliers_approx",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), med AS (
+        SELECT event_type,
+               approx_quantile(cents, 0.5) AS med_cents,
+               quantile_cont(cents, {0.5 - _MAD_EPS}) AS med_lo,
+               quantile_cont(cents, {0.5 + _MAD_EPS}) AS med_hi
+        FROM c GROUP BY event_type
+    ), dev AS (
+        SELECT c.event_type, abs(c.cents - m.med_cents) AS adev,
+               CAST(m.med_cents BETWEEN m.med_lo AND m.med_hi AS INT) AS med_ok
+        FROM c JOIN med m USING (event_type)
+    )
+    SELECT event_type,
+           count(*) AS n_rows,
+           max(med_ok) AS med_ok,
+           CAST(approx_quantile(adev, 0.5)
+                BETWEEN quantile_cont(adev, {0.5 - _MAD_EPS})
+                    AND quantile_cont(adev, {0.5 + _MAD_EPS}) AS INT) AS mad_ok
+    FROM dev GROUP BY event_type
+    """,
+)
+def mad_robust_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-mode twin of mad_robust_outliers: median and MAD both come
+    from approx_percentile — O(accuracy) mergeable state per event type
+    instead of buffering the column twice, i.e. the robust-statistics
+    plan run at unbounded group sizes. Each engine's absolute deviations
+    are taken against its OWN sketch median, so values are
+    engine-specific; the contract is bounded rank error on both
+    statistics — sketch median inside the exact (50±4)% band of cents,
+    sketch MAD inside the exact (50±4)% band of that engine's own adev
+    column — plus exact, engine-invariant group row counts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile_approx("cents", F.lit(0.5), 10000).alias("med_cents"),
+        F.percentile("cents", F.lit(0.5 - _MAD_EPS)).alias("med_lo"),
+        F.percentile("cents", F.lit(0.5 + _MAD_EPS)).alias("med_hi"),
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+        F.col("med_cents")
+        .between(F.col("med_lo"), F.col("med_hi"))
+        .cast("int")
+        .alias("med_ok"),
+    )
+    return dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("med_ok").alias("med_ok"),
+        F.percentile_approx("adev", F.lit(0.5), 10000)
+        .between(
+            F.percentile("adev", F.lit(0.5 - _MAD_EPS)),
+            F.percentile("adev", F.lit(0.5 + _MAD_EPS)),
+        )
+        .cast("int")
+        .alias("mad_ok"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Calendar activity profile: day-of-week x hour event heatmap, from pure
 # integer epoch math (no timezone/locale function can split the engines:

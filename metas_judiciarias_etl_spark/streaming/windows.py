@@ -71,6 +71,34 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour",
     )
 
 
+def tumbling_keyed_counts(events: DataFrame, key: str = "user_id",
+                          width: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Per-(window, key) counts/sums for a HIGH-CARDINALITY key: the state
+    store holds one row per live (window, key) pair, so key cardinality —
+    not event rate — sizes the store. The batch twin
+    ``stream_state_keys_profile`` measures exactly that cardinality; at
+    100 TB run this with the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass``) — the default
+    HDFSBacked provider keeps every state row on-heap and OOMs at
+    tens of millions of live keys per executor, while RocksDB spills to
+    native memory + local disk with changelog checkpointing."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sliding_counts(events: DataFrame, width: str = "1 hour",
                    slide: str = "30 minutes",
                    watermark: str = "2 hours") -> DataFrame:

@@ -1061,3 +1061,92 @@ def test_pca_component_matches_numpy(spark, sf_small):
     v0 = np.full(m.shape[1], 1.0 / 8.0)
     r0 = (v0 @ cov @ v0) / (v0 @ v0)
     assert got @ cov @ got >= r0
+
+
+def test_approx_twins_rank_bands_hold_and_exact_columns_match(spark, sf_small):
+    """The five sketch twins: every bounded-rank-error flag must be 1 (the
+    sketch landed inside its exact band), and the engine-invariant columns
+    must equal their exact siblings' values where both expose them."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+
+    pa = registry.QUERIES["percentile_agg_approx"](spark, sf_small).collect()
+    assert pa and all(
+        r[f] == 1 for r in pa for f in ("p25_ok", "p50_ok", "p75_ok", "p95_ok")
+    )
+
+    eq = registry.QUERIES["histogram_equi_depth_approx"](spark, sf_small).collect()
+    assert sorted(r["bin"] for r in eq) == list(range(8))
+    assert all(r["equi_depth_ok"] == 1 for r in eq)
+    n_li = (
+        spark.read.parquet(f"{sf_small}/lineitem.parquet").count()
+    )
+    assert all(r["n_total"] == n_li for r in eq)
+
+    ct_a = {
+        r["o_orderpriority"]: r
+        for r in registry.QUERIES["cycle_time_percentiles_approx"](
+            spark, sf_small
+        ).collect()
+    }
+    ct_e = {
+        r["o_orderpriority"]: r
+        for r in registry.QUERIES["cycle_time_percentiles"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(ct_a) == set(ct_e)
+    for k, r in ct_a.items():
+        assert r["p50_ok"] == 1 and r["p90_ok"] == 1
+        assert r["n_orders"] == ct_e[k]["n_orders"]
+        assert r["max_days"] == ct_e[k]["max_days"]
+
+    mad_a = {
+        r["event_type"]: r
+        for r in registry.QUERIES["mad_robust_outliers_approx"](
+            spark, sf_small
+        ).collect()
+    }
+    mad_e = {
+        r["event_type"]: r
+        for r in registry.QUERIES["mad_robust_outliers"](spark, sf_small).collect()
+    }
+    assert set(mad_a) == set(mad_e)
+    for k, r in mad_a.items():
+        assert r["med_ok"] == 1 and r["mad_ok"] == 1
+        assert r["n_rows"] == mad_e[k]["n_rows"]
+
+    [rfm] = registry.QUERIES["customer_rfm_segments_approx"](
+        spark, sf_small
+    ).collect()
+    assert rfm["n_rec_bounds_ok"] == 3 and rfm["n_mon_bounds_ok"] == 3
+    # conservation against the exact sibling's segment rollup
+    exact = registry.QUERIES["customer_rfm_segments"](spark, sf_small).collect()
+    assert rfm["n_customers"] == sum(r["n_customers"] for r in exact)
+    assert rfm["total_cents"] == sum(r["total_cents"] for r in exact)
+
+
+def test_state_keys_profile_accounts_for_every_event(spark, sf_small):
+    """State-cardinality accounting must conserve events and agree with an
+    independent distinct-count of the streaming state key."""
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.sources.parquet import load_table
+
+    registry.load_all()
+    rows = registry.QUERIES["stream_state_keys_profile"](spark, sf_small).collect()
+    ev = load_table(spark, sf_small, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    expected_keys = (
+        ev.select(
+            F.expr("(ts - pmod(ts, 3600000000000)) div 1000000000").alias("w"),
+            "user_id",
+            "event_type",
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_state_keys"] for r in rows) == expected_keys
+    for r in rows:
+        assert 1 <= r["n_state_keys"] <= r["n_events"]
+        assert r["max_key_events"] <= r["n_events"]

@@ -91,6 +91,13 @@ QUERIES = [
     "mm_audio_quiet_segments",  # Arrow RMS + integer-run islands
     "markov_stationary",        # unrolled power iteration, sorted folds
     "emb_pca_top_component",    # covariance folds + normalized iteration
+    # round 4: sketch scale-mode twins + state accounting
+    "percentile_agg_approx",        # GK sketch vs exact rank bands
+    "histogram_equi_depth_approx",  # sketch boundaries + mass tolerance
+    "customer_rfm_segments_approx", # sketch quartiles + conservation
+    "cycle_time_percentiles_approx",  # sketch p50/p90 rank bands
+    "mad_robust_outliers_approx",   # sketch median/MAD rank bands
+    "stream_state_keys_profile",    # state-key cardinality rollup
 ]
 
 

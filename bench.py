@@ -171,6 +171,8 @@ HEADLINE = [
     "cycle_time_percentiles_approx",
     "mad_robust_outliers_approx",
     "stream_state_keys_profile",
+    "bloom_semi_join_prune",
+    "data_skipping_zonemap",
 ]
 
 

@@ -183,11 +183,16 @@ _PCTL_EPS = 0.02  # rank-error budget; Spark accuracy=10000 => error 1e-4
 
 
 def _pctl_approx_oracle() -> str:
+    nq = len(_PCTL_QS)
     qs = ", ".join(str(q) for q in _PCTL_QS)
-    lo = ", ".join(str(round(q - _PCTL_EPS, 2)) for q in _PCTL_QS)
-    hi = ", ".join(str(round(q + _PCTL_EPS, 2)) for q in _PCTL_QS)
+    # ONE exact array-percentile carries all 2x4 band edges (lo then hi):
+    # separate lo/hi aggregates would each buffer the column again
+    bands = ", ".join(
+        [str(round(q - _PCTL_EPS, 2)) for q in _PCTL_QS]
+        + [str(round(q + _PCTL_EPS, 2)) for q in _PCTL_QS]
+    )
     flags = ", ".join(
-        f"CAST(ap[{i + 1}] BETWEEN lo[{i + 1}] AND hi[{i + 1}] AS INT)"
+        f"CAST(ap[{i + 1}] BETWEEN bd[{i + 1}] AND bd[{i + 1 + nq}] AS INT)"
         f" AS p{int(q * 100)}_ok"
         for i, q in enumerate(_PCTL_QS)
     )
@@ -196,8 +201,7 @@ def _pctl_approx_oracle() -> str:
         SELECT l_returnflag,
                count(*) AS n_rows,
                approx_quantile(l_extendedprice, [{qs}]) AS ap,
-               quantile_cont(l_extendedprice, [{lo}]) AS lo,
-               quantile_cont(l_extendedprice, [{hi}]) AS hi
+               quantile_cont(l_extendedprice, [{bands}]) AS bd
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n_rows, {flags} FROM g
@@ -216,26 +220,28 @@ def percentile_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate here is the VALIDATION harness, not the operator — a
     production job ships only the sketch column."""
     li = load_table(spark, sf_dir, "lineitem")
+    nq = len(_PCTL_QS)
+    band_fracs = [round(q - _PCTL_EPS, 2) for q in _PCTL_QS] + [
+        round(q + _PCTL_EPS, 2) for q in _PCTL_QS
+    ]
     g = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.percentile_approx(
             "l_extendedprice", F.array(*[F.lit(q) for q in _PCTL_QS]), 10000
         ).alias("__ap"),
+        # one array aggregate for all band edges: a single per-group buffer
         F.percentile(
-            "l_extendedprice",
-            F.array(*[F.lit(round(q - _PCTL_EPS, 2)) for q in _PCTL_QS]),
-        ).alias("__lo"),
-        F.percentile(
-            "l_extendedprice",
-            F.array(*[F.lit(round(q + _PCTL_EPS, 2)) for q in _PCTL_QS]),
-        ).alias("__hi"),
+            "l_extendedprice", F.array(*[F.lit(q) for q in band_fracs])
+        ).alias("__bd"),
     )
     return g.select(
         "l_returnflag",
         "n_rows",
         *[
             F.element_at("__ap", i + 1)
-            .between(F.element_at("__lo", i + 1), F.element_at("__hi", i + 1))
+            .between(
+                F.element_at("__bd", i + 1), F.element_at("__bd", i + 1 + nq)
+            )
             .cast("int")
             .alias(f"p{int(q * 100)}_ok")
             for i, q in enumerate(_PCTL_QS)
@@ -1427,13 +1433,13 @@ _CYCLE_EPS = 0.04
                count(*) AS n_orders,
                max(cycle_days) AS max_days,
                approx_quantile(cycle_days, [0.50, 0.90]) AS ap,
-               quantile_cont(cycle_days, [{0.50 - _CYCLE_EPS}, {0.90 - _CYCLE_EPS}]) AS lo,
-               quantile_cont(cycle_days, [{0.50 + _CYCLE_EPS}, {0.90 + _CYCLE_EPS}]) AS hi
+               quantile_cont(cycle_days, [{0.50 - _CYCLE_EPS}, {0.90 - _CYCLE_EPS},
+                                          {0.50 + _CYCLE_EPS}, {0.90 + _CYCLE_EPS}]) AS bd
         FROM spans GROUP BY o_orderpriority
     )
     SELECT o_orderpriority, n_orders, CAST(max_days AS BIGINT) AS max_days,
-           CAST(ap[1] BETWEEN lo[1] AND hi[1] AS INT) AS p50_ok,
-           CAST(ap[2] BETWEEN lo[2] AND hi[2] AS INT) AS p90_ok
+           CAST(ap[1] BETWEEN bd[1] AND bd[3] AS INT) AS p50_ok,
+           CAST(ap[2] BETWEEN bd[2] AND bd[4] AS INT) AS p90_ok
     FROM g
     """,
 )
@@ -1467,25 +1473,27 @@ def cycle_time_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         F.percentile_approx(
             "cycle_days", F.array(F.lit(0.50), F.lit(0.90)), 10000
         ).alias("__ap"),
+        # one array aggregate for all band edges (lo pair then hi pair)
         F.percentile(
             "cycle_days",
-            F.array(F.lit(0.50 - _CYCLE_EPS), F.lit(0.90 - _CYCLE_EPS)),
-        ).alias("__lo"),
-        F.percentile(
-            "cycle_days",
-            F.array(F.lit(0.50 + _CYCLE_EPS), F.lit(0.90 + _CYCLE_EPS)),
-        ).alias("__hi"),
+            F.array(
+                F.lit(0.50 - _CYCLE_EPS),
+                F.lit(0.90 - _CYCLE_EPS),
+                F.lit(0.50 + _CYCLE_EPS),
+                F.lit(0.90 + _CYCLE_EPS),
+            ),
+        ).alias("__bd"),
     )
     return g.select(
         "o_orderpriority",
         "n_orders",
         "max_days",
         F.element_at("__ap", 1)
-        .between(F.element_at("__lo", 1), F.element_at("__hi", 1))
+        .between(F.element_at("__bd", 1), F.element_at("__bd", 3))
         .cast("int")
         .alias("p50_ok"),
         F.element_at("__ap", 2)
-        .between(F.element_at("__lo", 2), F.element_at("__hi", 2))
+        .between(F.element_at("__bd", 2), F.element_at("__bd", 4))
         .cast("int")
         .alias("p90_ok"),
     )

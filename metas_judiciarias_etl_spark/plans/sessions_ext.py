@@ -900,13 +900,13 @@ _RFM_EPS = 0.03
                approx_quantile(n_orders, [0.25, 0.5, 0.75]) AS bf,
                approx_quantile(m_cents,  [0.25, 0.5, 0.75]) AS bm,
                quantile_cont(rec_days, [{0.25 - _RFM_EPS}, {0.5 - _RFM_EPS},
-                                        {0.75 - _RFM_EPS}]) AS br_lo,
-               quantile_cont(rec_days, [{0.25 + _RFM_EPS}, {0.5 + _RFM_EPS},
-                                        {0.75 + _RFM_EPS}]) AS br_hi,
+                                        {0.75 - _RFM_EPS}, {0.25 + _RFM_EPS},
+                                        {0.5 + _RFM_EPS}, {0.75 + _RFM_EPS}])
+                   AS br_bd,
                quantile_cont(m_cents, [{0.25 - _RFM_EPS}, {0.5 - _RFM_EPS},
-                                       {0.75 - _RFM_EPS}]) AS bm_lo,
-               quantile_cont(m_cents, [{0.25 + _RFM_EPS}, {0.5 + _RFM_EPS},
-                                       {0.75 + _RFM_EPS}]) AS bm_hi
+                                       {0.75 - _RFM_EPS}, {0.25 + _RFM_EPS},
+                                       {0.5 + _RFM_EPS}, {0.75 + _RFM_EPS}])
+                   AS bm_bd
         FROM feats
     ), scored AS (
         SELECT f.o_custkey, f.m_cents,
@@ -926,13 +926,13 @@ _RFM_EPS = 0.03
     )
     SELECT CAST(sum(n_customers) AS BIGINT) AS n_customers,
            CAST(sum(total_cents) AS BIGINT) AS total_cents,
-           (SELECT CAST(br[1] BETWEEN br_lo[1] AND br_hi[1] AS INT)
-                 + CAST(br[2] BETWEEN br_lo[2] AND br_hi[2] AS INT)
-                 + CAST(br[3] BETWEEN br_lo[3] AND br_hi[3] AS INT)
+           (SELECT CAST(br[1] BETWEEN br_bd[1] AND br_bd[4] AS INT)
+                 + CAST(br[2] BETWEEN br_bd[2] AND br_bd[5] AS INT)
+                 + CAST(br[3] BETWEEN br_bd[3] AND br_bd[6] AS INT)
             FROM b) AS n_rec_bounds_ok,
-           (SELECT CAST(bm[1] BETWEEN bm_lo[1] AND bm_hi[1] AS INT)
-                 + CAST(bm[2] BETWEEN bm_lo[2] AND bm_hi[2] AS INT)
-                 + CAST(bm[3] BETWEEN bm_lo[3] AND bm_hi[3] AS INT)
+           (SELECT CAST(bm[1] BETWEEN bm_bd[1] AND bm_bd[4] AS INT)
+                 + CAST(bm[2] BETWEEN bm_bd[2] AND bm_bd[5] AS INT)
+                 + CAST(bm[3] BETWEEN bm_bd[3] AND bm_bd[6] AS INT)
             FROM b) AS n_mon_bounds_ok
     FROM seg
     """,
@@ -968,16 +968,17 @@ def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rec_days", F.col("ref_day") - F.col("last_day")
     )
     qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
-    qs_lo = F.array(*[F.lit(q - _RFM_EPS) for q in (0.25, 0.5, 0.75)])
-    qs_hi = F.array(*[F.lit(q + _RFM_EPS) for q in (0.25, 0.5, 0.75)])
+    # one array aggregate per feature carries all 6 band edges (3 lo, 3 hi)
+    qs_bd = F.array(
+        *[F.lit(q - _RFM_EPS) for q in (0.25, 0.5, 0.75)],
+        *[F.lit(q + _RFM_EPS) for q in (0.25, 0.5, 0.75)],
+    )
     b = feats.agg(
         F.percentile_approx("rec_days", qs, 10000).alias("br"),
         F.percentile_approx("n_orders", qs, 10000).alias("bf"),
         F.percentile_approx("m_cents", qs, 10000).alias("bm"),
-        F.percentile("rec_days", qs_lo).alias("br_lo"),
-        F.percentile("rec_days", qs_hi).alias("br_hi"),
-        F.percentile("m_cents", qs_lo).alias("bm_lo"),
-        F.percentile("m_cents", qs_hi).alias("bm_hi"),
+        F.percentile("rec_days", qs_bd).alias("br_bd"),
+        F.percentile("m_cents", qs_bd).alias("bm_bd"),
     )
 
     def _score(col: str, bs: str):
@@ -986,11 +987,11 @@ def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         )
 
-    def _bounds_ok(ap: str, lo: str, hi: str):
+    def _bounds_ok(ap: str, bd: str):
         return sum(
             [
                 F.col(ap)[k]
-                .between(F.col(lo)[k], F.col(hi)[k])
+                .between(F.col(bd)[k], F.col(bd)[k + 3])
                 .cast("int")
                 for k in range(3)
             ],
@@ -1002,8 +1003,8 @@ def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         _score("rec_days", "br").alias("r_s"),
         _score("n_orders", "bf").alias("f_s"),
         _score("m_cents", "bm").alias("m_s"),
-        _bounds_ok("br", "br_lo", "br_hi").alias("__rok"),
-        _bounds_ok("bm", "bm_lo", "bm_hi").alias("__mok"),
+        _bounds_ok("br", "br_bd").alias("__rok"),
+        _bounds_ok("bm", "bm_bd").alias("__mok"),
     )
     seg = scored.select(
         F.concat(

@@ -384,21 +384,26 @@ _MAD_EPS = 0.04
     ), med AS (
         SELECT event_type,
                approx_quantile(cents, 0.5) AS med_cents,
-               quantile_cont(cents, {0.5 - _MAD_EPS}) AS med_lo,
-               quantile_cont(cents, {0.5 + _MAD_EPS}) AS med_hi
+               quantile_cont(cents, [{0.5 - _MAD_EPS}, {0.5 + _MAD_EPS}])
+                   AS med_bd
         FROM c GROUP BY event_type
     ), dev AS (
         SELECT c.event_type, abs(c.cents - m.med_cents) AS adev,
-               CAST(m.med_cents BETWEEN m.med_lo AND m.med_hi AS INT) AS med_ok
+               CAST(m.med_cents BETWEEN m.med_bd[1] AND m.med_bd[2] AS INT)
+                   AS med_ok
         FROM c JOIN med m USING (event_type)
+    ), rolled AS (
+        SELECT event_type,
+               count(*) AS n_rows,
+               max(med_ok) AS med_ok,
+               approx_quantile(adev, 0.5) AS mad_a,
+               quantile_cont(adev, [{0.5 - _MAD_EPS}, {0.5 + _MAD_EPS}])
+                   AS mad_bd
+        FROM dev GROUP BY event_type
     )
-    SELECT event_type,
-           count(*) AS n_rows,
-           max(med_ok) AS med_ok,
-           CAST(approx_quantile(adev, 0.5)
-                BETWEEN quantile_cont(adev, {0.5 - _MAD_EPS})
-                    AND quantile_cont(adev, {0.5 + _MAD_EPS}) AS INT) AS mad_ok
-    FROM dev GROUP BY event_type
+    SELECT event_type, n_rows, med_ok,
+           CAST(mad_a BETWEEN mad_bd[1] AND mad_bd[2] AS INT) AS mad_ok
+    FROM rolled
     """,
 )
 def mad_robust_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,16 +419,17 @@ def mad_robust_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
     )
+    band = F.array(F.lit(0.5 - _MAD_EPS), F.lit(0.5 + _MAD_EPS))
     med = ev.groupBy("event_type").agg(
         F.percentile_approx("cents", F.lit(0.5), 10000).alias("med_cents"),
-        F.percentile("cents", F.lit(0.5 - _MAD_EPS)).alias("med_lo"),
-        F.percentile("cents", F.lit(0.5 + _MAD_EPS)).alias("med_hi"),
+        # one array aggregate carries both band edges (one value buffer)
+        F.percentile("cents", band).alias("med_bd"),
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
         F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
         F.col("med_cents")
-        .between(F.col("med_lo"), F.col("med_hi"))
+        .between(F.element_at("med_bd", 1), F.element_at("med_bd", 2))
         .cast("int")
         .alias("med_ok"),
     )
@@ -432,8 +438,8 @@ def mad_robust_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("med_ok").alias("med_ok"),
         F.percentile_approx("adev", F.lit(0.5), 10000)
         .between(
-            F.percentile("adev", F.lit(0.5 - _MAD_EPS)),
-            F.percentile("adev", F.lit(0.5 + _MAD_EPS)),
+            F.element_at(F.percentile("adev", band), 1),
+            F.element_at(F.percentile("adev", band), 2),
         )
         .cast("int")
         .alias("mad_ok"),

@@ -1150,3 +1150,80 @@ def test_state_keys_profile_accounts_for_every_event(spark, sf_small):
     for r in rows:
         assert 1 <= r["n_state_keys"] <= r["n_events"]
         assert r["max_key_events"] <= r["n_events"]
+
+
+def test_bloom_prune_matches_python_bit_replay(spark, sf_small):
+    """The Bloom filter's pass set must match a bit-exact Python replay of
+    the same hash family, and its guarantees must hold: zero false
+    negatives, pass superset of true matches."""
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.pruning_ext import (
+        _BLOOM_BITS,
+        _BLOOM_HASHES,
+        _BLOOM_PRIORITY,
+    )
+
+    registry.load_all()
+    orders = pq.read_table(f"{sf_small}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{sf_small}/lineitem.parquet").to_pandas()
+    build = set(
+        orders.loc[orders["o_orderpriority"] == _BLOOM_PRIORITY, "o_orderkey"]
+    )
+
+    def hashes(key):
+        m = _BLOOM_BITS
+        k1, k2 = key % m, (key // m) % m
+        return [(k1 * a + k2 * b + c) % m for a, b, c in _BLOOM_HASHES]
+
+    bits = set()
+    for key in build:
+        bits.update(hashes(key))
+    n_pass = sum(all(h in bits for h in hashes(k)) for k in li["l_orderkey"])
+    n_true = sum(k in build for k in li["l_orderkey"])
+
+    [row] = registry.QUERIES["bloom_semi_join_prune"](spark, sf_small).collect()
+    assert row["n_probe_rows"] == len(li)
+    assert row["n_pass_bloom"] == n_pass
+    assert row["n_true_match"] == n_true
+    assert row["n_false_neg"] == 0
+    assert row["n_false_pos"] == n_pass - n_true
+    assert row["n_bits_set"] == len(bits)
+
+
+def test_zonemap_skipping_is_sound_and_effective(spark, sf_small):
+    """Zone-map pruning must be sound (no matching row inside a skipped
+    bucket) and the accounting must match a pandas replay."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.pruning_ext import (
+        _ZM_BUCKET,
+        _ZM_HI,
+        _ZM_LO,
+    )
+
+    registry.load_all()
+    li = pq.read_table(
+        f"{sf_small}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).to_pandas()
+    days = (
+        pd.to_datetime(li["l_shipdate"]).dt.normalize()
+        - pd.Timestamp("1970-01-01")
+    ).dt.days
+    bucket = li["l_orderkey"] // _ZM_BUCKET
+    z = pd.DataFrame({"b": bucket, "d": days}).groupby("b")["d"].agg(
+        ["min", "max", "count"]
+    )
+    skip = (z["max"] < _ZM_LO) | (z["min"] > _ZM_HI)
+    match = days.between(_ZM_LO, _ZM_HI)
+
+    [row] = registry.QUERIES["data_skipping_zonemap"](spark, sf_small).collect()
+    assert row["n_buckets"] == len(z)
+    assert row["n_skipped_buckets"] == int(skip.sum())
+    assert row["rows_total"] == len(li)
+    assert row["rows_skipped"] == int(z.loc[skip, "count"].sum())
+    assert row["n_matching_rows"] == int(match.sum())
+    assert row["n_false_skips"] == 0

@@ -98,6 +98,8 @@ QUERIES = [
     "cycle_time_percentiles_approx",  # sketch p50/p90 rank bands
     "mad_robust_outliers_approx",   # sketch median/MAD rank bands
     "stream_state_keys_profile",    # state-key cardinality rollup
+    "bloom_semi_join_prune",        # integer bit algebra, layout-free
+    "data_skipping_zonemap",        # zone metadata + soundness witness
 ]
 
 

@@ -764,3 +764,26 @@ def test_label_margin_lookups_broadcast(spark, sf):
     # the two label lookups against the top-k list are broadcast joins
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_prune_probe_side_never_shuffle_joins(spark, sf):
+    df = registry.QUERIES["bloom_semi_join_prune"](spark, sf)
+    plan = _plan(df)
+    # three word-table probes + the build-key truth lookup all ride
+    # broadcasts; the fact-side lineitem scan joins without any keyed
+    # shuffle (the whole point of a runtime bloom filter), and the only
+    # nested-loop is the final 1-row bits_set crossJoin
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zonemap_is_metadata_scale(spark, sf):
+    df = registry.QUERIES["data_skipping_zonemap"](spark, sf)
+    plan = _plan(df)
+    # one bucket-keyed aggregation builds the zone table; the soundness
+    # check joins it back by broadcast; the 1-row stats crossJoin is a
+    # broadcast nested loop — never a shuffle join, never a sort
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

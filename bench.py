@@ -173,6 +173,8 @@ HEADLINE = [
     "stream_state_keys_profile",
     "bloom_semi_join_prune",
     "data_skipping_zonemap",
+    "dedup_prefix_filter_jaccard",
+    "graph_hits_scores",
 ]
 
 

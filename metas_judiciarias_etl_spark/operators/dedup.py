@@ -844,3 +844,90 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("jaccard").alias("min_jaccard"),
         F.max("jaccard").alias("max_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (SSJoin/PPJoin family): the EXACT
+# sibling of MinHash-LSH — recall-lossless by theorem, not probabilistic.
+# ---------------------------------------------------------------------------
+def _prefix_filter_oracle() -> str:
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), dfreq AS (
+        SELECT shingle, count(*) AS df FROM ex GROUP BY shingle
+    ), ranked AS (
+        SELECT e.doc_id, e.shingle,
+               row_number() OVER (PARTITION BY e.doc_id
+                                  ORDER BY d.df, e.shingle) AS rn,
+               count(*) OVER (PARTITION BY e.doc_id) AS sz
+        FROM ex e JOIN dfreq d USING (shingle)
+    ), prefix AS (
+        SELECT doc_id, shingle FROM ranked
+        WHERE rn <= sz - (sz + 1) // 2 + 1
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM prefix a JOIN prefix b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    )
+    SELECT c.a_id, c.b_id,
+           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.a_id
+    JOIN sh sb ON sb.doc_id = c.b_id
+    WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+          / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("dedup_prefix_filter_jaccard", oracle=_prefix_filter_oracle())
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    SSJoin/PPJoin candidate generator): shingles order globally by
+    (document frequency, shingle) — rarest first — and a pair can reach
+    Jaccard >= t ONLY if it shares a shingle inside each side's first
+    |S| - ceil(t|S|) + 1 shingles (overlap >= ceil(t|S|) is implied by
+    J >= t, and two sets with that overlap must collide in those
+    prefixes). Candidates then verify exact Jaccard. Unlike
+    dedup_minhash_lsh this is recall-LOSSLESS — the output IS every pair
+    at J >= {JACCARD_THRESHOLD} — at the cost of an exact df build
+    (property-tested against brute-force all-pairs).
+
+    Scale posture: the df table and prefix extraction are two
+    shingle-/doc-keyed shuffles; the candidate join keys on PREFIX
+    shingles only, and because prefixes hold each document's RAREST
+    shingles, join buckets are small by construction (a shingle of
+    document frequency d contributes <= d²/2 pairs, and high-df
+    boilerplate shingles are exactly the ones excluded from prefixes).
+    No cap is applied — capping would break exactness; if a corpus has
+    adversarial mass at tiny sizes, pre-filter by length or fall back to
+    the capped LSH path."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wd = Window.partitionBy("doc_id")
+    ranked = (
+        ex.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(wd.orderBy("df", "shingle")))
+        .withColumn("sz", F.count(F.lit(1)).over(wd))
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.expr("sz - (sz + 1) div 2 + 1")
+    ).select("doc_id", "shingle")
+    a = prefix.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("b_id"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return (
+        _pair_jaccard(cand, sh)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1227,3 +1227,99 @@ def test_zonemap_skipping_is_sound_and_effective(spark, sf_small):
     assert row["rows_skipped"] == int(z.loc[skip, "count"].sum())
     assert row["n_matching_rows"] == int(match.sum())
     assert row["n_false_skips"] == 0
+
+
+def test_prefix_filter_jaccard_is_recall_lossless(spark, sf_small):
+    """Prefix filtering must return EXACTLY the brute-force all-pairs
+    result at J >= 0.5 — lossless by theorem, verified against a Python
+    shingle replay (contrast: LSH is allowed to miss; this one is not)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+
+    def shingles(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return {
+            " ".join(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))
+        }
+
+    sets = {r.doc_id: shingles(r.text) for r in docs.itertuples()}
+    ids = sorted(sets)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            j = inter / len(sa | sb)
+            if j >= 0.5:
+                expected[(a, b)] = round(j, 6)
+
+    got = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in registry.QUERIES["dedup_prefix_filter_jaccard"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-9
+
+
+def test_hits_scores_match_numpy_replay(spark, sf_small):
+    """The 2-round max-normalized HITS iterate must match a numpy replay
+    of the same quantized arithmetic, and the top authority must be a
+    part with maximal weighted in-neighborhood."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.scale_ext import (
+        _HITS_ITERS,
+        _HITS_PART_CAP,
+        _HITS_SCALE,
+    )
+
+    registry.load_all()
+    orders = pq.read_table(
+        f"{sf_small}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).to_pandas()
+    li = pq.read_table(
+        f"{sf_small}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    li = li[li["l_partkey"] <= _HITS_PART_CAP]
+    m = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    edges = sorted(set(zip(m["o_custkey"], m["l_partkey"])))
+    custs = sorted({c for c, _ in edges})
+    parts = sorted({p for _, p in edges})
+    ci = {c: i for i, c in enumerate(custs)}
+    pi = {p: i for i, p in enumerate(parts)}
+    adj = np.zeros((len(custs), len(parts)), dtype=np.int64)
+    for c, p in edges:
+        adj[ci[c], pi[p]] = 1
+
+    def norm_q(raw):
+        return np.round(raw.astype(np.float64) / raw.max() * _HITS_SCALE).astype(
+            np.int64
+        )
+
+    hq = np.full(len(custs), _HITS_SCALE, dtype=np.int64)
+    for _ in range(_HITS_ITERS):
+        aq = norm_q(adj.T @ hq)
+        hq = norm_q(adj @ aq)
+
+    rows = registry.QUERIES["graph_hits_scores"](spark, sf_small).collect()
+    got_a = {r["node_id"]: r["score"] for r in rows if r["role"] == "authority"}
+    got_h = {r["node_id"]: r["score"] for r in rows if r["role"] == "hub"}
+    assert got_a == {p: aq[pi[p]] / _HITS_SCALE for p in parts}
+    assert got_h == {c: hq[ci[c]] / _HITS_SCALE for c in custs}
+    assert max(got_a.values()) == 1.0 and max(got_h.values()) == 1.0

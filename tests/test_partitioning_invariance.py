@@ -100,6 +100,8 @@ QUERIES = [
     "stream_state_keys_profile",    # state-key cardinality rollup
     "bloom_semi_join_prune",        # integer bit algebra, layout-free
     "data_skipping_zonemap",        # zone metadata + soundness witness
+    "dedup_prefix_filter_jaccard",  # rare-first prefix candidates, exact
+    "graph_hits_scores",            # quantized integer HITS iteration
 ]
 
 

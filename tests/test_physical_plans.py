@@ -787,3 +787,24 @@ def test_zonemap_is_metadata_scale(spark, sf):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_never_degrades_to_all_pairs(spark, sf):
+    df = registry.QUERIES["dedup_prefix_filter_jaccard"](spark, sf)
+    plan = _plan(df)
+    # candidates must come from the shingle-keyed prefix join — never a
+    # cartesian/nested-loop expansion over the corpus
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+_HITS_PLAN_MIN_BCAST = 4  # 2 rounds x (authority + hub) normalizers
+
+
+def test_hits_normalizers_broadcast(spark, sf):
+    df = registry.QUERIES["graph_hits_scores"](spark, sf)
+    plan = _plan(df)
+    # every per-round max-normalizer is a 1-row broadcast; score updates
+    # are keyed joins + integer-sum aggregations, nothing cartesian
+    assert plan.count("BroadcastExchange") >= _HITS_PLAN_MIN_BCAST
+    assert "CartesianProduct" not in plan

@@ -175,6 +175,9 @@ HEADLINE = [
     "data_skipping_zonemap",
     "dedup_prefix_filter_jaccard",
     "graph_hits_scores",
+    "split_leakage_check",
+    "quality_token_histogram",
+    "source_mixture_weights",
 ]
 
 

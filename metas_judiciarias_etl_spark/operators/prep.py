@@ -463,3 +463,219 @@ def prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.min("doc_id").cast("long").alias("min_doc_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Split-leakage audit: near-duplicate pairs that straddle the train/val/test
+# boundary — the self-decontamination check run before any eval is trusted.
+# --------------------------------------------------------------------------
+def _leakage_oracle() -> str:
+    from ..functions.hashing import sql_hash48
+    from ..registry import ORACLES
+
+    def split_of(col: str) -> str:
+        h = sql_hash48(f"CAST({col} AS VARCHAR)")
+        return (
+            f"CASE WHEN {h} % 100 < {SPLIT_TRAIN_PCT} THEN 'train' "
+            f"WHEN {h} % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val' "
+            f"ELSE 'test' END"
+        )
+
+    return f"""
+    WITH pairs AS ({ORACLES['dedup_minhash_lsh']}),
+    tagged AS (
+        SELECT least({split_of('p.a_id')}, {split_of('p.b_id')}) AS split_a,
+               greatest({split_of('p.a_id')}, {split_of('p.b_id')}) AS split_b,
+               p.jaccard
+        FROM pairs p
+    )
+    SELECT split_a, split_b,
+           count(*) AS n_pairs,
+           CAST(split_a <> split_b AS INT) AS is_leakage,
+           max(jaccard) AS max_jaccard
+    FROM tagged GROUP BY split_a, split_b
+    """
+
+
+@query("split_leakage_check", oracle=_leakage_oracle())
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit: every verified near-duplicate pair
+    (composes the REGISTERED dedup_minhash_lsh on both sides) classified
+    by the split pair its two documents land in under the REGISTERED
+    hash-split rule. Off-diagonal rows are leakage — a validation doc
+    whose near-twin sits in train inflates the eval; the standard fix is
+    moving whole duplicate CLUSTERS into one split, and this table is the
+    evidence that decides whether that rework is needed.
+
+    Scale posture: the pair list is near-dup-sized, not corpus-sized;
+    split assignment is a pure scan-stage hash projection re-derived on
+    the pair ids (no membership-table join at all); the rollup keys on a
+    <=9-cell space."""
+    from ..functions.hashing import hash48
+    from ..registry import QUERIES
+
+    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+
+    def split_of(col: str):
+        bucket = hash48(F.col(col).cast("string")) % 100
+        return (
+            F.when(bucket < SPLIT_TRAIN_PCT, "train")
+            .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+            .otherwise("test")
+        )
+
+    sa, sb = split_of("a_id"), split_of("b_id")
+    tagged = pairs.select(
+        F.least(sa, sb).alias("split_a"),
+        F.greatest(sa, sb).alias("split_b"),
+        "jaccard",
+    )
+    return tagged.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.col("split_a") != F.col("split_b")).cast("int").alias("is_leakage"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-threshold planning: token mass by quality decile, with the
+# cumulative "tokens kept if you cut here" column — the table read before
+# choosing a corpus quality filter.
+# --------------------------------------------------------------------------
+def _quality_hist_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH q AS ({ORACLES['text_quality']}),
+    t AS ({ORACLES['text_token_count']}),
+    binned AS (
+        SELECT greatest(least(CAST(floor(q.quality * 10) AS BIGINT), 9), 0)
+                   AS quality_bin,
+               t.bpe_tokens
+        FROM q JOIN t USING (doc_id)
+    ), g AS (
+        SELECT quality_bin, count(*) AS n_docs,
+               CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens
+        FROM binned GROUP BY quality_bin
+    )
+    SELECT quality_bin, n_docs, bpe_tokens,
+           CAST(sum(bpe_tokens) OVER (ORDER BY quality_bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS tokens_kept_at_cut
+    FROM g
+    """
+
+
+@query("quality_token_histogram", oracle=_quality_hist_oracle())
+def quality_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token mass by quality decile (composes the REGISTERED text_quality
+    and text_token_count on both sides): each document's composite quality
+    clamps into one of 10 bins, and the descending cumulative sum answers
+    the planning question directly — "if the filter cuts at bin b, how
+    many BPE tokens survive". Run before fixing a corpus quality
+    threshold; pair with prep_pipeline's gate to enact it.
+
+    Scale posture: two scan-stage per-row feature projections joined on
+    doc_id, ONE 10-key aggregation, and a 10-row window — nothing beyond
+    the join touches fact-scale state, and the join itself can co-locate
+    on doc_id at 100 TB (same key both sides)."""
+    from ..registry import QUERIES
+
+    q = QUERIES["text_quality"](spark, sf_dir).select("doc_id", "quality")
+    t = QUERIES["text_token_count"](spark, sf_dir).select("doc_id", "bpe_tokens")
+    binned = q.join(t, "doc_id").select(
+        F.greatest(
+            F.least(F.floor(F.col("quality") * 10).cast("long"), F.lit(9)),
+            F.lit(0),
+        ).alias("quality_bin"),
+        "bpe_tokens",
+    )
+    g = binned.groupBy("quality_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
+    w = (
+        Window.orderBy(F.desc("quality_bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return g.select(
+        "quality_bin",
+        "n_docs",
+        "bpe_tokens",
+        F.sum("bpe_tokens").over(w).cast("long").alias("tokens_kept_at_cut"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Domain-mixture reweighting: per-source token shares and the sampling
+# multiplier that reaches a uniform target mixture (the DoReMi-style
+# mixture table, with a fixed uniform target so it stays closed-form).
+# --------------------------------------------------------------------------
+def _mixture_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH t AS ({ORACLES['text_token_count']}),
+    d AS (
+        SELECT doc.source, t.bpe_tokens
+        FROM documents doc JOIN t ON t.doc_id = doc.doc_id
+    ), per_src AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens
+        FROM d GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(bpe_tokens) AS BIGINT) AS all_tokens,
+               CAST(count(*) AS BIGINT) AS n_sources
+        FROM per_src
+    )
+    SELECT p.source, p.n_docs, p.bpe_tokens,
+           round(CAST(p.bpe_tokens AS DOUBLE) / t.all_tokens, 6)
+               AS natural_share,
+           round(CAST(t.all_tokens AS DOUBLE)
+                 / (t.n_sources * p.bpe_tokens), 6) AS uniform_multiplier
+    FROM per_src p CROSS JOIN tot t
+    """
+
+
+@query("source_mixture_weights", oracle=_mixture_oracle())
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture table (composes the REGISTERED text_token_count):
+    per source, document and BPE-token counts, the natural token share,
+    and the sampling multiplier that would equalize the mixture
+    (multiplier = target_share / natural_share with a uniform target =
+    1/n_sources) — the closed-form core of DoReMi-style domain
+    reweighting; a learned target just replaces the uniform constant.
+
+    Scale posture: one doc_id-keyed join of scan-stage projections, one
+    source-keyed aggregation (handful of groups, map-side partials), and
+    a 1-row totals broadcast. Shares are ratios of exact BIGINT token
+    sums, rounded once at 6 dp — identical doubles on both engines."""
+    from ..registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    t = QUERIES["text_token_count"](spark, sf_dir).select("doc_id", "bpe_tokens")
+    per_src = (
+        docs.join(t, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum("bpe_tokens").cast("long").alias("all_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "bpe_tokens",
+        F.round(
+            F.col("bpe_tokens").cast("double") / F.col("all_tokens"), 6
+        ).alias("natural_share"),
+        F.round(
+            F.col("all_tokens").cast("double")
+            / (F.col("n_sources") * F.col("bpe_tokens")),
+            6,
+        ).alias("uniform_multiplier"),
+    )

@@ -1323,3 +1323,50 @@ def test_hits_scores_match_numpy_replay(spark, sf_small):
     assert got_a == {p: aq[pi[p]] / _HITS_SCALE for p in parts}
     assert got_h == {c: hq[ci[c]] / _HITS_SCALE for c in custs}
     assert max(got_a.values()) == 1.0 and max(got_h.values()) == 1.0
+
+
+def test_leakage_check_conserves_pairs_and_flags_off_diagonal(spark, sf_small):
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["split_leakage_check"](spark, sf_small).collect()
+    n_pairs_total = registry.QUERIES["dedup_minhash_lsh"](spark, sf_small).count()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs_total
+    for r in rows:
+        assert r["is_leakage"] == int(r["split_a"] != r["split_b"])
+        assert r["split_a"] <= r["split_b"]  # canonicalized cells
+
+
+def test_quality_histogram_cut_column_is_true_cumulative(spark, sf_small):
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.sources.parquet import load_table
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["quality_token_histogram"](spark, sf_small).collect(),
+        key=lambda r: -r["quality_bin"],
+    )
+    n_docs = load_table(spark, sf_small, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    running = 0
+    for r in rows:
+        running += r["bpe_tokens"]
+        assert r["tokens_kept_at_cut"] == running
+
+
+def test_mixture_weights_reach_uniform_target(spark, sf_small):
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["source_mixture_weights"](spark, sf_small).collect()
+    assert abs(sum(r["natural_share"] for r in rows) - 1.0) < 1e-4
+    n = len(rows)
+    for r in rows:
+        # multiplier x natural share = uniform target 1/n (up to 6-dp rounds)
+        assert abs(r["uniform_multiplier"] * r["natural_share"] - 1.0 / n) < 1e-4
+    total = sum(r["bpe_tokens"] for r in rows)
+    exp_total = sum(
+        x["bpe_tokens"]
+        for x in registry.QUERIES["text_token_count"](spark, sf_small).collect()
+    )
+    assert total == exp_total

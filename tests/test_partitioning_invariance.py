@@ -102,6 +102,9 @@ QUERIES = [
     "data_skipping_zonemap",        # zone metadata + soundness witness
     "dedup_prefix_filter_jaccard",  # rare-first prefix candidates, exact
     "graph_hits_scores",            # quantized integer HITS iteration
+    "split_leakage_check",          # composed LSH pairs x hash splits
+    "quality_token_histogram",      # composed quality/token bins + window
+    "source_mixture_weights",       # integer token shares + broadcast tot
 ]
 
 

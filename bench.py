@@ -178,6 +178,7 @@ HEADLINE = [
     "split_leakage_check",
     "quality_token_histogram",
     "source_mixture_weights",
+    "event_pattern_match",
 ]
 
 

@@ -1027,3 +1027,112 @@ def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("__rok").cast("int").alias("n_rec_bounds_ok"),
         F.max("__mok").cast("int").alias("n_mon_bounds_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence-pattern matching (MATCH_RECOGNIZE-lite): click -> view* ->
+# purchase, detected with running windows instead of a pattern automaton.
+# --------------------------------------------------------------------------
+@query(
+    "event_pattern_match",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+    ), runs AS (
+        SELECT user_id, event_id, event_type, ts_us,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   OVER w AS v_run
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), carried AS (
+        SELECT user_id, event_type, v_run,
+               last_value(CASE WHEN event_type <> 'view'
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS prev_nv_type,
+               last_value(CASE WHEN event_type <> 'view'
+                               THEN v_run END IGNORE NULLS)
+                   OVER w AS prev_nv_vrun
+        FROM runs
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           CAST(sum(CASE WHEN prev_nv_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched_paths,
+           CAST(coalesce(sum(CASE WHEN prev_nv_type = 'click'
+                         THEN v_run - prev_nv_vrun END), 0) AS BIGINT)
+               AS views_in_paths,
+           CAST(coalesce(max(CASE WHEN prev_nv_type = 'click'
+                         THEN v_run - prev_nv_vrun END), 0) AS BIGINT)
+               AS max_path_views
+    FROM carried
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching without a pattern automaton: a purchase
+    matches ``click (view)* purchase`` exactly when the most recent
+    PRECEDING non-view event is a click (any intervening non-view breaks
+    the run, so the definition is closed-form); the views inside each
+    matched path fall out as the difference of running view counts at the
+    purchase and at the carried click. Per user: purchases, matched
+    paths, and total/max path view counts.
+
+    This is the distributed answer to MATCH_RECOGNIZE-style funnels: two
+    window passes over ONE (user_id) exchange (the running view count,
+    then the carried last-non-view pair — same partition+sort spec, same
+    frame, so the carried type and view-count come from the same row),
+    a post-window predicate, and a user rollup. No self-join, no
+    per-user automaton state, no quadratic pair scan — the
+    attribution_last_touch composition applied to path counting; at
+    100 TB the user-key partitioning spreads evenly and each row holds
+    O(1) window state."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runs = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .over(w)
+        .alias("v_run"),
+    )
+    nonview = F.col("event_type") != "view"
+    carried = runs.select(
+        "user_id",
+        "event_type",
+        "v_run",
+        F.last(F.when(nonview, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("prev_nv_type"),
+        F.last(F.when(nonview, F.col("v_run")), ignorenulls=True)
+        .over(w)
+        .alias("prev_nv_vrun"),
+    )
+    matched = F.col("prev_nv_type") == "click"
+    path_views = F.when(matched, F.col("v_run") - F.col("prev_nv_vrun"))
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(matched.cast("int")).cast("long").alias("n_matched_paths"),
+            F.coalesce(F.sum(path_views), F.lit(0))
+            .cast("long")
+            .alias("views_in_paths"),
+            F.coalesce(F.max(path_views), F.lit(0))
+            .cast("long")
+            .alias("max_path_views"),
+        )
+    )

@@ -1370,3 +1370,52 @@ def test_mixture_weights_reach_uniform_target(spark, sf_small):
         for x in registry.QUERIES["text_token_count"](spark, sf_small).collect()
     )
     assert total == exp_total
+
+
+def test_pattern_match_agrees_with_python_automaton(spark, sf_small):
+    """The window formulation must agree with a literal per-user automaton
+    replay of click (view)* purchase over the same event sequences."""
+    from collections import defaultdict
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.sources.parquet import load_table
+
+    registry.load_all()
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    per_user = defaultdict(list)
+    for r in ev.collect():
+        per_user[r["user_id"]].append((r["ts"] // 1000, r["event_id"], r["event_type"]))
+    expected = {}
+    for uid, rows in per_user.items():
+        rows.sort()
+        n_p = n_m = views_total = 0
+        max_views = 0
+        last_nv = None       # (type, views_strictly_before_it)
+        v_run = 0
+        for _, _, et in rows:
+            if et == "purchase":
+                n_p += 1
+                if last_nv is not None and last_nv[0] == "click":
+                    n_m += 1
+                    pv = v_run - last_nv[1]
+                    views_total += pv
+                    max_views = max(max_views, pv)
+            if et != "view":
+                last_nv = (et, v_run)
+            else:
+                v_run += 1
+        if n_p:
+            expected[uid] = (n_p, n_m, views_total, max_views)
+
+    got = {
+        r["user_id"]: (
+            r["n_purchases"],
+            r["n_matched_paths"],
+            r["views_in_paths"],
+            r["max_path_views"],
+        )
+        for r in registry.QUERIES["event_pattern_match"](spark, sf_small).collect()
+    }
+    assert got == expected

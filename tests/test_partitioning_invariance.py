@@ -105,6 +105,7 @@ QUERIES = [
     "split_leakage_check",          # composed LSH pairs x hash splits
     "quality_token_histogram",      # composed quality/token bins + window
     "source_mixture_weights",       # integer token shares + broadcast tot
+    "event_pattern_match",          # shared-frame carried windows
 ]
 
 

@@ -179,6 +179,8 @@ HEADLINE = [
     "quality_token_histogram",
     "source_mixture_weights",
     "event_pattern_match",
+    "dq_benford_first_digit",
+    "seasonal_decompose_monthly",
 ]
 
 

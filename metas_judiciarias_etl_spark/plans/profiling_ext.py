@@ -374,3 +374,71 @@ basket_association_rules.__doc__ = (
         "{MIN_PAIR_SUPPORT}", str(MIN_PAIR_SUPPORT)
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit: the classic fabricated-data screen for
+# wide-ranging positive amounts.
+# --------------------------------------------------------------------------
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def _benford_oracle() -> str:
+    expected = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD.items()
+    )
+    return f"""
+    WITH c AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+        WHERE o_totalprice > 0
+    ), g AS (
+        SELECT digit, count(*) AS n_orders FROM c GROUP BY digit
+    ), t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM g)
+    SELECT g.digit, g.n_orders,
+           round(CAST(g.n_orders AS DOUBLE) / t.total, 6) AS observed_share,
+           CAST(CASE g.digit {expected} END AS DOUBLE) AS expected_share,
+           round(abs(CAST(g.n_orders AS DOUBLE) / t.total
+                     - CAST(CASE g.digit {expected} END AS DOUBLE)), 6)
+               AS abs_deviation
+    FROM g CROSS JOIN t
+    """
+
+
+@query("dq_benford_first_digit", oracle=_benford_oracle())
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals: observed digit
+    shares vs log10(1 + 1/d) expectations and their absolute deviation —
+    the standard fabricated-or-truncated-amounts screen for any
+    wide-ranging positive money column. Digits extract from the INTEGER
+    cents rendered as a string (no float log10 near a power-of-ten
+    boundary can disagree between engines); expectation constants are
+    shared literals.
+
+    Plan shape: scan-stage digit projection, one 9-key aggregation with
+    map-side partials, 1-row total broadcast — scan-bound at any scale."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    c = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    g = c.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    t = g.agg(F.sum("n_orders").cast("long").alias("total"))
+    expected = F.lit(None).cast("double")
+    for d, p in _BENFORD.items():
+        expected = F.when(F.col("digit") == d, F.lit(p)).otherwise(expected)
+    obs = F.col("n_orders").cast("double") / F.col("total")
+    return g.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_orders",
+        F.round(obs, 6).alias("observed_share"),
+        expected.alias("expected_share"),
+        F.round(F.abs(obs - expected), 6).alias("abs_deviation"),
+    )

@@ -624,3 +624,105 @@ def purchase_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("survival"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Additive seasonal decomposition (STL-lite): trend = centered 12-month
+# mean, seasonal = month-of-year mean of detrended, residual = the rest —
+# all-integer until the final scaled divisions.
+# --------------------------------------------------------------------------
+@query(
+    "seasonal_decompose_monthly",
+    oracle="""
+    WITH m AS (
+        SELECT (year(CAST(o_orderdate AS DATE)) * 12
+                + month(CAST(o_orderdate AS DATE)) - 1) AS month_id,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), tr AS (
+        SELECT month_id, cents,
+               CAST(sum(cents) OVER w AS BIGINT) AS trend12,
+               count(*) OVER w AS n_win
+        FROM m
+        WINDOW w AS (ORDER BY month_id
+                     ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+    ), full_w AS (
+        SELECT month_id, cents,
+               12 * cents - trend12 AS det12,
+               month_id % 12 AS moy,
+               trend12
+        FROM tr WHERE n_win = 12
+    ), seas AS (
+        SELECT moy,
+               CAST(sum(det12) AS BIGINT) AS det12_sum,
+               count(*) AS n_years
+        FROM full_w GROUP BY moy
+    )
+    SELECT f.month_id,
+           round(f.cents / 100.0, 2) AS revenue,
+           round(f.trend12 / 1200.0, 6) AS trend,
+           round(CAST(s.det12_sum AS DOUBLE) / (1200.0 * s.n_years), 6)
+               AS seasonal,
+           round(f.det12 / 1200.0
+                 - CAST(s.det12_sum AS DOUBLE) / (1200.0 * s.n_years), 6)
+               AS residual
+    FROM full_w f JOIN seas s ON s.moy = f.moy
+    """,
+)
+def seasonal_decompose_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of monthly order revenue
+    (STL-lite): trend is the centered 12-month mean (only months with a
+    FULL window emit — no edge extrapolation), seasonality is the
+    month-of-year mean of the detrended series, residual is what's left.
+
+    Exactness discipline: monthly revenue quantizes to integer cents, the
+    trend window sum stays integer, and the detrended series is carried
+    as 12*cents - trend_sum (still integer — multiplying through by 12
+    defers EVERY division), so the seasonal means are integer sums until
+    one final scaled division per output column; both engines round the
+    same doubles. Plan shape: one month rollup (84 rows at any corpus
+    size — months, not orders, bound the state), a single-partition
+    84-row window, a 12-key seasonal agg, one tiny join. The ONLY
+    fact-scale work is the first aggregation; everything after is
+    calendar-sized, so the single-partition window is O(months) — the
+    concurrent_intervals single-reducer discipline."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.select(
+            (
+                F.year(F.col("o_orderdate").cast("date")) * 12
+                + F.month(F.col("o_orderdate").cast("date"))
+                - 1
+            ).alias("month_id"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("month_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w = Window.orderBy("month_id").rowsBetween(-5, 6)
+    tr = m.select(
+        "month_id",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("trend12"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    full_w = tr.filter(F.col("n_win") == 12).select(
+        "month_id",
+        "cents",
+        (12 * F.col("cents") - F.col("trend12")).alias("det12"),
+        (F.col("month_id") % 12).alias("moy"),
+        "trend12",
+    )
+    seas = full_w.groupBy("moy").agg(
+        F.sum("det12").cast("long").alias("det12_sum"),
+        F.count(F.lit(1)).alias("n_years"),
+    )
+    seasonal = F.col("det12_sum").cast("double") / (1200.0 * F.col("n_years"))
+    return full_w.join(F.broadcast(seas), "moy").select(
+        "month_id",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("trend12") / 1200.0, 6).alias("trend"),
+        F.round(seasonal, 6).alias("seasonal"),
+        F.round(F.col("det12") / 1200.0 - seasonal, 6).alias("residual"),
+    )

@@ -1419,3 +1419,74 @@ def test_pattern_match_agrees_with_python_automaton(spark, sf_small):
         for r in registry.QUERIES["event_pattern_match"](spark, sf_small).collect()
     }
     assert got == expected
+
+
+def test_benford_shares_match_python_counts(spark, sf_small):
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    tp = pq.read_table(
+        f"{sf_small}/orders.parquet", columns=["o_totalprice"]
+    ).to_pandas()["o_totalprice"]
+    digits = Counter(
+        int(str(int(round(v * 100)))[0]) for v in tp if v > 0
+    )
+    total = sum(digits.values())
+    rows = {
+        r["digit"]: r
+        for r in registry.QUERIES["dq_benford_first_digit"](
+            spark, sf_small
+        ).collect()
+    }
+    assert {d: r["n_orders"] for d, r in rows.items()} == dict(digits)
+    for d, r in rows.items():
+        assert abs(r["observed_share"] - digits[d] / total) < 1e-5
+        assert abs(r["expected_share"] - math.log10(1 + 1 / d)) < 1e-5
+
+
+def test_seasonal_decomposition_reconstructs_and_matches_pandas(spark, sf_small):
+    """trend + seasonal + residual must reconstruct the monthly revenue,
+    and every component must match an integer-exact pandas replay."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    orders = pq.read_table(
+        f"{sf_small}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    ).to_pandas()
+    od = pd.to_datetime(orders["o_orderdate"])
+    month_id = od.dt.year * 12 + od.dt.month - 1
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    m = (
+        pd.DataFrame({"mid": month_id, "c": cents})
+        .groupby("mid")["c"].sum().sort_index()
+    )
+    trend12 = m.rolling(12, center=True).sum().shift(-1)  # rows -5..+6
+    full = trend12.dropna().astype("int64")
+    det12 = 12 * m.loc[full.index] - full
+    seas_sum = det12.groupby(det12.index % 12).sum()
+    seas_n = det12.groupby(det12.index % 12).size()
+
+    rows = {
+        r["month_id"]: r
+        for r in registry.QUERIES["seasonal_decompose_monthly"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(rows) == set(full.index)
+    for mid, r in rows.items():
+        moy = mid % 12
+        seasonal = seas_sum[moy] / (1200.0 * seas_n[moy])
+        assert abs(r["revenue"] - m[mid] / 100.0) < 1e-6
+        assert abs(r["trend"] - full[mid] / 1200.0) < 1e-5
+        assert abs(r["seasonal"] - seasonal) < 1e-5
+        assert abs(r["residual"] - (12 * m[mid] - full[mid]) / 1200.0 + seasonal) < 1e-5
+        # additivity: components reconstruct the observed value (per round)
+        assert abs(r["trend"] + r["seasonal"] + r["residual"] - r["revenue"]) < 2e-5

@@ -106,6 +106,8 @@ QUERIES = [
     "quality_token_histogram",      # composed quality/token bins + window
     "source_mixture_weights",       # integer token shares + broadcast tot
     "event_pattern_match",          # shared-frame carried windows
+    "dq_benford_first_digit",       # string digit extraction + 9-key agg
+    "seasonal_decompose_monthly",   # integer-deferred STL-lite components
 ]
 
 

@@ -865,12 +865,13 @@ def _prefix_filter_oracle() -> str:
                count(*) OVER (PARTITION BY e.doc_id) AS sz
         FROM ex e JOIN dfreq d USING (shingle)
     ), prefix AS (
-        SELECT doc_id, shingle FROM ranked
+        SELECT doc_id, shingle, sz FROM ranked
         WHERE rn <= sz - (sz + 1) // 2 + 1
     ), cand AS (
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM prefix a JOIN prefix b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         AND a.sz >= (b.sz + 1) // 2 AND b.sz >= (a.sz + 1) // 2
     )
     SELECT c.a_id, c.b_id,
            round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
@@ -907,22 +908,34 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the capped LSH path."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _doc_shingles(docs)
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # carry |S| from the un-exploded array: one window (the rank) instead
+    # of two over the exploded relation
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle")
+    )
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     wd = Window.partitionBy("doc_id")
-    ranked = (
-        ex.join(dfreq, "shingle")
-        .withColumn("rn", F.row_number().over(wd.orderBy("df", "shingle")))
-        .withColumn("sz", F.count(F.lit(1)).over(wd))
+    ranked = ex.join(dfreq, "shingle").withColumn(
+        "rn", F.row_number().over(wd.orderBy("df", "shingle"))
     )
     prefix = ranked.filter(
         F.col("rn") <= F.expr("sz - (sz + 1) div 2 + 1")
-    ).select("doc_id", "shingle")
-    a = prefix.select(F.col("doc_id").alias("a_id"), "shingle")
-    b = prefix.select(F.col("doc_id").alias("b_id"), "shingle")
+    ).select("doc_id", "shingle", "sz")
+    a = prefix.select(
+        F.col("doc_id").alias("a_id"), "shingle", F.col("sz").alias("a_sz")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("b_id"), "shingle", F.col("sz").alias("b_sz")
+    )
+    # length filter (lossless): J >= t forces t <= |A|/|B| <= 1/t, so
+    # size-mismatched collisions drop before the distinct + verify join
     cand = (
         a.join(b, "shingle")
-        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("a_sz") >= F.expr("(b_sz + 1) div 2"))
+            & (F.col("b_sz") >= F.expr("(a_sz + 1) div 2"))
+        )
         .select("a_id", "b_id")
         .distinct()
     )

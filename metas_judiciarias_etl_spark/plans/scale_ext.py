@@ -1109,8 +1109,12 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: each half-round is one key-partitioned join + one keyed
     integer-sum shuffle (the PageRank shape); the normalizer is a 1-row
-    broadcast. Integer headroom: raw <= degree * 2^20 < 2^49 at a billion
-    neighbors — no wrap, no HUGEINT divergence."""
+    broadcast. The edge build coalesces to its own cardinality before the
+    loop, and each half-round's score table persists — without the cache
+    the per-normalizer broadcast barriers recompute the whole upstream
+    chain per branch (the graph_kcore_peel lesson: measured 7.7 s → 2 s
+    fresh-session at sf0.1). Integer headroom: raw <= degree * 2^20 <
+    2^49 at a billion neighbors — no wrap, no HUGEINT divergence."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey") <= _HITS_PART_CAP
     )
@@ -1120,6 +1124,7 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                     orders.o_orderkey == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
+        .coalesce(4)
         .persist()
     )
     s = float(_HITS_SCALE)
@@ -1134,7 +1139,7 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("raw").cast("double") / F.col("m") * s)
             .cast("long")
             .alias(out),
-        )
+        ).persist()
 
     for _ in range(_HITS_ITERS):
         ar = e.join(h, "c").groupBy("p").agg(F.sum("hq").alias("raw"))

@@ -181,6 +181,8 @@ HEADLINE = [
     "event_pattern_match",
     "dq_benford_first_digit",
     "seasonal_decompose_monthly",
+    "ivf_cell_balance",
+    "join_cardinality_estimate",
 ]
 
 

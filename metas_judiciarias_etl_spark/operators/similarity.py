@@ -1654,3 +1654,89 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim", (F.col("w") / F.col("nn")).alias("w")
         )
     return v.select(F.col("dim").cast("long").alias("dim"), F.col("w").alias("component"))
+
+
+# --------------------------------------------------------------------------
+# IVF cell balance: the index-health table read before trusting IVF probe
+# latency — skewed cells make nprobe latency unpredictable.
+# --------------------------------------------------------------------------
+@query(
+    "ivf_cell_balance",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cell_id, embedding AS c_emb, nrm AS c_nrm
+        FROM base
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+    ), assign AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT b.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY round({_sql_dot('b.embedding', 'c.c_emb')} / (b.nrm * c.c_nrm), 4) DESC,
+                                c.cell_id) AS crn
+            FROM base b CROSS JOIN cent c
+        ) WHERE crn = 1
+    ), g AS (
+        SELECT cell_id, count(*) AS n_vecs FROM assign GROUP BY cell_id
+    ), t AS (
+        SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_cells
+        FROM g
+    )
+    SELECT g.cell_id, g.n_vecs,
+           round(CAST(g.n_vecs AS DOUBLE) / t.total, 6) AS share,
+           round(CAST(g.n_vecs AS DOUBLE) * t.n_cells / t.total, 6)
+               AS balance_ratio
+    FROM g CROSS JOIN t
+    """,
+)
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health: per-cell vector counts from the SAME deterministic
+    assignment rule as sim_cosine_topk_ivf, with each cell's share and its
+    balance ratio (share x n_cells — 1.0 is perfectly even). Skewed cells
+    are the IVF failure mode at scale: probe latency is proportional to
+    the probed cells' populations, so one mega-cell makes nprobe latency
+    unpredictable and the fix (split the cell, re-train centroids) starts
+    from exactly this table.
+
+    Plan shape: the N x C assignment is map-side against the broadcast
+    centroid table + one per-vector argmax window, then a C-key count —
+    strictly cheaper than the search query that shares the build."""
+    base = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    cent = base.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    c_cos = F.round(
+        _dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm")), 4
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("_ccos"), F.asc("cell_id"))
+    assign = (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("_ccos", c_cos)
+        .withColumn("_crn", F.row_number().over(aw))
+        .filter(F.col("_crn") == 1)
+        .select("vec_id", "cell_id")
+    )
+    g = assign.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_vecs"))
+    t = g.agg(
+        F.sum("n_vecs").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "cell_id",
+        "n_vecs",
+        F.round(F.col("n_vecs").cast("double") / F.col("total"), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.col("n_vecs").cast("double") * F.col("n_cells") / F.col("total"),
+            6,
+        ).alias("balance_ratio"),
+    )

@@ -442,3 +442,62 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected_share"),
         F.round(F.abs(obs - expected), 6).alias("abs_deviation"),
     )
+
+
+# --------------------------------------------------------------------------
+# Join-cardinality estimation: the CBO primitive, checked against the exact
+# answer computed WITHOUT materializing the join.
+# --------------------------------------------------------------------------
+@query(
+    "join_cardinality_estimate",
+    oracle="""
+    WITH g AS (
+        SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ), s AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(cnt * cnt) AS BIGINT) AS exact_selfjoin_rows,
+               CAST(max(cnt) AS BIGINT) AS max_key_rows
+        FROM g
+    )
+    SELECT n_rows, n_distinct, exact_selfjoin_rows, max_key_rows,
+           round(CAST(n_rows AS DOUBLE) * n_rows / n_distinct, 4)
+               AS independence_estimate,
+           round(exact_selfjoin_rows
+                 / (CAST(n_rows AS DOUBLE) * n_rows / n_distinct), 6)
+               AS skew_inflation
+    FROM s
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation the way a cost-based optimizer does it —
+    |A JOIN B| ~ |A||B| / max(ndv) under uniform-key independence — scored
+    against the EXACT self-join cardinality computed without materializing
+    the join (sum of per-key count² over one grouped scan). The
+    skew_inflation ratio (exact / estimate) is precisely the factor a
+    uniform-NDV optimizer under-plans a skewed join by; >1 means AQE skew
+    handling or salting is load-bearing, and the max-key row count names
+    the key to salt.
+
+    Plan shape: ONE partial-aggregatable shuffle on the join key, then a
+    1-row rollup — the estimator costs one scan regardless of how large
+    the estimated join would be (that's the point)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    s = g.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias(
+            "exact_selfjoin_rows"
+        ),
+        F.max("cnt").cast("long").alias("max_key_rows"),
+    )
+    est = F.col("n_rows").cast("double") * F.col("n_rows") / F.col("n_distinct")
+    return s.select(
+        "n_rows",
+        "n_distinct",
+        "exact_selfjoin_rows",
+        "max_key_rows",
+        F.round(est, 4).alias("independence_estimate"),
+        F.round(F.col("exact_selfjoin_rows") / est, 6).alias("skew_inflation"),
+    )

@@ -1490,3 +1490,39 @@ def test_seasonal_decomposition_reconstructs_and_matches_pandas(spark, sf_small)
         assert abs(r["residual"] - (12 * m[mid] - full[mid]) / 1200.0 + seasonal) < 1e-5
         # additivity: components reconstruct the observed value (per round)
         assert abs(r["trend"] + r["seasonal"] + r["residual"] - r["revenue"]) < 2e-5
+
+
+def test_ivf_cell_balance_conserves_and_matches_assignment(spark, sf_small):
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.sources.parquet import load_table
+
+    registry.load_all()
+    rows = registry.QUERIES["ivf_cell_balance"](spark, sf_small).collect()
+    n_corpus = load_table(spark, sf_small, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n_corpus
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    n_cells = len(rows)
+    for r in rows:
+        assert abs(r["balance_ratio"] - r["share"] * n_cells) < 1e-5
+
+
+def test_join_cardinality_estimate_matches_pandas(spark, sf_small):
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    pk = pq.read_table(
+        f"{sf_small}/lineitem.parquet", columns=["l_partkey"]
+    ).to_pandas()["l_partkey"]
+    counts = pk.value_counts()
+    [row] = registry.QUERIES["join_cardinality_estimate"](
+        spark, sf_small
+    ).collect()
+    assert row["n_rows"] == len(pk)
+    assert row["n_distinct"] == len(counts)
+    assert row["exact_selfjoin_rows"] == int((counts * counts).sum())
+    assert row["max_key_rows"] == int(counts.max())
+    est = len(pk) * len(pk) / len(counts)
+    assert abs(row["independence_estimate"] - est) < 0.51
+    assert abs(row["skew_inflation"] - (counts * counts).sum() / est) < 1e-4

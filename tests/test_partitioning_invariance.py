@@ -108,6 +108,8 @@ QUERIES = [
     "event_pattern_match",          # shared-frame carried windows
     "dq_benford_first_digit",       # string digit extraction + 9-key agg
     "seasonal_decompose_monthly",   # integer-deferred STL-lite components
+    "ivf_cell_balance",             # deterministic cell argmax + counts
+    "join_cardinality_estimate",    # per-key counts + closed-form est
 ]
 
 

@@ -183,6 +183,8 @@ HEADLINE = [
     "seasonal_decompose_monthly",
     "ivf_cell_balance",
     "join_cardinality_estimate",
+    "hll_partitioned_merge",
+    "dedup_cluster_keeper_quality",
 ]
 
 

@@ -944,3 +944,66 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster keeper selection by quality: the step that turns connected
+# components into an actual dedup decision.
+# ---------------------------------------------------------------------------
+def _cluster_keeper_oracle() -> str:
+    from ..registry import ORACLES
+
+    # force text_quality's registration: dedup imports before textstats in
+    # load_all, and this builder runs at decoration time (textstats has no
+    # import edge back into dedup, so this cannot cycle)
+    from . import textstats  # noqa: F401
+
+    return f"""
+    WITH clusters AS ({ORACLES['dedup_clusters']}),
+    q AS ({ORACLES['text_quality']}),
+    scored AS (
+        SELECT c.cluster_id, c.doc_id, q.quality
+        FROM clusters c JOIN q USING (doc_id)
+    )
+    SELECT cluster_id,
+           count(*) AS n_members,
+           (min(struct_pack(nq := -quality, d := doc_id))).d AS keeper_doc_id,
+           (min(struct_pack(nq := -quality, d := doc_id))).nq * -1.0
+               AS keeper_quality,
+           count(*) - 1 AS n_dropped
+    FROM scored GROUP BY cluster_id
+    """
+
+
+@query("dedup_cluster_keeper_quality", oracle=_cluster_keeper_oracle())
+def dedup_cluster_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION step: for each near-duplicate cluster (composes
+    the REGISTERED connected-components labeling) keep the
+    highest-quality member (composes the REGISTERED text_quality score;
+    ties break to the smaller doc_id via a single struct-min), drop the
+    rest. Min-doc_id keeper selection (dedup_exact's rule) is the right
+    default for byte-identical copies; for NEAR-duplicates the copies
+    genuinely differ, and keeping the best-scoring variant is what a
+    production corpus prep actually does.
+
+    Determinism: quality is the registered 6-dp-rounded double —
+    identical on both engines — so the (max quality, min doc_id)
+    struct-min picks the same keeper everywhere. Plan shape: the CC
+    label table is near-dup-scale; the quality join keys on doc_id
+    against a scan-stage projection; the rollup keys on cluster_id. All
+    heavy lifting stays inside the composed CC query (O(log n)
+    large-star/small-star rounds, bucketed candidates)."""
+    from ..registry import QUERIES
+
+    clusters = QUERIES["dedup_clusters"](spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    q = QUERIES["text_quality"](spark, sf_dir).select("doc_id", "quality")
+    scored = clusters.join(q, "doc_id")
+    pick = F.min(F.struct((-F.col("quality")).alias("nq"), F.col("doc_id").alias("d")))
+    return scored.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        pick["d"].alias("keeper_doc_id"),
+        (pick["nq"] * -1.0).alias("keeper_quality"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )

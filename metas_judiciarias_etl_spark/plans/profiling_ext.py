@@ -501,3 +501,76 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 4).alias("independence_estimate"),
         F.round(F.col("exact_selfjoin_rows") / est, 6).alias("skew_inflation"),
     )
+
+
+# --------------------------------------------------------------------------
+# Partitioned HLL sketch build + union-merge: the mergeable-state pattern
+# that makes distinct counting a map-side problem at 100 TB.
+# --------------------------------------------------------------------------
+_HLL_TOL = 0.05
+
+
+@query(
+    "hll_partitioned_merge",
+    oracle=f"""
+    WITH per AS (
+        SELECT event_type AS segment,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+               CAST(abs(approx_count_distinct(user_id)
+                        - count(DISTINCT user_id))
+                    <= {_HLL_TOL} * count(DISTINCT user_id) AS INT)
+                   AS estimate_ok
+        FROM events GROUP BY event_type
+    ), allrow AS (
+        SELECT 'ALL' AS segment,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+               CAST(abs(approx_count_distinct(user_id)
+                        - count(DISTINCT user_id))
+                    <= {_HLL_TOL} * count(DISTINCT user_id) AS INT)
+                   AS estimate_ok
+        FROM events
+    )
+    SELECT * FROM per UNION ALL SELECT * FROM allrow
+    """,
+)
+def hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via Datasketches HLL, with the 'ALL'
+    row produced by UNION-MERGING the per-segment sketches
+    (hll_union_agg) — never by rescanning. This is the pattern that makes
+    distinct counting mergeable state at 100 TB: segment sketches build
+    map-side, merge associatively across any partitioning (or any
+    pre-aggregated rollup level), and the global answer costs one
+    KB-sized reduce. Sketch binaries are engine-specific, so the
+    cross-engine contract is bounded relative error: each engine's own
+    estimate (DuckDB validates with its own approx_count_distinct) must
+    land within {_HLL_TOL:.0%} of its exact distinct count; exact counts
+    and segment keys stay engine-invariant. The exact countDistinct here
+    is the validation harness — a production job ships only sketches."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_seg = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+    )
+    per = per_seg.select(
+        F.col("event_type").alias("segment"),
+        "n_exact",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+            <= _HLL_TOL * F.col("n_exact")
+        )
+        .cast("int")
+        .alias("estimate_ok"),
+    )
+    merged = per_seg.agg(F.hll_union_agg("sk").alias("u"))
+    g_exact = ev.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    allrow = merged.crossJoin(F.broadcast(g_exact)).select(
+        F.lit("ALL").alias("segment"),
+        "n_exact",
+        (
+            F.abs(F.hll_sketch_estimate("u") - F.col("n_exact"))
+            <= _HLL_TOL * F.col("n_exact")
+        )
+        .cast("int")
+        .alias("estimate_ok"),
+    )
+    return per.unionAll(allrow)

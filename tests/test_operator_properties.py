@@ -1526,3 +1526,53 @@ def test_join_cardinality_estimate_matches_pandas(spark, sf_small):
     est = len(pk) * len(pk) / len(counts)
     assert abs(row["independence_estimate"] - est) < 0.51
     assert abs(row["skew_inflation"] - (counts * counts).sum() / est) < 1e-4
+
+
+def test_hll_merge_flags_and_exact_counts(spark, sf_small):
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.sources.parquet import load_table
+
+    registry.load_all()
+    rows = {
+        r["segment"]: r
+        for r in registry.QUERIES["hll_partitioned_merge"](
+            spark, sf_small
+        ).collect()
+    }
+    ev = load_table(spark, sf_small, "events")
+    assert rows["ALL"]["n_exact"] == ev.select("user_id").distinct().count()
+    per = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for seg, n in per.items():
+        assert rows[seg]["n_exact"] == n
+    assert all(r["estimate_ok"] == 1 for r in rows.values())
+
+
+def test_cluster_keeper_is_best_quality_member(spark, sf_small):
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    members = {}
+    for r in registry.QUERIES["dedup_clusters"](spark, sf_small).collect():
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    quality = {
+        r["doc_id"]: r["quality"]
+        for r in registry.QUERIES["text_quality"](spark, sf_small).collect()
+    }
+    got = {
+        r["cluster_id"]: r
+        for r in registry.QUERIES["dedup_cluster_keeper_quality"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == set(members)
+    for cid, docs in members.items():
+        best = min(docs, key=lambda d: (-quality[d], d))
+        assert got[cid]["keeper_doc_id"] == best
+        assert abs(got[cid]["keeper_quality"] - quality[best]) < 1e-9
+        assert got[cid]["n_members"] == len(docs)
+        assert got[cid]["n_dropped"] == len(docs) - 1

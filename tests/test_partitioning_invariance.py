@@ -110,6 +110,8 @@ QUERIES = [
     "seasonal_decompose_monthly",   # integer-deferred STL-lite components
     "ivf_cell_balance",             # deterministic cell argmax + counts
     "join_cardinality_estimate",    # per-key counts + closed-form est
+    "hll_partitioned_merge",        # sketch union-merge, bounded error
+    "dedup_cluster_keeper_quality", # CC labels x quality struct-min
 ]
 
 

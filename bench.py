@@ -185,6 +185,7 @@ HEADLINE = [
     "join_cardinality_estimate",
     "hll_partitioned_merge",
     "dedup_cluster_keeper_quality",
+    "variant_typed_extract",
 ]
 
 

@@ -301,3 +301,51 @@ def static_enrich_counts(
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4's arbitrary-state successor to
+# applyInPandasWithState): the same running per-user totals implemented on
+# the new StatefulProcessor API — typed named state handles, TTL support,
+# timers — which is the API new 100 TB stateful pipelines should target.
+# ---------------------------------------------------------------------------
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Running (total, count) per user via ``transformWithStateInPandas``:
+    one named ValueState row per user, updated per micro-batch. Unlike
+    applyInPandasWithState, state here is a typed named handle on a
+    processor object (getValueState/getListState/getMapState with
+    optional TTL), the shape that composes with RocksDB state stores and
+    state-v2 checkpoints at scale."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "total double, n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total, n = self._agg.get() if self._agg.exists() else (0.0, 0)
+            for pdf in rows:
+                total += float(pdf["value"].fillna(0.0).sum())
+                n += int(len(pdf))
+            self._agg.update((total, n))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "running_total": [round(total, 2)],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningTotals(),
+            outputStructType=_RUNNING_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

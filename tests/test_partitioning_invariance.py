@@ -112,6 +112,7 @@ QUERIES = [
     "join_cardinality_estimate",    # per-key counts + closed-form est
     "hll_partitioned_merge",        # sketch union-merge, bounded error
     "dedup_cluster_keeper_quality", # CC labels x quality struct-min
+    "variant_typed_extract",        # parse-once VARIANT typed rollup
 ]
 
 

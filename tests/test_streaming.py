@@ -455,3 +455,45 @@ def test_rocksdb_state_store_high_cardinality(spark, tmp_path):
     # (c) RocksDB-specific instrumentation present => provider really ran
     custom = ops[0].get("customMetrics", {})
     assert any("rocksdb" in k.lower() for k in custom)
+
+
+def test_transform_with_state_running_totals(spark, event_dir):
+    """The Spark-4 StatefulProcessor API (transformWithStateInPandas) must
+    produce the same final per-user running totals as the
+    applyInPandasWithState operator it succeeds. transformWithState only
+    runs on the RocksDB state-store provider — pinned here (and that
+    requirement is itself part of the 100 TB posture: the new API assumes
+    the scalable backend)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's driver worker speaks protobuf to the "
+        "JVM state server; google.protobuf is not installed in this "
+        "container (the operator itself is plain PySpark API)",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        stream = SW.running_user_totals_tws(
+            spark.readStream.schema(SW.EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(event_dir)
+        )
+        _drain(stream, "tws_out", "update")
+        rows = spark.sql("SELECT * FROM tws_out").collect()
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    latest: dict[int, tuple] = {}
+    for r in rows:
+        if r["user_id"] not in latest or r["n_events"] > latest[r["user_id"]][1]:
+            latest[r["user_id"]] = (r["running_total"], r["n_events"])
+    assert latest[1] == (8.0, 3)
+    assert latest[2] == (7.0, 2)
+    assert latest[3] == (13.0, 2)

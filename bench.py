@@ -186,6 +186,7 @@ HEADLINE = [
     "hll_partitioned_merge",
     "dedup_cluster_keeper_quality",
     "variant_typed_extract",
+    "dedup_simhash_hamming1",
 ]
 
 

@@ -1007,3 +1007,85 @@ def dedup_cluster_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pick["nq"] * -1.0).alias("keeper_quality"),
         (F.count(F.lit(1)) - 1).alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming<=1 pairs via multi-index probing: equal-fingerprint
+# buckets miss near-misses; flipping each bit once catches them without
+# any pairwise hamming scan.
+# ---------------------------------------------------------------------------
+def _simhash_h1_oracle() -> str:
+    probes = ", ".join(
+        ["simhash16"] + [f"xor(simhash16, {1 << b})" for b in range(SIMHASH_BITS)]
+    )
+    return (
+        _simhash_oracle()
+        + f""", probes AS (
+        SELECT doc_id, unnest([{probes}]) AS key FROM fp
+    ), ident AS (
+        SELECT doc_id, simhash16 AS key, simhash16 FROM fp
+    ), pairs AS (
+        SELECT DISTINCT p.doc_id AS a_id, i.doc_id AS b_id
+        FROM probes p JOIN ident i ON i.key = p.key AND p.doc_id < i.doc_id
+    )
+    SELECT pr.a_id, pr.b_id,
+           CAST(bit_count(xor(fa.simhash16, fb.simhash16)) AS BIGINT)
+               AS hamming
+    FROM pairs pr
+    JOIN fp fa ON fa.doc_id = pr.a_id
+    JOIN fp fb ON fb.doc_id = pr.b_id
+    """
+    )
+
+
+@query("dedup_simhash_hamming1", oracle=_simhash_h1_oracle())
+def dedup_simhash_hamming1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-miss SimHash pairs at hamming distance <= 1 via MULTI-INDEX
+    probing: each document emits its fingerprint plus all {SIMHASH_BITS}
+    single-bit flips as probe keys; a probe colliding with another
+    document's identity key certifies hamming <= 1 BY CONSTRUCTION (the
+    output hamming column re-derives it from bit_count(xor) as a
+    witness). This is the standard hamming-LSH trick (Manku et al.'s
+    simhash dedup): candidates come from (1 + bits) equi-join keys per
+    doc — never a pairwise hamming scan, which is quadratic and
+    un-shardable.
+
+    Scale posture: probe expansion multiplies rows by 17, not bytes; the
+    key join is a plain hash shuffle whose buckets are fingerprint
+    collision groups (for wider fingerprints / larger radii the same
+    pattern splits the fingerprint into blocks — d+1 blocks guarantee a
+    block match at distance d). Composes the REGISTERED dedup_simhash on
+    both sides."""
+    from ..registry import QUERIES
+
+    fp = QUERIES["dedup_simhash"](spark, sf_dir)
+    probe_keys = F.array(
+        F.col("simhash16"),
+        *[
+            F.col("simhash16").bitwiseXOR(F.lit(1 << b))
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    probes = fp.select("doc_id", F.explode(probe_keys).alias("key"))
+    ident = fp.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash16").alias("key")
+    )
+    pairs = (
+        probes.join(ident, "key")
+        .filter(F.col("doc_id") < F.col("b_id"))
+        .select(F.col("doc_id").alias("a_id"), "b_id")
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("a_id"), F.col("simhash16").alias("fa"))
+    fb = fp.select(F.col("doc_id").alias("b_id"), F.col("simhash16").alias("fb"))
+    return (
+        pairs.join(fa, "a_id")
+        .join(fb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+    )

@@ -1576,3 +1576,29 @@ def test_cluster_keeper_is_best_quality_member(spark, sf_small):
         assert abs(got[cid]["keeper_quality"] - quality[best]) < 1e-9
         assert got[cid]["n_members"] == len(docs)
         assert got[cid]["n_dropped"] == len(docs) - 1
+
+
+def test_simhash_hamming1_matches_bruteforce(spark, sf_small):
+    """Multi-index probing must find EXACTLY the pairs at hamming <= 1
+    that a brute-force all-pairs scan over the fingerprints finds."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    fps = {
+        r["doc_id"]: r["simhash16"]
+        for r in registry.QUERIES["dedup_simhash"](spark, sf_small).collect()
+    }
+    ids = sorted(fps)
+    expected = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 1
+    }
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in registry.QUERIES["dedup_simhash_hamming1"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == expected

@@ -113,6 +113,7 @@ QUERIES = [
     "hll_partitioned_merge",        # sketch union-merge, bounded error
     "dedup_cluster_keeper_quality", # CC labels x quality struct-min
     "variant_typed_extract",        # parse-once VARIANT typed rollup
+    "dedup_simhash_hamming1",       # multi-index probe keys, exact radius
 ]
 
 

@@ -24,6 +24,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -86,6 +87,40 @@ class SyntheticEventsReader(DataSourceReader):
             yield row
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the same generator: each micro-batch emits the
+    next ``batch_rows`` ids. Offsets are plain dicts over the row counter,
+    so exactly-once replay is trivial — ``readBetweenOffsets`` regenerates
+    any committed range bit-identically from (row_id, seed), which is
+    precisely the replayability contract a production feed source
+    implements with a log position. (SimpleDataSourceStreamReader reads on
+    the driver and is for modest per-batch volumes; a partitioned
+    DataSourceStreamReader fans read() out per InputPartition — same
+    recipe, executor-side.)"""
+
+    def __init__(self, options: dict):
+        self.batch_rows = int(options.get("batch_rows", "100"))
+        self.max_rows = int(options.get("rows", "1000"))
+        self.seed = int(options.get("seed", "42"))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.batch_rows, self.max_rows)
+        end = {"next": hi}
+        return (iter([_row(i, self.seed) for i in range(lo, hi)]), end)
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [_row(i, self.seed) for i in range(int(start["next"]), int(end["next"]))]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SyntheticEventsSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -96,6 +131,9 @@ class SyntheticEventsSource(DataSource):
 
     def reader(self, schema: StructType) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
 
 
 def register(spark: SparkSession) -> None:

@@ -187,6 +187,7 @@ HEADLINE = [
     "dedup_cluster_keeper_quality",
     "variant_typed_extract",
     "dedup_simhash_hamming1",
+    "null_safe_join_semantics",
 ]
 
 

@@ -1157,3 +1157,73 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hq") / s).alias("score"),
     )
     return auth.unionAll(hubs)
+
+
+# --------------------------------------------------------------------------
+# Null-safe equality join semantics: = drops NULL keys, <=> matches them —
+# the three-valued-logic contract pinned as data (companion to
+# not_in_null_semantics).
+# --------------------------------------------------------------------------
+@query(
+    "null_safe_join_semantics",
+    oracle="""
+    WITH ta AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE user_id END AS k
+        FROM events WHERE event_id <= 500
+    ), tb AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE user_id END AS k
+        FROM events WHERE event_id > 500 AND event_id <= 1000
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ta WHERE k IS NULL)
+               AS n_null_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM tb WHERE k IS NULL)
+               AS n_null_b,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM ta JOIN tb ON ta.k = tb.k) AS n_eq_pairs,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM ta JOIN tb ON ta.k IS NOT DISTINCT FROM tb.k)
+               AS n_nullsafe_pairs
+    """,
+)
+def null_safe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic join contract, pinned as data: the same nullable
+    key joined under plain equality (NULL keys match NOTHING — NULL = NULL
+    is unknown) and under null-safe equality (``<=>`` — NULL keys match
+    each other), so n_nullsafe_pairs - n_eq_pairs = n_null_a * n_null_b
+    exactly. Registering it keeps the engine's NULL-join semantics under
+    the oracle gate the same way not_in_null_semantics pins NOT IN.
+
+    Scale note: a null-safe equi-join hash-partitions NULL like any other
+    key value — meaning EVERY null-keyed row lands in one partition; on a
+    null-heavy fact table that is a skew hotspot, and the standard fix is
+    pre-splitting the null keys (they can only match each other) before
+    the join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+    )
+    ta = ev.filter(F.col("event_id") <= 500).select(F.col("k").alias("ka"))
+    tb = ev.filter(
+        (F.col("event_id") > 500) & (F.col("event_id") <= 1000)
+    ).select(F.col("k").alias("kb"))
+    n_null_a = ta.filter(F.col("ka").isNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_null_a")
+    )
+    n_null_b = tb.filter(F.col("kb").isNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_null_b")
+    )
+    eq = ta.join(tb, F.col("ka") == F.col("kb")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eq_pairs")
+    )
+    ns = ta.join(tb, F.col("ka").eqNullSafe(F.col("kb"))).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nullsafe_pairs")
+    )
+    return (
+        n_null_a.crossJoin(F.broadcast(n_null_b))
+        .crossJoin(F.broadcast(eq))
+        .crossJoin(F.broadcast(ns))
+    )

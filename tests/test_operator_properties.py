@@ -1602,3 +1602,15 @@ def test_simhash_hamming1_matches_bruteforce(spark, sf_small):
         ).collect()
     }
     assert got == expected
+
+
+def test_null_safe_join_identity_holds(spark, sf_small):
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    [r] = registry.QUERIES["null_safe_join_semantics"](spark, sf_small).collect()
+    # the whole point: null-safe adds exactly the null x null matches
+    assert (
+        r["n_nullsafe_pairs"] - r["n_eq_pairs"] == r["n_null_a"] * r["n_null_b"]
+    )
+    assert r["n_null_a"] > 0 and r["n_null_b"] > 0  # fixture really has NULLs

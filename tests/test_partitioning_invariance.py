@@ -114,6 +114,7 @@ QUERIES = [
     "dedup_cluster_keeper_quality", # CC labels x quality struct-min
     "variant_typed_extract",        # parse-once VARIANT typed rollup
     "dedup_simhash_hamming1",       # multi-index probe keys, exact radius
+    "null_safe_join_semantics",     # 3VL join contract, integer counts
 ]
 
 

@@ -188,6 +188,7 @@ HEADLINE = [
     "variant_typed_extract",
     "dedup_simhash_hamming1",
     "null_safe_join_semantics",
+    "zorder_skipping_effectiveness",
 ]
 
 

@@ -1614,3 +1614,32 @@ def test_null_safe_join_identity_holds(spark, sf_small):
         r["n_nullsafe_pairs"] - r["n_eq_pairs"] == r["n_null_a"] * r["n_null_b"]
     )
     assert r["n_null_a"] > 0 and r["n_null_b"] > 0  # fixture really has NULLs
+
+
+def test_zorder_beats_linear_on_second_dimension(spark, sf_small):
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    rows = {
+        (r["layout"], r["predicate"]): r
+        for r in registry.QUERIES["zorder_skipping_effectiveness"](
+            spark, sf_small
+        ).collect()
+    }
+    # soundness everywhere; matching rows invariant across layouts
+    for r in rows.values():
+        assert r["n_false_skips"] == 0
+    for pred in ("2d", "sx_only"):
+        assert (
+            rows[("linear_px", pred)]["n_matching_rows"]
+            == rows[("zorder", pred)]["n_matching_rows"]
+        )
+    # the motivation: a partkey-clustered layout cannot prune a
+    # suppkey-only predicate; the z-order layout can
+    assert rows[("linear_px", "sx_only")]["n_skipped_buckets"] == 0
+    assert rows[("zorder", "sx_only")]["n_skipped_buckets"] > 0
+    # and on the 2-D predicate z-order is at least as good
+    assert (
+        rows[("zorder", "2d")]["n_skipped_buckets"]
+        >= rows[("linear_px", "2d")]["n_skipped_buckets"]
+    )

@@ -115,6 +115,7 @@ QUERIES = [
     "variant_typed_extract",        # parse-once VARIANT typed rollup
     "dedup_simhash_hamming1",       # multi-index probe keys, exact radius
     "null_safe_join_semantics",     # 3VL join contract, integer counts
+    "zorder_skipping_effectiveness",  # integer zone maps, two layouts
 ]
 
 

@@ -1748,7 +1748,13 @@ def zorder_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame
     row is ONE bucket-keyed aggregation (zone stats + match counts in the
     same pass) and a 64-row rollup. Bucket assignment here is pure
     arithmetic on the clustering key — the write-path analog is a one-time
-    repartitionByRange on the same key."""
+    repartitionByRange on the same key. Honest trade-off, visible in the
+    2d rows: z-order slightly DILUTES single-dimension locality (57 vs 60
+    is close because the px predicate still prunes well) — the win is
+    robustness across query dimensions, not dominance on any one; and the
+    curve only helps once each dimension fills its interleaved bit-width
+    (at tiny domains the coarse z buckets split on one dimension's high
+    bits only)."""
     p1, p2 = _ZSE_P
     s1, s2 = _ZSE_S
     li = load_table(spark, sf_dir, "lineitem")

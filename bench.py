@@ -189,6 +189,7 @@ HEADLINE = [
     "dedup_simhash_hamming1",
     "null_safe_join_semantics",
     "zorder_skipping_effectiveness",
+    "mor_positional_delete_apply",
 ]
 
 

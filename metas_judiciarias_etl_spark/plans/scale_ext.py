@@ -1227,3 +1227,110 @@ def null_safe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(eq))
         .crossJoin(F.broadcast(ns))
     )
+
+
+# --------------------------------------------------------------------------
+# Merge-on-read positional delete application (the Iceberg v2 / Delta DV
+# read path): a delete file lists (file, position) pairs; the scan
+# anti-joins them away without rewriting data files.
+# --------------------------------------------------------------------------
+_MOR_FILE_ROWS = 4096   # l_orderkey range per simulated data file
+_MOR_DELETE_PCT = 2     # ~2% of positions appear in the delete file
+
+
+def _mor_oracle() -> str:
+    from ..functions.hashing import sql_hash48
+
+    h = sql_hash48("CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)")
+    return f"""
+    WITH positioned AS (
+        SELECT l_orderkey // {_MOR_FILE_ROWS} AS file_id,
+               row_number() OVER (
+                   PARTITION BY l_orderkey // {_MOR_FILE_ROWS}
+                   ORDER BY l_orderkey, l_linenumber
+               ) AS pos,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               {h} % 100 AS hmod
+        FROM lineitem
+    ), deletes AS (
+        SELECT file_id, pos FROM positioned WHERE hmod < {_MOR_DELETE_PCT}
+    ), survivors AS (
+        SELECT p.file_id, p.cents
+        FROM positioned p
+        LEFT JOIN deletes d ON d.file_id = p.file_id AND d.pos = p.pos
+        WHERE d.pos IS NULL
+    )
+    SELECT p.file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - coalesce(s.n_surv, 0) AS BIGINT) AS n_deleted,
+           CAST(coalesce(s.n_surv, 0) AS BIGINT) AS n_surviving,
+           CAST(coalesce(s.cents, 0) AS BIGINT) AS surviving_cents
+    FROM positioned p
+    LEFT JOIN (
+        SELECT file_id, count(*) AS n_surv, sum(cents) AS cents
+        FROM survivors GROUP BY file_id
+    ) s ON s.file_id = p.file_id
+    GROUP BY p.file_id, s.n_surv, s.cents
+    """
+
+
+@query("mor_positional_delete_apply", oracle=_mor_oracle())
+def mor_positional_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read positional deletes (the Iceberg v2 / Delta
+    deletion-vector read path): rows carry a (file, position) identity —
+    file = an orderkey range standing in for a data file, position = the
+    row's rank within it — and a delete file (here a deterministic ~2%
+    hash sample of positions) is applied at SCAN TIME via an anti-join on
+    (file_id, pos), never by rewriting data files. Output: per-file row /
+    deleted / surviving accounting plus a surviving-cents checksum that
+    any wrong delete application would break.
+
+    Scale posture: this is exactly why MoR scans stay fast — the delete
+    side is delete-file-sized, joins on the same (file, pos) key the scan
+    is naturally clustered by (per-file positions never cross files, so
+    the anti-join is partition-local after one co-keyed exchange), and
+    compaction later folds deletes into data files. The position window
+    partitions BY FILE — bounded rows per partition at any table size
+    (in a real table the reader gets positions for free from row
+    ordinals; the window here builds the fixture's identity)."""
+    from ..functions.hashing import hash48
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("file_id").orderBy("l_orderkey", "l_linenumber")
+    positioned = li.select(
+        F.expr(f"l_orderkey div {_MOR_FILE_ROWS}").alias("file_id"),
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        (
+            hash48(
+                F.concat_ws(
+                    "#",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+            % 100
+        ).alias("hmod"),
+    ).withColumn("pos", F.row_number().over(w))
+    deletes = positioned.filter(F.col("hmod") < _MOR_DELETE_PCT).select(
+        "file_id", "pos"
+    )
+    survivors = positioned.join(deletes, ["file_id", "pos"], "left_anti")
+    per_file = positioned.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    surv = survivors.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_surv"), F.sum("cents").alias("s_cents")
+    )
+    return per_file.join(surv, "file_id", "left").select(
+        "file_id",
+        "n_rows",
+        (F.col("n_rows") - F.coalesce(F.col("n_surv"), F.lit(0)))
+        .cast("long")
+        .alias("n_deleted"),
+        F.coalesce(F.col("n_surv"), F.lit(0)).cast("long").alias("n_surviving"),
+        F.coalesce(F.col("s_cents"), F.lit(0)).cast("long").alias(
+            "surviving_cents"
+        ),
+    )

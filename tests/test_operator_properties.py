@@ -1648,3 +1648,61 @@ def test_zorder_beats_linear_on_second_dimension(spark, sf_small):
     if max_sx >= 512:
         assert rows[("linear_px", "sx_only")]["n_skipped_buckets"] == 0
         assert rows[("zorder", "sx_only")]["n_skipped_buckets"] > 0
+
+
+def test_mor_delete_application_matches_python_replay(spark, sf_small):
+    """Positional delete application must agree with a literal pandas
+    replay: same file assignment, same positions, same ~2% hash-selected
+    delete set, same surviving checksum."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.functions.hashing import HASH_HEX_LEN
+    from metas_judiciarias_etl_spark.plans.scale_ext import (
+        _MOR_DELETE_PCT,
+        _MOR_FILE_ROWS,
+    )
+
+    registry.load_all()
+    li = pq.read_table(
+        f"{sf_small}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    ).to_pandas()
+    li = li.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    li["file_id"] = li["l_orderkey"] // _MOR_FILE_ROWS
+    li["cents"] = (li["l_extendedprice"] * 100).round().astype("int64")
+
+    def hmod(ok, ln):
+        h = hashlib.md5(f"{ok}#{ln}".encode()).hexdigest()[:HASH_HEX_LEN]
+        return int(h, 16) % 100
+
+    expected = {}
+    for fid, grp in li.groupby("file_id"):
+        deleted = sum(
+            hmod(ok, ln) < _MOR_DELETE_PCT
+            for ok, ln in zip(grp["l_orderkey"], grp["l_linenumber"])
+        )
+        surv_cents = sum(
+            c
+            for ok, ln, c in zip(
+                grp["l_orderkey"], grp["l_linenumber"], grp["cents"]
+            )
+            if hmod(ok, ln) >= _MOR_DELETE_PCT
+        )
+        expected[fid] = (len(grp), deleted, len(grp) - deleted, surv_cents)
+
+    got = {
+        r["file_id"]: (
+            r["n_rows"],
+            r["n_deleted"],
+            r["n_surviving"],
+            r["surviving_cents"],
+        )
+        for r in registry.QUERIES["mor_positional_delete_apply"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == expected
+    assert sum(v[1] for v in expected.values()) > 0  # deletes really fire

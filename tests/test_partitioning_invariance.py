@@ -116,6 +116,7 @@ QUERIES = [
     "dedup_simhash_hamming1",       # multi-index probe keys, exact radius
     "null_safe_join_semantics",     # 3VL join contract, integer counts
     "zorder_skipping_effectiveness",  # integer zone maps, two layouts
+    "mor_positional_delete_apply",  # per-file positions + anti-join
 ]
 
 

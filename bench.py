@@ -190,6 +190,7 @@ HEADLINE = [
     "null_safe_join_semantics",
     "zorder_skipping_effectiveness",
     "mor_positional_delete_apply",
+    "emb_drift_by_split",
 ]
 
 

@@ -1740,3 +1740,113 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("balance_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding drift monitor: per-label centroid distance between two corpus
+# halves — the check that catches a changed encoder or a shifted data mix
+# before an index rebuild.
+# --------------------------------------------------------------------------
+@query(
+    "emb_drift_by_split",
+    oracle=f"""
+    WITH x AS (
+        SELECT label, vec_id % 2 AS half, vec_id,
+               unnest(generate_series(1, {DIM})) AS dim,
+               embedding
+        FROM embeddings
+    ), q AS (
+        SELECT label, half, dim,
+               CAST(round(CAST(embedding[dim] AS DOUBLE) * {_FXP_SCALE})
+                    AS BIGINT) AS qv
+        FROM x
+    ), g AS (
+        SELECT label, half, dim, count(*) AS n,
+               CAST(sum(qv) AS BIGINT) AS sq
+        FROM q GROUP BY label, half, dim
+    ), m AS (
+        SELECT label, half, dim,
+               CAST(sq AS DOUBLE) / (n * {_FXP_SCALE}) AS mu, n
+        FROM g
+    ), j AS (
+        SELECT a.label, a.dim,
+               (a.mu - b.mu) * (a.mu - b.mu) AS d2,
+               a.n AS n_a, b.n AS n_b
+        FROM m a JOIN m b
+          ON a.label = b.label AND a.dim = b.dim
+         AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           CAST(max(n_a) AS BIGINT) AS n_even,
+           CAST(max(n_b) AS BIGINT) AS n_odd,
+           round(sqrt(list_reduce(
+               [0.0] || list_transform(
+                   list_sort(list(struct_pack(k := dim, t := d2))),
+                   __s -> __s.t),
+               (acc, v) -> acc + v)), 6) AS drift_l2
+    FROM j GROUP BY label
+    """,
+)
+def emb_drift_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per label, the L2 distance between the
+    centroid of the even-vec_id half and the odd-vec_id half of the
+    corpus (a deterministic stand-in for "last week's shard vs this
+    week's" — a real deployment keys the halves by ingestion date). Large
+    drift on a label means the encoder or the data mix moved — rebuild or
+    re-balance the index before trusting recall numbers.
+
+    Determinism: per-half means use the guarded fixed-point integer-sum
+    discipline (O(1) group state, engine-exact — the emb_centroids path);
+    the per-label distance folds DIM bounded squared-difference terms in
+    dim order (the bounded-group sorted-fold discipline), so the sqrt and
+    6-dp round see identical doubles. Plan: ONE (label, half, dim)
+    shuffle; the join and rollup run on the labels x 2 x DIM mean table —
+    metadata-scale at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("p0", "val"),
+    ).select(
+        "label",
+        "half",
+        (F.col("p0") + 1).alias("dim"),
+        F.col("val").cast("double").alias("xv"),
+    )
+    g = x.groupBy("label", "half", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_fxp_q(F.col("xv"), "emb_drift_by_split")).alias("sq"),
+    )
+    m = g.select(
+        "label",
+        "half",
+        "dim",
+        "n",
+        (F.col("sq").cast("double") / (F.col("n") * F.lit(_FXP_SCALE))).alias(
+            "mu"
+        ),
+    )
+    a = m.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("mu").alias("mu_a"), F.col("n").alias("n_a")
+    )
+    b = m.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("mu").alias("mu_b"), F.col("n").alias("n_b")
+    )
+    j = a.join(b, ["label", "dim"]).select(
+        "label",
+        "dim",
+        ((F.col("mu_a") - F.col("mu_b")) * (F.col("mu_a") - F.col("mu_b"))).alias(
+            "d2"
+        ),
+        "n_a",
+        "n_b",
+    )
+    fold = (
+        "aggregate(transform(sort_array(collect_list(struct(dim AS k, d2 AS t))),"
+        " __s -> __s.t), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return j.groupBy("label").agg(
+        F.max("n_a").cast("long").alias("n_even"),
+        F.max("n_b").cast("long").alias("n_odd"),
+        F.round(F.sqrt(F.expr(fold)), 6).alias("drift_l2"),
+    )

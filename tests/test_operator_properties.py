@@ -1706,3 +1706,39 @@ def test_mor_delete_application_matches_python_replay(spark, sf_small):
     }
     assert got == expected
     assert sum(v[1] for v in expected.values()) > 0  # deletes really fire
+
+
+def test_emb_drift_matches_numpy_halves(spark, sf_small):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.similarity import _FXP_SCALE
+
+    registry.load_all()
+    t = pq.read_table(f"{sf_small}/embeddings.parquet").to_pandas()
+    expected = {}
+    for label, grp in t.groupby("label"):
+        halves = {}
+        for h in (0, 1):
+            sub = grp[grp["vec_id"] % 2 == h]
+            m = np.array(
+                [np.asarray(e, dtype=np.float32) for e in sub["embedding"]],
+                dtype=np.float64,
+            )
+            q = np.round(m * _FXP_SCALE).astype("int64")
+            halves[h] = (q.sum(axis=0).astype("float64") / (len(sub) * _FXP_SCALE), len(sub))
+        d = halves[0][0] - halves[1][0]
+        expected[label] = (
+            halves[0][1],
+            halves[1][1],
+            round(float(np.sqrt((d * d).sum())), 6),
+        )
+    got = {
+        r["label"]: (r["n_even"], r["n_odd"], r["drift_l2"])
+        for r in registry.QUERIES["emb_drift_by_split"](spark, sf_small).collect()
+    }
+    assert set(got) == set(expected)
+    for k in got:
+        assert got[k][0] == expected[k][0] and got[k][1] == expected[k][1]
+        assert abs(got[k][2] - expected[k][2]) < 1e-6

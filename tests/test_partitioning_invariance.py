@@ -117,6 +117,7 @@ QUERIES = [
     "null_safe_join_semantics",     # 3VL join contract, integer counts
     "zorder_skipping_effectiveness",  # integer zone maps, two layouts
     "mor_positional_delete_apply",  # per-file positions + anti-join
+    "emb_drift_by_split",           # fixed-point half-centroids + fold
 ]
 
 

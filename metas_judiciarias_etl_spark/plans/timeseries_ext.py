@@ -726,3 +726,238 @@ def seasonal_decompose_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(seasonal, 6).alias("seasonal"),
         F.round(F.col("det12") / 1200.0 - seasonal, 6).alias("residual"),
     )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation function: ACF at lags 1..6 of the monthly revenue series.
+# --------------------------------------------------------------------------
+_ACF_LAGS = 6
+
+
+def _acf_oracle() -> str:
+    lag_cols = ",\n               ".join(
+        f"lag(d, {k}) OVER w AS dlag{k}" for k in range(1, _ACF_LAGS + 1)
+    )
+    num_cols = ",\n               ".join(
+        f"sum(d * dlag{k}) AS num{k}" for k in range(1, _ACF_LAGS + 1)
+    )
+    num_case = " ".join(
+        f"WHEN {k} THEN num{k}" for k in range(1, _ACF_LAGS + 1)
+    )
+    return f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               (year(CAST(l_shipdate AS DATE)) * 12
+                + month(CAST(l_shipdate AS DATE)) - 1) AS month_id,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ), st AS (
+        SELECT l_returnflag,
+               count(*) AS n_months,
+               CAST(sum(c) AS HUGEINT) AS s_total
+        FROM m GROUP BY 1
+    ), d AS (
+        SELECT m.l_returnflag, m.month_id, st.n_months,
+               CAST(st.n_months AS HUGEINT) * m.c - st.s_total AS d
+        FROM m JOIN st USING (l_returnflag)
+    ), l AS (
+        SELECT l_returnflag, n_months, d,
+               {lag_cols}
+        FROM d
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY month_id)
+    ), g AS (
+        SELECT l_returnflag,
+               max(n_months) AS n_months,
+               sum(d * d) AS den,
+               {num_cols}
+        FROM l GROUP BY l_returnflag
+    )
+    SELECT g.l_returnflag,
+           CAST(g.n_months AS BIGINT) AS n_months,
+           CAST(k.lag_k AS BIGINT) AS lag_k,
+           -- HUGEINT -> VARCHAR -> DOUBLE: DuckDB's direct HUGEINT->DOUBLE
+           -- cast is not correctly rounded (measured 1-ulp error); its
+           -- string->double parse IS, and matches Spark's DECIMAL->DOUBLE.
+           CAST(CAST((CASE k.lag_k {num_case} END) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(g.den AS VARCHAR) AS DOUBLE) AS acf
+    FROM g
+    CROSS JOIN (SELECT unnest(generate_series(1, {_ACF_LAGS})) AS lag_k) k
+    """
+
+
+@query("autocorr_lags", oracle=_acf_oracle())
+def autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the monthly revenue series at lags 1..6,
+    one series per l_returnflag: r_k = sum_t d_t*d_{t+k} / sum_t d_t^2
+    with d_t the mean-centered monthly total. The ACF is the
+    stationarity/seasonality diagnostic a forecasting pipeline runs before
+    choosing a model order.
+
+    Exactness discipline: centering by the mean would make every term an
+    IEEE sum of data-dependent doubles, so instead each deviation is
+    SCALED BY n — d_t = n*c_t - S with c_t integer month cents and
+    S = sum(c) — which is exactly n*(c_t - mean), an integer. ACF ratios
+    are invariant to that scaling. Products reach ~1e22 at sf0.1, so the
+    accumulator is DECIMAL(38,0) on the Spark side and HUGEINT in the
+    oracle; the single final division is the only float op (identical
+    exact integers -> identical doubles -> identical IEEE quotient).
+
+    Scale posture: the ONLY fact-scale work is the month rollup (one
+    partial-aggregatable shuffle); the series itself is calendar-bounded
+    (~84 rows per flag), so the per-flag lag window and the lag products
+    run on a KB-sized relation no matter the corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = (
+        li.select(
+            "l_returnflag",
+            (
+                F.year(F.col("l_shipdate").cast("date")) * 12
+                + F.month(F.col("l_shipdate").cast("date"))
+                - 1
+            ).alias("month_id"),
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("l_returnflag", "month_id")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    st = m.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("c").cast("decimal(38,0)").alias("s_total"),
+    )
+    d = m.join(F.broadcast(st), "l_returnflag").select(
+        "l_returnflag",
+        "month_id",
+        "n_months",
+        (
+            F.col("n_months").cast("decimal(38,0)") * F.col("c")
+            - F.col("s_total")
+        ).alias("d"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("month_id")
+    for k in range(1, _ACF_LAGS + 1):
+        d = d.withColumn(f"dlag{k}", F.lag("d", k).over(w))
+    g = d.groupBy("l_returnflag").agg(
+        F.max("n_months").cast("long").alias("n_months"),
+        F.sum(F.col("d") * F.col("d")).alias("den"),
+        *[
+            F.sum(F.col("d") * F.col(f"dlag{k}")).alias(f"num{k}")
+            for k in range(1, _ACF_LAGS + 1)
+        ],
+    )
+    stack_args = ", ".join(
+        f"CAST({k} AS BIGINT), num{k}" for k in range(1, _ACF_LAGS + 1)
+    )
+    return g.select(
+        "l_returnflag",
+        "n_months",
+        F.expr(f"stack({_ACF_LAGS}, {stack_args}) AS (lag_k, num)"),
+        F.col("den"),
+    ).select(
+        "l_returnflag",
+        "n_months",
+        "lag_k",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias("acf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint: where did the daily level of each event stream shift?
+# --------------------------------------------------------------------------
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), st AS (
+        SELECT event_type,
+               count(*) AS n_days,
+               CAST(sum(c) AS HUGEINT) AS s_total
+        FROM m GROUP BY 1
+    ), d AS (
+        SELECT m.event_type, m.day_id, st.n_days,
+               CAST(st.n_days AS HUGEINT) * m.c - st.s_total AS d
+        FROM m JOIN st USING (event_type)
+    ), p AS (
+        SELECT event_type, day_id, n_days,
+               abs(sum(d) OVER (PARTITION BY event_type ORDER BY day_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)) AS abs_p
+        FROM d
+    )
+    SELECT event_type,
+           CAST(max(n_days) AS BIGINT) AS n_days,
+           first(day_id ORDER BY abs_p DESC, day_id ASC) AS cp_day_id,
+           -- VARCHAR route: DuckDB HUGEINT->DOUBLE is not correctly rounded.
+           CAST(CAST(max(abs_p) AS VARCHAR) AS DOUBLE)
+               / (max(n_days) * 100.0) AS max_cusum_value
+    FROM p GROUP BY event_type
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event stream: the cumulative sum of
+    mean-centered daily totals peaks (in absolute value) at the most
+    likely level-shift day — the classic offline change-in-mean statistic
+    a data-quality monitor runs over ingest volume.
+
+    Exactness discipline: deviations are scaled by n (d_t = n*c_t - S,
+    integer — same trick as autocorr_lags) so the running prefix sums stay
+    exact integers in DECIMAL(38,0)/HUGEINT; the reported statistic
+    divides back by n*100 once, and the argmax day is picked by
+    (abs_p DESC, day_id ASC) — a total order, so ties can't flip between
+    engines.
+
+    Scale posture: one partial-aggregatable shuffle builds the daily
+    rollup; the prefix-sum window runs per event_type over a
+    calendar-bounded series (days, not events). State is O(days) however
+    large the stream gets."""
+    ev = load_table(spark, sf_dir, "events")
+    m = (
+        ev.select(
+            "event_type",
+            # ts is int64 nanos (sources/parquet.py); pmod+div floor-aligns
+            # exactly — same discipline as functions/timeutil.floor_bucket_s.
+            F.expr(
+                "(ts - pmod(ts, 86400000000000)) div 86400000000000"
+            ).alias("day_id"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("event_type", "day_id")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    st = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").cast("decimal(38,0)").alias("s_total"),
+    )
+    d = m.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "day_id",
+        "n_days",
+        (
+            F.col("n_days").cast("decimal(38,0)") * F.col("c")
+            - F.col("s_total")
+        ).alias("d"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = d.select(
+        "event_type",
+        "day_id",
+        "n_days",
+        F.abs(F.sum("d").over(w)).alias("abs_p"),
+    )
+    return p.groupBy("event_type").agg(
+        F.max("n_days").cast("long").alias("n_days"),
+        F.min(F.struct(-F.col("abs_p"), F.col("day_id")))["day_id"].alias(
+            "cp_day_id"
+        ),
+        (
+            F.max("abs_p").cast("double") / (F.max("n_days") * F.lit(100.0))
+        ).alias("max_cusum_value"),
+    )

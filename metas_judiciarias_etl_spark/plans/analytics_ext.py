@@ -1806,3 +1806,106 @@ def zorder_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionAll(layout(lin, "linear_px", "sx_only"))
         .unionAll(layout(zb, "zorder", "sx_only"))
     )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient: how concentrated is customer revenue within each nation?
+# --------------------------------------------------------------------------
+@query(
+    "gini_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_custkey, c.c_nationkey, coalesce(o.cents, 0) AS cents
+        FROM customer c
+        LEFT JOIN (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ) o ON o.o_custkey = c.c_custkey
+    ), ranked AS (
+        SELECT c_nationkey, cents,
+               row_number() OVER (
+                   PARTITION BY c_nationkey ORDER BY cents, c_custkey
+               ) AS rk
+        FROM rev
+    ), g AS (
+        SELECT c_nationkey,
+               count(*) AS n_customers,
+               CAST(sum(cents) AS HUGEINT) AS s,
+               sum(CAST(rk AS HUGEINT) * cents) AS rs
+        FROM ranked GROUP BY 1
+    )
+    SELECT n.n_name,
+           CAST(g.n_customers AS BIGINT) AS n_customers,
+           CAST(g.s AS BIGINT) AS total_cents,
+           -- VARCHAR route: DuckDB HUGEINT->DOUBLE is not correctly rounded.
+           CAST(CAST(2 * g.rs - (g.n_customers + 1) * g.s AS VARCHAR)
+                AS DOUBLE)
+               / nullif(CAST(CAST(CAST(g.n_customers AS HUGEINT) * g.s
+                                  AS VARCHAR) AS DOUBLE), 0.0) AS gini
+    FROM g JOIN nation n ON n.n_nationkey = g.c_nationkey
+    """,
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of lifetime order revenue across each nation's
+    customers — the inequality measure a monetization or sampling analysis
+    reports next to pareto_topshare's coverage prefix. Customers with no
+    orders count at zero revenue (a Gini that silently drops them
+    understates concentration). Uses the rank form
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending-revenue
+    ranks with c_custkey as the deterministic tie-break.
+
+    Exactness discipline: revenue quantizes to integer cents; rank
+    products accumulate in DECIMAL(38,0)/HUGEINT; the single final
+    division is the only float op (oracle converts via VARCHAR — DuckDB's
+    HUGEINT->DOUBLE cast is 1-ulp sloppy). An all-zero-revenue group
+    nulls out on both engines via nullif.
+
+    Scale posture: one fact shuffle (orders -> per-customer sums), one
+    equi-join on c_custkey, broadcast nation lookup. The per-nation
+    row_number is a sort within the group — the inherent cost of an exact
+    order statistic; at extreme per-group cardinality swap in the
+    equi-depth-histogram Gini approximation (histogram_equi_depth's
+    boundary machinery) and keep this exact form for auditing."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    rev = (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.coalesce(F.col("cents"), F.lit(0)).alias("cents"),
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    ranked = rev.withColumn("rk", F.row_number().over(w))
+    g = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("cents")).alias("rs"),
+    )
+    return g.join(
+        F.broadcast(nation), g.c_nationkey == nation.n_nationkey
+    ).select(
+        "n_name",
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.col("s").cast("long").alias("total_cents"),
+        (
+            (2 * F.col("rs") - (F.col("n_customers") + 1) * F.col("s")).cast(
+                "double"
+            )
+            / F.nullif(
+                (F.col("n_customers").cast("decimal(38,0)") * F.col("s")).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            )
+        ).alias("gini"),
+    )

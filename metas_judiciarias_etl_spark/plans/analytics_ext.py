@@ -1909,3 +1909,214 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Delete-one-bucket jackknife: a distributed standard error for a mean.
+# --------------------------------------------------------------------------
+JACK_BUCKETS = 32
+
+
+@query(
+    "jackknife_bucket_ci",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderkey % {JACK_BUCKETS} AS b,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), per_b AS (
+        SELECT b, CAST(sum(cents) AS BIGINT) AS s_b,
+               CAST(count(*) AS BIGINT) AS c_b
+        FROM c GROUP BY b
+    ), g AS (
+        SELECT list_sort(list(struct_pack(b := b, s_b := s_b, c_b := c_b)))
+                   AS lst,
+               CAST(sum(s_b) AS BIGINT) AS s_tot,
+               CAST(sum(c_b) AS BIGINT) AS n_tot
+        FROM per_b
+    ), loo AS (
+        SELECT s_tot, n_tot,
+               list_transform(lst,
+                   x -> CAST(s_tot - x.s_b AS DOUBLE)
+                        / CAST(n_tot - x.c_b AS DOUBLE)) AS loos
+        FROM g
+    ), m AS (
+        SELECT s_tot, n_tot, loos,
+               list_reduce([0.0] || loos, (a, b) -> a + b)
+                   / {JACK_BUCKETS} AS mean_loo
+        FROM loo
+    )
+    SELECT n_tot AS n_orders,
+           CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE) AS mean_cents,
+           sqrt(list_reduce(
+                    [0.0] || list_transform(
+                        loos, x -> (x - mean_loo) * (x - mean_loo)),
+                    (a, b) -> a + b) * 31.0 / 32.0) AS se_cents
+    FROM m
+    """,
+)
+def jackknife_bucket_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket (delete-d) jackknife standard error for mean
+    order value — the distributed answer to "how uncertain is this
+    aggregate?" when bootstrap resampling is too expensive to run over a
+    fact table. Rows are assigned to B=32 deterministic buckets by key
+    arithmetic (no RNG state, reproducible across engines and runs);
+    each leave-one-bucket-out mean is recomputed from the bucket sums
+    alone, so the second stage never touches fact rows.
+
+    Exactness discipline: bucket sums are integer cents; every
+    leave-one-out mean is a single exact-rounded division of exact
+    integers; the two B-length float reductions (mean of the
+    pseudo-values, sum of squared deviations) fold in sorted bucket
+    order with a 0.0 seed — the bounded-group sorted-fold discipline
+    (B=32, never fact-scale). sqrt is IEEE-correctly-rounded on both
+    engines.
+
+    Scale posture: ONE fact-table shuffle (groupBy bucket, map-side
+    partial sums collapse to <=B rows per task); everything after is a
+    32-row single-partition fold. At 100 TB the bucket sums exceed
+    int64 range ~ at 10^18 cents — swap the accumulator to
+    DECIMAL(38,0) (the corr_exact pattern) with no shape change."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_b = (
+        orders.select(
+            (F.col("o_orderkey") % JACK_BUCKETS).alias("b"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("cents").cast("long").alias("s_b"),
+            F.count(F.lit(1)).cast("long").alias("c_b"),
+        )
+    )
+    g = per_b.agg(
+        F.sort_array(F.collect_list(F.struct("b", "s_b", "c_b"))).alias("lst"),
+        F.sum("s_b").cast("long").alias("s_tot"),
+        F.sum("c_b").cast("long").alias("n_tot"),
+    )
+    loo = g.select(
+        "s_tot",
+        "n_tot",
+        F.expr(
+            "transform(lst, x -> CAST(s_tot - x.s_b AS DOUBLE)"
+            " / CAST(n_tot - x.c_b AS DOUBLE))"
+        ).alias("loos"),
+    )
+    m = loo.select(
+        "s_tot",
+        "n_tot",
+        "loos",
+        (
+            F.expr("aggregate(loos, CAST(0.0 AS DOUBLE), (a, b) -> a + b)")
+            / F.lit(float(JACK_BUCKETS))
+        ).alias("mean_loo"),
+    )
+    return m.select(
+        F.col("n_tot").alias("n_orders"),
+        (F.col("s_tot").cast("double") / F.col("n_tot").cast("double")).alias(
+            "mean_cents"
+        ),
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(loos,"
+                " x -> (x - mean_loo) * (x - mean_loo)),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+            * F.lit(31.0)
+            / F.lit(32.0)
+        ).alias("se_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-source BFS hop distance — the frontier-expansion iterative shape.
+# --------------------------------------------------------------------------
+BFS_MAX_HOPS = 3
+BFS_SEED_MOD = 17
+
+
+@query(
+    "graph_bfs_distance",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_PART_EDGES}, dir AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL
+        SELECT v AS src, u AS dst FROM edges
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM dir
+    ), walk(node, d) AS (
+        SELECT node, 0 FROM nodes WHERE node % {BFS_SEED_MOD} = 0
+        UNION
+        SELECT e.dst, w.d + 1
+        FROM walk w JOIN dir e ON e.src = w.node
+        WHERE w.d < {BFS_MAX_HOPS}
+    ), md AS (
+        SELECT node, min(d) AS dist FROM walk GROUP BY node
+    )
+    SELECT CAST(dist AS INTEGER) AS dist,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM md GROUP BY dist
+    UNION ALL
+    SELECT -1 AS dist,
+           CAST((SELECT count(*) FROM nodes)
+                - (SELECT count(*) FROM md) AS BIGINT) AS n_nodes
+    """,
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop-distance histogram over the part co-occurrence
+    graph: distance from the nearest seed (every node with
+    id % 17 == 0 — deterministic, no RNG, no collect) for each
+    reachable node, capped at 3 hops, with an explicit dist=-1 row
+    for the unreached remainder. The "how far is everything from the
+    labeled set" primitive behind semi-supervised label spreading,
+    crawl-frontier accounting, and contamination blast-radius checks.
+
+    Pregel-without-Pregel: the loop only BUILDS the plan (no driver data
+    loop). Each round is one equi-join of the frontier against the
+    directed adjacency plus an anti-join against the visited set; both
+    small sides are vertex-scale, so they ride explicit broadcasts, and
+    each round's visited set persists — round r+1's anti-join and the
+    final histogram both read it, and without the cache the nested
+    broadcast chains recompute combinatorially (the kcore lesson,
+    plans/scale_ext.py). The adjacency coalesces to its own cardinality
+    before the loop so fact-scan parallelism does not leak into
+    vertex-scale iterations. Monotone convergence: the frontier shrinks
+    to empty no later than the graph diameter; the hop cap bounds the
+    unrolled plan depth. At |V| beyond broadcast size, drop the hints —
+    the joins degrade to keyed shuffles with the same semantics."""
+    edges = _part_cooccurrence_edges(spark, sf_dir)
+    dirs = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .coalesce(1)
+        .persist()
+    )
+    nodes = dirs.select(F.col("src").alias("node")).distinct()
+    known = (
+        nodes.filter(F.col("node") % BFS_SEED_MOD == 0)
+        .select("node", F.lit(0).alias("dist"))
+        .persist()
+    )
+    frontier = known
+    for r in range(1, BFS_MAX_HOPS + 1):
+        neigh = (
+            dirs.join(
+                F.broadcast(frontier.select(F.col("node").alias("src"))), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = neigh.join(F.broadcast(known), "node", "left_anti").select(
+            "node", F.lit(r).alias("dist")
+        )
+        known = known.unionAll(new).persist()
+        frontier = new
+    hist = known.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    unreached = (
+        nodes.join(F.broadcast(known.select("node")), "node", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select(F.lit(-1).alias("dist"), "n_nodes")
+    )
+    return hist.unionAll(unreached)

@@ -574,3 +574,100 @@ def hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("estimate_ok"),
     )
     return per.unionAll(allrow)
+
+
+# --------------------------------------------------------------------------
+# Kolmogorov–Smirnov two-sample drift test — exact integer form.
+# --------------------------------------------------------------------------
+@query(
+    "ks_two_sample",
+    oracle="""
+    WITH ref AS (
+        SELECT min(source) AS ref_source FROM documents
+    ), tagged AS (
+        SELECT d.n_chars AS v,
+               CASE WHEN d.source = r.ref_source THEN 1 ELSE 0 END AS g1
+        FROM documents d CROSS JOIN ref r
+    ), per_v AS (
+        SELECT v,
+               CAST(sum(g1) AS BIGINT) AS c1,
+               CAST(sum(1 - g1) AS BIGINT) AS c2
+        FROM tagged GROUP BY v
+    ), cum AS (
+        SELECT v,
+               sum(c1) OVER (ORDER BY v) AS cum1,
+               sum(c2) OVER (ORDER BY v) AS cum2,
+               (SELECT CAST(sum(c1) AS BIGINT) FROM per_v) AS n1,
+               (SELECT CAST(sum(c2) AS BIGINT) FROM per_v) AS n2
+        FROM per_v
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n1,
+           CAST(max(n2) AS BIGINT) AS n2,
+           CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
+           CAST(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS DOUBLE)
+               / (CAST(max(n1) AS DOUBLE) * CAST(max(n2) AS DOUBLE))
+               AS ks_stat
+    FROM cum
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the document-length
+    distribution of the reference source (lexicographically first, so the
+    split is deterministic without configuration) and everything else —
+    the standard distribution-drift gate a training-data pipeline runs
+    when a new crawl lands: "does the new batch's length profile match
+    the corpus?". Complements emb_drift_by_split (embedding-space drift)
+    with a scalar-feature drift test.
+
+    Exactness discipline: D = max|F1(v) - F2(v)| is computed entirely in
+    integers as max|cum1*n2 - cum2*n1| over the merged support; the one
+    final division to the conventional [0,1] statistic is the only float
+    op, so both engines agree bit-for-bit. No sampling, no binning — the
+    exact ECDF supremum.
+
+    Scale posture: the fact-scale work is ONE groupBy on the metric value
+    (map-side partials collapse duplicates); the cumulative window then
+    runs over the DISTINCT metric support, whose cardinality is bounded
+    by the value domain (lengths, scores), not by corpus rows — that is
+    the quantity that must fit a single window partition, and for any
+    bounded feature it does. For a truly continuous unbounded feature,
+    quantize the metric first (the 2^-20 grid used throughout) to bound
+    the support. Reference scalar-guard lineage: SURVEY §2.2 F2/F4."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.agg(F.min("source").alias("ref_source"))
+    tagged = docs.crossJoin(F.broadcast(ref)).select(
+        F.col("n_chars").alias("v"),
+        (F.col("source") == F.col("ref_source")).cast("int").alias("g1"),
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("g1").cast("long").alias("c1"),
+        F.sum(1 - F.col("g1")).cast("long").alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    totals = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    cum = per_v.select(
+        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    ).crossJoin(F.broadcast(totals))
+    return cum.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.max(
+            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+        )
+        .cast("long")
+        .alias("ks_num"),
+        (
+            F.max(
+                F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+            )
+            .cast("long")
+            .cast("double")
+            / (
+                F.max("n1").cast("double")
+                * F.max("n2").cast("double")
+            )
+        ).alias("ks_stat"),
+    )

@@ -1089,3 +1089,74 @@ def dedup_simhash_hamming1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hamming"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall audit: probabilistic candidates measured against the exact
+# prefix-filter truth set — the honest-measurement pattern from sim_recall_*.
+# ---------------------------------------------------------------------------
+def _lsh_recall_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH t AS ({ORACLES['dedup_prefix_filter_jaccard']}),
+    l AS ({ORACLES['dedup_minhash_lsh']}),
+    h AS (
+        SELECT count(*) AS n_hit
+        FROM t WHERE EXISTS (
+            SELECT 1 FROM l WHERE l.a_id = t.a_id AND l.b_id = t.b_id)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_lsh,
+           CAST(h.n_hit AS BIGINT) AS n_hit,
+           CAST(h.n_hit AS DOUBLE)
+               / nullif(CAST((SELECT count(*) FROM t) AS DOUBLE), 0.0)
+               AS recall
+    FROM h
+    """
+
+
+@query("dedup_lsh_recall", oracle=_lsh_recall_oracle())
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the MinHash-LSH near-dup detector against the
+    provably-complete truth set: dedup_prefix_filter_jaccard is
+    recall-LOSSLESS by the prefix-filtering theorem, so every J >= 0.5
+    pair it emits that LSH misses is a real false negative of the
+    banding scheme (9 hashes / 3 bands + the BUCKET_CAP knob). This is
+    the calibration number that justifies the band/row/cap parameters in
+    production — the same honest-measurement pattern as sim_recall_lsh /
+    sim_recall_ivf on the ANN side, applied to dedup. Both sides verify
+    exact Jaccard at the same threshold, so the comparison is purely
+    about candidate generation.
+
+    Plan: both pair sets come from the registered queries (bucketed
+    candidate generation end-to-end, nothing all-pairs); the hit count
+    is ONE left-semi join on the (a_id, b_id) pair key; the three
+    1-row aggregates meet through broadcast crossJoins. Pair tables are
+    near-dup-scale (<< corpus), so this audit is cheap at any SF."""
+    from ..registry import QUERIES
+
+    truth = QUERIES["dedup_prefix_filter_jaccard"](spark, sf_dir).select(
+        "a_id", "b_id"
+    )
+    lsh = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("a_id", "b_id")
+    truth = truth.persist()
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    n_hit = (
+        truth.join(lsh, ["a_id", "b_id"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return (
+        n_hit.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_lsh))
+        .select(
+            "n_truth",
+            "n_lsh",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0))
+            ).alias("recall"),
+        )
+    )

@@ -1000,3 +1000,107 @@ def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_novel") / F.sum("n_shingles").cast("double")
         ).alias("novelty_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Collocation mining: top bigrams by PMI-lift over the corpus.
+# --------------------------------------------------------------------------
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+@query(
+    "text_collocation_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT {_SQL_TOKS} AS ts FROM documents
+    ), bg AS (
+        SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                                     __i -> struct_pack(w1 := ts[__i],
+                                                        w2 := ts[__i + 1]))) AS b
+        FROM toks
+        WHERE len(ts) >= 2
+    ), pairs AS (
+        SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS n_pair
+        FROM bg GROUP BY 1, 2
+    ), lhs AS (
+        SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_left FROM pairs GROUP BY w1
+    ), rhs AS (
+        SELECT w2, CAST(sum(n_pair) AS BIGINT) AS n_right FROM pairs GROUP BY w2
+    ), tot AS (
+        SELECT CAST(sum(n_pair) AS BIGINT) AS n_total FROM pairs
+    ), scored AS (
+        SELECT p.w1, p.w2,
+               CAST(p.n_pair AS BIGINT) AS n_pair,
+               l.n_left, r.n_right,
+               CAST(p.n_pair AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+                   / CAST(l.n_left AS DOUBLE) / CAST(r.n_right AS DOUBLE)
+                   AS lift
+        FROM pairs p
+        JOIN lhs l USING (w1)
+        JOIN rhs r USING (w2)
+        CROSS JOIN tot t
+        WHERE p.n_pair >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, n_pair, n_left, n_right, lift
+    FROM scored
+    ORDER BY lift DESC, w1, w2
+    LIMIT {PMI_TOPK}
+    """,
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations: bigrams whose observed frequency most exceeds the
+    independence expectation, ranked by lift
+    n(w1,w2) * N / (n(w1,·) * n(·,w2)) — the exp(PMI) score. Lift is a
+    monotone transform of PMI, so ranking by the exact rational avoids
+    ln() entirely: counts are exact integers and the score is three
+    IEEE-correctly-rounded ops applied in pinned order, bit-identical
+    across engines (the log-free discipline; contrast
+    text_perplexity_bigram's sorted-fold-plus-round treatment where ln
+    is unavoidable). The min-count floor keeps hapax pairs (whose lift
+    is degenerate ~N/n) out of the head — the standard collocation
+    guard.
+
+    Plan: ONE bigram explode feeds the pair counts; both marginals and
+    the total derive from the vocabulary-sized pair table, never from a
+    second corpus pass. Marginal joins key on single tokens where Zipf
+    skew is absorbed by map-side partials; the 1-row total is a
+    broadcast crossJoin; top-k is a total order (lift desc, then the
+    pair) -> TakeOrderedAndProject, never a full sort at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    docs_t = docs.select(toks.alias("ts")).filter(F.size("ts") >= 2)
+    n = F.size("ts")
+    zipped = F.arrays_zip(
+        F.slice("ts", 1, n - 1).alias("w1"), F.slice("ts", 2, n - 1).alias("w2")
+    )
+    bg = docs_t.select(F.explode(zipped).alias("b")).select(
+        F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    pairs = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    pairs = pairs.persist()
+    lhs = pairs.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("n_left"))
+    rhs = pairs.groupBy("w2").agg(F.sum("n_pair").cast("long").alias("n_right"))
+    tot = pairs.agg(F.sum("n_pair").cast("long").alias("n_total"))
+    scored = (
+        pairs.filter(F.col("n_pair") >= PMI_MIN_COUNT)
+        .join(lhs, "w1")
+        .join(rhs, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            "n_left",
+            "n_right",
+            (
+                F.col("n_pair").cast("double")
+                * F.col("n_total").cast("double")
+                / F.col("n_left").cast("double")
+                / F.col("n_right").cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), "w1", "w2"
+    ).limit(PMI_TOPK)

@@ -808,3 +808,65 @@ def test_hits_normalizers_broadcast(spark, sf):
     # are keyed joins + integer-sum aggregations, nothing cartesian
     assert plan.count("BroadcastExchange") >= _HITS_PLAN_MIN_BCAST
     assert "CartesianProduct" not in plan
+
+
+def test_gini_ranks_within_nation_single_fact_shuffle(spark, sf):
+    df = registry.QUERIES["gini_concentration"](spark, sf)
+    plan = _plan(df)
+    # orders aggregate per customer, join customer on the same key, rank
+    # inside nation partitions; the nation name lookup broadcasts; no
+    # cartesian anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_windows_over_distinct_support_only(spark, sf):
+    df = registry.QUERIES["ks_two_sample"](spark, sf)
+    plan = _plan(df)
+    # the reference-source scalar and the totals row ride broadcast
+    # nested loops (1-row sides; the per-value branch repeats in the
+    # totals subtree, so 3 appear); the corpus is touched only by
+    # metric-keyed hash aggregations before the window
+    assert plan.count("BroadcastNestedLoopJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_jackknife_second_stage_is_bucket_scale(spark, sf):
+    df = registry.QUERIES["jackknife_bucket_ci"](spark, sf)
+    plan = _plan(df)
+    # one fact shuffle into 32 bucket partials with map-side combine;
+    # the fold stage is a single-partition 32-row aggregate — no joins
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bfs_frontier_joins_broadcast(spark, sf):
+    df = registry.QUERIES["graph_bfs_distance"](spark, sf)
+    plan = _plan(df)
+    # every frontier expansion and visited anti-join rides a vertex-scale
+    # broadcast; nothing cartesian, no sort-merge join in the loop
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_collocation_topk_never_global_sorts(spark, sf):
+    df = registry.QUERIES["text_collocation_pmi"](spark, sf)
+    plan = _plan(df)
+    # top-k by lift is TakeOrderedAndProject over the scored
+    # vocabulary-sized table — a full Sort+Exchange would be the 100 TB
+    # regression; the 1-row total joins by broadcast
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_recall_hit_count_is_pair_keyed(spark, sf):
+    df = registry.QUERIES["dedup_lsh_recall"](spark, sf)
+    plan = _plan(df)
+    # the truth-vs-candidate intersection is a semi join on the pair key;
+    # the only nested loops are the two 1-row count crossJoins
+    assert "LeftSemi" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "CartesianProduct" not in plan

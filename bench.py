@@ -191,6 +191,14 @@ HEADLINE = [
     "zorder_skipping_effectiveness",
     "mor_positional_delete_apply",
     "emb_drift_by_split",
+    "autocorr_lags",
+    "cusum_changepoint",
+    "gini_concentration",
+    "ks_two_sample",
+    "jackknife_bucket_ci",
+    "graph_bfs_distance",
+    "text_collocation_pmi",
+    "dedup_lsh_recall",
 ]
 
 

@@ -1850,3 +1850,96 @@ def emb_drift_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_b").cast("long").alias("n_odd"),
         F.round(F.sqrt(F.expr(fold)), 6).alias("drift_l2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 symmetric quantization audit — the vector-storage compression step.
+# ---------------------------------------------------------------------------
+@query(
+    "emb_int8_quantize",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, label, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM e
+    ), err AS (
+        SELECT vec_id, label, scale,
+               CAST(len(v) AS INTEGER) AS n_dims,
+               CASE WHEN scale = 0.0
+                    THEN list_transform(v, x -> 0.0)
+                    ELSE list_transform(v, x ->
+                        abs(x - greatest(-127.0, least(127.0,
+                                floor(x / scale + 0.5))) * scale))
+               END AS errs
+        FROM s
+    )
+    SELECT vec_id, label, n_dims, scale,
+           list_max(errs) AS max_abs_err,
+           list_reduce([0.0] || errs, (a, b) -> a + b) AS l1_err
+    FROM err
+    """,
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization audit: scale = max|x|/127,
+    code = clamp(round(x/scale), ±127), reported as the reconstruction
+    error per vector (max and L1) — the measurement that decides whether a
+    4× smaller vector store (the standard ANN-at-scale compression,
+    coarser than PQ's codebooks but transparent to distance math) is
+    safe for a given corpus. Rounding is floor(x/scale + 0.5), not
+    round(): floor is an exact IEEE op with identical semantics on both
+    engines, where round() ties differ (HALF_UP vs banker's) — the
+    same trap c2_bround_bankers documents.
+
+    Exactness: abs/floor/min/max and the final multiply-subtract are all
+    exact-rounded IEEE ops in pinned order; the L1 fold runs in array
+    index order (deterministic, DIM-bounded — never a fact-scale
+    collect). Zero vectors short-circuit to zero error instead of
+    NaN-ing through the division.
+
+    Plan: map-only — zero shuffles, zero joins; every expression is
+    JVM-side array code inside one projection over the scan. The
+    per-vector output keys downstream rollups; at 100 TB this is the
+    embarrassingly-parallel shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    s = e.select(
+        "vec_id",
+        "label",
+        "v",
+        (F.array_max(F.transform("v", F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    err = s.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.size("v").alias("n_dims"),
+        F.when(
+            F.col("scale") == 0.0, F.transform("v", lambda x: F.lit(0.0))
+        )
+        .otherwise(
+            F.expr(
+                "transform(v, x -> abs(x - greatest(CAST(-127.0 AS DOUBLE),"
+                " least(CAST(127.0 AS DOUBLE),"
+                " floor(x / scale + 0.5))) * scale))"
+            )
+        )
+        .alias("errs"),
+    )
+    return err.select(
+        "vec_id",
+        "label",
+        "n_dims",
+        "scale",
+        F.array_max("errs").alias("max_abs_err"),
+        F.expr(
+            "aggregate(errs, CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("l1_err"),
+    )

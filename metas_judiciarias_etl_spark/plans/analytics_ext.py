@@ -2120,3 +2120,114 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(-1).alias("dist"), "n_nodes")
     )
     return hist.unionAll(unreached)
+
+
+# --------------------------------------------------------------------------
+# Modularity audit of the label-propagation communities.
+# --------------------------------------------------------------------------
+def _modularity_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH lab AS ({ORACLES['graph_label_propagation']}),
+    {_SQL_PART_EDGES},
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges
+    ), intra AS (
+        SELECT la.label AS community,
+               CAST(count(*) AS BIGINT) AS intra_edges
+        FROM edges e
+        JOIN lab la ON la.node = e.u
+        JOIN lab lb ON lb.node = e.v
+        WHERE la.label = lb.label
+        GROUP BY la.label
+    ), deg AS (
+        SELECT l.label AS community,
+               CAST(count(*) AS BIGINT) AS degree_sum,
+               CAST(count(DISTINCT d.node) AS BIGINT) AS n_nodes
+        FROM (
+            SELECT u AS node FROM edges
+            UNION ALL
+            SELECT v AS node FROM edges
+        ) d JOIN lab l ON l.node = d.node
+        GROUP BY l.label
+    )
+    SELECT d.community,
+           d.n_nodes,
+           d.degree_sum,
+           CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+           CAST(4 * m.n_edges * coalesce(i.intra_edges, 0)
+                - d.degree_sum * d.degree_sum AS DOUBLE)
+               / CAST(4 * m.n_edges * m.n_edges AS DOUBLE) AS q_term
+    FROM deg d
+    LEFT JOIN intra i ON i.community = d.community
+    CROSS JOIN m
+    """
+
+
+@query("graph_modularity", oracle=_modularity_oracle())
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity terms for the communities graph_label_propagation
+    found — the quality audit that tells you whether the partition is
+    real structure or noise (Q = Σ q_term; q_term = e_c/m − (d_c/2m)²,
+    positive when a community holds more internal edges than a random
+    degree-preserving rewiring would). Composes the REGISTERED community
+    query, so the audit always measures the labels the engine actually
+    ships — the same composition pattern as dedup_cluster_keeper_quality.
+
+    Exactness: per-community terms are computed from exact integer edge
+    counts and degree sums via the single pinned division
+    (4·m·e_c − d_c²)/(4·m²); emitting per-community rows (not the global
+    Q) keeps every aggregation integer — summing the float terms across
+    an unbounded community set would be partition-order-dependent, so
+    that last reduction is left to the (bounded, sorted) consumer.
+
+    Plan: labels are vertex-scale → both endpoint joins ride broadcasts;
+    the 1-row edge total is a broadcast crossJoin; intra/degree counts
+    key on the community id. Integer overflow bound: 4·m·e_c < 2^63
+    until m ~ 1.5e9 edges — past that, swap the numerator to
+    DECIMAL(38,0) (corr_exact pattern), same shape."""
+    edges = _part_cooccurrence_edges(spark, sf_dir).persist()
+    from ..registry import QUERIES
+
+    lab = QUERIES["graph_label_propagation"](spark, sf_dir).persist()
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    la = lab.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    lb = lab.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+    intra = (
+        edges.join(F.broadcast(la), "u")
+        .join(F.broadcast(lb), "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    ends = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = (
+        ends.join(F.broadcast(lab), "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("degree_sum"),
+            F.countDistinct("node").cast("long").alias("n_nodes"),
+        )
+    )
+    return (
+        deg.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            "degree_sum",
+            F.coalesce(F.col("intra_edges"), F.lit(0))
+            .cast("long")
+            .alias("intra_edges"),
+            (
+                (
+                    4 * F.col("n_edges") * F.coalesce("intra_edges", F.lit(0))
+                    - F.col("degree_sum") * F.col("degree_sum")
+                ).cast("double")
+                / (4 * F.col("n_edges") * F.col("n_edges")).cast("double")
+            ).alias("q_term"),
+        )
+    )

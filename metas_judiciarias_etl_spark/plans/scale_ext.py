@@ -1334,3 +1334,99 @@ def mor_positional_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "surviving_cents"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Copy-on-write amplification: the cost model that justifies MoR deletes.
+# --------------------------------------------------------------------------
+def _cow_oracle() -> str:
+    from ..functions.hashing import sql_hash48
+
+    h = sql_hash48(
+        "CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)"
+    )
+    return f"""
+    WITH tagged AS (
+        SELECT l_orderkey // {_MOR_FILE_ROWS} AS file_id,
+               {h} % 100 AS hmod
+        FROM lineitem
+    ), per_f AS (
+        SELECT file_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE hmod < {_MOR_DELETE_PCT})
+                    AS BIGINT) AS n_del
+        FROM tagged GROUP BY file_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_files,
+           CAST(count(*) FILTER (WHERE n_del > 0) AS BIGINT)
+               AS n_files_touched,
+           CAST(sum(n_rows) AS BIGINT) AS rows_total,
+           CAST(sum(n_del) AS BIGINT) AS rows_deleted,
+           CAST(coalesce(sum(n_rows) FILTER (WHERE n_del > 0), 0)
+                AS BIGINT) AS rows_rewritten,
+           CAST(CAST(coalesce(sum(n_rows) FILTER (WHERE n_del > 0), 0)
+                     AS BIGINT) AS DOUBLE)
+               / nullif(CAST(CAST(sum(n_del) AS BIGINT) AS DOUBLE), 0.0)
+               AS write_amplification
+    FROM per_f
+    """
+
+
+@query("cow_write_amplification", oracle=_cow_oracle())
+def cow_write_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write delete cost audit — the other half of the
+    mor_positional_delete_apply comparison, over the SAME file model
+    (l_orderkey-range files) and the SAME deterministic ~2% hash-sampled
+    delete set: under CoW every file containing >= 1 matching row is
+    rewritten whole, so the interesting number is write amplification =
+    rows rewritten / rows logically deleted. With uniform ~2% deletes
+    nearly every 4096-row file is touched — the measurement that makes a
+    table switch to MoR deletion vectors; with clustered deletes (the
+    zorder_bucket layout) amplification collapses, which is why layout
+    and delete strategy are one decision at 100 TB.
+
+    Plan: one fact-table aggregation keyed by file_id (map-side partials;
+    the delete predicate is evaluated inside the scan pass — no join, no
+    second scan), then a single-row rollup over the file-count-sized
+    table. Exact integer accounting end-to-end; the one division is the
+    final amplification ratio."""
+    from ..functions.hashing import hash48
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tagged = li.select(
+        F.expr(f"l_orderkey div {_MOR_FILE_ROWS}").alias("file_id"),
+        (
+            hash48(
+                F.concat_ws(
+                    "#",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+            % 100
+        ).alias("hmod"),
+    )
+    per_f = tagged.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("hmod") < _MOR_DELETE_PCT).cast("int"))
+        .cast("long")
+        .alias("n_del"),
+    )
+    touched = F.col("n_del") > 0
+    return per_f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(touched.cast("int")).cast("long").alias("n_files_touched"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.sum("n_del").cast("long").alias("rows_deleted"),
+        F.coalesce(
+            F.sum(F.when(touched, F.col("n_rows"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("rows_rewritten"),
+        (
+            F.coalesce(F.sum(F.when(touched, F.col("n_rows"))), F.lit(0))
+            .cast("long")
+            .cast("double")
+            / F.nullif(F.sum("n_del").cast("long").cast("double"), F.lit(0.0))
+        ).alias("write_amplification"),
+    )

@@ -199,6 +199,9 @@ HEADLINE = [
     "graph_bfs_distance",
     "text_collocation_pmi",
     "dedup_lsh_recall",
+    "cow_write_amplification",
+    "graph_modularity",
+    "emb_int8_quantize",
 ]
 
 

@@ -1140,7 +1140,15 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_id", "b_id"
     )
     lsh = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("a_id", "b_id")
+    # both pair tables feed two consumers each (their count and the hit
+    # join) — eager-materialized caches pin one compute per pipeline
+    # (sf0.1 wall-clock is recompute-neutral thanks to exchange reuse,
+    # but a reused exchange still re-reads shuffle files; the cache is
+    # the contract, not an optimization bet)
     truth = truth.persist()
+    truth.count()
+    lsh = lsh.persist()
+    lsh.count()
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     n_lsh = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
     n_hit = (

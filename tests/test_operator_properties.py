@@ -1742,3 +1742,272 @@ def test_emb_drift_matches_numpy_halves(spark, sf_small):
     for k in got:
         assert got[k][0] == expected[k][0] and got[k][1] == expected[k][1]
         assert abs(got[k][2] - expected[k][2]) < 1e-6
+
+
+def _load_pdf(sf_small, table):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_small}/{table}.parquet").to_pandas()
+
+
+def test_ks_two_sample_matches_numpy_ecdf(spark, sf_small):
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    ref = docs["source"].min()
+    x = np.sort(docs.loc[docs["source"] == ref, "n_chars"].to_numpy())
+    y = np.sort(docs.loc[docs["source"] != ref, "n_chars"].to_numpy())
+    support = np.unique(np.concatenate([x, y]))
+    f1 = np.searchsorted(x, support, side="right") / len(x)
+    f2 = np.searchsorted(y, support, side="right") / len(y)
+    expected = float(np.max(np.abs(f1 - f2)))
+    row = registry.QUERIES["ks_two_sample"](spark, sf_small).collect()[0]
+    assert row["n1"] == len(x) and row["n2"] == len(y)
+    assert abs(row["ks_stat"] - expected) < 1e-12
+    assert 0.0 <= row["ks_stat"] <= 1.0
+
+
+def test_gini_matches_numpy_rank_form(spark, sf_small):
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    cust = _load_pdf(sf_small, "customer")
+    orders = _load_pdf(sf_small, "orders")
+    nation = _load_pdf(sf_small, "nation").set_index("n_nationkey")["n_name"]
+    cents = (
+        orders.assign(c=(orders["o_totalprice"] * 100).round().astype("int64"))
+        .groupby("o_custkey")["c"]
+        .sum()
+    )
+    cust = cust.assign(cents=cust["c_custkey"].map(cents).fillna(0).astype("int64"))
+    got = {
+        r["n_name"]: r
+        for r in registry.QUERIES["gini_concentration"](spark, sf_small).collect()
+    }
+    for nk, grp in cust.groupby("c_nationkey"):
+        v = np.sort(grp["cents"].to_numpy())
+        n, s = len(v), int(v.sum())
+        rs = int((np.arange(1, n + 1, dtype=np.int64) * v).sum())
+        expected = (2 * rs - (n + 1) * s) / (n * s) if s else None
+        row = got[nation[nk]]
+        assert row["n_customers"] == n and row["total_cents"] == s
+        if expected is None:
+            assert row["gini"] is None
+        else:
+            assert abs(row["gini"] - expected) < 1e-12
+            assert 0.0 <= row["gini"] < 1.0
+
+
+def test_jackknife_matches_numpy_replay(spark, sf_small):
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.analytics_ext import JACK_BUCKETS
+
+    registry.load_all()
+    orders = _load_pdf(sf_small, "orders")
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    b = (orders["o_orderkey"] % JACK_BUCKETS).to_numpy()
+    s_tot, n_tot = int(cents.sum()), len(cents)
+    loos = []
+    for bucket in sorted(set(b)):
+        mask = b == bucket
+        loos.append((s_tot - int(cents[mask].sum())) / (n_tot - int(mask.sum())))
+    mean_loo = sum(loos) / JACK_BUCKETS
+    se = (sum((x - mean_loo) ** 2 for x in loos) * 31.0 / 32.0) ** 0.5
+    row = registry.QUERIES["jackknife_bucket_ci"](spark, sf_small).collect()[0]
+    assert row["n_orders"] == n_tot
+    assert abs(row["mean_cents"] - s_tot / n_tot) < 1e-9
+    assert row["se_cents"] >= 0.0
+    assert abs(row["se_cents"] - se) < max(1e-9, 1e-9 * se)
+
+
+def _python_edges(sf_small, cap):
+    li = _load_pdf(sf_small, "lineitem")
+    li = li[li["l_partkey"] <= cap]
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        ps = sorted(set(grp["l_partkey"]))
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                edges.add((int(u), int(v)))
+    return edges
+
+
+def test_bfs_matches_python_frontier_replay(spark, sf_small):
+    from collections import deque
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.analytics_ext import (
+        _PART_EDGE_CAP,
+        BFS_MAX_HOPS,
+        BFS_SEED_MOD,
+    )
+
+    registry.load_all()
+    edges = _python_edges(sf_small, _PART_EDGE_CAP)
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    dist = {n: 0 for n in adj if n % BFS_SEED_MOD == 0}
+    q = deque(dist)
+    while q:
+        n = q.popleft()
+        if dist[n] >= BFS_MAX_HOPS:
+            continue
+        for nb in adj[n]:
+            if nb not in dist:
+                dist[nb] = dist[n] + 1
+                q.append(nb)
+    expected = {}
+    for d in dist.values():
+        expected[d] = expected.get(d, 0) + 1
+    expected[-1] = len(adj) - len(dist)
+    got = {
+        r["dist"]: r["n_nodes"]
+        for r in registry.QUERIES["graph_bfs_distance"](spark, sf_small).collect()
+    }
+    assert got == expected
+    assert sum(got.values()) == len(adj)
+
+
+def test_collocation_lift_matches_python(spark, sf_small):
+    from collections import Counter
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.textstats import (
+        PMI_MIN_COUNT,
+        PMI_TOPK,
+    )
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    pairs, left, right = Counter(), Counter(), Counter()
+    total = 0
+    for text in docs["text"]:
+        ts = text.strip().split()
+        for w1, w2 in zip(ts, ts[1:]):
+            pairs[(w1, w2)] += 1
+            left[w1] += 1
+            right[w2] += 1
+            total += 1
+    scored = [
+        (c * total / left[w1] / right[w2], w1, w2, c)
+        for (w1, w2), c in pairs.items()
+        if c >= PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expected = [(w1, w2, c) for _, w1, w2, c in scored[:PMI_TOPK]]
+    rows = registry.QUERIES["text_collocation_pmi"](spark, sf_small).collect()
+    got = [(r["w1"], r["w2"], r["n_pair"]) for r in rows]
+    assert got == expected
+    for r, (lift, _, _, _) in zip(rows, scored[:PMI_TOPK]):
+        assert abs(r["lift"] - lift) < 1e-9 * max(1.0, lift)
+
+
+def test_lsh_candidates_are_subset_of_lossless_truth(spark, sf_small):
+    """dedup_prefix_filter_jaccard is recall-lossless, so every verified
+    LSH pair must appear in the truth set: n_hit == n_lsh, always."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    row = registry.QUERIES["dedup_lsh_recall"](spark, sf_small).collect()[0]
+    assert row["n_hit"] == row["n_lsh"]
+    assert row["n_hit"] <= row["n_truth"]
+    if row["n_truth"] > 0:
+        assert 0.0 <= row["recall"] <= 1.0
+
+
+def test_int8_quantize_error_bounded_by_half_step(spark, sf_small):
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    emb = _load_pdf(sf_small, "embeddings")
+    rows = registry.QUERIES["emb_int8_quantize"](spark, sf_small).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    assert set(by_id) == set(emb["vec_id"])
+    for _, rec in emb.iterrows():
+        v = np.asarray(rec["embedding"], dtype=np.float32).astype(np.float64)
+        r = by_id[rec["vec_id"]]
+        scale = float(np.max(np.abs(v))) / 127.0
+        assert abs(r["scale"] - scale) < 1e-15 * max(1.0, scale)
+        if scale > 0:
+            q = np.clip(np.floor(v / scale + 0.5), -127, 127)
+            errs = np.abs(v - q * scale)
+            assert abs(r["max_abs_err"] - float(errs.max())) < 1e-12
+            # half-step bound: quantization never errs more than scale/2
+            assert r["max_abs_err"] <= scale / 2 + 1e-12
+        else:
+            assert r["max_abs_err"] == 0.0 and r["l1_err"] == 0.0
+
+
+def test_cow_amplification_matches_python_replay(spark, sf_small):
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.functions.hashing import HASH_HEX_LEN
+    from metas_judiciarias_etl_spark.plans.scale_ext import (
+        _MOR_DELETE_PCT,
+        _MOR_FILE_ROWS,
+    )
+    import hashlib
+
+    registry.load_all()
+    li = _load_pdf(sf_small, "lineitem")
+    per_file = {}
+    for ok, ln in zip(li["l_orderkey"], li["l_linenumber"]):
+        fid = int(ok) // _MOR_FILE_ROWS
+        h = int(
+            hashlib.md5(f"{ok}#{ln}".encode()).hexdigest()[:HASH_HEX_LEN], 16
+        )
+        n, d = per_file.get(fid, (0, 0))
+        per_file[fid] = (n + 1, d + (1 if h % 100 < _MOR_DELETE_PCT else 0))
+    touched = {f: (n, d) for f, (n, d) in per_file.items() if d > 0}
+    row = registry.QUERIES["cow_write_amplification"](spark, sf_small).collect()[0]
+    assert row["n_files"] == len(per_file)
+    assert row["n_files_touched"] == len(touched)
+    assert row["rows_deleted"] == sum(d for _, d in per_file.values())
+    assert row["rows_rewritten"] == sum(n for n, _ in touched.values())
+    assert row["rows_rewritten"] >= row["rows_deleted"]
+
+
+def test_modularity_terms_match_python_from_registered_labels(spark, sf_small):
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.analytics_ext import _PART_EDGE_CAP
+
+    registry.load_all()
+    edges = _python_edges(sf_small, _PART_EDGE_CAP)
+    labels = {
+        r["node"]: r["label"]
+        for r in registry.QUERIES["graph_label_propagation"](
+            spark, sf_small
+        ).collect()
+    }
+    m = len(edges)
+    intra, deg, nodes = {}, {}, {}
+    for u, v in edges:
+        lu, lv = labels[u], labels[v]
+        if lu == lv:
+            intra[lu] = intra.get(lu, 0) + 1
+        for n, l in ((u, lu), (v, lv)):
+            deg[l] = deg.get(l, 0) + 1
+            nodes.setdefault(l, set()).add(n)
+    rows = registry.QUERIES["graph_modularity"](spark, sf_small).collect()
+    got = {r["community"]: r for r in rows}
+    assert set(got) == set(deg)
+    q_total = 0.0
+    for c in deg:
+        r = got[c]
+        assert r["degree_sum"] == deg[c]
+        assert r["n_nodes"] == len(nodes[c])
+        assert r["intra_edges"] == intra.get(c, 0)
+        expected = (4 * m * intra.get(c, 0) - deg[c] ** 2) / (4 * m * m)
+        assert abs(r["q_term"] - expected) < 1e-12
+        q_total += r["q_term"]
+    assert q_total <= 1.0 + 1e-9

@@ -202,6 +202,9 @@ HEADLINE = [
     "cow_write_amplification",
     "graph_modularity",
     "emb_int8_quantize",
+    "events_user_burstiness",
+    "quality_dup_pointbiserial",
+    "text_zipf_slope",
 ]
 
 

@@ -1168,3 +1168,92 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Are duplicates lower-quality? Point-biserial correlation between the
+# quality score and near-dup cluster membership.
+# ---------------------------------------------------------------------------
+def _quality_dup_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH q AS ({ORACLES['text_quality']}),
+    cl AS ({ORACLES['dedup_clusters']}),
+    j AS (
+        SELECT CAST(round(q.quality * 1000000) AS BIGINT) AS x,
+               CASE WHEN cl.doc_id IS NULL THEN 0 ELSE 1 END AS y
+        FROM q LEFT JOIN cl ON cl.doc_id = q.doc_id
+        WHERE q.quality IS NOT NULL
+    ), m AS (
+        SELECT count(*) AS n,
+               -- DECIMAL intermediates: DuckDB's HUGEINT->DOUBLE cast is
+               -- 1-ulp sloppy, DECIMAL->DOUBLE is not (corr_exact pattern)
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxy
+        FROM j
+    )
+    SELECT n AS n_docs,
+           CAST(sy AS BIGINT) AS n_dup,
+           (n * sxy - sx * sy)
+               / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * sy - sy * sy),
+                        0.0) AS pointbiserial
+    FROM m
+    """
+
+
+@query("quality_dup_pointbiserial", oracle=_quality_dup_oracle())
+def quality_dup_pointbiserial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-biserial correlation between the composite quality score and
+    near-duplicate cluster membership — the question every dedup policy
+    decision rests on: "are the documents we're about to drop actually
+    worse?". A strongly negative value validates drop-the-dup; near zero
+    says keeper selection must look at quality explicitly (which is what
+    dedup_cluster_keeper_quality then does). Composes the two REGISTERED
+    queries, so the audit moves when either definition moves.
+
+    Exactness: quality is already 6-dp-rounded, so x = round(q·10⁶) is
+    an unambiguous integer on both engines (the value sits within ~1e-9
+    of an integer — no tie to disagree on); y ∈ {0,1}; all five moments
+    are exact integer sums (y² = y), and the Pearson assembly follows
+    corr_exact's pinned cast-then-arithmetic order. The degenerate
+    all-dup / no-dup corpus nulls out via nullif instead of Inf.
+
+    Plan: quality is map-only; the membership flag is ONE doc_id-keyed
+    left join against the (near-dup-scale) cluster table; the moment
+    rollup is a single partial-aggregatable pass. The CC iteration
+    inside dedup_clusters dominates — this audit adds a join and an
+    aggregate."""
+    from ..registry import QUERIES
+
+    q = QUERIES["text_quality"](spark, sf_dir).filter(
+        F.col("quality").isNotNull()
+    )
+    cl = QUERIES["dedup_clusters"](spark, sf_dir).select("doc_id").withColumn(
+        "is_dup", F.lit(1)
+    )
+    j = q.join(cl, "doc_id", "left").select(
+        F.expr("CAST(round(quality * 1000000) AS BIGINT)").alias("x"),
+        F.coalesce(F.col("is_dup"), F.lit(0)).alias("y"),
+    )
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast("long") * F.col("x")).cast("double").alias("sxy"),
+    )
+    return m.select(
+        F.col("n").alias("n_docs"),
+        F.col("sy").cast("long").alias("n_dup"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("sy") - F.col("sy") * F.col("sy")),
+                F.lit(0.0),
+            )
+        ).alias("pointbiserial"),
+    )

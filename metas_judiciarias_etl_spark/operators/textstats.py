@@ -1104,3 +1104,110 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("lift").desc(), "w1", "w2"
     ).limit(PMI_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Zipf exponent of the token frequency spectrum — log-log OLS fit.
+# --------------------------------------------------------------------------
+ZIPF_V = 500
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tk AS (
+        SELECT unnest({_SQL_TOKS}) AS token FROM documents
+    ), c AS (
+        SELECT token, count(*) AS cnt FROM tk GROUP BY token
+    ), top AS (
+        SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT {ZIPF_V}
+    ), r AS (
+        SELECT CAST(cnt AS BIGINT) AS cnt,
+               row_number() OVER (ORDER BY cnt DESC, token) AS rank
+        FROM top
+    ), l AS (
+        SELECT CAST(count(*) AS BIGINT) AS v,
+               list_sort(list(struct_pack(rank := rank, cnt := cnt))) AS lst
+        FROM r
+    ), f AS (
+        SELECT v,
+               list_reduce([0.0] || list_transform(lst,
+                   s -> ln(CAST(s.rank AS DOUBLE))), (a, b) -> a + b) AS sx,
+               list_reduce([0.0] || list_transform(lst,
+                   s -> ln(CAST(s.cnt AS DOUBLE))), (a, b) -> a + b) AS sy,
+               list_reduce([0.0] || list_transform(lst,
+                   s -> ln(CAST(s.rank AS DOUBLE))
+                        * ln(CAST(s.cnt AS DOUBLE))), (a, b) -> a + b) AS sxy,
+               list_reduce([0.0] || list_transform(lst,
+                   s -> ln(CAST(s.rank AS DOUBLE))
+                        * ln(CAST(s.rank AS DOUBLE))), (a, b) -> a + b) AS sxx
+        FROM l
+    )
+    SELECT v AS n_tokens,
+           round((v * sxy - sx * sy) / (v * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - (v * sxy - sx * sy) / (v * sxx - sx * sx) * sx) / v, 6)
+               AS log_intercept
+    FROM f
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: OLS slope of ln(frequency) on
+    ln(rank) over the top 500 tokens — natural text sits near −1, and a
+    corpus that drifts (boilerplate spam flattens the head, templated
+    text steepens it) fails the mix gate before any model sees it. The
+    companion number to token_df_spectrum (document frequency) on the
+    collection-frequency axis.
+
+    Determinism: ln() can differ at ULP level between engines, so all
+    four OLS moments fold in sorted (rank, cnt) struct order with a 0.0
+    seed and the outputs round to 6 dp — the entropy_fold discipline;
+    the fold is bounded at V rows, never vocabulary- or corpus-scale.
+    Rank ties cannot diverge: ordering is (cnt desc, token), a total
+    order.
+
+    Plan: one token explode → one vocabulary-keyed count (Zipf head
+    collapses map-side), then top-V via TakeOrderedAndProject — the
+    only sort in the plan runs over V rows, and the window that assigns
+    ranks runs single-partition over those same V rows (bounded by
+    construction). At 100 TB the explode+count dominates; everything
+    after is constant-size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    counts = tk.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), "token").limit(ZIPF_V)
+    w = Window.orderBy(F.desc("cnt"), "token")
+    ranked = top.select(
+        F.col("cnt").cast("long").alias("cnt"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+    g = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sort_array(F.collect_list(F.struct("rank", "cnt"))).alias("lst"),
+    )
+    def _fold(term: str) -> Column:
+        return F.expr(
+            f"aggregate(transform(lst, s -> {term}),"
+            " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        )
+
+    f = g.select(
+        "v",
+        _fold("ln(CAST(s.rank AS DOUBLE))").alias("sx"),
+        _fold("ln(CAST(s.cnt AS DOUBLE))").alias("sy"),
+        _fold(
+            "ln(CAST(s.rank AS DOUBLE)) * ln(CAST(s.cnt AS DOUBLE))"
+        ).alias("sxy"),
+        _fold(
+            "ln(CAST(s.rank AS DOUBLE)) * ln(CAST(s.rank AS DOUBLE))"
+        ).alias("sxx"),
+    )
+    slope = (F.col("v") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("v") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return f.select(
+        F.col("v").alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("v"), 6).alias(
+            "log_intercept"
+        ),
+    )

@@ -1136,3 +1136,65 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_path_views"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Burstiness (Fano factor) of per-user event counts — exact rational form.
+# --------------------------------------------------------------------------
+@query(
+    "events_user_burstiness",
+    oracle="""
+    WITH per_user AS (
+        SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, user_id
+    ), m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(c * c) AS BIGINT) AS q
+        FROM per_user GROUP BY event_type
+    )
+    SELECT event_type, n_users, s AS n_events,
+           CAST(n_users * q - s * s AS DOUBLE)
+               / CAST(n_users * s AS DOUBLE) AS fano
+    FROM m
+    """,
+)
+def events_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of per-user event counts, per
+    event type — the burstiness diagnostic that separates Poisson-like
+    traffic (fano ≈ 1) from bursty power-user skew (fano ≫ 1) and
+    near-uniform quota traffic (fano < 1). The same number decides
+    whether a per-user key is shuffle-safe or needs salting: fano IS a
+    skew measurement on the grouping key, the quantitative backing for
+    key_skew_hhi.
+
+    Exactness: population variance/mean collapses to the single rational
+    (n·Σc² − S²)/(n·S) — integer moments (the corr_exact discipline),
+    one pinned IEEE division, bit-identical across engines. Overflow
+    bound: n·Σc² stays under 2^63 until ~10^9 users × 10^4 events each;
+    past that swap the moment accumulators to DECIMAL(38,0).
+
+    Plan: two hash aggregations — fact rows → (type, user) partials →
+    type-level moments; both combine map-side, and the second runs over
+    user-cardinality rows, not events. Zero joins, zero windows."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    m = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+    )
+    return m.select(
+        "event_type",
+        "n_users",
+        F.col("s").alias("n_events"),
+        (
+            (F.col("n_users") * F.col("q") - F.col("s") * F.col("s")).cast(
+                "double"
+            )
+            / (F.col("n_users") * F.col("s")).cast("double")
+        ).alias("fano"),
+    )

@@ -2011,3 +2011,78 @@ def test_modularity_terms_match_python_from_registered_labels(spark, sf_small):
         assert abs(r["q_term"] - expected) < 1e-12
         q_total += r["q_term"]
     assert q_total <= 1.0 + 1e-9
+
+
+def test_burstiness_matches_pandas_fano(spark, sf_small):
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["events_user_burstiness"](
+            spark, sf_small
+        ).collect()
+    }
+    for et, grp in ev.groupby("event_type"):
+        counts = grp.groupby("user_id").size()
+        n, s, q = len(counts), int(counts.sum()), int((counts**2).sum())
+        row = got[et]
+        assert row["n_users"] == n and row["n_events"] == s
+        expected = (n * q - s * s) / (n * s)
+        assert abs(row["fano"] - expected) < 1e-12
+        assert row["fano"] >= 0.0
+
+
+def test_pointbiserial_matches_numpy_from_components(spark, sf_small):
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    quality = {
+        r["doc_id"]: r["quality"]
+        for r in registry.QUERIES["text_quality"](spark, sf_small).collect()
+        if r["quality"] is not None
+    }
+    dups = {
+        r["doc_id"]
+        for r in registry.QUERIES["dedup_clusters"](spark, sf_small).collect()
+    }
+    x = np.array([round(q * 1e6) for q in quality.values()], dtype=np.int64)
+    y = np.array(
+        [1 if d in dups else 0 for d in quality], dtype=np.int64
+    )
+    row = registry.QUERIES["quality_dup_pointbiserial"](
+        spark, sf_small
+    ).collect()[0]
+    assert row["n_docs"] == len(x)
+    assert row["n_dup"] == int(y.sum())
+    if 0 < y.sum() < len(y):
+        expected = float(np.corrcoef(x, y)[0, 1])
+        assert abs(row["pointbiserial"] - expected) < 1e-9
+        assert -1.0 <= row["pointbiserial"] <= 1.0
+
+
+def test_zipf_slope_matches_numpy_polyfit(spark, sf_small):
+    from collections import Counter
+
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.textstats import ZIPF_V
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    c = Counter()
+    for text in docs["text"]:
+        c.update(text.strip().split())
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_V]
+    xs = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    ys = np.log(np.array([cnt for _, cnt in top], dtype=np.float64))
+    slope, intercept = np.polyfit(xs, ys, 1)
+    row = registry.QUERIES["text_zipf_slope"](spark, sf_small).collect()[0]
+    assert row["n_tokens"] == len(top)
+    assert abs(row["zipf_slope"] - slope) < 1e-5
+    assert abs(row["log_intercept"] - intercept) < 1e-5
+    assert row["zipf_slope"] < 0.0  # frequency falls with rank

@@ -899,3 +899,30 @@ def test_int8_quantize_is_map_only(spark, sf):
     # pure per-row array math: no exchange, no aggregate, no join
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_burstiness_two_agg_no_join(spark, sf):
+    df = registry.QUERIES["events_user_burstiness"](spark, sf)
+    plan = _plan(df)
+    # fact rows -> (type,user) partials -> type moments; nothing else
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 3
+
+
+def test_pointbiserial_flag_join_is_doc_keyed(spark, sf):
+    df = registry.QUERIES["quality_dup_pointbiserial"](spark, sf)
+    plan = _plan(df)
+    # the membership flag joins on doc_id (broadcast or keyed) — never a
+    # cartesian expansion over the corpus
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zipf_sorts_only_the_top_v(spark, sf):
+    df = registry.QUERIES["text_zipf_slope"](spark, sf)
+    plan = _plan(df)
+    # top-V extraction is TakeOrderedAndProject (per-partition top-k +
+    # driver merge); the only full Sort in the plan feeds the V-row
+    # rank window, not the vocabulary table
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan

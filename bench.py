@@ -205,6 +205,8 @@ HEADLINE = [
     "events_user_burstiness",
     "quality_dup_pointbiserial",
     "text_zipf_slope",
+    "sim_cosine_topk_prefix",
+    "sim_recall_dim_prefix",
 ]
 
 

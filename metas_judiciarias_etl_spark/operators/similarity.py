@@ -1943,3 +1943,93 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(errs, CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
         ).alias("l1_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka / prefix-dimension retrieval: search on the first 16 of 64
+# dims, measure what that truncation costs in recall.
+# ---------------------------------------------------------------------------
+PREFIX_DIM = 16
+
+
+def _sql_prefix_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {PREFIX_DIM}), "
+        f"__i -> CAST({a}[__i] AS DOUBLE) * {b}[__i]))"
+    )
+
+
+def _sql_prefix_norm(emb: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(generate_series(1, {PREFIX_DIM}), "
+        f"__i -> CAST({emb}[__i] AS DOUBLE) * {emb}[__i])))"
+    )
+
+
+@query(
+    "sim_cosine_topk_prefix",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding, {_sql_prefix_norm('embedding')} AS nrm
+        FROM embeddings
+    ), q AS (
+        SELECT * FROM base WHERE vec_id < {N_QUERIES}
+    )
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+               round({_sql_prefix_dot('q.embedding', 'b.embedding')}
+                     / (q.nrm * b.nrm), 4) AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({_sql_prefix_dot('q.embedding', 'b.embedding')}
+                            / (q.nrm * b.nrm), 4) DESC,
+                            b.vec_id) AS rn
+        FROM q CROSS JOIN base b
+    ) WHERE rn <= {TOPK}
+    """,
+)
+def sim_cosine_topk_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over only the FIRST 16 of 64 dimensions — the
+    Matryoshka-representation retrieval pattern: embeddings trained
+    front-loaded let the index store/scan a 4× smaller prefix, rerank on
+    full vectors later. This operator is the cheap first stage; its
+    honest price tag is sim_recall_dim_prefix. Same plan shape as the
+    brute force (tiny query set broadcast against a corpus scan, window
+    top-k per query) but every distance touches 16 components — at
+    100 TB that is 4× less memory bandwidth on the hot loop, the whole
+    point of the trick.
+
+    Determinism: prefix dot and norm accumulate in index order 1..16
+    (the _dot fold discipline), cosine rounds to 4 dp before the
+    rank-order tie-break on vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pref = F.slice("embedding", 1, PREFIX_DIM)
+    base = emb.select(
+        "vec_id",
+        pref.alias("p"),
+        F.sqrt(_dot(pref, pref)).alias("nrm"),
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("p").alias("q_p"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = F.round(
+        _dot(F.col("q_p"), F.col("p")) / (F.col("q_nrm") * F.col("nrm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        base.crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+# recall@k of the truncated-prefix search vs the full-dimension exact
+# top-k — same factory as sim_recall_lsh/ivf, so metric and operators
+# cannot drift apart.
+query("sim_recall_dim_prefix", oracle=_recall_oracle("sim_cosine_topk_prefix"))(
+    _recall_query("sim_cosine_topk_prefix")
+)

@@ -2086,3 +2086,42 @@ def test_zipf_slope_matches_numpy_polyfit(spark, sf_small):
     assert abs(row["zipf_slope"] - slope) < 1e-5
     assert abs(row["log_intercept"] - intercept) < 1e-5
     assert row["zipf_slope"] < 0.0  # frequency falls with rank
+
+
+def test_prefix_topk_matches_numpy_and_recall_bounded(spark, sf_small):
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.similarity import (
+        N_QUERIES,
+        PREFIX_DIM,
+        TOPK,
+    )
+
+    registry.load_all()
+    emb = _load_pdf(sf_small, "embeddings")
+    vecs = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float32).astype(
+            np.float64
+        )[:PREFIX_DIM]
+        for _, r in emb.iterrows()
+    }
+    rows = registry.QUERIES["sim_cosine_topk_prefix"](spark, sf_small).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    for qid in [v for v in vecs if v < N_QUERIES]:
+        qv = vecs[qid]
+        scored = sorted(
+            (
+                (-round(float(qv @ v) / (np.linalg.norm(qv) * np.linalg.norm(v)), 4), vid)
+                for vid, v in vecs.items()
+            )
+        )[:TOPK]
+        expected = [(vid, -c) for c, vid in scored]
+        assert sorted(got[qid]) == sorted(expected)
+    rec = registry.QUERIES["sim_recall_dim_prefix"](spark, sf_small).collect()
+    assert len(rec) == sum(1 for v in vecs if v < N_QUERIES)
+    for r in rec:
+        assert r["k"] == TOPK
+        assert 0.0 <= r["recall_at_k"] <= 1.0

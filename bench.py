@@ -207,6 +207,8 @@ HEADLINE = [
     "text_zipf_slope",
     "sim_cosine_topk_prefix",
     "sim_recall_dim_prefix",
+    "sim_prefix_rerank",
+    "sim_recall_prefix_rerank",
 ]
 
 

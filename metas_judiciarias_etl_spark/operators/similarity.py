@@ -2033,3 +2033,116 @@ def sim_cosine_topk_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("sim_recall_dim_prefix", oracle=_recall_oracle("sim_cosine_topk_prefix"))(
     _recall_query("sim_cosine_topk_prefix")
 )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieval: prefix-dim shortlist -> full-dim exact rerank.
+# ---------------------------------------------------------------------------
+RERANK_SHORTLIST = 50
+
+
+@query(
+    "sim_prefix_rerank",
+    oracle=f"""
+    WITH pbase AS (
+        SELECT vec_id, embedding, {_sql_prefix_norm('embedding')} AS pnrm,
+               {_sql_norm('embedding')} AS nrm
+        FROM embeddings
+    ), q AS (
+        SELECT * FROM pbase WHERE vec_id < {N_QUERIES}
+    ), shortlist AS (
+        SELECT query_id, vec_id, nrm, embedding, q_emb, q_nrm FROM (
+            SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+                   b.nrm, b.embedding,
+                   q.embedding AS q_emb, q.nrm AS q_nrm,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_sql_prefix_dot('q.embedding', 'b.embedding')}
+                                / (q.pnrm * b.pnrm), 4) DESC,
+                                b.vec_id) AS rn
+            FROM q CROSS JOIN pbase b
+        ) WHERE rn <= {RERANK_SHORTLIST}
+    )
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT query_id, vec_id,
+               round({_sql_dot('q_emb', 'embedding')} / (q_nrm * nrm), 4)
+                   AS cosine,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round({_sql_dot('q_emb', 'embedding')}
+                            / (q_nrm * nrm), 4) DESC, vec_id) AS rn
+        FROM shortlist
+    ) WHERE rn <= {TOPK}
+    """,
+)
+def sim_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-stage ANN shape: a cheap prefix-dimension scan
+    shortlists 50 candidates per query, then ONLY those rows pay the
+    full 64-dimension exact cosine, and the final top-10 comes from
+    the rerank. This is coarse-quantizer + rerank exactly as FAISS/HNSW
+    deployments run it — stage 1 bounds memory bandwidth, stage 2 bounds
+    rank error; sim_recall_prefix_rerank prices the whole cascade
+    against the exact brute force (reranking cannot recover a true
+    neighbor the shortlist missed, so its recall is the shortlist's
+    hit rate at 10 — strictly >= the raw prefix search's).
+
+    Plan: the corpus is scanned ONCE (stage-1 window over the broadcast
+    query set); stage 2 touches 50·|Q| rows — index-scale, not
+    corpus-scale — so the expensive full-dim fold runs on a vanishing
+    fraction of the data. Both windows partition by query_id. The
+    full-vector payload rides the shortlist rows, trading shuffle bytes
+    for a second corpus join; at 100 TB flip to re-joining the corpus by
+    vec_id if vectors are wide enough that the carry outweighs the join
+    (documented knob, same result either way)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pref = F.slice("embedding", 1, PREFIX_DIM)
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        pref.alias("p"),
+        F.sqrt(_dot(pref, pref)).alias("pnrm"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("p").alias("q_p"),
+        F.col("pnrm").alias("q_pnrm"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pcos = F.round(
+        _dot(F.col("q_p"), F.col("p")) / (F.col("q_pnrm") * F.col("pnrm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("prefix_cos"), F.asc("vec_id")
+    )
+    shortlist = (
+        base.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            "embedding",
+            "nrm",
+            "q_emb",
+            "q_nrm",
+            pcos.alias("prefix_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RERANK_SHORTLIST)
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
+        4,
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        shortlist.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+query(
+    "sim_recall_prefix_rerank", oracle=_recall_oracle("sim_prefix_rerank")
+)(_recall_query("sim_prefix_rerank"))

@@ -2125,3 +2125,26 @@ def test_prefix_topk_matches_numpy_and_recall_bounded(spark, sf_small):
     for r in rec:
         assert r["k"] == TOPK
         assert 0.0 <= r["recall_at_k"] <= 1.0
+
+
+def test_rerank_recall_dominates_raw_prefix(spark, sf_small):
+    """Reranking a 50-deep prefix shortlist can only improve on the raw
+    prefix top-k: per query, recall@k(rerank) >= recall@k(prefix)."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    raw = {
+        r["query_id"]: r["recall_at_k"]
+        for r in registry.QUERIES["sim_recall_dim_prefix"](
+            spark, sf_small
+        ).collect()
+    }
+    rr = {
+        r["query_id"]: r["recall_at_k"]
+        for r in registry.QUERIES["sim_recall_prefix_rerank"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(raw) == set(rr)
+    for qid in raw:
+        assert rr[qid] >= raw[qid] - 1e-9

@@ -209,6 +209,7 @@ HEADLINE = [
     "sim_recall_dim_prefix",
     "sim_prefix_rerank",
     "sim_recall_prefix_rerank",
+    "events_burst_collapse",
 ]
 
 

@@ -1198,3 +1198,84 @@ def events_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_users") * F.col("s")).cast("double")
         ).alias("fano"),
     )
+
+
+# --------------------------------------------------------------------------
+# Burst collapse: keep only the first event of each rapid-fire burst.
+# --------------------------------------------------------------------------
+BURST_TTL_NS = 24 * 3_600 * 1_000_000_000  # 24 hours
+
+
+@query(
+    "events_burst_collapse",
+    oracle=f"""
+    WITH o AS (
+        SELECT event_type, user_id, epoch_ns(ts) AS tns, event_id
+        FROM events
+    ), lagged AS (
+        SELECT event_type,
+               tns - lag(tns) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY tns, event_id
+               ) AS gap
+        FROM o
+    ), flagged AS (
+        SELECT event_type,
+               CASE WHEN gap IS NULL OR gap > {BURST_TTL_NS}
+                    THEN 1 ELSE 0 END AS keep
+        FROM lagged
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(keep) AS BIGINT) AS n_collapsed,
+           CAST(CAST(sum(keep) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS keep_ratio
+    FROM flagged GROUP BY event_type
+    """,
+)
+def events_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry burst dedup: within each (user, event_type) stream an
+    event is kept only if it starts a burst — i.e. the previous same-key
+    event is more than 24 hours older (repeat touches within a day
+    collapse to their first occurrence — the at-most-daily dedup a
+    notification or billing pipeline applies; the fixture's inter-arrival
+    spectrum straddles this TTL, so both branches are exercised). This is the BATCH
+    twin of the streaming dropDuplicatesWithinWatermark/state-TTL shape
+    (stream_dedup_earliest) with burst semantics instead of exact-key
+    semantics: a burst is defined by inter-arrival gap, not by equality,
+    so it needs lag(), not a distinct.
+
+    Exactness: gaps are int64 epoch-nanosecond differences with
+    (tns, event_id) as the total order — no float time math anywhere;
+    the keep_ratio division is the single float op.
+
+    Plan: ONE (user_id, event_type)-keyed window (lag over the natural
+    stream order — the exchange doubles as the session clustering), then
+    a type-keyed rollup whose key space is tiny. State per row is O(1);
+    at 100 TB the window partitions by user and never materializes a
+    group larger than one user's stream — the same bound the streaming
+    twin's state store relies on."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type",
+        (F.col("ts") - F.lag("ts").over(w)).alias("gap"),
+    )
+    flagged = lagged.select(
+        "event_type",
+        F.when(
+            F.col("gap").isNull() | (F.col("gap") > BURST_TTL_NS), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("keep"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("keep")).cast("long").alias("n_collapsed"),
+        (
+            F.sum("keep").cast("long").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("keep_ratio"),
+    )

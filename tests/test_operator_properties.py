@@ -2148,3 +2148,33 @@ def test_rerank_recall_dominates_raw_prefix(spark, sf_small):
     assert set(raw) == set(rr)
     for qid in raw:
         assert rr[qid] >= raw[qid] - 1e-9
+
+
+def test_burst_collapse_matches_pandas_replay(spark, sf_small):
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.sessions_ext import BURST_TTL_NS
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    ev = ev.assign(tns=ev["ts"].astype("datetime64[ns]").astype("int64"))
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["events_burst_collapse"](
+            spark, sf_small
+        ).collect()
+    }
+    totals = {}
+    for (_, et), grp in ev.groupby(["user_id", "event_type"]):
+        ts = sorted(zip(grp["tns"], grp["event_id"]))
+        kept = sum(
+            1
+            for i, (t, _) in enumerate(ts)
+            if i == 0 or t - ts[i - 1][0] > BURST_TTL_NS
+        )
+        n, k = totals.get(et, (0, 0))
+        totals[et] = (n + len(ts), k + kept)
+    assert set(got) == set(totals)
+    for et, (n, k) in totals.items():
+        r = got[et]
+        assert (r["n_events"], r["n_kept"], r["n_collapsed"]) == (n, k, n - k)
+        assert abs(r["keep_ratio"] - k / n) < 1e-12

@@ -926,3 +926,11 @@ def test_zipf_sorts_only_the_top_v(spark, sf):
     # rank window, not the vocabulary table
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
+
+
+def test_burst_collapse_single_user_window_exchange(spark, sf):
+    df = registry.QUERIES["events_burst_collapse"](spark, sf)
+    plan = _plan(df)
+    # one keyed window exchange + the type rollup; no joins
+    assert "Join" not in plan
+    assert plan.count("Window") == 1

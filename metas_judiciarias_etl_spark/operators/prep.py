@@ -679,3 +679,101 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("uniform_multiplier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation: how a fixed sample budget should split across strata.
+# ---------------------------------------------------------------------------
+@query(
+    "neyman_allocation",
+    oracle="""
+    WITH c AS (
+        SELECT c_mktsegment AS segment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ), m AS (
+        SELECT segment,
+               CAST(count(*) AS BIGINT) AS n_h,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s,
+               CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE) AS q
+        FROM c GROUP BY segment
+    ), sd AS (
+        SELECT segment, n_h,
+               sqrt((n_h * q - s * s) / (n_h * (n_h - 1.0))) AS stddev_cents
+        FROM m
+    ), tot AS (
+        SELECT CAST(sum(n_h) AS BIGINT) AS n_total,
+               list_reduce(
+                   [0.0] || list_transform(
+                       list_sort(list(struct_pack(segment := segment,
+                                                  w := n_h * stddev_cents))),
+                       x -> x.w),
+                   (a, b) -> a + b) AS denom
+        FROM sd
+    )
+    SELECT sd.segment, sd.n_h, round(sd.stddev_cents, 6) AS stddev_cents,
+           round(sd.n_h * sd.stddev_cents / t.denom, 6) AS neyman_weight,
+           round(CAST(sd.n_h AS DOUBLE) / t.n_total, 6) AS proportional_weight
+    FROM sd CROSS JOIN tot t
+    """,
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman allocation for stratified sampling: with a fixed label/eval
+    budget, the variance-minimizing share for stratum h is
+    n_h·S_h / Σ n_g·S_g — sample more where the stratum is BIG and
+    NOISY, not merely big. Reported next to the proportional share so
+    the table shows exactly where naive proportional sampling
+    over/under-spends; this is the design step upstream of
+    stratified_mix_sample (which executes a given allocation with
+    deterministic hash sampling).
+
+    Exactness: per-stratum moments are exact integer sums (DECIMAL
+    intermediates on the oracle side — the corr_exact pattern); each
+    sample stddev is one pinned expression over them; the denominator
+    Σ n_h·S_h folds in sorted segment order (bounded by stratum count —
+    the entropy_fold discipline) and everything rounds to 6 dp.
+
+    Plan: ONE fact-table aggregation with map-side partials collapsing
+    to stratum cardinality; the fold + rebroadcast runs over 5 rows. At
+    100 TB this is the cheapest possible shape for the computation —
+    scan-bound with constant-size state."""
+    cust = load_table(spark, sf_dir, "customer")
+    m = (
+        cust.select(
+            F.col("c_mktsegment").alias("segment"),
+            F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_h"),
+            F.sum("cents").cast("double").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).cast("double").alias("q"),
+        )
+    )
+    sd = m.select(
+        "segment",
+        "n_h",
+        F.sqrt(
+            (F.col("n_h") * F.col("q") - F.col("s") * F.col("s"))
+            / (F.col("n_h") * (F.col("n_h") - F.lit(1.0)))
+        ).alias("stddev_cents"),
+    )
+    tot = sd.agg(
+        F.sum("n_h").cast("long").alias("n_total"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(segment, n_h * stddev_cents AS w))), x -> x.w),"
+            " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("denom"),
+    )
+    return sd.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "n_h",
+        F.round("stddev_cents", 6).alias("stddev_cents"),
+        F.round(F.col("n_h") * F.col("stddev_cents") / F.col("denom"), 6).alias(
+            "neyman_weight"
+        ),
+        F.round(F.col("n_h").cast("double") / F.col("n_total"), 6).alias(
+            "proportional_weight"
+        ),
+    )

@@ -2178,3 +2178,32 @@ def test_burst_collapse_matches_pandas_replay(spark, sf_small):
         r = got[et]
         assert (r["n_events"], r["n_kept"], r["n_collapsed"]) == (n, k, n - k)
         assert abs(r["keep_ratio"] - k / n) < 1e-12
+
+
+def test_neyman_allocation_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    cust = _load_pdf(sf_small, "customer")
+    cust = cust.assign(cents=(cust["c_acctbal"] * 100).round().astype("int64"))
+    stats = {}
+    for seg, grp in cust.groupby("c_mktsegment"):
+        v = grp["cents"].to_numpy().astype(np.float64)
+        stats[seg] = (len(v), float(np.std(v, ddof=1) * np.sqrt(1.0)))
+    denom = sum(n * s for n, s in stats.values())
+    got = {
+        r["segment"]: r
+        for r in registry.QUERIES["neyman_allocation"](spark, sf_small).collect()
+    }
+    assert set(got) == set(stats)
+    wsum = 0.0
+    for seg, (n, s) in stats.items():
+        r = got[seg]
+        assert r["n_h"] == n
+        assert abs(r["stddev_cents"] - s) < 1e-4 * max(1.0, s)
+        assert abs(r["neyman_weight"] - n * s / denom) < 1e-5
+        assert abs(r["proportional_weight"] - n / len(cust)) < 1e-6
+        wsum += r["neyman_weight"]
+    assert abs(wsum - 1.0) < 1e-4  # allocation is a distribution

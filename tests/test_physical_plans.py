@@ -934,3 +934,13 @@ def test_burst_collapse_single_user_window_exchange(spark, sf):
     # one keyed window exchange + the type rollup; no joins
     assert "Join" not in plan
     assert plan.count("Window") == 1
+
+
+def test_neyman_single_fact_pass_constant_state(spark, sf):
+    df = registry.QUERIES["neyman_allocation"](spark, sf)
+    plan = _plan(df)
+    # one stratum-keyed aggregation over the scan; the denominator fold
+    # and rebroadcast run over stratum-cardinality rows (1-row crossJoin)
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") <= 2

@@ -2146,3 +2146,111 @@ def sim_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 query(
     "sim_recall_prefix_rerank", oracle=_recall_oracle("sim_prefix_rerank")
 )(_recall_query("sim_prefix_rerank"))
+
+
+# ---------------------------------------------------------------------------
+# Retrieval over int8-quantized vectors: what the 4x-smaller store costs.
+# ---------------------------------------------------------------------------
+def _sql_deq(emb: str, scale: str) -> str:
+    """Dequantized element stream: clamp(floor(x/s + 0.5), ±127) * s."""
+    return (
+        f"list_transform({emb}, __x -> greatest(-127.0, least(127.0, "
+        f"floor(CAST(__x AS DOUBLE) / {scale} + 0.5))) * {scale})"
+    )
+
+
+@query(
+    "sim_cosine_topk_int8",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                   __x -> abs(CAST(__x AS DOUBLE)))) / 127.0 AS scale,
+               embedding
+        FROM embeddings
+    ), dq AS (
+        SELECT vec_id, {_sql_deq('embedding', 'scale')} AS v FROM s
+        WHERE scale > 0.0
+    ), base AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, __x -> __x * __x))) AS nrm
+        FROM dq
+    ), q AS (
+        SELECT * FROM base WHERE vec_id < {N_QUERIES}
+    )
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+               round(list_sum(list_transform(generate_series(1, {DIM}),
+                         __i -> q.v[__i] * b.v[__i]))
+                     / (q.nrm * b.nrm), 4) AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_sum(list_transform(
+                                generate_series(1, {DIM}),
+                                __i -> q.v[__i] * b.v[__i]))
+                            / (q.nrm * b.nrm), 4) DESC,
+                            b.vec_id) AS rn
+        FROM q CROSS JOIN base b
+    ) WHERE rn <= {TOPK}
+    """,
+)
+def sim_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8-quantized-then-dequantized vectors — the
+    search emb_int8_quantize's storage decision actually buys: every
+    stored component is one of 255 values code*scale, 4x less memory
+    than float32, and the ranking error that introduces is priced by
+    sim_recall_int8 against the full-precision brute force. (A real
+    store keeps the int8 codes + one scale per vector and dequantizes
+    in-register at scan time; computing on code*scale doubles here is
+    numerically identical and keeps the plan pure-expression.)
+
+    Determinism: quantization uses the exact-IEEE floor(x/s + 0.5)
+    clamp (emb_int8_quantize's discipline), dot/norm fold in index
+    order, cosine rounds to 4 dp before the vec_id tie-break. Zero
+    vectors (scale = 0) cannot be direction-normalized and drop on both
+    engines.
+
+    Plan: identical shape to the brute force — broadcast query set, one
+    corpus scan, per-query top-k window. The quantize+dequantize is
+    scan-stage array math; nothing new shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "vec_id",
+        "embedding",
+        (
+            F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+            / F.lit(127.0)
+        ).alias("scale"),
+    ).filter(F.col("scale") > 0.0)
+    dq = s.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, __x -> greatest(CAST(-127.0 AS DOUBLE),"
+            " least(CAST(127.0 AS DOUBLE),"
+            " floor(CAST(__x AS DOUBLE) / scale + 0.5))) * scale)"
+        ).alias("v"),
+    )
+    base = dq.select(
+        "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = F.round(
+        _dot(F.col("q_v"), F.col("v")) / (F.col("q_nrm") * F.col("nrm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        base.crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+query("sim_recall_int8", oracle=_recall_oracle("sim_cosine_topk_int8"))(
+    _recall_query("sim_cosine_topk_int8")
+)

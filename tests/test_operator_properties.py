@@ -2207,3 +2207,44 @@ def test_neyman_allocation_matches_numpy(spark, sf_small):
         assert abs(r["proportional_weight"] - n / len(cust)) < 1e-6
         wsum += r["neyman_weight"]
     assert abs(wsum - 1.0) < 1e-4  # allocation is a distribution
+
+
+def test_int8_retrieval_recall_near_exact(spark, sf_small):
+    """Int8 quantization perturbs cosines by ~1e-2 at most (64 dims,
+    half-step error per component), so recall@10 vs the exact brute
+    force should be near-perfect on separated neighbors — and always a
+    valid proportion."""
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.similarity import N_QUERIES, TOPK
+
+    registry.load_all()
+    rec = registry.QUERIES["sim_recall_int8"](spark, sf_small).collect()
+    assert len(rec) == N_QUERIES
+    vals = [r["recall_at_k"] for r in rec]
+    for v in vals:
+        assert 0.0 <= v <= 1.0
+    assert float(np.mean(vals)) >= 0.8
+    # spot-replay one query end-to-end in numpy
+    emb = _load_pdf(sf_small, "embeddings")
+    vecs = {}
+    for _, r in emb.iterrows():
+        x = np.asarray(r["embedding"], dtype=np.float32).astype(np.float64)
+        s = float(np.max(np.abs(x))) / 127.0
+        if s > 0:
+            vecs[int(r["vec_id"])] = np.clip(np.floor(x / s + 0.5), -127, 127) * s
+    qid = min(v for v in vecs if v < N_QUERIES)
+    qv = vecs[qid]
+    scored = sorted(
+        (-round(float(qv @ v) / (np.linalg.norm(qv) * np.linalg.norm(v)), 4), vid)
+        for vid, v in vecs.items()
+    )[:TOPK]
+    expected = {vid for _, vid in scored}
+    got = {
+        r["vec_id"]
+        for r in registry.QUERIES["sim_cosine_topk_int8"](spark, sf_small)
+        .where(F.col("query_id") == qid)
+        .collect()
+    }
+    assert got == expected

@@ -671,3 +671,55 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ks_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Ingestion freshness lag — the first pipeline-health dashboard number.
+# --------------------------------------------------------------------------
+@query(
+    "dq_freshness_lag",
+    oracle="""
+    WITH per AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(epoch_ns(ts)) AS max_tns
+        FROM events GROUP BY event_type
+    ), tot AS (
+        SELECT max(max_tns) AS global_max FROM per
+    )
+    SELECT p.event_type, p.n_events,
+           CAST(p.max_tns AS BIGINT) AS latest_tns,
+           CAST(t.global_max - p.max_tns AS BIGINT) AS lag_ns,
+           CAST(CAST(t.global_max - p.max_tns AS BIGINT) AS DOUBLE)
+               / 3600000000000.0 AS lag_hours
+    FROM per p CROSS JOIN tot t
+    """,
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream ingestion freshness: how far each event type's newest
+    record trails the newest record anywhere — the first number on any
+    pipeline-health dashboard (a stream whose lag grows is stalled
+    upstream, and a batch mix built from it silently under-represents
+    recent data; the same check gates watermark choice in the streaming
+    surface). Integer epoch-nanos end-to-end; the hours conversion is
+    the single float division.
+
+    Plan: one type-keyed max/count aggregation (map-side partials; max
+    is order-free), a 1-row global max derived from the per-type table
+    (never a second scan), broadcast back. Scan-bound at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("ts").alias("max_tns"),
+    )
+    tot = per.agg(F.max("max_tns").alias("global_max"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_events",
+        F.col("max_tns").cast("long").alias("latest_tns"),
+        (F.col("global_max") - F.col("max_tns")).cast("long").alias("lag_ns"),
+        (
+            (F.col("global_max") - F.col("max_tns")).cast("long").cast("double")
+            / F.lit(3600000000000.0)
+        ).alias("lag_hours"),
+    )

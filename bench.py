@@ -210,6 +210,10 @@ HEADLINE = [
     "sim_prefix_rerank",
     "sim_recall_prefix_rerank",
     "events_burst_collapse",
+    "neyman_allocation",
+    "sim_cosine_topk_int8",
+    "sim_recall_int8",
+    "dq_freshness_lag",
 ]
 
 

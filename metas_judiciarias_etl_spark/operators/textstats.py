@@ -1211,3 +1211,98 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_intercept"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate chunk mining: repeated fixed-width token windows across docs.
+# --------------------------------------------------------------------------
+BP_CHUNK_TOKENS = 16
+BP_TOPK = 20
+
+
+@query(
+    "boilerplate_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS} AS ts FROM documents
+    ), c AS (
+        SELECT doc_id, ts,
+               CASE WHEN len(ts) <= {BP_CHUNK_TOKENS} THEN 1
+                    ELSE (len(ts) + {BP_CHUNK_TOKENS} - 1)
+                         // {BP_CHUNK_TOKENS} END AS n
+        FROM t
+    ), ch AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(ts, i.i * {BP_CHUNK_TOKENS} + 1,
+                              i.i * {BP_CHUNK_TOKENS} + {BP_CHUNK_TOKENS}),
+                   ' ')) AS chunk_hash
+        FROM c, LATERAL (
+            SELECT unnest(generate_series(0, c.n - 1)) AS i) i
+    ), g AS (
+        SELECT chunk_hash,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               min(doc_id) AS example_doc_id
+        FROM ch GROUP BY chunk_hash
+        HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT * FROM g
+    ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash
+    LIMIT {BP_TOPK}
+    """,
+)
+def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining at SUB-document granularity: hash every
+    non-overlapping 16-token window and surface the windows that recur
+    across >= 2 distinct documents — headers, footers, license blocks
+    and navigation chrome that whole-document dedup (dedup_exact) and
+    even near-dup pairing can't touch because the hosting documents
+    differ. The top table is what a cleaning rule gets written against;
+    C4-style pipelines run exactly this "repeated line/paragraph"
+    census before training.
+
+    Plan: chunk expansion is scan-stage array math (slice windows of the
+    one tokenization — the shingle trick, no per-element lambdas re-
+    evaluating the tokenizer); then ONE hash-keyed aggregation (both the
+    distinct-doc and occurrence counts ride it; duplicate-heavy keys ARE
+    the signal, and md5 keys distribute uniformly otherwise) and a
+    TakeOrderedAndProject top-k. At 100 TB identical to the dedup_exact
+    shape, one explode wider."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    c = t.withColumn(
+        "n",
+        F.expr(
+            f"CASE WHEN size(ts) <= {BP_CHUNK_TOKENS} THEN 1"
+            f" ELSE (size(ts) + {BP_CHUNK_TOKENS} - 1)"
+            f" div {BP_CHUNK_TOKENS} + 0 END"
+        ),
+    )
+    ch = c.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, n - 1)")).alias("i"),
+        "ts",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    f"slice(ts, i * {BP_CHUNK_TOKENS} + 1, {BP_CHUNK_TOKENS})"
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    g = (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return g.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), "chunk_hash"
+    ).limit(BP_TOPK)

@@ -961,3 +961,108 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("abs_p").cast("double") / (F.max("n_days") * F.lit(100.0))
         ).alias("max_cusum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonally-adjusted anomaly flags over the decomposition residuals.
+# --------------------------------------------------------------------------
+ANOM_Z = 2.0
+
+
+def _seasonal_anomaly_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH dec AS ({ORACLES['seasonal_decompose_monthly']}),
+    l AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               list_sort(list(struct_pack(m := month_id, r := residual)))
+                   AS lst
+        FROM dec WHERE residual IS NOT NULL
+    ), mu AS (
+        SELECT n, lst,
+               list_reduce([0.0] || list_transform(lst, x -> x.r),
+                           (a, b) -> a + b) / n AS mean_r
+        FROM l
+    ), sd AS (
+        SELECT n, mean_r,
+               sqrt(list_reduce(
+                   [0.0] || list_transform(lst, x -> (x.r - mean_r)
+                                                    * (x.r - mean_r)),
+                   (a, b) -> a + b) / (n - 1.0)) AS sd_r
+        FROM mu
+    )
+    SELECT d.month_id, d.residual,
+           round((d.residual - s.mean_r) / s.sd_r, 6) AS zscore,
+           CASE WHEN abs((d.residual - s.mean_r) / s.sd_r) > {ANOM_Z}
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM dec d CROSS JOIN sd s
+    WHERE d.residual IS NOT NULL
+    """
+
+
+@query("seasonal_residual_anomaly", oracle=_seasonal_anomaly_oracle())
+def seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection: z-score the residual
+    component of the registered STL-lite decomposition and flag months
+    beyond 2 sigma — the "is this month actually unusual, or just
+    December?" question that a raw-revenue z-score (anomaly_zscore)
+    cannot answer because seasonality dominates its variance. Composes
+    seasonal_decompose_monthly, so trend/seasonal definitions can never
+    drift between the decomposition and its monitor.
+
+    Determinism: residuals are already 6-dp-rounded exact-integer-
+    derived values; the mean and variance fold in sorted month order
+    (calendar-bounded, the entropy_fold discipline); the z-score rounds
+    to 6 dp; the threshold compares the UNROUNDED z on both engines.
+
+    Plan: the composed decomposition dominates (fact-scale month
+    rollup); this adds one calendar-sized fold and a broadcast
+    crossJoin back over ~84 rows."""
+    from ..registry import QUERIES
+
+    dec = (
+        QUERIES["seasonal_decompose_monthly"](spark, sf_dir)
+        .filter(F.col("residual").isNotNull())
+        .coalesce(1)
+        .persist()
+    )
+    dec.count()
+    l = dec.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("month_id").alias("m"),
+                                    F.col("residual").alias("r")))
+        ).alias("lst"),
+    )
+    mu = l.select(
+        "n",
+        "lst",
+        (
+            F.expr(
+                "aggregate(transform(lst, x -> x.r),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+            / F.col("n")
+        ).alias("mean_r"),
+    )
+    sd = mu.select(
+        "mean_r",
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(lst,"
+                " x -> (x.r - mean_r) * (x.r - mean_r)),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+            / (F.col("n") - F.lit(1.0))
+        ).alias("sd_r"),
+    )
+    z = (F.col("residual") - F.col("mean_r")) / F.col("sd_r")
+    return dec.crossJoin(F.broadcast(sd)).select(
+        "month_id",
+        "residual",
+        F.round(z, 6).alias("zscore"),
+        F.when(F.abs(z) > ANOM_Z, F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_anomaly"
+        ),
+    )

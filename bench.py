@@ -214,6 +214,8 @@ HEADLINE = [
     "sim_cosine_topk_int8",
     "sim_recall_int8",
     "dq_freshness_lag",
+    "boilerplate_chunks",
+    "seasonal_residual_anomaly",
 ]
 
 

@@ -2248,3 +2248,55 @@ def test_int8_retrieval_recall_near_exact(spark, sf_small):
         .collect()
     }
     assert got == expected
+
+
+def test_boilerplate_chunks_matches_python(spark, sf_small):
+    import hashlib
+    from collections import defaultdict
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.textstats import (
+        BP_CHUNK_TOKENS,
+        BP_TOPK,
+    )
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    occ = defaultdict(list)
+    for _, r in docs.iterrows():
+        ts = r["text"].strip().split()
+        n = max(1, -(-len(ts) // BP_CHUNK_TOKENS))
+        for i in range(n):
+            chunk = " ".join(ts[i * BP_CHUNK_TOKENS:(i + 1) * BP_CHUNK_TOKENS])
+            occ[hashlib.md5(chunk.encode()).hexdigest()].append(int(r["doc_id"]))
+    agg = [
+        (h, len(set(ds)), len(ds), min(ds))
+        for h, ds in occ.items()
+        if len(set(ds)) >= 2
+    ]
+    agg.sort(key=lambda t: (-t[1], -t[2], t[0]))
+    expected = agg[:BP_TOPK]
+    got = [
+        (r["chunk_hash"], r["n_docs"], r["n_occurrences"], r["example_doc_id"])
+        for r in registry.QUERIES["boilerplate_chunks"](spark, sf_small).collect()
+    ]
+    assert got == expected
+
+
+def test_seasonal_anomaly_zscores_standardized(spark, sf_small):
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["seasonal_residual_anomaly"](
+        spark, sf_small
+    ).collect()
+    res = np.array([r["residual"] for r in rows])
+    z = np.array([r["zscore"] for r in rows])
+    mu, sd = res.mean(), res.std(ddof=1)
+    np.testing.assert_allclose(z, (res - mu) / sd, atol=2e-6)
+    for r in rows:
+        assert r["is_anomaly"] == (1 if abs((r["residual"] - mu) / sd) > 2.0 else 0)
+    # standardized: mean ~ 0, sd ~ 1
+    assert abs(z.mean()) < 1e-4 and abs(z.std(ddof=1) - 1.0) < 1e-4

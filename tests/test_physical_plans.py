@@ -944,3 +944,19 @@ def test_neyman_single_fact_pass_constant_state(spark, sf):
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "SortMergeJoin" not in plan
     assert plan.count("Scan parquet") <= 2
+
+
+def test_boilerplate_single_hash_agg_topk(spark, sf):
+    df = registry.QUERIES["boilerplate_chunks"](spark, sf)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_seasonal_anomaly_is_calendar_scale_after_decompose(spark, sf):
+    df = registry.QUERIES["seasonal_residual_anomaly"](spark, sf)
+    plan = _plan(df)
+    # one calendar-sized fold + a 1-row broadcast back; the composed
+    # decomposition contributes the only fact-scale work
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan

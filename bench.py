@@ -216,6 +216,7 @@ HEADLINE = [
     "dq_freshness_lag",
     "boilerplate_chunks",
     "seasonal_residual_anomaly",
+    "sim_ivf_nprobe_curve",
 ]
 
 

@@ -2254,3 +2254,169 @@ def sim_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("sim_recall_int8", oracle=_recall_oracle("sim_cosine_topk_int8"))(
     _recall_query("sim_cosine_topk_int8")
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF tuning curve: mean recall@k as a function of nprobe.
+# ---------------------------------------------------------------------------
+NPROBE_CURVE = (1, 2, 4)
+
+
+def _nprobe_curve_oracle() -> str:
+    from ..registry import ORACLES
+
+    def topn(np_: int) -> str:
+        return f"""(
+        SELECT query_id, vec_id FROM (
+            SELECT p.query_id, a.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY round({_sql_dot('p.q_emb', 'a.embedding')}
+                                / (p.q_nrm * a.nrm), 4) DESC,
+                                a.vec_id) AS rn
+            FROM probesr p JOIN assign a ON p.cell_id = a.cell_id
+            WHERE p.prn <= {np_}
+        ) WHERE rn <= {TOPK})"""
+
+    per_np = "\n    UNION ALL\n".join(
+        f"""    SELECT {np_} AS nprobe,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS mean_recall
+    FROM ex e LEFT JOIN {topn(np_)} a
+      ON a.query_id = e.query_id AND a.vec_id = e.vec_id"""
+        for np_ in NPROBE_CURVE
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cell_id, embedding AS c_emb, nrm AS c_nrm
+        FROM base
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+    ), assign AS (
+        SELECT vec_id, embedding, nrm, cell_id FROM (
+            SELECT b.vec_id, b.embedding, b.nrm, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY round({_sql_dot('b.embedding', 'c.c_emb')} / (b.nrm * c.c_nrm), 4) DESC,
+                                c.cell_id) AS crn
+            FROM base b CROSS JOIN cent c
+        ) WHERE crn = 1
+    ), probesr AS (
+        SELECT query_id, q_emb, q_nrm, cell_id, prn FROM (
+            SELECT q.vec_id AS query_id, q.embedding AS q_emb, q.nrm AS q_nrm,
+                   c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_sql_dot('q.embedding', 'c.c_emb')} / (q.nrm * c.c_nrm), 4) DESC,
+                                c.cell_id) AS prn
+            FROM (SELECT * FROM base WHERE vec_id < {N_QUERIES}) q
+            CROSS JOIN cent c
+        ) WHERE prn <= {max(NPROBE_CURVE)}
+    ), ex AS ({ORACLES['sim_cosine_topk_bruteforce']})
+{per_np}
+    """
+
+
+@query("sim_ivf_nprobe_curve", oracle=_nprobe_curve_oracle())
+def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning table: mean recall@10 at nprobe ∈ {1, 2, 4} against
+    the exact brute force — the latency/recall frontier every IVF
+    deployment reads before fixing its probe count (candidates scanned
+    scale linearly with nprobe; recall saturates). One row per setting,
+    so the operator IS the tuning curve, not a single point like
+    sim_recall_ivf.
+
+    Exactness: mean recall = Σ hits / (|Q|·k) — the per-query k is
+    constant, so the query-mean collapses to exact integer counting with
+    ONE final division; no float accumulation over queries at all.
+
+    Plan: the index builds ONCE — base/centroid assignment and the
+    ranked probe list persist (eagerly, the composed-cache contract) and
+    every nprobe setting rides them with one cell-keyed join + window;
+    the exact side is the registered brute force, also computed once.
+    Probe count only changes a FILTER on the ranked probe list — the
+    curve costs barely more than its most expensive point."""
+    from ..registry import QUERIES
+
+    base = _with_norm(load_table(spark, sf_dir, "embeddings")).persist()
+    base.count()
+    cent = base.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    c_cos = F.round(
+        _dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm")), 4
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("_ccos"), F.asc("cell_id"))
+    assign = (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("_ccos", c_cos)
+        .withColumn("_crn", F.row_number().over(aw))
+        .filter(F.col("_crn") == 1)
+        .select("vec_id", "embedding", "nrm", "cell_id")
+        .persist()
+    )
+    assign.count()
+    q_cos = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 4
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("_qcos"), F.asc("cell_id"))
+    probesr = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_qcos", q_cos)
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= max(NPROBE_CURVE))
+        .select("query_id", "q_emb", "q_nrm", "cell_id", "prn")
+        .persist()
+    )
+    probesr.count()
+    exact = (
+        QUERIES["sim_cosine_topk_bruteforce"](spark, sf_dir)
+        .select("query_id", "vec_id")
+        .persist()
+    )
+    exact.count()
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    out = None
+    for np_ in NPROBE_CURVE:
+        topn = (
+            assign.join(
+                F.broadcast(probesr.filter(F.col("prn") <= np_)), "cell_id"
+            )
+            .select("query_id", "vec_id", cos.alias("cosine"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOPK)
+            .select("query_id", "vec_id")
+            .withColumn("hit", F.lit(1))
+        )
+        row = (
+            exact.join(topn, ["query_id", "vec_id"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_exact"),
+                F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+                (
+                    F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mean_recall"),
+            )
+            .select(F.lit(np_).alias("nprobe"), "n_exact", "n_hits", "mean_recall")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

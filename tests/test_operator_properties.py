@@ -2300,3 +2300,31 @@ def test_seasonal_anomaly_zscores_standardized(spark, sf_small):
         assert r["is_anomaly"] == (1 if abs((r["residual"] - mu) / sd) > 2.0 else 0)
     # standardized: mean ~ 0, sd ~ 1
     assert abs(z.mean()) < 1e-4 and abs(z.std(ddof=1) - 1.0) < 1e-4
+
+
+def test_nprobe_curve_is_monotone_and_anchored(spark, sf_small):
+    """Recall must be non-decreasing in nprobe, and the nprobe=4 point
+    must agree with the independently-registered sim_recall_ivf (same
+    index constants) on total hits."""
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.similarity import NPROBE, TOPK
+
+    registry.load_all()
+    rows = {
+        r["nprobe"]: r
+        for r in registry.QUERIES["sim_ivf_nprobe_curve"](
+            spark, sf_small
+        ).collect()
+    }
+    assert sorted(rows) == [1, 2, 4]
+    assert rows[1]["mean_recall"] <= rows[2]["mean_recall"] + 1e-9
+    assert rows[2]["mean_recall"] <= rows[4]["mean_recall"] + 1e-9
+    for r in rows.values():
+        assert 0.0 <= r["mean_recall"] <= 1.0
+        assert r["n_hits"] <= r["n_exact"]
+    assert NPROBE == 4  # anchor comparison valid only while this holds
+    ivf_hits = sum(
+        int(round(r["recall_at_k"] * TOPK))
+        for r in registry.QUERIES["sim_recall_ivf"](spark, sf_small).collect()
+    )
+    assert rows[4]["n_hits"] == ivf_hits

@@ -960,3 +960,12 @@ def test_seasonal_anomaly_is_calendar_scale_after_decompose(spark, sf):
     # decomposition contributes the only fact-scale work
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_nprobe_curve_reuses_one_index_build(spark, sf):
+    df = registry.QUERIES["sim_ivf_nprobe_curve"](spark, sf)
+    plan = _plan(df)
+    # the assignment/probe caches feed all three settings: the union's
+    # branches must read InMemoryTableScan, not rebuild the index
+    assert plan.count("InMemoryTableScan") >= 6
+    assert "CartesianProduct" not in plan

@@ -217,6 +217,7 @@ HEADLINE = [
     "boilerplate_chunks",
     "seasonal_residual_anomaly",
     "sim_ivf_nprobe_curve",
+    "dedup_lsh_band_sweep",
 ]
 
 

@@ -1257,3 +1257,219 @@ def quality_dup_pointbiserial(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pointbiserial"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding sweep: recall and candidate cost across (bands x rows)
+# arrangements of the SAME 9-hash signature — the banding tuner.
+# ---------------------------------------------------------------------------
+BAND_SWEEP = (1, 3, 9)  # bands; rows per band = 9 // bands
+
+
+def _sweep_band_ctes(bands: int, tag: str) -> str:
+    """banded/capped/cand CTEs for a given band count, suffixed by tag
+    (mirrors _minhash_oracle_ctes' stages from the shared mh table)."""
+    band_rows = "\n        UNION ALL BY NAME\n".join(
+        f"        SELECT doc_id, {b} AS band_idx, "
+        f"{' || chr(124) || '.join(cols)} AS band_sig FROM mh"
+        for b, cols in band_keys(NUM_HASHES, bands)
+    )
+    return f"""banded_{tag} AS (
+{band_rows}
+    ), capped_{tag} AS (
+        SELECT * FROM (
+            SELECT banded_{tag}.*,
+                   count(*) OVER (PARTITION BY band_idx, band_sig) AS _n
+            FROM banded_{tag}
+        ) WHERE _n <= {BUCKET_CAP}
+    ), cand_{tag} AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM capped_{tag} a JOIN capped_{tag} b
+          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    )"""
+
+
+def _band_sweep_oracle() -> str:
+    from ..registry import ORACLES
+
+    mh_aggs = ",\n               ".join(sql_affine_min_aggs("h", NUM_HASHES))
+    ctes = ",\n    ".join(
+        _sweep_band_ctes(b, f"b{b}") for b in BAND_SWEEP
+    )
+    per_b = "\n    UNION ALL\n".join(
+        f"""    SELECT {b} AS bands, {NUM_HASHES // b} AS rows_per_band,
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+                SELECT band_idx, band_sig FROM banded_b{b}
+                GROUP BY band_idx, band_sig HAVING count(*) > {BUCKET_CAP}))
+               AS n_capped_buckets,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_b{b}) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM cand_b{b} c
+            JOIN shh sa ON sa.doc_id = c.a_id
+            JOIN shh sb ON sb.doc_id = c.b_id
+            WHERE len(list_intersect(sa.hsh, sb.hsh))::DOUBLE
+                  / len(list_distinct(list_concat(sa.hsh, sb.hsh)))
+                  >= {JACCARD_THRESHOLD}) AS n_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_truth,
+           CAST((SELECT count(*)
+                 FROM t WHERE EXISTS (
+                     SELECT 1 FROM cand_b{b} c
+                     WHERE c.a_id = t.a_id AND c.b_id = t.b_id))
+                AS DOUBLE)
+               / nullif(CAST((SELECT count(*) FROM t) AS DOUBLE), 0.0)
+               AS recall"""
+        for b in BAND_SWEEP
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles
+        FROM documents
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), hv AS (
+        SELECT doc_id, {sql_hash48("shingle")} % {MINHASH_P} AS h FROM ex
+    ), mh AS (
+        SELECT doc_id,
+               {mh_aggs}
+        FROM hv GROUP BY doc_id
+    ), shh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(shingles,
+                   __s -> {sql_hash48("__s")})) AS hsh
+        FROM sh
+    ),
+    {ctes},
+    t AS ({ORACLES['dedup_prefix_filter_jaccard']})
+{per_b}
+    """
+
+
+@query("dedup_lsh_band_sweep", oracle=_band_sweep_oracle())
+def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding tuner: ONE 9-hash signature table, re-banded three
+    ways — (1×9) high-precision/low-recall, (3×3) the production
+    default, (9×1) high-recall/candidate-flood — each scored by
+    candidate volume (the verification bill), verified-pair count, and
+    recall against the lossless prefix-filter truth. This is the table
+    that PICKS the banding scheme; sim_ivf_nprobe_curve is the same
+    instrument pointed at IVF. The S-curve P(collide) = 1-(1-J^r)^b is
+    theory; this measures it on the actual corpus, cap included.
+
+    Plan: signatures build ONCE and persist (eager — three banding
+    branches read them); each scheme is one band-key bucket aggregation
+    with the BUCKET_CAP guard, in-row pair expansion, then a pair-keyed
+    semi join against the (persisted) truth set and a verify join;
+    n_capped_buckets makes the recall knob's bite visible per scheme
+    (with zero capped buckets, finer banding is provably a candidate
+    superset — the monotonicity the property test checks)
+    against the (persisted) shingle table. Truth and shingles are also
+    computed once. Everything downstream of the corpus scan is
+    signature-/pair-scale."""
+    from ..registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = _doc_shingles(docs)
+    # hashed-shingle sets for the verification bill: candidate floods
+    # (the 9x1 scheme) pay per-pair set intersection, and int64 hashes
+    # intersect far cheaper than shingle strings; MinHash already lives
+    # on these hashes, so the J estimate is the standard hashed-Jaccard
+    hashed = shingled.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform("shingles", lambda c: hash48(c))
+        ).alias("hsh"),
+    ).persist()
+    hashed.count()
+    mh = _signatures(shingled).persist()
+    mh.count()
+    truth = QUERIES["dedup_prefix_filter_jaccard"](spark, sf_dir).select(
+        "a_id", "b_id"
+    ).persist()
+    truth.count()  # 7 concurrent consumers (3 semi joins + count rows)
+    n_truth_df = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    out = None
+    for b in BAND_SWEEP:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band_idx"),
+                    F.concat_ws("|", *cols).alias("band_sig"),
+                )
+                for bi, cols in band_keys(NUM_HASHES, b)
+            ]
+        )
+        banded = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
+            "doc_id", "bs.band_idx", "bs.band_sig"
+        )
+        buckets = (
+            banded.groupBy("band_idx", "band_sig")
+            .agg(F.collect_list("doc_id").alias("members"))
+            .filter(
+                (F.size("members") >= 2) & (F.size("members") <= BUCKET_CAP)
+            )
+        )
+        ms = F.array_sort("members")
+        pair_arr = F.flatten(
+            F.transform(
+                ms,
+                lambda x: F.transform(
+                    ms, lambda y: F.struct(x.alias("a_id"), y.alias("b_id"))
+                ),
+            )
+        )
+        cand = (
+            buckets.select(F.explode(pair_arr).alias("p"))
+            .filter(F.col("p.a_id") < F.col("p.b_id"))
+            .select("p.a_id", "p.b_id")
+            .distinct()
+            .persist()
+        )
+        cand.count()  # 3 concurrent consumers per scheme
+        n_capped = (
+            banded.groupBy("band_idx", "band_sig")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > BUCKET_CAP)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_capped_buckets"))
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        ha = hashed.select(
+            F.col("doc_id").alias("a_id"), F.col("hsh").alias("a_h")
+        )
+        hb = hashed.select(
+            F.col("doc_id").alias("b_id"), F.col("hsh").alias("b_h")
+        )
+        n_pairs = (
+            cand.join(ha, "a_id")
+            .join(hb, "b_id")
+            .filter(
+                F.size(F.array_intersect("a_h", "b_h"))
+                / F.size(F.array_union("a_h", "b_h"))
+                >= JACCARD_THRESHOLD
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        )
+        n_hit = (
+            truth.join(cand, ["a_id", "b_id"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        )
+        row = (
+            n_cand.crossJoin(F.broadcast(n_pairs))
+            .crossJoin(F.broadcast(n_truth_df))
+            .crossJoin(F.broadcast(n_hit))
+            .crossJoin(F.broadcast(n_capped))
+            .select(
+                F.lit(b).alias("bands"),
+                F.lit(NUM_HASHES // b).alias("rows_per_band"),
+                "n_capped_buckets",
+                "n_candidates",
+                "n_pairs",
+                "n_truth",
+                (
+                    F.col("n_hit").cast("double")
+                    / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0))
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -2328,3 +2328,31 @@ def test_nprobe_curve_is_monotone_and_anchored(spark, sf_small):
         for r in registry.QUERIES["sim_recall_ivf"](spark, sf_small).collect()
     )
     assert rows[4]["n_hits"] == ivf_hits
+
+
+def test_band_sweep_monotone_in_bands(spark, sf_small):
+    """With rows-per-band shrinking as bands grow, candidate sets are
+    supersets: candidates, verified pairs, and recall all non-decreasing
+    from (1x9) to (3x3) to (9x1); the (3x3) row must agree with
+    dedup_lsh_recall's numbers (same scheme, same truth)."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    rows = {
+        r["bands"]: r
+        for r in registry.QUERIES["dedup_lsh_band_sweep"](
+            spark, sf_small
+        ).collect()
+    }
+    assert sorted(rows) == [1, 3, 9]
+    if all(r["n_capped_buckets"] == 0 for r in rows.values()):
+        # superset monotonicity holds EXACTLY only while no bucket hits
+        # the BUCKET_CAP guard (a capped mega-bucket can drop candidates
+        # from the finer scheme) — the operator reports the bite
+        for a, b in ((1, 3), (3, 9)):
+            assert rows[a]["n_candidates"] <= rows[b]["n_candidates"]
+            assert rows[a]["n_pairs"] <= rows[b]["n_pairs"]
+            assert (rows[a]["recall"] or 0.0) <= (rows[b]["recall"] or 0.0) + 1e-9
+    anchor = registry.QUERIES["dedup_lsh_recall"](spark, sf_small).collect()[0]
+    assert rows[3]["n_truth"] == anchor["n_truth"]
+    assert rows[3]["n_pairs"] == anchor["n_lsh"]

@@ -969,3 +969,12 @@ def test_nprobe_curve_reuses_one_index_build(spark, sf):
     # branches must read InMemoryTableScan, not rebuild the index
     assert plan.count("InMemoryTableScan") >= 6
     assert "CartesianProduct" not in plan
+
+
+def test_band_sweep_shares_one_signature_build(spark, sf):
+    df = registry.QUERIES["dedup_lsh_band_sweep"](spark, sf)
+    plan = _plan(df)
+    # all three banding schemes, the truth semi joins, and the hashed
+    # verify joins read persisted tables — never a cartesian expansion
+    assert plan.count("InMemoryTableScan") >= 8
+    assert "CartesianProduct" not in plan

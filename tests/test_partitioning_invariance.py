@@ -118,6 +118,29 @@ QUERIES = [
     "zorder_skipping_effectiveness",  # integer zone maps, two layouts
     "mor_positional_delete_apply",  # per-file positions + anti-join
     "emb_drift_by_split",           # fixed-point half-centroids + fold
+    # round-4 continuation
+    "gini_concentration",           # per-nation rank sums, integer cents
+    "ks_two_sample",                # integer ECDF supremum
+    "jackknife_bucket_ci",          # bucket-sorted pseudo-value folds
+    "graph_bfs_distance",           # unrolled frontier expansion
+    "text_collocation_pmi",         # exact-rational lift + top-k ties
+    "dedup_lsh_recall",             # composed pair pipelines + semi join
+    "cow_write_amplification",      # file-keyed integer accounting
+    "graph_modularity",             # composed LPA labels + integer terms
+    "emb_int8_quantize",            # map-only floor quantization
+    "events_user_burstiness",       # integer moment rational
+    "quality_dup_pointbiserial",    # composed quality x CC flag moments
+    "text_zipf_slope",              # rank-ordered ln folds over top-V
+    "sim_cosine_topk_prefix",       # prefix-dim fold + tie-broken top-k
+    "sim_prefix_rerank",            # shortlist window + full-dim rerank
+    "events_burst_collapse",        # per-key lag gaps, integer nanos
+    "neyman_allocation",            # stratum moments + sorted fold
+    "sim_cosine_topk_int8",         # dequantized fold + tie-broken top-k
+    "dq_freshness_lag",             # integer max-lag accounting
+    "boilerplate_chunks",           # chunk hash census + top-k ties
+    "seasonal_residual_anomaly",    # calendar-sorted residual folds
+    "sim_ivf_nprobe_curve",         # shared index + exact hit counting
+    "dedup_lsh_band_sweep",         # re-banded buckets + hashed verify
 ]
 
 

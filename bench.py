@@ -218,6 +218,7 @@ HEADLINE = [
     "seasonal_residual_anomaly",
     "sim_ivf_nprobe_curve",
     "dedup_lsh_band_sweep",
+    "ab_test_proportions",
 ]
 
 

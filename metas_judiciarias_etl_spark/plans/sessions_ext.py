@@ -1279,3 +1279,127 @@ def events_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("keep_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test: the A/B experiment readout, exact-integer inputs.
+# --------------------------------------------------------------------------
+@query(
+    "ab_test_proportions",
+    oracle="""
+    WITH assign AS (
+        SELECT DISTINCT user_id, user_id % 2 AS arm FROM events
+    ), pc AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_purch
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), thr AS (
+        SELECT CAST(sum(n_purch) AS BIGINT)
+               // (SELECT count(*) FROM assign) + 1 AS k
+        FROM pc
+    ), conv AS (
+        SELECT user_id FROM pc CROSS JOIN thr WHERE n_purch >= thr.k
+    ), cells AS (
+        SELECT a.arm,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(count(c.user_id) AS BIGINT) AS n_converted
+        FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+        GROUP BY a.arm
+    ), wide AS (
+        SELECT
+            max(CASE WHEN arm = 0 THEN n_users END) AS n0,
+            max(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+            max(CASE WHEN arm = 1 THEN n_users END) AS n1,
+            max(CASE WHEN arm = 1 THEN n_converted END) AS c1
+        FROM cells
+    )
+    SELECT n0 AS n_control, c0 AS conv_control,
+           n1 AS n_treat, c1 AS conv_treat,
+           CAST(c0 AS DOUBLE) / n0 AS p_control,
+           CAST(c1 AS DOUBLE) / n1 AS p_treat,
+           (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+               / nullif(sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1)), 0.0) AS z_stat
+    FROM wide
+    """,
+)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A/B readout: users split into two arms by key parity (the
+    deterministic stand-in for experiment assignment — swap in the real
+    assignment column unchanged), converted = an above-average purchaser (count >= global
+    purchases-per-user + 1 — a self-scaling threshold that cannot
+    saturate the way raw >=1 does on a dense fixture);
+    reported as the pooled two-proportion z statistic, the first number
+    every experimentation platform computes. |z| > 1.96 is the familiar
+    5% line; the inputs stay visible so any other test (chi-square,
+    Fisher) can re-derive from the same four integers.
+
+    Exactness: the entire test reduces to four exact integer cells
+    (users and converters per arm); every subsequent op is a pinned
+    IEEE expression over them — no float aggregation anywhere, so the
+    statistic is bit-identical across engines and layouts.
+
+    Plan: one distinct on (user, arm) (user-keyed), one distinct on
+    converters, one user-keyed left join, a 2-row pivot. The join keys
+    on user_id — co-partitioned with both distincts, and at 100 TB the
+    whole thing is two scans of an event log plus user-cardinality
+    state, the minimum for the question."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.select(
+        "user_id", (F.col("user_id") % 2).alias("arm")
+    ).distinct()
+    pc = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purch"))
+    )
+    n_users = assign.agg(F.count(F.lit(1)).alias("nu"))
+    thr = (
+        pc.agg(F.sum("n_purch").cast("long").alias("tp"))
+        .crossJoin(F.broadcast(n_users))
+        .select((F.expr("tp div nu") + 1).alias("k"))
+    )
+    conv = (
+        pc.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_purch") >= F.col("k"))
+        .select("user_id")
+        .withColumn("converted", F.lit(1))
+    )
+    cells = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.count("converted").cast("long").alias("n_converted"),
+        )
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    return wide.select(
+        F.col("n0").alias("n_control"),
+        F.col("c0").alias("conv_control"),
+        F.col("n1").alias("n_treat"),
+        F.col("c1").alias("conv_treat"),
+        p0.alias("p_control"),
+        p1.alias("p_treat"),
+        (
+            (p1 - p0)
+            / F.nullif(
+                F.sqrt(
+                    pp
+                    * (F.lit(1.0) - pp)
+                    * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+                ),
+                F.lit(0.0),
+            )
+        ).alias("z_stat"),
+    )

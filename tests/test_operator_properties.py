@@ -2356,3 +2356,30 @@ def test_band_sweep_monotone_in_bands(spark, sf_small):
     anchor = registry.QUERIES["dedup_lsh_recall"](spark, sf_small).collect()[0]
     assert rows[3]["n_truth"] == anchor["n_truth"]
     assert rows[3]["n_pairs"] == anchor["n_lsh"]
+
+
+def test_ab_test_matches_scipy_style_replay(spark, sf_small):
+    import math
+    from collections import Counter
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    users = set(ev["user_id"])
+    purch = Counter(ev.loc[ev["event_type"] == "purchase", "user_id"])
+    k = sum(purch.values()) // len(users) + 1
+    cells = {0: [0, 0], 1: [0, 0]}
+    for u in users:
+        arm = u % 2
+        cells[arm][0] += 1
+        cells[arm][1] += 1 if purch.get(u, 0) >= k else 0
+    (n0, c0), (n1, c1) = cells[0], cells[1]
+    row = registry.QUERIES["ab_test_proportions"](spark, sf_small).collect()[0]
+    assert (row["n_control"], row["conv_control"]) == (n0, c0)
+    assert (row["n_treat"], row["conv_treat"]) == (n1, c1)
+    # partial conversion on both arms (the self-scaling threshold's job)
+    assert 0 < c0 < n0 and 0 < c1 < n1
+    pp = (c0 + c1) / (n0 + n1)
+    z = (c1 / n1 - c0 / n0) / math.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1))
+    assert abs(row["z_stat"] - z) < 1e-12

@@ -219,6 +219,7 @@ HEADLINE = [
     "sim_ivf_nprobe_curve",
     "dedup_lsh_band_sweep",
     "ab_test_proportions",
+    "dedup_clusters_incremental",
 ]
 
 

@@ -2383,3 +2383,25 @@ def test_ab_test_matches_scipy_style_replay(spark, sf_small):
     pp = (c0 + c1) / (n0 + n1)
     z = (c1 / n1 - c0 / n0) / math.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1))
     assert abs(row["z_stat"] - z) < 1e-12
+
+
+def test_incremental_cc_equals_full_recompute(spark, sf_small):
+    """The operator's core contract, checked against the registered full
+    CC too (not just the SQL oracle): identical label tables, and an old
+    component's label only changes if a new-batch edge merged it."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    full = {
+        r["doc_id"]: r["cluster_id"]
+        for r in registry.QUERIES["dedup_clusters"](spark, sf_small).collect()
+    }
+    inc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in registry.QUERIES["dedup_clusters_incremental"](
+            spark, sf_small
+        ).collect()
+    }
+    assert inc == full
+    for d, c in inc.items():
+        assert c <= d  # min-label invariant

@@ -141,6 +141,8 @@ QUERIES = [
     "seasonal_residual_anomaly",    # calendar-sorted residual folds
     "sim_ivf_nprobe_curve",         # shared index + exact hit counting
     "dedup_lsh_band_sweep",         # re-banded buckets + hashed verify
+    "ab_test_proportions",          # four-integer-cell z statistic
+    "dedup_clusters_incremental",   # contraction merge == full recompute
 ]
 
 

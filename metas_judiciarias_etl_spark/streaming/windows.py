@@ -219,8 +219,10 @@ def click_purchase_interval_join(
     ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"), "p_value")
 
 
-def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:
-    """Drain all available input into an in-memory table (test/debug sink)."""
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str):
+    """Drain all available input into an in-memory table (test/debug sink).
+    Returns the (terminated) query so callers can read recentProgress —
+    watermark drop counts, state rows, per-batch metrics."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -229,6 +231,7 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:
         .start()
     )
     q.awaitTermination()
+    return q
 
 
 def dedup_within_watermark(

@@ -497,3 +497,45 @@ def test_transform_with_state_running_totals(spark, event_dir):
     assert latest[1] == (8.0, 3)
     assert latest[2] == (7.0, 2)
     assert latest[3] == (13.0, 2)
+
+
+def test_watermark_expired_late_row_dropped_with_metric(spark, tmp_path):
+    """The DROP side of the watermark contract (the twin of
+    test_watermark_in_delay_data_incorporated): once the advanced
+    watermark has propagated, an older-than-watermark event must never
+    surface in any emitted window, and the state operator must account
+    for it in numRowsDroppedByWatermark — the metric a production
+    monitor alerts on. Pinned quirk: the watermark lags its source data
+    by one micro-batch (batch N runs under the watermark committed
+    after batch N-1), so the FIRST late file after the advance is still
+    admitted-and-finalized; the next one is dropped. Without the drop,
+    state grows with the full event history — this is the bounded-state
+    guarantee itself."""
+    d = str(tmp_path / "late_drop_in")
+    _write_events(d, "b1.json", [(1, "10:10", 1, "click", 1.0),
+                                 (2, "15:30", 1, "click", 2.0)])
+    time.sleep(1.1)  # distinct mtimes → deterministic file->batch order
+    # watermark after b1 = 15:30 - 2h = 13:30; b2's 09:00 row is beyond
+    # it but rides the propagation lag (admitted, finalized immediately)
+    _write_events(d, "b2.json", [(3, "09:00", 1, "click", 9.0)])
+    time.sleep(1.1)
+    # b3 runs under the fully-propagated 13:30 watermark → dropped
+    _write_events(d, "b3.json", [(4, "09:05", 1, "click", 3.0)])
+    stream = SW.tumbling_counts(
+        SW.read_event_stream(spark, d, max_files_per_trigger=1),
+        width="1 hour",
+        watermark="2 hours",
+    )
+    q = SW.run_to_memory(stream, "late_drop_out", "append")
+    rows = spark.sql("SELECT * FROM late_drop_out").collect()
+    nine = [r for r in rows if str(r["window_start"]) == "2025-06-01 09:00:00"]
+    # the admitted-late b2 row emitted alone; the dropped b3 row (same
+    # window!) never merged into it and never re-emitted the window
+    assert len(nine) == 1
+    assert nine[0]["n_events"] == 1 and nine[0]["sum_value"] == 9.0
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1

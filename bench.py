@@ -220,6 +220,7 @@ HEADLINE = [
     "dedup_lsh_band_sweep",
     "ab_test_proportions",
     "dedup_clusters_incremental",
+    "bpe_compression_curve",
 ]
 
 

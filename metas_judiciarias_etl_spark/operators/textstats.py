@@ -1306,3 +1306,134 @@ def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.orderBy(
         F.desc("n_docs"), F.desc("n_occurrences"), "chunk_hash"
     ).limit(BP_TOPK)
+
+
+# --------------------------------------------------------------------------
+# BPE compression curve: corpus symbol count after each learned merge.
+# --------------------------------------------------------------------------
+def _bpe_curve_oracle() -> str:
+    """Same training chain as _bpe_oracle, but emitting the corpus-level
+    compression measurement per state: steps 0..BPE_STEPS, where sK has
+    ALL of the first K merges applied (state s{BPE_STEPS} is added here;
+    the training oracle stops materializing one state early)."""
+    seq0 = (
+        f"rtrim(regexp_replace(w, '(.)', '\\1' || {_SQL_SEP}, 'g'), {_SQL_SEP})"
+    )
+
+    def pairs_cte(src: str) -> str:
+        return f"""(
+        SELECT pr, count(*) AS c FROM (
+            SELECT unnest(list_transform(generate_series(1, len(parts) - 1),
+                __i -> parts[__i] || {_SQL_SEP} || parts[__i + 1])) AS pr
+            FROM (SELECT string_split(seq, {_SQL_SEP}) AS parts FROM {src})
+            WHERE len(parts) >= 2
+        ) GROUP BY pr
+    )"""
+
+    ctes = [
+        f"""toks AS (
+        SELECT unnest({_SQL_TOKS}) AS w FROM documents
+    ), s0 AS (
+        SELECT {seq0} AS seq FROM toks WHERE w <> ''
+    )"""
+    ]
+    for k in range(1, BPE_STEPS + 1):
+        ctes.append(f"p{k} AS {pairs_cte(f's{k - 1}')}")
+        ctes.append(
+            f"m{k} AS (SELECT pr, c FROM p{k} ORDER BY c DESC, pr LIMIT 1)"
+        )
+        ctes.append(
+            f"""s{k} AS (
+        SELECT replace(seq, (SELECT pr FROM m{k}),
+                       replace((SELECT pr FROM m{k}), {_SQL_SEP}, '')) AS seq
+        FROM s{k - 1}
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS step,"
+        f" CAST(count(*) AS BIGINT) AS n_words,"
+        f" CAST(sum(len(string_split(seq, {_SQL_SEP}))) AS BIGINT)"
+        f" AS n_symbols,"
+        f" CAST(CAST(sum(len(string_split(seq, {_SQL_SEP}))) AS BIGINT)"
+        f" AS DOUBLE) / count(*) AS symbols_per_word"
+        f" FROM s{k}"
+        for k in range(0, BPE_STEPS + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+
+
+@query("bpe_compression_curve", oracle=_bpe_curve_oracle())
+def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the learned BPE merges actually BUY: corpus symbol count and
+    symbols-per-word after each of the first merges (step 0 = raw
+    characters) — the compression/fertility curve a tokenizer team
+    plots to decide vocabulary size, measured by APPLYING the trained
+    merges to the full corpus, not just reporting pair counts. Shares
+    training semantics with bpe_merge_steps (identical winner selection
+    and greedy replace application), so the curve can never drift from
+    the trainer.
+
+    Iterative shape: same per-step cached-state loop as the trainer
+    (each merge winner is a 1-row collect that parameterizes the next
+    state); each state additionally feeds ONE symbol-count aggregate —
+    sum of split lengths, scan-bound over the cached word table. The
+    per-step states persist: the count branch and the next step's pair
+    count both read them."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    seq = toks.select(
+        F.expr(f"rtrim('{_BPE_SEP}', regexp_replace(w, '(.)', '$1{_BPE_SEP}'))")
+        .alias("seq")
+    ).persist()
+    seq.count()
+
+    def top_pair(df: DataFrame):
+        parts = F.split(F.col("seq"), _BPE_SEP)
+        n = F.size(parts)
+        zipped = F.arrays_zip(
+            F.slice(parts, 1, n - 1).alias("l"), F.slice(parts, 2, n - 1).alias("r")
+        )
+        pairs = (
+            df.filter(n >= 2)
+            .select(F.explode(zipped).alias("b"))
+            .select(
+                F.concat(F.col("b.l"), F.lit(_BPE_SEP), F.col("b.r")).alias("pr")
+            )
+        )
+        return (
+            pairs.groupBy("pr")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("pr"))
+            .limit(1)
+        )
+
+    def state_stats(df: DataFrame, k: int):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.size(F.split(F.col("seq"), _BPE_SEP)))
+            .cast("long")
+            .alias("n_symbols"),
+            (
+                F.sum(F.size(F.split(F.col("seq"), _BPE_SEP)))
+                .cast("long")
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("symbols_per_word"),
+        ).select(
+            F.lit(k).alias("step"), "n_words", "n_symbols", "symbols_per_word"
+        )
+
+    out = state_stats(seq, 0)
+    cur = seq
+    for k in range(1, BPE_STEPS + 1):
+        pr = top_pair(cur).collect()[0]["pr"]
+        cur = cur.select(
+            F.replace(
+                F.col("seq"), F.lit(pr), F.lit(pr.replace(_BPE_SEP, ""))
+            ).alias("seq")
+        ).persist()
+        cur.count()  # the count branch AND step k+1's pair count read it
+        out = out.unionByName(state_stats(cur, k))
+    return out

@@ -2405,3 +2405,35 @@ def test_incremental_cc_equals_full_recompute(spark, sf_small):
     assert inc == full
     for d, c in inc.items():
         assert c <= d  # min-label invariant
+
+
+def test_bpe_curve_monotone_and_consistent_with_trainer(spark, sf_small):
+    """Each merge strictly reduces total symbols by exactly the merged
+    pair's occurrence count at that step (greedy replace removes one
+    symbol per non-overlapping occurrence), and the curve's step-k drop
+    must match bpe_merge_steps' pair_count for non-overlapping pairs
+    (>= pair_count/2 always, == when left != right)."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    curve = {
+        r["step"]: r
+        for r in registry.QUERIES["bpe_compression_curve"](
+            spark, sf_small
+        ).collect()
+    }
+    merges = {
+        r["step"]: r
+        for r in registry.QUERIES["bpe_merge_steps"](spark, sf_small).collect()
+    }
+    steps = sorted(curve)
+    assert steps[0] == 0
+    for k in steps[1:]:
+        drop = curve[k - 1]["n_symbols"] - curve[k]["n_symbols"]
+        assert drop > 0
+        pc = merges[k]["pair_count"]
+        if merges[k]["merge_left"] != merges[k]["merge_right"]:
+            assert drop == pc
+        else:
+            assert pc // 2 <= drop <= pc
+        assert curve[k]["n_words"] == curve[0]["n_words"]

@@ -143,6 +143,7 @@ QUERIES = [
     "dedup_lsh_band_sweep",         # re-banded buckets + hashed verify
     "ab_test_proportions",          # four-integer-cell z statistic
     "dedup_clusters_incremental",   # contraction merge == full recompute
+    "bpe_compression_curve",        # per-state symbol counts, cached states
 ]
 
 

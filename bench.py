@@ -221,6 +221,8 @@ HEADLINE = [
     "ab_test_proportions",
     "dedup_clusters_incremental",
     "bpe_compression_curve",
+    "quality_gate_sweep",
+    "theil_sen_trend",
 ]
 
 

@@ -1437,3 +1437,98 @@ def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur.count()  # the count branch AND step k+1's pair count read it
         out = out.unionByName(state_stats(cur, k))
     return out
+
+
+# --------------------------------------------------------------------------
+# Quality gate sweep: corpus yield at candidate quality thresholds.
+# --------------------------------------------------------------------------
+GATE_THRESHOLDS = ("0.3", "0.5", "0.7")  # decimal literals, engine-exact
+
+
+def _gate_sweep_oracle() -> str:
+    from ..registry import ORACLES
+
+    per_t = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({t} AS DOUBLE) AS threshold,
+           CAST(count(*) FILTER (WHERE quality >= {t}) AS BIGINT)
+               AS docs_kept,
+           (SELECT CAST(count(*) AS BIGINT) FROM j) AS docs_total,
+           CAST(sum(ws_tokens) FILTER (WHERE quality >= {t}) AS BIGINT)
+               AS tokens_kept,
+           (SELECT CAST(sum(ws_tokens) AS BIGINT) FROM j) AS tokens_total,
+           CAST(CAST(sum(ws_tokens) FILTER (WHERE quality >= {t})
+                     AS BIGINT) AS DOUBLE)
+               / (SELECT CAST(sum(ws_tokens) AS BIGINT) FROM j)
+               AS token_yield
+    FROM j"""
+        for t in GATE_THRESHOLDS
+    )
+    return f"""
+    WITH q AS ({ORACLES['text_quality']}),
+    tc AS ({ORACLES['text_token_count']}),
+    j AS (
+        SELECT q.quality, tc.ws_tokens
+        FROM q JOIN tc ON tc.doc_id = q.doc_id
+        WHERE q.quality IS NOT NULL
+    )
+{per_t}
+    """
+
+
+@query("quality_gate_sweep", oracle=_gate_sweep_oracle())
+def quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate-setting table: document and TOKEN yield of the corpus at
+    each candidate quality threshold — the trade a data lead actually
+    decides on ("0.7 keeps 38% of tokens; 0.5 keeps 81%") before
+    prep_pipeline hard-codes one. Token yield is the number that
+    matters: quality correlates with length, so document yield alone
+    misleads. Composes the registered quality and token-count queries —
+    the sweep can never disagree with the production gate's inputs.
+
+    Exactness: thresholds are decimal literals compared against the
+    6-dp-rounded quality score; every cell is an exact integer count /
+    sum; one pinned division per row.
+
+    Plan: quality and token features are both map-only over the scan;
+    ONE doc_id join, then a single 1-row aggregate per threshold over
+    the joined table (conditional sums — no re-scan per threshold, and
+    at 100 TB the three thresholds ride the same shuffle-free pass)."""
+    from ..registry import QUERIES
+
+    q = QUERIES["text_quality"](spark, sf_dir).filter(
+        F.col("quality").isNotNull()
+    ).select("doc_id", "quality")
+    tc = QUERIES["text_token_count"](spark, sf_dir).select(
+        "doc_id", "ws_tokens"
+    )
+    j = q.join(tc, "doc_id").persist()
+    j.count()
+    tot = j.agg(
+        F.count(F.lit(1)).cast("long").alias("docs_total"),
+        F.sum("ws_tokens").cast("long").alias("tokens_total"),
+    )
+    out = None
+    for t in GATE_THRESHOLDS:
+        keep = F.col("quality") >= float(t)
+        row = (
+            j.agg(
+                F.sum(keep.cast("int")).cast("long").alias("docs_kept"),
+                F.coalesce(F.sum(F.when(keep, F.col("ws_tokens"))), F.lit(0))
+                .cast("long")
+                .alias("tokens_kept"),
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(float(t)).alias("threshold"),
+                "docs_kept",
+                "docs_total",
+                "tokens_kept",
+                "tokens_total",
+                (
+                    F.col("tokens_kept").cast("double")
+                    / F.col("tokens_total")
+                ).alias("token_yield"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

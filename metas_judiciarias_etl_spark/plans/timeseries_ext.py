@@ -1066,3 +1066,121 @@ def seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen robust trend: median of pairwise slopes over the monthly series.
+# --------------------------------------------------------------------------
+@query(
+    "theil_sen_trend",
+    oracle="""
+    WITH m AS (
+        SELECT (year(CAST(o_orderdate AS DATE)) * 12
+                + month(CAST(o_orderdate AS DATE)) - 1) AS month_id,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), pairs AS (
+        SELECT CAST(b.cents - a.cents AS DOUBLE)
+                   / (b.month_id - a.month_id) AS sl
+        FROM m a JOIN m b ON b.month_id > a.month_id
+    ), sarr AS (
+        SELECT list_sort(list(sl)) AS arr,
+               CAST(count(*) AS BIGINT) AS np
+        FROM pairs
+    ), med AS (
+        SELECT np,
+               CASE WHEN np % 2 = 1 THEN arr[(np + 1) // 2]
+                    ELSE (arr[np // 2] + arr[np // 2 + 1]) / 2.0
+               END AS slope
+        FROM sarr
+    ), dev AS (
+        SELECT list_sort(list(m.cents - med.slope * m.month_id)) AS darr,
+               CAST(count(*) AS BIGINT) AS nm,
+               max(med.slope) AS slope
+        FROM m CROSS JOIN med
+    )
+    SELECT nm AS n_months, slope AS slope_cents_per_month,
+           CASE WHEN nm % 2 = 1 THEN darr[(nm + 1) // 2]
+                ELSE (darr[nm // 2] + darr[nm // 2 + 1]) / 2.0
+           END AS intercept_cents
+    FROM dev
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator over the monthly revenue series: slope =
+    median of all pairwise slopes, intercept = median of residual
+    offsets — the robust trend line that a single anomalous month
+    cannot bend (OLS breaks down at one outlier; Theil–Sen tolerates
+    ~29%). Complements seasonal_residual_anomaly: one flags the weird
+    months, this reports the trend as if they weren't there.
+
+    Exactness: monthly cents are exact integers, each pairwise slope is
+    ONE exact-rounded division, and both medians are order-statistic
+    SELECTIONS from sorted bounded arrays (months², i.e. ~3.5 k pairs
+    for 7 years — calendar-bounded, never fact-scale), with the even-n
+    midpoint average the only other float op — bit-identical engines.
+
+    Plan: one fact-scale month rollup (the only heavy step), then a
+    calendar-sized self-join, one bounded sorted fold for each median,
+    and a 1-row broadcast of the slope into the intercept pass. At any
+    corpus size the post-rollup work is constant."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.select(
+            (
+                F.year(F.col("o_orderdate")) * 12
+                + F.month(F.col("o_orderdate"))
+                - 1
+            ).alias("month_id"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("month_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+        .coalesce(1)
+        .persist()
+    )
+    m.count()  # pairs self-join AND the intercept pass read it
+    a = m.select(F.col("month_id").alias("ma"), F.col("cents").alias("ca"))
+    b = m.select(F.col("month_id").alias("mb"), F.col("cents").alias("cb"))
+    pairs = (
+        a.join(b, F.col("mb") > F.col("ma"))
+        .select(
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / (F.col("mb") - F.col("ma"))
+            ).alias("sl")
+        )
+    )
+    med = pairs.agg(
+        F.sort_array(F.collect_list("sl")).alias("arr"),
+        F.count(F.lit(1)).cast("long").alias("np"),
+    ).select(
+        "np",
+        F.expr(
+            "CASE WHEN np % 2 = 1 THEN arr[CAST((np + 1) div 2 AS INT) - 1]"
+            " ELSE (arr[CAST(np div 2 AS INT) - 1]"
+            "       + arr[CAST(np div 2 AS INT)]) / 2.0 END"
+        ).alias("slope"),
+    )
+    dev = (
+        m.crossJoin(F.broadcast(med))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.col("cents") - F.col("slope") * F.col("month_id")
+                )
+            ).alias("darr"),
+            F.count(F.lit(1)).cast("long").alias("nm"),
+            F.max("slope").alias("slope"),
+        )
+    )
+    return dev.select(
+        F.col("nm").alias("n_months"),
+        F.col("slope").alias("slope_cents_per_month"),
+        F.expr(
+            "CASE WHEN nm % 2 = 1 THEN darr[CAST((nm + 1) div 2 AS INT) - 1]"
+            " ELSE (darr[CAST(nm div 2 AS INT) - 1]"
+            "       + darr[CAST(nm div 2 AS INT)]) / 2.0 END"
+        ).alias("intercept_cents"),
+    )

@@ -2437,3 +2437,62 @@ def test_bpe_curve_monotone_and_consistent_with_trainer(spark, sf_small):
         else:
             assert pc // 2 <= drop <= pc
         assert curve[k]["n_words"] == curve[0]["n_words"]
+
+
+def test_gate_sweep_matches_composed_outputs(spark, sf_small):
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.textstats import GATE_THRESHOLDS
+
+    registry.load_all()
+    q = {
+        r["doc_id"]: r["quality"]
+        for r in registry.QUERIES["text_quality"](spark, sf_small).collect()
+        if r["quality"] is not None
+    }
+    tk = {
+        r["doc_id"]: r["ws_tokens"]
+        for r in registry.QUERIES["text_token_count"](spark, sf_small).collect()
+    }
+    rows = {
+        r["threshold"]: r
+        for r in registry.QUERIES["quality_gate_sweep"](
+            spark, sf_small
+        ).collect()
+    }
+    prev_yield = 2.0
+    for t in (float(x) for x in GATE_THRESHOLDS):
+        kept = [d for d in q if q[d] >= t]
+        r = rows[t]
+        assert r["docs_kept"] == len(kept)
+        assert r["tokens_kept"] == sum(tk[d] for d in kept)
+        assert r["docs_total"] == len(q)
+        assert r["tokens_total"] == sum(tk[d] for d in q)
+        assert r["token_yield"] <= prev_yield  # tightening gate: monotone
+        prev_yield = r["token_yield"]
+
+
+def test_theil_sen_matches_numpy_and_resists_outliers(spark, sf_small):
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    orders = _load_pdf(sf_small, "orders")
+    orders = orders.assign(
+        cents=(orders["o_totalprice"] * 100).round().astype("int64"),
+        mid=orders["o_orderdate"].dt.year * 12 + orders["o_orderdate"].dt.month - 1,
+    )
+    monthly = orders.groupby("mid")["cents"].sum().sort_index()
+    mids = monthly.index.to_numpy()
+    vals = monthly.to_numpy().astype(np.float64)
+    slopes = [
+        (vals[j] - vals[i]) / (mids[j] - mids[i])
+        for i in range(len(mids))
+        for j in range(i + 1, len(mids))
+    ]
+    slope = float(np.median(np.array(slopes)))
+    inter = float(np.median(vals - slope * mids))
+    row = registry.QUERIES["theil_sen_trend"](spark, sf_small).collect()[0]
+    assert row["n_months"] == len(mids)
+    assert abs(row["slope_cents_per_month"] - slope) < 1e-9 * max(1.0, abs(slope))
+    assert abs(row["intercept_cents"] - inter) < 1e-6 * max(1.0, abs(inter))

@@ -144,6 +144,8 @@ QUERIES = [
     "ab_test_proportions",          # four-integer-cell z statistic
     "dedup_clusters_incremental",   # contraction merge == full recompute
     "bpe_compression_curve",        # per-state symbol counts, cached states
+    "quality_gate_sweep",           # conditional integer sums, one pass
+    "theil_sen_trend",              # bounded pairwise-slope median selection
 ]
 
 

@@ -223,6 +223,7 @@ HEADLINE = [
     "bpe_compression_curve",
     "quality_gate_sweep",
     "theil_sen_trend",
+    "dedup_minhash_estimate_error",
 ]
 
 

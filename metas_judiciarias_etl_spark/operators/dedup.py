@@ -1571,3 +1571,87 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.coalesce("mlabel", F.col("rep")).alias("cluster_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration: signature-agreement estimate vs exact
+# Jaccard on every verified near-dup pair.
+# ---------------------------------------------------------------------------
+def _minhash_estimate_oracle() -> str:
+    from ..registry import ORACLES
+
+    mh_aggs = ",\n               ".join(sql_affine_min_aggs("h", NUM_HASHES))
+    matches = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+    WITH p AS ({ORACLES['dedup_minhash_lsh']}),
+    sh AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), hv AS (
+        SELECT doc_id, {sql_hash48("shingle")} % {MINHASH_P} AS h FROM ex
+    ), mh AS (
+        SELECT doc_id,
+               {mh_aggs}
+        FROM hv GROUP BY doc_id
+    )
+    SELECT p.a_id, p.b_id,
+           CAST({matches} AS BIGINT) AS n_agree,
+           CAST({matches} AS DOUBLE) / {NUM_HASHES} AS est_jaccard,
+           p.jaccard AS exact_jaccard,
+           abs(CAST({matches} AS DOUBLE) / {NUM_HASHES} - p.jaccard)
+               AS abs_err
+    FROM p
+    JOIN mh a ON a.doc_id = p.a_id
+    JOIN mh b ON b.doc_id = p.b_id
+    """
+
+
+@query("dedup_minhash_estimate_error", oracle=_minhash_estimate_oracle())
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash as an ESTIMATOR, calibrated: for every verified near-dup
+    pair, the signature-agreement estimate (matching components / 9)
+    against the exact shingle Jaccard the pipeline verified — the error
+    table that tells you whether 9 hashes suffice to SKIP verification
+    at scale (E[est] = J exactly; sd = sqrt(J(1-J)/9) ≈ 0.17 at
+    J = 0.5, which is why this engine verifies instead). Per-pair rows,
+    so the reader can see the spread, not just a mean.
+
+    Exactness: component agreement is integer equality on affine-min
+    values both engines compute identically; the estimate is one
+    division; exact_jaccard rides in from the registered query
+    (6-dp-rounded there). No float aggregation anywhere.
+
+    Plan: signatures are the SAME one-shuffle explode→groupBy build the
+    detector uses; the pair table is near-dup-scale and joins twice on
+    doc_id. Strictly cheaper than the detection it calibrates."""
+    from ..registry import QUERIES
+
+    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    mh = _signatures(_doc_shingles(docs)).persist()
+    mh.count()  # both pair-side joins read it
+    agree = sum(
+        (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("int")
+        for i in range(NUM_HASHES)
+    )
+    return (
+        pairs.join(mh.alias("a"), F.col("a.doc_id") == pairs.a_id)
+        .join(mh.alias("b"), F.col("b.doc_id") == pairs.b_id)
+        .select(
+            "a_id",
+            "b_id",
+            agree.cast("long").alias("n_agree"),
+            (agree.cast("double") / F.lit(float(NUM_HASHES))).alias(
+                "est_jaccard"
+            ),
+            F.col("jaccard").alias("exact_jaccard"),
+            F.abs(
+                agree.cast("double") / F.lit(float(NUM_HASHES))
+                - F.col("jaccard")
+            ).alias("abs_err"),
+        )
+    )

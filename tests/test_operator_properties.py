@@ -2496,3 +2496,26 @@ def test_theil_sen_matches_numpy_and_resists_outliers(spark, sf_small):
     assert row["n_months"] == len(mids)
     assert abs(row["slope_cents_per_month"] - slope) < 1e-9 * max(1.0, abs(slope))
     assert abs(row["intercept_cents"] - inter) < 1e-6 * max(1.0, abs(inter))
+
+
+def test_minhash_estimate_is_unbiased_enough(spark, sf_small):
+    """Per-pair estimates live on the k/9 grid, and across the verified
+    pair set the mean estimate must sit near the mean exact Jaccard
+    (|bias| well under the single-pair sd ~ 0.17)."""
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.dedup import NUM_HASHES
+
+    registry.load_all()
+    rows = registry.QUERIES["dedup_minhash_estimate_error"](
+        spark, sf_small
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_agree"] <= NUM_HASHES
+        assert abs(r["est_jaccard"] - r["n_agree"] / NUM_HASHES) < 1e-12
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 1e-12
+    est = np.array([r["est_jaccard"] for r in rows])
+    ex = np.array([r["exact_jaccard"] for r in rows])
+    assert abs(float(est.mean() - ex.mean())) < 0.1

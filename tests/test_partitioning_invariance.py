@@ -146,6 +146,7 @@ QUERIES = [
     "bpe_compression_curve",        # per-state symbol counts, cached states
     "quality_gate_sweep",           # conditional integer sums, one pass
     "theil_sen_trend",              # bounded pairwise-slope median selection
+    "dedup_minhash_estimate_error", # signature-agreement integer counts
 ]
 
 

@@ -224,6 +224,7 @@ HEADLINE = [
     "quality_gate_sweep",
     "theil_sen_trend",
     "dedup_minhash_estimate_error",
+    "decontam_ngram_size_curve",
 ]
 
 

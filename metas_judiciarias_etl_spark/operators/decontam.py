@@ -160,3 +160,86 @@ def decontam_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination aggressiveness curve: flag rate as a function of K.
+# ---------------------------------------------------------------------------
+DECONTAM_K_CURVE = (3, 5, 8)
+
+
+def _decontam_curve_oracle() -> str:
+    per_k = "\n    UNION ALL\n".join(
+        f"""    SELECT {k} AS ngram_k,
+           (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+            FROM documents WHERE NOT ({_SQL_EVAL})) AS n_train_docs,
+           CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS n_flagged,
+           CAST(CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS DOUBLE)
+               / (SELECT count(DISTINCT doc_id)
+                  FROM documents WHERE NOT ({_SQL_EVAL})) AS flag_rate
+    FROM (
+        SELECT doc_id,
+               unnest(list_distinct({sql_word_shingles(_SQL_TOKS, k)})) AS ng
+        FROM documents WHERE NOT ({_SQL_EVAL})
+    ) tr
+    JOIN (
+        SELECT DISTINCT
+               unnest(list_distinct({sql_word_shingles(_SQL_TOKS, k)})) AS ng
+        FROM documents WHERE {_SQL_EVAL}
+    ) ev USING (ng)"""
+        for k in DECONTAM_K_CURVE
+    )
+    return per_k
+
+
+@query("decontam_ngram_size_curve", oracle=_decontam_curve_oracle())
+def decontam_ngram_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination dial: training-corpus flag rate at n-gram
+    lengths 3/5/8 against the same eval split — the aggressiveness
+    curve behind every published "we removed documents sharing a
+    13-gram" footnote. Short n-grams over-flag (common phrases), long
+    ones under-flag (miss paraphrase-adjacent leakage); flag rate is
+    monotonically non-increasing in K (every (K+1)-gram contains a
+    K-gram, so a K+1 match implies a K match — the property test pins
+    this), and the knee of this curve is where a real pipeline sets K.
+
+    Plan: per K, one shingle explode per side, the tiny eval shingle
+    set broadcasts, and the flag count is a distinct over the probe
+    hits — decontam_ngram_overlap's shape, swept. At 100 TB a single
+    pass could produce all three widths from one tokenization (shingle
+    arrays per K off the same token array); expressed per-K here so
+    each curve point remains the production query verbatim.
+
+    Exactness: integer distinct counts; one division per row."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = hash48(F.col("doc_id").cast("string")) % EVAL_MOD == 0
+    toks = tokens(F.col("text"))
+    n_train = (
+        docs.filter(~is_eval)
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_train_docs"))
+    )
+    out = None
+    for k in DECONTAM_K_CURVE:
+        sh = docs.select(
+            "doc_id",
+            is_eval.alias("is_eval"),
+            F.explode(F.array_distinct(word_shingles(toks, k))).alias("ng"),
+        )
+        ev = sh.filter("is_eval").select("ng").distinct()
+        tr = sh.filter(~F.col("is_eval")).select("doc_id", "ng")
+        row = (
+            tr.join(F.broadcast(ev), "ng")
+            .agg(F.countDistinct("doc_id").cast("long").alias("n_flagged"))
+            .crossJoin(F.broadcast(n_train))
+            .select(
+                F.lit(k).alias("ngram_k"),
+                "n_train_docs",
+                "n_flagged",
+                (
+                    F.col("n_flagged").cast("double")
+                    / F.col("n_train_docs")
+                ).alias("flag_rate"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

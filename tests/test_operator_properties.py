@@ -2519,3 +2519,28 @@ def test_minhash_estimate_is_unbiased_enough(spark, sf_small):
     est = np.array([r["est_jaccard"] for r in rows])
     ex = np.array([r["exact_jaccard"] for r in rows])
     assert abs(float(est.mean() - ex.mean())) < 0.1
+
+
+def test_decontam_curve_monotone_in_k(spark, sf_small):
+    """Every (K+1)-gram contains a K-gram, so a longer-n match implies a
+    shorter-n match: flag rate must be non-increasing in K. (The shingle
+    builder collapses docs shorter than K to one whole-text shingle,
+    which can only match its exact duplicate — still a K-gram match, so
+    the implication holds.)"""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    rows = {
+        r["ngram_k"]: r
+        for r in registry.QUERIES["decontam_ngram_size_curve"](
+            spark, sf_small
+        ).collect()
+    }
+    ks = sorted(rows)
+    assert len(ks) == 3
+    n_train = rows[ks[0]]["n_train_docs"]
+    for a, b in zip(ks, ks[1:]):
+        assert rows[b]["n_flagged"] <= rows[a]["n_flagged"]
+        assert rows[b]["n_train_docs"] == n_train
+    for r in rows.values():
+        assert 0.0 <= r["flag_rate"] <= 1.0

@@ -147,6 +147,7 @@ QUERIES = [
     "quality_gate_sweep",           # conditional integer sums, one pass
     "theil_sen_trend",              # bounded pairwise-slope median selection
     "dedup_minhash_estimate_error", # signature-agreement integer counts
+    "decontam_ngram_size_curve",    # per-K broadcast probes, distinct counts
 ]
 
 

@@ -978,3 +978,47 @@ def test_band_sweep_shares_one_signature_build(spark, sf):
     # verify joins read persisted tables — never a cartesian expansion
     assert plan.count("InMemoryTableScan") >= 8
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_curve_reads_cached_states(spark, sf):
+    df = registry.QUERIES["bpe_compression_curve"](spark, sf)
+    plan = _plan(df)
+    # per-state counts read the persisted sequence tables; no joins
+    assert "InMemoryTableScan" in plan
+    assert "Join" not in plan
+
+
+def test_gate_sweep_single_cached_pass(spark, sf):
+    df = registry.QUERIES["quality_gate_sweep"](spark, sf)
+    plan = _plan(df)
+    # three thresholds ride conditional aggregates over ONE cached join
+    # result; the totals row broadcasts back per threshold
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_theil_sen_pairs_join_is_calendar_scale(spark, sf):
+    df = registry.QUERIES["theil_sen_trend"](spark, sf)
+    plan = _plan(df)
+    # the pairwise-slope join runs over the cached month rollup (calendar
+    # rows), not the fact table — both median passes and the pair join
+    # read InMemoryTableScan (each cached relation PRINTS its build
+    # subtree, so counting raw parquet scans here would over-count)
+    assert plan.count("InMemoryTableScan") >= 3
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # m>m filter + slope
+
+
+def test_minhash_estimate_joins_are_doc_keyed(spark, sf):
+    df = registry.QUERIES["dedup_minhash_estimate_error"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # shared signature cache
+
+
+def test_decontam_curve_probes_broadcast(spark, sf):
+    df = registry.QUERIES["decontam_ngram_size_curve"](spark, sf)
+    plan = _plan(df)
+    # every per-K probe joins against a broadcast eval shingle set —
+    # the training side never shuffle-joins
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan

@@ -225,6 +225,7 @@ HEADLINE = [
     "theil_sen_trend",
     "dedup_minhash_estimate_error",
     "decontam_ngram_size_curve",
+    "survival_kaplan_meier",
 ]
 
 

@@ -1184,3 +1184,123 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "       + darr[CAST(nm div 2 AS INT)]) / 2.0 END"
         ).alias("intercept_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan–Meier survival estimator with right-censoring.
+# --------------------------------------------------------------------------
+_KM_DAY_NS = 86_400_000_000_000
+_KM_CENSOR_DAYS = 7
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               min(epoch_ns(ts)) AS first_ns,
+               max(epoch_ns(ts)) AS last_ns
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT max(last_ns) AS gmax FROM per_user
+    ), spans AS (
+        SELECT (last_ns - first_ns) // {_KM_DAY_NS} AS dur_days,
+               CASE WHEN last_ns < g.gmax - {_KM_CENSOR_DAYS}
+                                   * {_KM_DAY_NS}
+                    THEN 1 ELSE 0 END AS observed
+        FROM per_user CROSS JOIN g
+    ), hist AS (
+        SELECT dur_days,
+               CAST(count(*) AS BIGINT) AS c_total,
+               CAST(sum(observed) AS BIGINT) AS d
+        FROM spans GROUP BY dur_days
+    ), risk AS (
+        SELECT dur_days, c_total, d,
+               (SELECT CAST(count(*) AS BIGINT) FROM spans)
+                   - CAST(coalesce(sum(c_total) OVER (
+                         ORDER BY dur_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS n_at_risk
+        FROM hist
+    ), surv AS (
+        SELECT dur_days, d, n_at_risk,
+               round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk))
+                         OVER (ORDER BY dur_days)), 6) AS survival
+        FROM risk
+    )
+    SELECT dur_days, n_at_risk, d AS n_events, survival
+    FROM surv WHERE d > 0
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival of user lifetimes WITH right-censoring — the
+    estimator purchase_gap_survival's raw CCDF cannot replace once some
+    users are still alive: lifetime = days between a user's first and
+    last event, and a user still active in the corpus' final week is
+    CENSORED (their true lifetime is only known to exceed the span), so
+    they leave the risk set without counting as a death. S(t) =
+    Π_{{s<=t}} (1 − d_s/n_s) over observed-churn times — the curve every
+    retention analysis actually reports.
+
+    Determinism: risk sets and death counts are exact integers from one
+    duration histogram; the product accumulates as a cumulative ln-sum
+    window in duration order (a deterministic frame order on distinct
+    keys — both engines add in the same sequence) and rounds to 6 dp —
+    the entropy_fold treatment of an inherently-float product. A step
+    where everyone remaining churns drives ln(0) → −inf → S = 0
+    identically on both engines.
+
+    Plan: one user-keyed min/max pass over the fact table, a 1-row
+    global-max broadcast, then everything runs on the DURATION HISTOGRAM
+    — day-cardinality, not user-cardinality; the cumulative windows are
+    single-partition over that bounded support (the ks_two_sample
+    posture)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ns"), F.max("ts").alias("last_ns")
+    )
+    g = per_user.agg(F.max("last_ns").alias("gmax"))
+    spans = per_user.crossJoin(F.broadcast(g)).select(
+        F.expr(f"(last_ns - first_ns) div {_KM_DAY_NS}").alias("dur_days"),
+        F.when(
+            F.col("last_ns")
+            < F.col("gmax") - F.lit(_KM_CENSOR_DAYS * _KM_DAY_NS),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("observed"),
+    )
+    n_total = spans.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    hist = spans.groupBy("dur_days").agg(
+        F.count(F.lit(1)).cast("long").alias("c_total"),
+        F.sum("observed").cast("long").alias("d"),
+    )
+    w_prev = (
+        Window.orderBy("dur_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = hist.crossJoin(F.broadcast(n_total)).withColumn(
+        "n_at_risk",
+        F.col("n_total")
+        - F.coalesce(F.sum("c_total").over(w_prev), F.lit(0)),
+    )
+    surv = risk.withColumn(
+        "survival",
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.lit(1.0)
+                        - F.col("d").cast("double") / F.col("n_at_risk")
+                    )
+                ).over(w_cum)
+            ),
+            6,
+        ),
+    )
+    return surv.filter(F.col("d") > 0).select(
+        "dur_days", "n_at_risk", F.col("d").alias("n_events"), "survival"
+    )

@@ -2544,3 +2544,53 @@ def test_decontam_curve_monotone_in_k(spark, sf_small):
         assert rows[b]["n_train_docs"] == n_train
     for r in rows.values():
         assert 0.0 <= r["flag_rate"] <= 1.0
+
+
+def test_kaplan_meier_matches_lifelines_style_replay(spark, sf_small):
+    from collections import Counter, defaultdict
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.timeseries_ext import (
+        _KM_CENSOR_DAYS,
+        _KM_DAY_NS,
+    )
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    ev = ev.assign(tns=ev["ts"].astype("datetime64[ns]").astype("int64"))
+    spans = []
+    gmax = int(ev["tns"].max())
+    for _, grp in ev.groupby("user_id"):
+        first, last = int(grp["tns"].min()), int(grp["tns"].max())
+        spans.append(
+            (
+                (last - first) // _KM_DAY_NS,
+                1 if last < gmax - _KM_CENSOR_DAYS * _KM_DAY_NS else 0,
+            )
+        )
+    totals = Counter(d for d, _ in spans)
+    deaths = defaultdict(int)
+    for d, obs in spans:
+        deaths[d] += obs
+    got = {
+        r["dur_days"]: r
+        for r in registry.QUERIES["survival_kaplan_meier"](
+            spark, sf_small
+        ).collect()
+    }
+    n_risk = len(spans)
+    s = 1.0
+    prev_surv = 1.0
+    seen = set()
+    for t in sorted(totals):
+        if deaths[t] > 0:
+            r = got[t]
+            assert r["n_at_risk"] == n_risk
+            assert r["n_events"] == deaths[t]
+            s *= 1.0 - deaths[t] / n_risk
+            assert abs(r["survival"] - s) < 1e-5
+            assert r["survival"] <= prev_surv + 1e-9  # monotone decreasing
+            prev_surv = r["survival"]
+            seen.add(t)
+        n_risk -= totals[t]
+    assert seen == set(got)

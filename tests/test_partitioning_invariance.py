@@ -148,6 +148,7 @@ QUERIES = [
     "theil_sen_trend",              # bounded pairwise-slope median selection
     "dedup_minhash_estimate_error", # signature-agreement integer counts
     "decontam_ngram_size_curve",    # per-K broadcast probes, distinct counts
+    "survival_kaplan_meier",        # duration-ordered cumulative ln window
 ]
 
 

@@ -226,6 +226,7 @@ HEADLINE = [
     "dedup_minhash_estimate_error",
     "decontam_ngram_size_curve",
     "survival_kaplan_meier",
+    "survival_logrank_test",
 ]
 
 

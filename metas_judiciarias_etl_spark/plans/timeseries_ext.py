@@ -1190,26 +1190,51 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Kaplan–Meier survival estimator with right-censoring.
 # --------------------------------------------------------------------------
 _KM_DAY_NS = 86_400_000_000_000
-_KM_CENSOR_DAYS = 7
+# "conversion" = a purchase whose integer cents land on the 1-in-20 grid —
+# a deterministic ~5% slice of purchases, so a healthy share of users never
+# convert and genuinely exercise the censoring path at every SF
+_KM_EVENT = (
+    "event_type = 'purchase' AND CAST(round(value * 100) AS BIGINT) % 20 = 0"
+)
+
+_KM_SPANS_SQL = f"""per_user AS (
+        SELECT user_id,
+               min(epoch_ns(ts)) AS first_ns,
+               max(epoch_ns(ts)) AS last_ns,
+               min(epoch_ns(ts)) FILTER (WHERE {_KM_EVENT}) AS q_ns
+        FROM events GROUP BY user_id
+    ), spans AS (
+        SELECT user_id % 2 AS arm,
+               (coalesce(q_ns, last_ns) - first_ns) // {_KM_DAY_NS}
+                   AS dur_days,
+               CASE WHEN q_ns IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM per_user
+    )"""
+
+
+def _km_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(arm, dur_days, observed): time from first activity to first
+    qualifying purchase (observed) or to last activity (right-censored —
+    the user may still convert after the corpus window closes)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ns"),
+        F.max("ts").alias("last_ns"),
+        F.min(F.when(F.expr(_KM_EVENT), F.col("ts"))).alias("q_ns"),
+    )
+    return per_user.select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.expr(
+            f"(coalesce(q_ns, last_ns) - first_ns) div {_KM_DAY_NS}"
+        ).alias("dur_days"),
+        F.col("q_ns").isNotNull().cast("int").alias("observed"),
+    )
 
 
 @query(
     "survival_kaplan_meier",
     oracle=f"""
-    WITH per_user AS (
-        SELECT user_id,
-               min(epoch_ns(ts)) AS first_ns,
-               max(epoch_ns(ts)) AS last_ns
-        FROM events GROUP BY user_id
-    ), g AS (
-        SELECT max(last_ns) AS gmax FROM per_user
-    ), spans AS (
-        SELECT (last_ns - first_ns) // {_KM_DAY_NS} AS dur_days,
-               CASE WHEN last_ns < g.gmax - {_KM_CENSOR_DAYS}
-                                   * {_KM_DAY_NS}
-                    THEN 1 ELSE 0 END AS observed
-        FROM per_user CROSS JOIN g
-    ), hist AS (
+    WITH {_KM_SPANS_SQL}, hist AS (
         SELECT dur_days,
                CAST(count(*) AS BIGINT) AS c_total,
                CAST(sum(observed) AS BIGINT) AS d
@@ -1233,51 +1258,37 @@ _KM_CENSOR_DAYS = 7
     """,
 )
 def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan–Meier survival of user lifetimes WITH right-censoring — the
-    estimator purchase_gap_survival's raw CCDF cannot replace once some
-    users are still alive: lifetime = days between a user's first and
-    last event, and a user still active in the corpus' final week is
-    CENSORED (their true lifetime is only known to exceed the span), so
-    they leave the risk set without counting as a death. S(t) =
-    Π_{{s<=t}} (1 − d_s/n_s) over observed-churn times — the curve every
-    retention analysis actually reports.
+    """Kaplan–Meier time-to-conversion curve WITH right-censoring — the
+    estimator a raw conversion-delay histogram cannot replace once some
+    users haven't converted yet: duration runs from first activity to
+    the first qualifying (1-in-20-cents) purchase, and a user with no
+    such purchase is CENSORED at their last activity (their true
+    conversion time is only known to exceed the span), leaving the risk
+    set without counting as an event. S(t) = Π_{{s<=t}} (1 − d_s/n_s)
+    over observed conversion days — the curve every funnel/retention
+    analysis actually reports. ~40-70% of fixture users are censored at
+    every SF, so the censoring arithmetic is genuinely exercised.
 
-    Determinism: risk sets and death counts are exact integers from one
+    Determinism: risk sets and event counts are exact integers from one
     duration histogram; the product accumulates as a cumulative ln-sum
-    window in duration order (a deterministic frame order on distinct
-    keys — both engines add in the same sequence) and rounds to 6 dp —
-    the entropy_fold treatment of an inherently-float product. A step
-    where everyone remaining churns drives ln(0) → −inf → S = 0
-    identically on both engines.
+    window in duration order (deterministic frame order on distinct
+    keys) and rounds to 6 dp — the entropy_fold treatment of an
+    inherently-float product. A step where everyone remaining converts
+    drives ln(0) → −inf → S = 0 identically on both engines.
 
-    Plan: one user-keyed min/max pass over the fact table, a 1-row
-    global-max broadcast, then everything runs on the DURATION HISTOGRAM
-    — day-cardinality, not user-cardinality; the cumulative windows are
+    Plan: one user-keyed min/max/conditional-min pass over the fact
+    table, then everything runs on the DURATION HISTOGRAM —
+    day-cardinality, not user-cardinality; the cumulative windows are
     single-partition over that bounded support (the ks_two_sample
     posture)."""
-    ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.min("ts").alias("first_ns"), F.max("ts").alias("last_ns")
-    )
-    g = per_user.agg(F.max("last_ns").alias("gmax"))
-    spans = per_user.crossJoin(F.broadcast(g)).select(
-        F.expr(f"(last_ns - first_ns) div {_KM_DAY_NS}").alias("dur_days"),
-        F.when(
-            F.col("last_ns")
-            < F.col("gmax") - F.lit(_KM_CENSOR_DAYS * _KM_DAY_NS),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("observed"),
-    )
+    spans = _km_spans(spark, sf_dir)
     n_total = spans.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     hist = spans.groupBy("dur_days").agg(
         F.count(F.lit(1)).cast("long").alias("c_total"),
         F.sum("observed").cast("long").alias("d"),
     )
-    w_prev = (
-        Window.orderBy("dur_days")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    w_prev = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, -1
     )
     w_cum = Window.orderBy("dur_days").rowsBetween(
         Window.unboundedPreceding, 0
@@ -1303,4 +1314,136 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return surv.filter(F.col("d") > 0).select(
         "dur_days", "n_at_risk", F.col("d").alias("n_events"), "survival"
+    )
+
+
+# --------------------------------------------------------------------------
+# Log-rank test: do the two experiment arms convert on the same schedule?
+# --------------------------------------------------------------------------
+@query(
+    "survival_logrank_test",
+    oracle=f"""
+    WITH {_KM_SPANS_SQL}, hist AS (
+        SELECT dur_days,
+               CAST(count(*) AS BIGINT) AS c_all,
+               CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS c1,
+               CAST(sum(observed) AS BIGINT) AS d_all,
+               CAST(coalesce(sum(observed) FILTER (WHERE arm = 1), 0)
+                    AS BIGINT) AS d1
+        FROM spans GROUP BY dur_days
+    ), risk AS (
+        SELECT dur_days, d_all, d1,
+               (SELECT CAST(count(*) AS BIGINT) FROM spans)
+                   - CAST(coalesce(sum(c_all) OVER w, 0) AS BIGINT) AS n_all,
+               (SELECT CAST(count(*) AS BIGINT) FROM spans WHERE arm = 1)
+                   - CAST(coalesce(sum(c1) OVER w, 0) AS BIGINT) AS n1
+        FROM hist
+        WINDOW w AS (ORDER BY dur_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), terms AS (
+        SELECT dur_days,
+               d1 - d_all * (CAST(n1 AS DOUBLE) / n_all) AS u_t,
+               CASE WHEN n_all > 1 THEN
+                   d_all * (CAST(n1 AS DOUBLE) / n_all)
+                         * (1.0 - CAST(n1 AS DOUBLE) / n_all)
+                         * (n_all - d_all) / (n_all - 1.0)
+               ELSE 0.0 END AS v_t
+        FROM risk WHERE d_all > 0
+    ), folded AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+               list_reduce([0.0] || list_transform(
+                   list_sort(list(struct_pack(t := dur_days, u := u_t))),
+                   x -> x.u), (a, b) -> a + b) AS u,
+               list_reduce([0.0] || list_transform(
+                   list_sort(list(struct_pack(t := dur_days, v := v_t))),
+                   x -> x.v), (a, b) -> a + b) AS v
+        FROM terms
+    )
+    SELECT n_event_times, round(u, 6) AS observed_minus_expected,
+           round(u / nullif(sqrt(v), 0.0), 6) AS z_stat
+    FROM folded
+    """,
+)
+def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between the two experiment arms' time-to-conversion
+    curves — the hypothesis test that belongs next to
+    survival_kaplan_meier (the curve) and ab_test_proportions (the
+    end-state rate): does arm 1 convert on a different SCHEDULE,
+    accounting for censoring, not just at a different final rate?
+    U = Σ_t (d1_t − d_t·n1_t/n_t), V = Σ_t d_t·(n1/n)(1−n1/n)(n−d)/(n−1),
+    z = U/√V — the standard Mantel–Haenszel form.
+
+    Determinism: risk sets and event counts per (time, arm) are exact
+    integers off ONE duration histogram; each per-time term is a pinned
+    rational expression; the two sums fold in sorted event-time order
+    (day-cardinality bounded — the entropy_fold discipline) and round
+    to 6 dp. Degenerate single-arm data nulls the z via nullif.
+
+    Plan: identical to survival_kaplan_meier's — one user-keyed pass,
+    then day-histogram-sized windows and folds; the arm split adds two
+    conditional sums to aggregations that already run."""
+    spans = _km_spans(spark, sf_dir).persist()
+    totals = spans.agg(
+        F.count(F.lit(1)).cast("long").alias("nt_all"),
+        F.sum((F.col("arm") == 1).cast("int")).cast("long").alias("nt_1"),
+    )
+    hist = spans.groupBy("dur_days").agg(
+        F.count(F.lit(1)).cast("long").alias("c_all"),
+        F.sum((F.col("arm") == 1).cast("int")).cast("long").alias("c1"),
+        F.sum("observed").cast("long").alias("d_all"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 1, F.col("observed"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("d1"),
+    )
+    w_prev = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = hist.crossJoin(F.broadcast(totals)).select(
+        "dur_days",
+        "d_all",
+        "d1",
+        (
+            F.col("nt_all")
+            - F.coalesce(F.sum("c_all").over(w_prev), F.lit(0))
+        ).alias("n_all"),
+        (
+            F.col("nt_1") - F.coalesce(F.sum("c1").over(w_prev), F.lit(0))
+        ).alias("n1"),
+    )
+    p1 = F.col("n1").cast("double") / F.col("n_all")
+    terms = risk.filter(F.col("d_all") > 0).select(
+        "dur_days",
+        (F.col("d1") - F.col("d_all") * p1).alias("u_t"),
+        F.when(
+            F.col("n_all") > 1,
+            F.col("d_all")
+            * p1
+            * (F.lit(1.0) - p1)
+            * (F.col("n_all") - F.col("d_all"))
+            / (F.col("n_all") - F.lit(1.0)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v_t"),
+    )
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_event_times"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(dur_days AS t, u_t AS u))), x -> x.u),"
+            " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("u"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(dur_days AS t, v_t AS v))), x -> x.v),"
+            " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("v"),
+    )
+    return folded.select(
+        "n_event_times",
+        F.round("u", 6).alias("observed_minus_expected"),
+        F.round(
+            F.col("u") / F.nullif(F.sqrt(F.col("v")), F.lit(0.0)), 6
+        ).alias("z_stat"),
     )

@@ -2546,31 +2546,36 @@ def test_decontam_curve_monotone_in_k(spark, sf_small):
         assert 0.0 <= r["flag_rate"] <= 1.0
 
 
+def _km_python_spans(sf_small):
+    ev = _load_pdf(sf_small, "events")
+    ev = ev.assign(tns=ev["ts"].astype("datetime64[ns]").astype("int64"))
+    DAY = 86_400_000_000_000
+    spans = []
+    for uid, grp in ev.groupby("user_id"):
+        first, last = int(grp["tns"].min()), int(grp["tns"].max())
+        q = grp[
+            (grp["event_type"] == "purchase")
+            & ((grp["value"] * 100).round().astype("int64") % 20 == 0)
+        ]["tns"]
+        if len(q):
+            spans.append((int(uid) % 2, (int(q.min()) - first) // DAY, 1))
+        else:
+            spans.append((int(uid) % 2, (last - first) // DAY, 0))
+    return spans
+
+
 def test_kaplan_meier_matches_lifelines_style_replay(spark, sf_small):
     from collections import Counter, defaultdict
 
     from metas_judiciarias_etl_spark import registry
-    from metas_judiciarias_etl_spark.plans.timeseries_ext import (
-        _KM_CENSOR_DAYS,
-        _KM_DAY_NS,
-    )
 
     registry.load_all()
-    ev = _load_pdf(sf_small, "events")
-    ev = ev.assign(tns=ev["ts"].astype("datetime64[ns]").astype("int64"))
-    spans = []
-    gmax = int(ev["tns"].max())
-    for _, grp in ev.groupby("user_id"):
-        first, last = int(grp["tns"].min()), int(grp["tns"].max())
-        spans.append(
-            (
-                (last - first) // _KM_DAY_NS,
-                1 if last < gmax - _KM_CENSOR_DAYS * _KM_DAY_NS else 0,
-            )
-        )
-    totals = Counter(d for d, _ in spans)
+    spans = _km_python_spans(sf_small)
+    assert any(o == 0 for _, _, o in spans)  # censoring genuinely present
+    assert any(o == 1 for _, _, o in spans)
+    totals = Counter(d for _, d, _ in spans)
     deaths = defaultdict(int)
-    for d, obs in spans:
+    for _, d, obs in spans:
         deaths[d] += obs
     got = {
         r["dur_days"]: r
@@ -2594,3 +2599,38 @@ def test_kaplan_meier_matches_lifelines_style_replay(spark, sf_small):
             seen.add(t)
         n_risk -= totals[t]
     assert seen == set(got)
+
+
+def test_logrank_matches_python_replay(spark, sf_small):
+    import math
+    from collections import defaultdict
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    spans = _km_python_spans(sf_small)
+    c_all, c1, d_all, d1 = (
+        defaultdict(int), defaultdict(int), defaultdict(int), defaultdict(int)
+    )
+    for arm, t, obs in spans:
+        c_all[t] += 1
+        c1[t] += arm
+        d_all[t] += obs
+        d1[t] += obs * arm
+    n_all, n1 = len(spans), sum(a for a, _, _ in spans)
+    u = v = 0.0
+    n_times = 0
+    for t in sorted(c_all):
+        if d_all[t] > 0:
+            n_times += 1
+            p = n1 / n_all
+            u += d1[t] - d_all[t] * p
+            if n_all > 1:
+                v += d_all[t] * p * (1 - p) * (n_all - d_all[t]) / (n_all - 1)
+        n_all -= c_all[t]
+        n1 -= c1[t]
+    row = registry.QUERIES["survival_logrank_test"](spark, sf_small).collect()[0]
+    assert row["n_event_times"] == n_times
+    assert abs(row["observed_minus_expected"] - u) < 1e-5
+    assert v > 0
+    assert abs(row["z_stat"] - u / math.sqrt(v)) < 1e-5

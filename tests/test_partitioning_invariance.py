@@ -149,6 +149,7 @@ QUERIES = [
     "dedup_minhash_estimate_error", # signature-agreement integer counts
     "decontam_ngram_size_curve",    # per-K broadcast probes, distinct counts
     "survival_kaplan_meier",        # duration-ordered cumulative ln window
+    "survival_logrank_test",        # per-time rational terms, sorted folds
 ]
 
 

@@ -227,6 +227,8 @@ HEADLINE = [
     "decontam_ngram_size_curve",
     "survival_kaplan_meier",
     "survival_logrank_test",
+    "text_token_drift_chi2",
+    "contrastive_negative_audit",
 ]
 
 

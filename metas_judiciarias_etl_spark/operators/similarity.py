@@ -2420,3 +2420,115 @@ def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative-sampling audit: deterministic negatives + the
+# false-negative (label-collision) rate that poisons InfoNCE training.
+# ---------------------------------------------------------------------------
+NEG_K = 5
+
+
+def _neg_audit_oracle() -> str:
+    from ..functions.hashing import sql_hash48
+
+    h = sql_hash48(
+        "CAST(query_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)"
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, label,
+               row_number() OVER (ORDER BY vec_id) - 1 AS pos
+        FROM embeddings
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM corpus
+    ), q AS (
+        SELECT vec_id AS query_id, label AS q_label
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), draws AS (
+        SELECT q.query_id, q.q_label, j.j,
+               {h} % n.n_corpus AS pos
+        FROM q CROSS JOIN n
+        CROSS JOIN (SELECT unnest(generate_series(0, {NEG_K - 1})) AS j) j
+    ), negs AS (
+        SELECT d.query_id, d.q_label, c.vec_id AS neg_id, c.label AS n_label
+        FROM draws d JOIN corpus c ON c.pos = d.pos
+        WHERE c.vec_id <> d.query_id
+    )
+    SELECT query_id,
+           CAST(count(*) AS BIGINT) AS n_negatives,
+           CAST(count(*) FILTER (WHERE n_label = q_label) AS BIGINT)
+               AS n_label_collisions,
+           CAST(count(*) FILTER (WHERE n_label = q_label) AS DOUBLE)
+               / count(*) AS collision_rate
+    FROM negs GROUP BY query_id
+    """
+
+
+@query("contrastive_negative_audit", oracle=_neg_audit_oracle())
+def contrastive_negative_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling for contrastive training, audited: each query
+    draws 5 DETERMINISTIC uniform negatives (hash of (query, draw) →
+    corpus position — reproducible across runs and engines, no RNG
+    state), and the audit reports how many drawn "negatives" actually
+    share the anchor's label — the false-negative rate that silently
+    caps InfoNCE embedding quality and motivates label-aware or
+    hard-negative mining. Accidental self-draws are excluded (so
+    n_negatives can dip below 5 — visible, not silently resampled).
+
+    Plan: position assignment is one corpus-ordered row_number (a
+    vector-table-sized window, same posture as top-V ranks); draws are
+    queries × 5 rows joining the corpus on position; all counts exact
+    integers, one division. At 100 TB the corpus side would pre-store
+    positions (a layout column), making this a pure equi-join probe."""
+    from ..functions.hashing import hash48
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.orderBy("vec_id")
+    corpus = emb.select(
+        "vec_id", "label", (F.row_number().over(w) - 1).alias("pos")
+    ).persist()
+    corpus.count()
+    n = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    draws = (
+        q.crossJoin(F.broadcast(n))
+        .crossJoin(
+            F.broadcast(
+                emb.sparkSession.range(NEG_K).select(
+                    F.col("id").cast("int").alias("j")
+                )
+            )
+        )
+        .select(
+            "query_id",
+            "q_label",
+            (
+                hash48(
+                    F.concat_ws(
+                        "#",
+                        F.col("query_id").cast("string"),
+                        F.col("j").cast("string"),
+                    )
+                )
+                % F.col("n_corpus")
+            ).alias("pos"),
+        )
+    )
+    negs = draws.join(F.broadcast(corpus), "pos").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    return negs.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_negatives"),
+        F.sum((F.col("label") == F.col("q_label")).cast("int"))
+        .cast("long")
+        .alias("n_label_collisions"),
+        (
+            F.sum((F.col("label") == F.col("q_label")).cast("int")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("collision_rate"),
+    )

@@ -1532,3 +1532,125 @@ def quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# Token-distribution drift: chi-square homogeneity between sources.
+# --------------------------------------------------------------------------
+DRIFT_TOP_TOKENS = 50
+
+
+@query(
+    "text_token_drift_chi2",
+    oracle=f"""
+    WITH ref AS (
+        SELECT min(source) AS ref_source FROM documents
+    ), tk AS (
+        SELECT CASE WHEN d.source = r.ref_source THEN 1 ELSE 0 END AS g1,
+               unnest({_SQL_TOKS}) AS token
+        FROM documents d CROSS JOIN ref r
+    ), top AS (
+        SELECT token FROM (
+            SELECT token, count(*) AS c FROM tk GROUP BY token
+            ORDER BY c DESC, token LIMIT {DRIFT_TOP_TOKENS}
+        )
+    ), cells AS (
+        SELECT t.token,
+               CAST(count(*) FILTER (WHERE g1 = 1) AS BIGINT) AS c1,
+               CAST(count(*) FILTER (WHERE g1 = 0) AS BIGINT) AS c2
+        FROM tk JOIN top t USING (token)
+        GROUP BY t.token
+    ), tot AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2
+        FROM cells
+    ), terms AS (
+        SELECT c.token,
+               (c.c1 - (c.c1 + c.c2) * (CAST(t.n1 AS DOUBLE) / (t.n1 + t.n2)))
+                   * (c.c1 - (c.c1 + c.c2)
+                      * (CAST(t.n1 AS DOUBLE) / (t.n1 + t.n2)))
+                   / ((c.c1 + c.c2) * (CAST(t.n1 AS DOUBLE) / (t.n1 + t.n2)))
+               + (c.c2 - (c.c1 + c.c2)
+                      * (CAST(t.n2 AS DOUBLE) / (t.n1 + t.n2)))
+                   * (c.c2 - (c.c1 + c.c2)
+                      * (CAST(t.n2 AS DOUBLE) / (t.n1 + t.n2)))
+                   / ((c.c1 + c.c2) * (CAST(t.n2 AS DOUBLE) / (t.n1 + t.n2)))
+                   AS term
+        FROM cells c CROSS JOIN tot t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) - 1 AS BIGINT) AS dof,
+           round(list_reduce([0.0] || list_transform(
+                     list_sort(list(struct_pack(tk := token, tm := term))),
+                     x -> x.tm), (a, b) -> a + b), 6) AS chi2
+    FROM terms
+    """,
+)
+def text_token_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity of token usage between the reference source
+    (lexicographically first — the same deterministic split as
+    ks_two_sample) and the rest of the corpus, over the top-50 shared
+    vocabulary: the CATEGORICAL drift test that pairs with
+    ks_two_sample's ordinal one — "is the new crawl's word mix the same
+    distribution?". 2×V contingency table, expected counts from pooled
+    marginals, dof = V−1.
+
+    Determinism: cell counts are exact integers off one token pass; the
+    per-token term is a pinned rational expression; the V-bounded term
+    sum folds in sorted token order (entropy_fold discipline) and
+    rounds to 6 dp.
+
+    Plan: one token explode feeds BOTH the top-V selection
+    (TakeOrderedAndProject) and, via a broadcast semi-probe of the
+    V-token list, the cell counts; everything after the second
+    aggregation is V-row-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.agg(F.min("source").alias("ref_source"))
+    tk = docs.crossJoin(F.broadcast(ref)).select(
+        (F.col("source") == F.col("ref_source")).cast("int").alias("g1"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    ).persist()
+    tk.count()  # top-V selection AND cell counts read it
+    top = (
+        tk.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(DRIFT_TOP_TOKENS)
+        .select("token")
+    )
+    cells = (
+        tk.join(F.broadcast(top), "token")
+        .groupBy("token")
+        .agg(
+            F.sum("g1").cast("long").alias("c1"),
+            F.sum(1 - F.col("g1")).cast("long").alias("c2"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    row_tot = F.col("c1") + F.col("c2")
+    p1 = F.col("n1").cast("double") / (F.col("n1") + F.col("n2"))
+    p2 = F.col("n2").cast("double") / (F.col("n1") + F.col("n2"))
+    e1 = row_tot * p1
+    e2 = row_tot * p2
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        "token",
+        (
+            (F.col("c1") - e1) * (F.col("c1") - e1) / e1
+            + (F.col("c2") - e2) * (F.col("c2") - e2) / e2
+        ).alias("term"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.round(
+            F.expr(
+                "aggregate(transform(sort_array(collect_list("
+                "struct(token AS tk, term AS tm))), x -> x.tm),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            ),
+            6,
+        ).alias("chi2"),
+    )

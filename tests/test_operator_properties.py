@@ -2634,3 +2634,70 @@ def test_logrank_matches_python_replay(spark, sf_small):
     assert abs(row["observed_minus_expected"] - u) < 1e-5
     assert v > 0
     assert abs(row["z_stat"] - u / math.sqrt(v)) < 1e-5
+
+
+def test_token_drift_chi2_matches_scipy_style(spark, sf_small):
+    from collections import Counter
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.textstats import DRIFT_TOP_TOKENS
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    ref = docs["source"].min()
+    tk1, tk2, tka = Counter(), Counter(), Counter()
+    for _, r in docs.iterrows():
+        ts = r["text"].strip().split()
+        tka.update(ts)
+        (tk1 if r["source"] == ref else tk2).update(ts)
+    top = sorted(tka.items(), key=lambda kv: (-kv[1], kv[0]))[:DRIFT_TOP_TOKENS]
+    toks = [t for t, _ in top]
+    n1, n2 = sum(tk1[t] for t in toks), sum(tk2[t] for t in toks)
+    chi2 = 0.0
+    for t in sorted(toks):
+        rt = tk1[t] + tk2[t]
+        e1, e2 = rt * n1 / (n1 + n2), rt * n2 / (n1 + n2)
+        chi2 += (tk1[t] - e1) ** 2 / e1 + (tk2[t] - e2) ** 2 / e2
+    row = registry.QUERIES["text_token_drift_chi2"](spark, sf_small).collect()[0]
+    assert row["n_tokens"] == len(toks)
+    assert row["dof"] == len(toks) - 1
+    assert abs(row["chi2"] - chi2) < 1e-4
+    assert row["chi2"] >= 0.0
+
+
+def test_negative_audit_draws_are_reproducible(spark, sf_small):
+    import hashlib
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.functions.hashing import HASH_HEX_LEN
+    from metas_judiciarias_etl_spark.operators.similarity import (
+        N_QUERIES,
+        NEG_K,
+    )
+
+    registry.load_all()
+    emb = _load_pdf(sf_small, "embeddings")
+    ids = sorted(int(v) for v in emb["vec_id"])
+    labels = dict(zip(emb["vec_id"].astype(int), emb["label"].astype(int)))
+    n = len(ids)
+    got = {
+        r["query_id"]: r
+        for r in registry.QUERIES["contrastive_negative_audit"](
+            spark, sf_small
+        ).collect()
+    }
+    for qid in (v for v in ids if v < N_QUERIES):
+        negs = []
+        for j in range(NEG_K):
+            h = int(
+                hashlib.md5(f"{qid}#{j}".encode()).hexdigest()[:HASH_HEX_LEN],
+                16,
+            )
+            vid = ids[h % n]
+            if vid != qid:
+                negs.append(vid)
+        r = got[qid]
+        assert r["n_negatives"] == len(negs)
+        coll = sum(1 for v in negs if labels[v] == labels[qid])
+        assert r["n_label_collisions"] == coll
+        assert abs(r["collision_rate"] - coll / len(negs)) < 1e-12

@@ -150,6 +150,8 @@ QUERIES = [
     "decontam_ngram_size_curve",    # per-K broadcast probes, distinct counts
     "survival_kaplan_meier",        # duration-ordered cumulative ln window
     "survival_logrank_test",        # per-time rational terms, sorted folds
+    "text_token_drift_chi2",        # top-V cells, sorted term fold
+    "contrastive_negative_audit",   # hash-positional draws, exact counts
 ]
 
 

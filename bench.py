@@ -229,6 +229,7 @@ HEADLINE = [
     "survival_logrank_test",
     "text_token_drift_chi2",
     "contrastive_negative_audit",
+    "item_cooccurrence_cosine",
 ]
 
 

@@ -723,3 +723,111 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(3600000000000.0)
         ).alias("lag_hours"),
     )
+
+
+# --------------------------------------------------------------------------
+# Item-item cosine from basket co-occurrence — the rec-sys similarity.
+# --------------------------------------------------------------------------
+ITEM_COS_MIN_CO = 2
+ITEM_COS_TOPK = 20
+
+
+@query(
+    "item_cooccurrence_cosine",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ok AS (
+        SELECT l_orderkey FROM op
+        GROUP BY l_orderkey HAVING count(*) <= {MAX_BASKET}
+    ),
+    p AS (SELECT op.l_orderkey, op.l_partkey FROM op JOIN ok USING (l_orderkey)),
+    deg AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders
+        FROM p GROUP BY l_partkey
+    ),
+    co AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_co
+        FROM p a
+        JOIN p b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+        HAVING count(*) >= {ITEM_COS_MIN_CO}
+    )
+    SELECT c.part_a, c.part_b, c.n_co, da.n_orders AS n_a, db.n_orders AS n_b,
+           CAST(c.n_co AS DOUBLE)
+               / sqrt(CAST(da.n_orders AS DOUBLE)
+                      * CAST(db.n_orders AS DOUBLE)) AS cosine
+    FROM co c
+    JOIN deg da ON da.l_partkey = c.part_a
+    JOIN deg db ON db.l_partkey = c.part_b
+    ORDER BY cosine DESC, part_a, part_b
+    LIMIT {ITEM_COS_TOPK}
+    """,
+)
+def item_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity over binary basket vectors — the
+    classic neighborhood-method recommender score: cos(a,b) =
+    co(a,b) / √(n_a·n_b), which normalizes raw co-occurrence
+    (basket_pair_counts) by popularity so two niche items bought
+    together outrank two bestsellers that co-occur by volume alone; the
+    lift score (basket_association_rules) answers "dependence", this
+    answers "neighborhood". Min-support floors the noise pairs.
+
+    Exactness: all three counts are exact integers; the score is two
+    exact-rounded IEEE ops in pinned order (÷, √) — bit-identical
+    engines — and the top-k order ties break on the pair.
+
+    Plan: co-keyed basket self-join (never a cross join; MAX_BASKET
+    bounds the per-order blowup), item-degree lookups join on the item
+    key where Zipf skew collapses map-side, top-k is
+    TakeOrderedAndProject. The cos denominator is why this scales: no
+    normalization pass over baskets, only over the ITEM table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    ok = op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k")).filter(
+        F.col("k") <= MAX_BASKET
+    )
+    p = op.join(ok.select("l_orderkey"), "l_orderkey").persist()
+    p.count()  # degree table and both pair sides read it
+    deg = p.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= ITEM_COS_MIN_CO)
+    )
+    da = deg.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("n_a")
+    )
+    db = deg.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("n_b")
+    )
+    return (
+        co.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_co").cast("double")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "part_a", "part_b")
+        .limit(ITEM_COS_TOPK)
+    )

@@ -2701,3 +2701,45 @@ def test_negative_audit_draws_are_reproducible(spark, sf_small):
         coll = sum(1 for v in negs if labels[v] == labels[qid])
         assert r["n_label_collisions"] == coll
         assert abs(r["collision_rate"] - coll / len(negs)) < 1e-12
+
+
+def test_item_cosine_matches_python_replay(spark, sf_small):
+    import math
+    from collections import Counter, defaultdict
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.profiling_ext import (
+        ITEM_COS_MIN_CO,
+        ITEM_COS_TOPK,
+        MAX_BASKET,
+    )
+
+    registry.load_all()
+    li = _load_pdf(sf_small, "lineitem")
+    baskets = defaultdict(set)
+    for ok, pk in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets[int(ok)].add(int(pk))
+    baskets = {k: v for k, v in baskets.items() if len(v) <= MAX_BASKET}
+    deg = Counter()
+    co = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        deg.update(s)
+        for i, x in enumerate(s):
+            for y in s[i + 1:]:
+                co[(x, y)] += 1
+    scored = [
+        (c / math.sqrt(deg[a] * deg[b]), a, b, c)
+        for (a, b), c in co.items()
+        if c >= ITEM_COS_MIN_CO
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expected = [(a, b, c) for _, a, b, c in scored[:ITEM_COS_TOPK]]
+    rows = registry.QUERIES["item_cooccurrence_cosine"](
+        spark, sf_small
+    ).collect()
+    got = [(r["part_a"], r["part_b"], r["n_co"]) for r in rows]
+    assert got == expected
+    for r, (cos, _, _, _) in zip(rows, scored[:ITEM_COS_TOPK]):
+        assert abs(r["cosine"] - cos) < 1e-12
+        assert 0.0 < r["cosine"] <= 1.0

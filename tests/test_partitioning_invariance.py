@@ -152,6 +152,7 @@ QUERIES = [
     "survival_logrank_test",        # per-time rational terms, sorted folds
     "text_token_drift_chi2",        # top-V cells, sorted term fold
     "contrastive_negative_audit",   # hash-positional draws, exact counts
+    "item_cooccurrence_cosine",     # degree-normalized pair score + top-k
 ]
 
 

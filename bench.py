@@ -230,6 +230,7 @@ HEADLINE = [
     "text_token_drift_chi2",
     "contrastive_negative_audit",
     "item_cooccurrence_cosine",
+    "kmeans_lloyd_iteration",
 ]
 
 

@@ -2532,3 +2532,199 @@ def contrastive_negative_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("collision_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One Lloyd iteration of k-means, with the objective decrease measured —
+# the iterative-ML training step, engine-exact.
+# ---------------------------------------------------------------------------
+def _sql_d2(v: str, c: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {DIM}), "
+        f"__i -> (CAST({v}[__i] AS DOUBLE) - {c}[__i])"
+        f" * (CAST({v}[__i] AS DOUBLE) - {c}[__i])))"
+    )
+
+
+@query(
+    "kmeans_lloyd_iteration",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS v
+        FROM embeddings
+    ), cent0 AS (
+        SELECT vec_id - {N_QUERIES} AS cell_id, v AS c
+        FROM base
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+    ), a0 AS (
+        SELECT vec_id, v, cell_id, d2 FROM (
+            SELECT b.vec_id, b.v, c.cell_id,
+                   {_sql_d2('b.v', 'c.c')} AS d2,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY {_sql_d2('b.v', 'c.c')}, c.cell_id) AS rn
+            FROM base b CROSS JOIN cent0 c
+        ) WHERE rn = 1
+    ), obj0 AS (
+        SELECT cell_id,
+               CAST(count(*) AS BIGINT) AS n_before,
+               CAST(sum(CAST(round(d2 * {_FXP_SCALE}) AS BIGINT))
+                    AS BIGINT) AS q0
+        FROM a0 GROUP BY cell_id
+    ), qd AS (
+        SELECT a0.cell_id,
+               unnest(generate_series(1, {DIM})) AS dim,
+               a0.v
+        FROM a0
+    ), means AS (
+        SELECT cell_id, dim,
+               CAST(sum(CAST(round(v[dim] * {_FXP_SCALE}) AS BIGINT))
+                    AS DOUBLE)
+                   / (count(*) * {_FXP_SCALE}) AS m
+        FROM qd GROUP BY cell_id, dim
+    ), cent1 AS (
+        SELECT c0.cell_id,
+               coalesce(mn.arr, c0.c) AS c
+        FROM cent0 c0
+        LEFT JOIN (
+            SELECT cell_id,
+                   list_transform(
+                       list_sort(list(struct_pack(dim := dim, m := m))),
+                       __x -> __x.m) AS arr
+            FROM means GROUP BY cell_id
+        ) mn ON mn.cell_id = c0.cell_id
+    ), a1 AS (
+        SELECT vec_id, cell_id, d2 FROM (
+            SELECT b.vec_id, c.cell_id,
+                   {_sql_d2('b.v', 'c.c')} AS d2,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY {_sql_d2('b.v', 'c.c')}, c.cell_id) AS rn
+            FROM base b CROSS JOIN cent1 c
+        ) WHERE rn = 1
+    ), obj1 AS (
+        SELECT cell_id,
+               CAST(count(*) AS BIGINT) AS n_after,
+               CAST(sum(CAST(round(d2 * {_FXP_SCALE}) AS BIGINT))
+                    AS BIGINT) AS q1
+        FROM a1 GROUP BY cell_id
+    )
+    SELECT c0.cell_id,
+           CAST(coalesce(o0.n_before, 0) AS BIGINT) AS n_before,
+           CAST(coalesce(o1.n_after, 0) AS BIGINT) AS n_after,
+           CAST(coalesce(o0.q0, 0) AS DOUBLE) / {_FXP_SCALE} AS obj_before,
+           CAST(coalesce(o1.q1, 0) AS DOUBLE) / {_FXP_SCALE} AS obj_after
+    FROM cent0 c0
+    LEFT JOIN obj0 o0 ON o0.cell_id = c0.cell_id
+    LEFT JOIN obj1 o1 ON o1.cell_id = c0.cell_id
+    """,
+)
+def kmeans_lloyd_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration of k-means over the embedding corpus —
+    assignment → fixed-point centroid update → re-assignment — with the
+    within-cluster sum of squares reported per cell BEFORE and AFTER,
+    so the monotone objective decrease (Lloyd's convergence guarantee)
+    is a measured, property-tested fact, not a comment. Seeds are the
+    deterministic IVF centroid slice; this IS the training step that
+    would produce real IVF/PQ codebooks from the engine's own
+    machinery.
+
+    Engine-exactness, stage by stage: distances fold in index order
+    (bit-identical doubles → identical argmins, ties on cell_id);
+    centroid updates are the emb_centroids discipline (2^-20 quantized
+    coords, plain integer sums — order-free, partial-aggregatable, no
+    per-group list state); objectives quantize each distance² to the
+    same grid and integer-sum, so even the objective is order-free.
+    Empty cells keep their previous centroid (visible as n_before = 0).
+
+    Plan: two broadcast-centroid assignment passes (map-side N×K
+    distance math + per-vector argmin window) and ONE (cell, dim)-keyed
+    integer-sum shuffle for the update — the canonical distributed
+    k-means step; iterating = looping this plan with cent1 fed back,
+    exactly the bounded-rounds pattern of kcore/HITS."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).persist()
+    base.count()
+    cent0 = base.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("cell_id"), F.col("v").alias("c")
+    )
+
+    def d2(v: Column, c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy("d2", "cell_id")
+        return (
+            base.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "v",
+                "cell_id",
+                d2(F.col("v"), F.col("c")).alias("d2"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    a0 = assign(cent0).persist()
+    a0.count()  # objective branch AND the update read it
+    qd2 = F.expr(f"CAST(round(d2 * {_FXP_SCALE}) AS BIGINT)")
+    obj0 = a0.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before"),
+        F.sum(qd2).cast("long").alias("q0"),
+    )
+    means = (
+        a0.select(
+            "cell_id", F.posexplode("v").alias("dim0", "x")
+        )
+        .groupBy("cell_id", "dim0")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_fxp_q(F.col("x"), "kmeans_lloyd_iteration")).alias("sq"),
+        )
+        .select(
+            "cell_id",
+            "dim0",
+            (F.col("sq").cast("double") / (F.col("n") * _FXP_SCALE)).alias("m"),
+        )
+    )
+    mean_arrs = means.groupBy("cell_id").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(dim0, m))), x -> x.m)"
+        ).alias("arr")
+    )
+    cent1 = cent0.join(mean_arrs, "cell_id", "left").select(
+        "cell_id", F.coalesce("arr", F.col("c")).alias("c")
+    )
+    a1 = assign(cent1)
+    obj1 = a1.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.sum(qd2).cast("long").alias("q1"),
+    )
+    return (
+        cent0.select("cell_id")
+        .join(obj0, "cell_id", "left")
+        .join(obj1, "cell_id", "left")
+        .select(
+            "cell_id",
+            F.coalesce("n_before", F.lit(0)).cast("long").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            (F.coalesce("q0", F.lit(0)).cast("double") / F.lit(_FXP_SCALE)).alias(
+                "obj_before"
+            ),
+            (F.coalesce("q1", F.lit(0)).cast("double") / F.lit(_FXP_SCALE)).alias(
+                "obj_after"
+            ),
+        )
+    )

@@ -2743,3 +2743,64 @@ def test_item_cosine_matches_python_replay(spark, sf_small):
     for r, (cos, _, _, _) in zip(rows, scored[:ITEM_COS_TOPK]):
         assert abs(r["cosine"] - cos) < 1e-12
         assert 0.0 < r["cosine"] <= 1.0
+
+
+def test_kmeans_iteration_matches_numpy_and_decreases(spark, sf_small):
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.similarity import (
+        _FXP_SCALE,
+        N_CELLS,
+        N_QUERIES,
+    )
+
+    registry.load_all()
+    emb = _load_pdf(sf_small, "embeddings")
+    vecs = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float32).astype(
+            np.float64
+        )
+        for _, r in emb.iterrows()
+    }
+    X = np.array([vecs[k] for k in sorted(vecs)])
+    order = sorted(vecs)
+    cents = np.array(
+        [vecs[k] for k in range(N_QUERIES, N_QUERIES + N_CELLS)]
+    )
+
+    def assign(C):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1), d.min(axis=1)
+
+    lab0, d0 = assign(cents)
+    C1 = cents.copy()
+    for c in range(N_CELLS):
+        mask = lab0 == c
+        if mask.any():
+            q = np.round(X[mask] * _FXP_SCALE)
+            C1[c] = q.sum(axis=0) / (mask.sum() * _FXP_SCALE)
+    lab1, d1 = assign(C1)
+    rows = {
+        r["cell_id"]: r
+        for r in registry.QUERIES["kmeans_lloyd_iteration"](
+            spark, sf_small
+        ).collect()
+    }
+    assert sorted(rows) == list(range(N_CELLS))
+    for c in range(N_CELLS):
+        r = rows[c]
+        assert r["n_before"] == int((lab0 == c).sum())
+        assert r["n_after"] == int((lab1 == c).sum())
+        exp0 = float(np.round(d0[lab0 == c] * _FXP_SCALE).sum() / _FXP_SCALE)
+        exp1 = float(np.round(d1[lab1 == c] * _FXP_SCALE).sum() / _FXP_SCALE)
+        # numpy sums in a different order than the index fold, and the
+        # 2^-20 grid can flip a unit per point on the ties -> loose-ish tol
+        assert abs(r["obj_before"] - exp0) < 1e-4
+        assert abs(r["obj_after"] - exp1) < 1e-4
+    assert sum(r["n_before"] for r in rows.values()) == len(X)
+    assert sum(r["n_after"] for r in rows.values()) == len(X)
+    # Lloyd monotonicity, measured (quantization jitter << real decrease)
+    total0 = sum(r["obj_before"] for r in rows.values())
+    total1 = sum(r["obj_after"] for r in rows.values())
+    assert total1 <= total0 + 1e-6

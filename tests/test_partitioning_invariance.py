@@ -153,6 +153,7 @@ QUERIES = [
     "text_token_drift_chi2",        # top-V cells, sorted term fold
     "contrastive_negative_audit",   # hash-positional draws, exact counts
     "item_cooccurrence_cosine",     # degree-normalized pair score + top-k
+    "kmeans_lloyd_iteration",       # argmin assignment + fxp update + obj
 ]
 
 

@@ -231,6 +231,8 @@ HEADLINE = [
     "contrastive_negative_audit",
     "item_cooccurrence_cosine",
     "kmeans_lloyd_iteration",
+    "cohort_ltv_curve",
+    "graph_degree_assortativity",
 ]
 
 

@@ -2237,3 +2237,90 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_term"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity: do hubs connect to hubs? Pearson over edge endpoints.
+# --------------------------------------------------------------------------
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH {_SQL_PART_EDGES}, dir AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL
+        SELECT v AS src, u AS dst FROM edges
+    ), deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        FROM dir GROUP BY src
+    ), ends AS (
+        SELECT da.d AS x, db.d AS y
+        FROM dir e
+        JOIN deg da ON da.node = e.src
+        JOIN deg db ON db.node = e.dst
+    ), m AS (
+        SELECT count(*) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
+        FROM ends
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           (n * sxy - sx * sy)
+               / nullif(sqrt(n * sxx - sx * sx)
+                        * sqrt(n * syy - sy * sy), 0.0) AS assortativity
+    FROM m
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-occurrence graph: Pearson
+    correlation of endpoint degrees over every directed edge (Newman's
+    r) — positive means hubs preferentially link to hubs (social-graph
+    shape), negative means hub-and-spoke (infrastructure shape). For a
+    data engine this is a PLANNING signal: disassortative graphs
+    concentrate wedge counts and frontier expansions through few
+    high-degree nodes, which is exactly when triangle counting and BFS
+    need their skew guards.
+
+    Exactness: degrees are exact integer counts; the Pearson assembly
+    is corr_exact's pinned cast-then-arithmetic order over DECIMAL
+    intermediate sums (both edge directions included, so x/y moments
+    are symmetric and r is orientation-free). A degree-regular graph
+    (zero variance) nulls out via nullif instead of dividing by zero.
+
+    Plan: one degree aggregation, two node-keyed lookups of it onto the
+    edge list (vertex-scale side — broadcast), one moment pass. Nothing
+    beyond the edge build touches fact scale."""
+    edges = _part_cooccurrence_edges(spark, sf_dir)
+    dirs = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).coalesce(1).persist()
+    dirs.count()
+    deg = dirs.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    da = deg.select(F.col("src").alias("a"), F.col("d").alias("x"))
+    db = deg.select(F.col("src").alias("b"), F.col("d").alias("y"))
+    ends = (
+        dirs.join(F.broadcast(da), dirs.src == da.a)
+        .join(F.broadcast(db), dirs.dst == db.b)
+        .select("x", "y")
+    )
+    m = ends.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    return m.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+                F.lit(0.0),
+            )
+        ).alias("assortativity"),
+    )

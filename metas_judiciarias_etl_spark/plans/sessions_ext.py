@@ -1403,3 +1403,91 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve: cumulative revenue per customer by cohort age.
+# --------------------------------------------------------------------------
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               (year(CAST(o_orderdate AS DATE)) * 12
+                + month(CAST(o_orderdate AS DATE)) - 1) AS month_id,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), firsts AS (
+        SELECT o_custkey, min(month_id) AS cohort FROM o GROUP BY o_custkey
+    ), sized AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY cohort
+    ), aged AS (
+        SELECT f.cohort, o.month_id - f.cohort AS age,
+               CAST(sum(o.cents) AS BIGINT) AS cents
+        FROM o JOIN firsts f ON f.o_custkey = o.o_custkey
+        GROUP BY f.cohort, age
+    ), cum AS (
+        SELECT cohort, age,
+               CAST(sum(cents) OVER (
+                   PARTITION BY cohort ORDER BY age) AS BIGINT) AS cum_cents
+        FROM aged
+    )
+    SELECT c.cohort, c.age, s.cohort_size, c.cum_cents,
+           CAST(c.cum_cents AS DOUBLE) / s.cohort_size
+               AS ltv_cents_per_customer
+    FROM cum c JOIN sized s USING (cohort)
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, cumulative revenue per cohort member at each cohort age —
+    the money-side twin of retention_cohorts (which counts the USERS
+    who come back; this accumulates what they SPEND). Reading down a
+    column compares cohort quality at equal age — the payback-period
+    and acquisition-quality readout every growth team maintains.
+
+    Exactness: integer cents end-to-end; cumulative sums are integer
+    window sums in age order; the single division per row normalizes by
+    fixed cohort size (first-month membership, the standard LTV
+    denominator — not survivors-at-age, which would inflate the tail).
+
+    Plan: one customer-keyed first-order aggregation, one (cohort, age)
+    rollup riding a customer-keyed join, then calendar²-bounded windows
+    and the size lookup — after the two fact-scale passes everything is
+    cohort-month-sized. The cumulative window partitions BY COHORT, so
+    no single-partition global sort ever appears."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        (
+            F.year(F.col("o_orderdate")) * 12 + F.month(F.col("o_orderdate")) - 1
+        ).alias("month_id"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("month_id").alias("cohort"))
+    sized = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    aged = (
+        o.join(firsts, "o_custkey")
+        .groupBy("cohort", (F.col("month_id") - F.col("cohort")).alias("age"))
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = aged.select(
+        "cohort",
+        "age",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+    )
+    return cum.join(sized, "cohort").select(
+        "cohort",
+        "age",
+        "cohort_size",
+        "cum_cents",
+        (
+            F.col("cum_cents").cast("double") / F.col("cohort_size")
+        ).alias("ltv_cents_per_customer"),
+    )

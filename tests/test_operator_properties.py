@@ -2804,3 +2804,65 @@ def test_kmeans_iteration_matches_numpy_and_decreases(spark, sf_small):
     total0 = sum(r["obj_before"] for r in rows.values())
     total1 = sum(r["obj_after"] for r in rows.values())
     assert total1 <= total0 + 1e-6
+
+
+def test_cohort_ltv_matches_pandas_replay(spark, sf_small):
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    orders = _load_pdf(sf_small, "orders")
+    orders = orders.assign(
+        cents=(orders["o_totalprice"] * 100).round().astype("int64"),
+        mid=orders["o_orderdate"].dt.year * 12
+        + orders["o_orderdate"].dt.month - 1,
+    )
+    firsts = orders.groupby("o_custkey")["mid"].min()
+    orders = orders.assign(cohort=orders["o_custkey"].map(firsts))
+    orders = orders.assign(age=orders["mid"] - orders["cohort"])
+    sizes = firsts.value_counts()
+    got = {
+        (r["cohort"], r["age"]): r
+        for r in registry.QUERIES["cohort_ltv_curve"](spark, sf_small).collect()
+    }
+    agg = orders.groupby(["cohort", "age"])["cents"].sum()
+    seen = set()
+    for cohort in sorted(sizes.index):
+        cum = 0
+        prev_ltv = -1.0
+        for age in sorted(a for c, a in agg.index if c == cohort):
+            cum += int(agg[(cohort, age)])
+            r = got[(cohort, age)]
+            assert r["cohort_size"] == int(sizes[cohort])
+            assert r["cum_cents"] == cum
+            ltv = cum / sizes[cohort]
+            assert abs(r["ltv_cents_per_customer"] - ltv) < 1e-9
+            assert ltv >= prev_ltv  # cumulative revenue never decreases
+            prev_ltv = ltv
+            seen.add((cohort, age))
+    assert seen == set(got)
+
+
+def test_assortativity_matches_networkx_style_replay(spark, sf_small):
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.analytics_ext import _PART_EDGE_CAP
+
+    registry.load_all()
+    edges = _python_edges(sf_small, _PART_EDGE_CAP)
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs, ys = [], []
+    for u, v in edges:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    x, y = np.array(xs, dtype=np.float64), np.array(ys, dtype=np.float64)
+    expected = float(np.corrcoef(x, y)[0, 1])
+    row = registry.QUERIES["graph_degree_assortativity"](
+        spark, sf_small
+    ).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert abs(row["assortativity"] - expected) < 1e-9
+    assert -1.0 <= row["assortativity"] <= 1.0

@@ -154,6 +154,8 @@ QUERIES = [
     "contrastive_negative_audit",   # hash-positional draws, exact counts
     "item_cooccurrence_cosine",     # degree-normalized pair score + top-k
     "kmeans_lloyd_iteration",       # argmin assignment + fxp update + obj
+    "cohort_ltv_curve",             # cohort-partitioned integer cumsums
+    "graph_degree_assortativity",   # DECIMAL edge-endpoint moments
 ]
 
 

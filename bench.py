@@ -233,6 +233,7 @@ HEADLINE = [
     "kmeans_lloyd_iteration",
     "cohort_ltv_curve",
     "graph_degree_assortativity",
+    "monthly_return_rate_wilson",
 ]
 
 

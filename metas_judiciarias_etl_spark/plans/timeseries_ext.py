@@ -1447,3 +1447,91 @@ def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("u") / F.nullif(F.sqrt(F.col("v")), F.lit(0.0)), 6
         ).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Monitored rate with Wilson confidence bounds — the alerting primitive.
+# --------------------------------------------------------------------------
+_WILSON_Z2 = 3.8416  # z² for z = 1.96 as an exact-decimal literal
+
+
+@query(
+    "monthly_return_rate_wilson",
+    oracle=f"""
+    WITH m AS (
+        SELECT (year(CAST(l_shipdate AS DATE)) * 12
+                + month(CAST(l_shipdate AS DATE)) - 1) AS month_id,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+                   AS n_returned
+        FROM lineitem GROUP BY 1
+    )
+    SELECT month_id, n_items, n_returned,
+           CAST(n_returned AS DOUBLE) / n_items AS rate,
+           (CAST(n_returned AS DOUBLE) / n_items
+                + {_WILSON_Z2} / (2.0 * n_items)
+            - sqrt({_WILSON_Z2})
+              * sqrt((CAST(n_returned AS DOUBLE) / n_items)
+                     * (1.0 - CAST(n_returned AS DOUBLE) / n_items)
+                         / n_items
+                     + {_WILSON_Z2} / (4.0 * n_items * n_items)))
+               / (1.0 + {_WILSON_Z2} / n_items) AS wilson_lo,
+           (CAST(n_returned AS DOUBLE) / n_items
+                + {_WILSON_Z2} / (2.0 * n_items)
+            + sqrt({_WILSON_Z2})
+              * sqrt((CAST(n_returned AS DOUBLE) / n_items)
+                     * (1.0 - CAST(n_returned AS DOUBLE) / n_items)
+                         / n_items
+                     + {_WILSON_Z2} / (4.0 * n_items * n_items)))
+               / (1.0 + {_WILSON_Z2} / n_items) AS wilson_hi
+    FROM m
+    """,
+)
+def monthly_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly return rate with 95% Wilson score bounds — the monitored-
+    rate primitive an alerting rule fires on: unlike the naive normal
+    interval, Wilson stays inside [0,1] and behaves at small n, so a
+    thin month can't produce a nonsense band. Rate plus band per month;
+    an alert is "this month's band excludes the trailing baseline".
+
+    Exactness: counts are exact integers from one scan; z² rides as the
+    exact decimal literal 3.8416 (writing 1.96² avoids any pow()
+    library call), and the entire bound is a pinned chain of
+    exact-rounded IEEE ops — both engines agree bitwise, no rounding
+    needed anywhere.
+
+    Plan: ONE month-keyed count aggregation with a scan-stage
+    conditional; everything else is per-row closed-form arithmetic on
+    the calendar-sized result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = (
+        li.select(
+            (
+                F.year(F.col("l_shipdate")) * 12
+                + F.month(F.col("l_shipdate"))
+                - 1
+            ).alias("month_id"),
+            (F.col("l_returnflag") == "R").cast("int").alias("ret"),
+        )
+        .groupBy("month_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("ret").cast("long").alias("n_returned"),
+        )
+    )
+    p = F.col("n_returned").cast("double") / F.col("n_items")
+    n = F.col("n_items")
+    z2 = F.lit(_WILSON_Z2)
+    center = p + z2 / (F.lit(2.0) * n)
+    half = F.sqrt(z2) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + z2 / n
+    return m.select(
+        "month_id",
+        "n_items",
+        "n_returned",
+        p.alias("rate"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    )

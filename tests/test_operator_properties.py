@@ -2866,3 +2866,34 @@ def test_assortativity_matches_networkx_style_replay(spark, sf_small):
     assert row["n_edges"] == len(edges)
     assert abs(row["assortativity"] - expected) < 1e-9
     assert -1.0 <= row["assortativity"] <= 1.0
+
+
+def test_wilson_bounds_match_statsmodels_formula(spark, sf_small):
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    li = _load_pdf(sf_small, "lineitem")
+    li = li.assign(
+        mid=li["l_shipdate"].dt.year * 12 + li["l_shipdate"].dt.month - 1,
+        ret=(li["l_returnflag"] == "R").astype(int),
+    )
+    got = {
+        r["month_id"]: r
+        for r in registry.QUERIES["monthly_return_rate_wilson"](
+            spark, sf_small
+        ).collect()
+    }
+    z2 = 3.8416
+    for mid, grp in li.groupby("mid"):
+        n, k = len(grp), int(grp["ret"].sum())
+        p = k / n
+        center = p + z2 / (2 * n)
+        half = math.sqrt(z2) * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        denom = 1 + z2 / n
+        r = got[mid]
+        assert (r["n_items"], r["n_returned"]) == (n, k)
+        assert abs(r["wilson_lo"] - (center - half) / denom) < 1e-12
+        assert abs(r["wilson_hi"] - (center + half) / denom) < 1e-12
+        assert 0.0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] <= 1.0

@@ -156,6 +156,7 @@ QUERIES = [
     "kmeans_lloyd_iteration",       # argmin assignment + fxp update + obj
     "cohort_ltv_curve",             # cohort-partitioned integer cumsums
     "graph_degree_assortativity",   # DECIMAL edge-endpoint moments
+    "monthly_return_rate_wilson",   # closed-form bounds on integer cells
 ]
 
 

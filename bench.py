@@ -234,6 +234,8 @@ HEADLINE = [
     "cohort_ltv_curve",
     "graph_degree_assortativity",
     "monthly_return_rate_wilson",
+    "mann_whitney_u",
+    "daily_count_control_chart",
 ]
 
 

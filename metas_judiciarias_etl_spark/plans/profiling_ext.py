@@ -831,3 +831,218 @@ def item_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "part_a", "part_b")
         .limit(ITEM_COS_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Mann–Whitney U: rank-based two-sample drift test with tie correction.
+# --------------------------------------------------------------------------
+@query(
+    "mann_whitney_u",
+    oracle="""
+    WITH ref AS (
+        SELECT min(source) AS ref_source FROM documents
+    ), tagged AS (
+        SELECT d.n_chars AS v,
+               CASE WHEN d.source = r.ref_source THEN 1 ELSE 0 END AS g1
+        FROM documents d CROSS JOIN ref r
+    ), per_v AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS t,
+               CAST(sum(g1) AS BIGINT) AS t1
+        FROM tagged GROUP BY v
+    ), ranked AS (
+        -- 2*avg-rank of the tie block at value v: below = ranks before it
+        SELECT v, t, t1,
+               CAST(coalesce(sum(t) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS below
+        FROM per_v
+    ), sums AS (
+        SELECT CAST(sum(t1) AS BIGINT) AS n1,
+               CAST(sum(t - t1) AS BIGINT) AS n2,
+               -- 2*R1 stays integer under average ranks:
+               -- each g1 member at v contributes (2*below + t + 1)
+               CAST(sum(t1 * (2 * below + t + 1)) AS BIGINT) AS two_r1,
+               CAST(sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS DOUBLE)
+                   AS tie_term
+        FROM ranked
+    )
+    SELECT n1, n2,
+           (CAST(two_r1 AS DOUBLE) - n1 * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0
+               - CAST(n1 AS DOUBLE) * n2 / 2.0 AS u_minus_mean,
+           ((CAST(two_r1 AS DOUBLE) - n1 * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0
+               - CAST(n1 AS DOUBLE) * n2 / 2.0)
+               / nullif(sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                       * ((n1 + n2 + 1.0)
+                          - tie_term
+                            / (CAST(n1 + n2 AS DOUBLE)
+                               * (n1 + n2 - 1.0)))), 0.0) AS z_stat
+    FROM sums
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between the reference source's
+    length distribution and the rest — the third leg of the drift-test
+    stool: KS (ks_two_sample) sees any shape change, chi-square
+    (text_token_drift_chi2) sees categorical mix, U sees LOCATION shift
+    with rank-level robustness to outliers. Tie-corrected normal
+    approximation, the standard large-sample form.
+
+    Exactness: average ranks over tie blocks keep 2·R1 an exact
+    INTEGER (each member of a tie block of size t starting after
+    `below` items contributes rank (2·below+t+1)/2), so U derives from
+    integer sums alone; the tie-corrected variance and the single z
+    division are pinned IEEE ops; the Σ(t³−t) tie term accumulates in
+    DECIMAL before one cast.
+
+    Plan: identical posture to ks_two_sample — ONE value-keyed
+    aggregation collapses the corpus to the distinct support, the rank
+    window runs over that bounded support, and the final row is a
+    1-row reduction. No sorting of raw rows anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.agg(F.min("source").alias("ref_source"))
+    tagged = docs.crossJoin(F.broadcast(ref)).select(
+        F.col("n_chars").alias("v"),
+        (F.col("source") == F.col("ref_source")).cast("int").alias("g1"),
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("g1").cast("long").alias("t1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn(
+        "below", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long")
+    )
+    sums = ranked.agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("long").alias("n2"),
+        F.sum(F.col("t1") * (2 * F.col("below") + F.col("t") + 1))
+        .cast("long")
+        .alias("two_r1"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        )
+        .cast("double")
+        .alias("tie_term"),
+    )
+    r1 = (
+        F.col("two_r1").cast("double")
+        - F.col("n1") * (F.col("n1").cast("double") + F.lit(1.0))
+    ) / F.lit(2.0)
+    u_minus_mean = r1 - F.col("n1").cast("double") * F.col("n2") / F.lit(2.0)
+    nn = F.col("n1") + F.col("n2")
+    var = (
+        F.col("n1").cast("double") * F.col("n2") / F.lit(12.0)
+        * (
+            (nn + F.lit(1.0))
+            - F.col("tie_term")
+            / (nn.cast("double") * (nn - F.lit(1.0)))
+        )
+    )
+    return sums.select(
+        "n1",
+        "n2",
+        u_minus_mean.alias("u_minus_mean"),
+        (u_minus_mean / F.nullif(F.sqrt(var), F.lit(0.0))).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical process control: 3-sigma limits on daily event volumes.
+# --------------------------------------------------------------------------
+_SPC_DAY_NS = 86_400_000_000_000
+
+
+@query(
+    "daily_count_control_chart",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type,
+               epoch_ns(ts) // {_SPC_DAY_NS} AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, day
+    ), stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT) AS q
+        FROM d GROUP BY event_type
+    ), lim AS (
+        SELECT event_type, n_days,
+               CAST(s AS DOUBLE) / n_days AS center,
+               sqrt((n_days * CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+                     * CAST(s AS DOUBLE))
+                    / (CAST(n_days AS DOUBLE) * (n_days - 1.0))) AS sd
+        FROM stats
+    )
+    SELECT d.event_type, d.day, d.c AS n_events,
+           l.center, l.center - 3.0 * l.sd AS lcl,
+           l.center + 3.0 * l.sd AS ucl,
+           CASE WHEN CAST(d.c AS DOUBLE) > l.center + 3.0 * l.sd
+                  OR CAST(d.c AS DOUBLE) < l.center - 3.0 * l.sd
+                THEN 1 ELSE 0 END AS out_of_control
+    FROM d JOIN lim l USING (event_type)
+    """,
+)
+def daily_count_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart individuals chart over daily event volumes per type: the
+    center line and ±3σ limits come from the stream's own day-to-day
+    variation, and any day outside the band flags — the
+    process-control primitive behind "did ingestion break today?"
+    monitors (complementing dq_freshness_lag's staleness axis with a
+    VOLUME axis; anomaly_zscore does this per-event-value, this does it
+    per operational day).
+
+    Exactness: daily counts are exact integers; mean and sample sd per
+    type come from integer moments via pinned single divisions (the
+    events_user_burstiness discipline — Σc² accumulates in DECIMAL);
+    the flag compares unrounded pinned doubles identically on both
+    engines.
+
+    Plan: one (type, day) count aggregation, one type-level moment
+    rollup over day-cardinality rows, one broadcast-sized limits join
+    back. Scan-bound; nothing beyond the first aggregation touches
+    fact scale."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts div {_SPC_DAY_NS}").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    stats = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("long")
+        .alias("q"),
+    )
+    center = F.col("s").cast("double") / F.col("n_days")
+    sd = F.sqrt(
+        (
+            F.col("n_days") * F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        )
+        / (F.col("n_days").cast("double") * (F.col("n_days") - F.lit(1.0)))
+    )
+    lim = stats.select(
+        "event_type", center.alias("center"), sd.alias("sd")
+    )
+    j = d.join(F.broadcast(lim), "event_type")
+    return j.select(
+        "event_type",
+        "day",
+        F.col("c").alias("n_events"),
+        "center",
+        (F.col("center") - 3.0 * F.col("sd")).alias("lcl"),
+        (F.col("center") + 3.0 * F.col("sd")).alias("ucl"),
+        F.when(
+            (F.col("c").cast("double") > F.col("center") + 3.0 * F.col("sd"))
+            | (F.col("c").cast("double") < F.col("center") - 3.0 * F.col("sd")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("out_of_control"),
+    )

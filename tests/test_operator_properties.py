@@ -2897,3 +2897,75 @@ def test_wilson_bounds_match_statsmodels_formula(spark, sf_small):
         assert abs(r["wilson_lo"] - (center - half) / denom) < 1e-12
         assert abs(r["wilson_hi"] - (center + half) / denom) < 1e-12
         assert 0.0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] <= 1.0
+
+
+def test_mann_whitney_matches_scipy_formula(spark, sf_small):
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    ref = docs["source"].min()
+    x = docs.loc[docs["source"] == ref, "n_chars"].to_numpy()
+    y = docs.loc[docs["source"] != ref, "n_chars"].to_numpy()
+    allv = np.concatenate([x, y])
+    order = np.argsort(allv, kind="mergesort")
+    ranks = np.empty(len(allv), dtype=np.float64)
+    sv = allv[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    r1 = float(ranks[: len(x)].sum())
+    n1, n2 = len(x), len(y)
+    u = r1 - n1 * (n1 + 1) / 2.0
+    ties = Counter(allv.tolist())
+    tie_term = sum(t**3 - t for t in ties.values())
+    nn = n1 + n2
+    var = n1 * n2 / 12.0 * ((nn + 1) - tie_term / (nn * (nn - 1)))
+    z = (u - n1 * n2 / 2.0) / math.sqrt(var)
+    row = registry.QUERIES["mann_whitney_u"](spark, sf_small).collect()[0]
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert abs(row["u_minus_mean"] - (u - n1 * n2 / 2.0)) < 1e-9
+    assert abs(row["z_stat"] - z) < 1e-9
+
+
+def test_control_chart_matches_pandas_replay(spark, sf_small):
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.profiling_ext import _SPC_DAY_NS
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    ev = ev.assign(
+        tns=ev["ts"].astype("datetime64[ns]").astype("int64")
+    )
+    ev = ev.assign(day=ev["tns"] // _SPC_DAY_NS)
+    got = {
+        (r["event_type"], r["day"]): r
+        for r in registry.QUERIES["daily_count_control_chart"](
+            spark, sf_small
+        ).collect()
+    }
+    for et, grp in ev.groupby("event_type"):
+        counts = grp.groupby("day").size()
+        n, s, q = len(counts), int(counts.sum()), int((counts**2).sum())
+        center = s / n
+        sd = math.sqrt((n * q - s * s) / (n * (n - 1)))
+        for day, c in counts.items():
+            r = got[(et, day)]
+            assert r["n_events"] == int(c)
+            assert abs(r["center"] - center) < 1e-9
+            assert abs(r["ucl"] - (center + 3 * sd)) < 1e-9
+            assert r["out_of_control"] == (
+                1 if (c > center + 3 * sd or c < center - 3 * sd) else 0
+            )
+    assert len(got) == len(ev.groupby(["event_type", "day"]))

@@ -157,6 +157,8 @@ QUERIES = [
     "cohort_ltv_curve",             # cohort-partitioned integer cumsums
     "graph_degree_assortativity",   # DECIMAL edge-endpoint moments
     "monthly_return_rate_wilson",   # closed-form bounds on integer cells
+    "mann_whitney_u",               # integer 2R1 rank sums over support
+    "daily_count_control_chart",    # integer day moments + pinned limits
 ]
 
 

@@ -236,6 +236,7 @@ HEADLINE = [
     "monthly_return_rate_wilson",
     "mann_whitney_u",
     "daily_count_control_chart",
+    "text_readability",
 ]
 
 

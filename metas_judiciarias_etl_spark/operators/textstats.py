@@ -1654,3 +1654,85 @@ def text_token_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Readability scoring: Flesch reading ease from exact surface counts.
+# --------------------------------------------------------------------------
+@query(
+    "text_readability",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(len({_SQL_TOKS}) AS BIGINT) AS n_words,
+               CAST(len(list_filter(
+                   regexp_split_to_array(text, '[.!?]+'),
+                   __s -> trim(__s) <> '')) AS BIGINT) AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / nullif(n_sentences, 0))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE)
+                           / nullif(n_words, 0)), 4) AS flesch
+    FROM feats
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document from pure surface counts: words
+    (whitespace tokens), sentences (non-empty [.!?]-delimited spans),
+    and syllables approximated as vowel GROUPS — the standard
+    dictionary-free estimator (each maximal run of aeiouy ≈ one
+    syllable nucleus). The readability axis complements text_quality's
+    boilerplate features: a corpus can be high-"quality" by length and
+    stopword mix yet unreadably dense, and readability banding is a
+    routine training-mix dimension.
+
+    Exactness: all three counts are exact integers from one regex pass
+    each; the score is a pinned chain of exact-rounded IEEE ops over
+    decimal-literal coefficients, rounded to 4 dp; degenerate documents
+    (no sentence-final punctuation, empty text) null out via nullif
+    instead of dividing by zero.
+
+    Plan: map-only — three scan-stage regex projections, zero shuffles,
+    zero joins. Scan-bound at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]+"),
+                lambda s: F.trim(s) != "",
+            )
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    return feats.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (
+                F.col("n_words").cast("double")
+                / F.nullif(F.col("n_sentences"), F.lit(0)).cast("double")
+            )
+            - F.lit(84.6)
+            * (
+                F.col("n_syllables").cast("double")
+                / F.nullif(F.col("n_words"), F.lit(0)).cast("double")
+            ),
+            4,
+        ).alias("flesch"),
+    )

@@ -2969,3 +2969,32 @@ def test_control_chart_matches_pandas_replay(spark, sf_small):
                 1 if (c > center + 3 * sd or c < center - 3 * sd) else 0
             )
     assert len(got) == len(ev.groupby(["event_type", "day"]))
+
+
+def test_readability_matches_python_replay(spark, sf_small):
+    import re
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    got = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["text_readability"](spark, sf_small).collect()
+    }
+    for _, rec in docs.iterrows():
+        text = rec["text"]
+        n_words = len(text.strip().split())
+        n_sent = len([s for s in re.split(r"[.!?]+", text) if s.strip()])
+        n_syll = len(re.findall(r"[aeiouy]+", text.lower()))
+        r = got[rec["doc_id"]]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+            n_words,
+            n_sent,
+            n_syll,
+        )
+        if n_sent and n_words:
+            expected = 206.835 - 1.015 * n_words / n_sent - 84.6 * n_syll / n_words
+            assert abs(r["flesch"] - expected) < 1e-3
+        else:
+            assert r["flesch"] is None

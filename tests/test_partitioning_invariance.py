@@ -159,6 +159,7 @@ QUERIES = [
     "monthly_return_rate_wilson",   # closed-form bounds on integer cells
     "mann_whitney_u",               # integer 2R1 rank sums over support
     "daily_count_control_chart",    # integer day moments + pinned limits
+    "text_readability",             # map-only regex counts, pinned score
 ]
 
 

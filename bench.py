@@ -237,6 +237,8 @@ HEADLINE = [
     "mann_whitney_u",
     "daily_count_control_chart",
     "text_readability",
+    "emb_covariance_offdiag_mass",
+    "dq_order_lineitem_reconcile",
 ]
 
 

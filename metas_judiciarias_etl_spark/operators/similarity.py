@@ -2728,3 +2728,121 @@ def kmeans_lloyd_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding isotropy health: off-diagonal covariance mass ratio.
+# ---------------------------------------------------------------------------
+@query(
+    "emb_covariance_offdiag_mass",
+    oracle=f"""
+    WITH x AS (
+        SELECT vec_id, unnest(generate_series(1, {DIM})) AS i, embedding
+        FROM embeddings
+    ), v AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xi FROM x
+    ), n AS (
+        SELECT CAST(count(*) AS DOUBLE) AS nv FROM embeddings
+    ), vq0 AS (
+        SELECT vec_id, i, CAST(round(xi * {_FXP_SCALE}) AS BIGINT) AS q0
+        FROM v
+    ), mu AS (
+        SELECT i, CAST(CAST(sum(q0) AS BIGINT) AS DOUBLE)
+                      / (nv * {_FXP_SCALE}) AS m
+        FROM vq0 CROSS JOIN n GROUP BY i, nv
+    ), xc AS (
+        SELECT v.vec_id, v.i,
+               CAST(round((v.xi - mu.m) * {_FXP_SCALE}) AS BIGINT) AS q
+        FROM v JOIN mu ON mu.i = v.i
+    ), cov AS (
+        SELECT a.i AS i, b.i AS j,
+               CAST(sum(a.q * b.q) AS BIGINT) AS s
+        FROM xc a JOIN xc b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    ), mass AS (
+        SELECT
+            CAST(sum(CAST(abs(s) AS DECIMAL(38,0)))
+                 FILTER (WHERE i = j) AS DOUBLE) AS diag,
+            CAST(sum(CAST(abs(s) AS DECIMAL(38,0)))
+                 FILTER (WHERE i <> j) AS DOUBLE) AS offdiag
+        FROM cov
+    )
+    SELECT CAST({DIM} AS BIGINT) AS n_dims,
+           diag / {_FXP_SCALE_SQ} AS diag_mass,
+           offdiag / {_FXP_SCALE_SQ} AS offdiag_mass,
+           offdiag / (diag * {DIM - 1}.0) AS anisotropy
+    FROM mass
+    """,
+)
+def emb_covariance_offdiag_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy health: |off-diagonal| covariance mass against
+    the diagonal (variance) mass, normalized per off-diagonal cell —
+    the representation-collapse smoke test. An isotropic embedding
+    space has anisotropy near zero (dimensions decorrelated, the
+    whitened ideal contrastive training aims for); a collapsing one
+    concentrates mass off-diagonal as dimensions co-vary. Reuses
+    emb_pca_top_component's exact covariance discipline without the
+    eigen-iteration, so the health check is strictly cheaper than the
+    diagnosis.
+
+    Exactness: both masses are sums of |integer covariance numerators|
+    (centered coordinates quantized to the 2^-20 grid, per-cell sums
+    plain integer) accumulated in DECIMAL(38,0) — order-free end to
+    end; the two final divisions are the only float ops beyond the
+    mean-centering step.
+
+    Plan: ONE (i,j)-keyed shuffle of integer products (the N·DIM²
+    covariance pass, partial-aggregatable map-side) then a 2-cell
+    rollup of the DIM²-row table. At 100 TB identical posture to the
+    registered PCA — this is its first stage plus a constant-size
+    reduction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "xif")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xif").cast("double").alias("xi"),
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("double").alias("nv"))
+    mu = (
+        x.select("i", F.expr(f"CAST(round(xi * {_FXP_SCALE}) AS BIGINT)").alias("q0"))
+        .groupBy("i")
+        .agg(F.sum("q0").cast("long").alias("sq"))
+        .crossJoin(F.broadcast(n))
+        .select("i", (F.col("sq").cast("double") / (F.col("nv") * _FXP_SCALE)).alias("m"))
+    )
+    xc = x.join(F.broadcast(mu), "i").select(
+        "vec_id",
+        "i",
+        _fxp_q(F.col("xi") - F.col("m"), "emb_covariance_offdiag_mass").alias(
+            "q"
+        ),
+    ).persist()
+    xc.count()  # both sides of the self-join read it
+    a = xc.select("vec_id", F.col("i").alias("ai"), F.col("q").alias("aq"))
+    b = xc.select("vec_id", F.col("i").alias("bj"), F.col("q").alias("bq"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy("ai", "bj")
+        .agg(F.sum(F.col("aq") * F.col("bq")).cast("long").alias("s"))
+    )
+    mass = cov.agg(
+        F.sum(
+            F.when(F.col("ai") == F.col("bj"), F.abs("s").cast("decimal(38,0)"))
+        ).alias("diag"),
+        F.sum(
+            F.when(F.col("ai") != F.col("bj"), F.abs("s").cast("decimal(38,0)"))
+        ).alias("offdiag"),
+    )
+    return mass.select(
+        F.lit(DIM).cast("long").alias("n_dims"),
+        (F.col("diag").cast("double") / F.lit(_FXP_SCALE_SQ)).alias("diag_mass"),
+        (F.col("offdiag").cast("double") / F.lit(_FXP_SCALE_SQ)).alias(
+            "offdiag_mass"
+        ),
+        (
+            F.col("offdiag").cast("double")
+            / (F.col("diag").cast("double") * F.lit(float(DIM - 1)))
+        ).alias("anisotropy"),
+    )

@@ -1046,3 +1046,98 @@ def daily_count_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("out_of_control"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fact-to-fact reconciliation: order headers vs their lineitem sums.
+# --------------------------------------------------------------------------
+@query(
+    "dq_order_lineitem_reconcile",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                                   * (1.0 + l_tax) * 100) AS BIGINT))
+                    AS BIGINT) AS line_cents
+        FROM lineitem GROUP BY l_orderkey
+    ), j AS (
+        SELECT o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+               li.line_cents
+        FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(line_cents) AS BIGINT) AS n_with_lineitems,
+           CAST(count(*) - count(line_cents) AS BIGINT) AS n_headers_only,
+           CAST(count(*) FILTER (WHERE line_cents = header_cents)
+                AS BIGINT) AS n_exact_match,
+           CAST(sum(CAST(abs(header_cents - line_cents) AS DECIMAL(38,0)))
+                AS BIGINT) AS total_abs_diff_cents,
+           CAST(max(abs(header_cents - line_cents)) AS BIGINT)
+               AS max_abs_diff_cents,
+           CAST(count(*) FILTER (WHERE line_cents = header_cents)
+                AS DOUBLE)
+               / nullif(count(line_cents), 0) AS exact_match_rate
+    FROM j
+    """,
+)
+def dq_order_lineitem_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact reconciliation: does each order header's total agree
+    with the sum of its lines at the TPC-H pricing formula
+    extended·(1−disc)·(1+tax)? The cross-table consistency audit that
+    referential checks (ri_orphan_audit) don't cover — keys can all
+    resolve while the MONEY disagrees, which is how silent upstream
+    bugs (partial loads, double-applied discounts) actually surface.
+    On this synthetic fixture headers and lines are generated
+    independently, so the report SHOWS a reconciliation failure — the
+    operator's honesty is the point; a real warehouse alert fires on
+    exact_match_rate < 1.
+
+    Exactness: per-line cents round once (pinned float chain → integer)
+    and sum exactly; header cents likewise; every reported statistic
+    is an integer (diff mass accumulates in DECIMAL) except the one
+    final rate division.
+
+    Plan: one lineitem aggregation keyed on the order key, one
+    co-keyed left join from headers, one 1-row rollup. Both fact scans
+    stream; at 100 TB the join rides bucketed-by-orderkey layout
+    shuffle-free."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * (1.0 - l_discount)"
+                    " * (1.0 + l_tax) * 100) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("line_cents")
+        )
+    )
+    j = orders.select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+            "header_cents"
+        ),
+    ).join(li, orders.o_orderkey == li.l_orderkey, "left")
+    diff = F.abs(F.col("header_cents") - F.col("line_cents"))
+    match = (F.col("line_cents") == F.col("header_cents")).cast("int")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count("line_cents").cast("long").alias("n_with_lineitems"),
+        (F.count(F.lit(1)) - F.count("line_cents"))
+        .cast("long")
+        .alias("n_headers_only"),
+        F.coalesce(F.sum(match), F.lit(0)).cast("long").alias("n_exact_match"),
+        F.coalesce(F.sum(diff.cast("decimal(38,0)")), F.lit(0))
+        .cast("long")
+        .alias("total_abs_diff_cents"),
+        F.max(diff).cast("long").alias("max_abs_diff_cents"),
+        (
+            F.coalesce(F.sum(match), F.lit(0)).cast("double")
+            / F.nullif(F.count("line_cents").cast("double"), F.lit(0.0))
+        ).alias("exact_match_rate"),
+    )

@@ -2998,3 +2998,73 @@ def test_readability_matches_python_replay(spark, sf_small):
             assert abs(r["flesch"] - expected) < 1e-3
         else:
             assert r["flesch"] is None
+
+
+def test_offdiag_mass_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.similarity import (
+        _FXP_SCALE,
+        DIM,
+    )
+
+    registry.load_all()
+    emb = _load_pdf(sf_small, "embeddings")
+    X = np.array(
+        [np.asarray(e, dtype=np.float32) for e in emb["embedding"]],
+        dtype=np.float64,
+    )
+    mu = np.round(X * _FXP_SCALE).sum(axis=0) / (len(X) * _FXP_SCALE)
+    Q = np.round((X - mu) * _FXP_SCALE)
+    S = Q.T @ Q  # integer-valued covariance numerators
+    diag = float(np.abs(np.diag(S)).sum() / _FXP_SCALE**2)
+    off = float(
+        (np.abs(S).sum() - np.abs(np.diag(S)).sum()) / _FXP_SCALE**2
+    )
+    row = registry.QUERIES["emb_covariance_offdiag_mass"](
+        spark, sf_small
+    ).collect()[0]
+    assert row["n_dims"] == DIM
+    assert abs(row["diag_mass"] - diag) < 1e-6 * max(1.0, diag)
+    assert abs(row["offdiag_mass"] - off) < 1e-6 * max(1.0, off)
+    assert abs(row["anisotropy"] - off / (diag * (DIM - 1))) < 1e-9
+    assert row["anisotropy"] >= 0.0
+
+
+def test_reconcile_matches_pandas_replay(spark, sf_small):
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    orders = _load_pdf(sf_small, "orders")
+    li = _load_pdf(sf_small, "lineitem")
+    import numpy as np
+
+    # engines round() half-away-from-zero; numpy/pandas round half-even —
+    # prices are positive so floor(x + 0.5) reproduces the engine exactly
+    raw = (
+        li["l_extendedprice"] * (1.0 - li["l_discount"]) * (1.0 + li["l_tax"]) * 100
+    ).to_numpy()
+    li = li.assign(cents=np.floor(raw + 0.5).astype("int64"))
+    sums = li.groupby("l_orderkey")["cents"].sum()
+    import numpy as _np
+
+    hdr = _np.floor((orders["o_totalprice"] * 100).to_numpy() + 0.5).astype(
+        "int64"
+    )
+    row = registry.QUERIES["dq_order_lineitem_reconcile"](
+        spark, sf_small
+    ).collect()[0]
+    assert row["n_orders"] == len(orders)
+    with_li = orders["o_orderkey"].isin(sums.index)
+    assert row["n_with_lineitems"] == int(with_li.sum())
+    matched = diffsum = maxdiff = 0
+    for ok, h in zip(orders["o_orderkey"], hdr):
+        if ok in sums.index:
+            d = abs(int(h) - int(sums[ok]))
+            matched += 1 if d == 0 else 0
+            diffsum += d
+            maxdiff = max(maxdiff, d)
+    assert row["n_exact_match"] == matched
+    assert row["total_abs_diff_cents"] == diffsum
+    assert row["max_abs_diff_cents"] == maxdiff

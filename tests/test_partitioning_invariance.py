@@ -160,6 +160,8 @@ QUERIES = [
     "mann_whitney_u",               # integer 2R1 rank sums over support
     "daily_count_control_chart",    # integer day moments + pinned limits
     "text_readability",             # map-only regex counts, pinned score
+    "emb_covariance_offdiag_mass",  # integer covariance numerators, DECIMAL mass
+    "dq_order_lineitem_reconcile",  # co-keyed money reconciliation, int diffs
 ]
 
 

@@ -239,6 +239,8 @@ HEADLINE = [
     "text_readability",
     "emb_covariance_offdiag_mass",
     "dq_order_lineitem_reconcile",
+    "spearman_rank_corr",
+    "attribution_position_weighted",
 ]
 
 

@@ -1141,3 +1141,114 @@ def dq_order_lineitem_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.count("line_cents").cast("double"), F.lit(0.0))
         ).alias("exact_match_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation — Pearson over average ranks, integer-exact.
+# --------------------------------------------------------------------------
+@query(
+    "spearman_rank_corr",
+    oracle="""
+    WITH v AS (
+        SELECT n_chars AS x,
+               CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT)
+                   AS y
+        FROM documents
+    ), rx AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS t,
+               CAST(coalesce(sum(count(*)) OVER (
+                   ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS below
+        FROM v GROUP BY x
+    ), ry AS (
+        SELECT y, CAST(count(*) AS BIGINT) AS t,
+               CAST(coalesce(sum(count(*)) OVER (
+                   ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS below
+        FROM v GROUP BY y
+    ), ranked AS (
+        -- 2*rank stays integer under average ranks: 2*below + t + 1
+        SELECT (2 * rx.below + rx.t + 1) AS rx2,
+               (2 * ry.below + ry.t + 1) AS ry2
+        FROM v JOIN rx ON rx.x = v.x JOIN ry ON ry.y = v.y
+    ), m AS (
+        SELECT count(*) AS n,
+               CAST(sum(CAST(rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(rx2 AS DECIMAL(38,0)) * rx2) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(ry2 AS DECIMAL(38,0)) * ry2) AS DOUBLE) AS syy,
+               CAST(sum(CAST(rx2 AS DECIMAL(38,0)) * ry2) AS DOUBLE) AS sxy
+        FROM ranked
+    )
+    SELECT n AS n_docs,
+           (n * sxy - sx * sy)
+               / nullif(sqrt(n * sxx - sx * sx)
+                        * sqrt(n * syy - sy * sy), 0.0) AS spearman_rho
+    FROM m
+    """,
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document length (n_chars) and
+    whitespace count — Pearson over AVERAGE ranks, the monotone-
+    association measure that sees what corr_exact's linear Pearson
+    misses (and shrugs at outliers). The Mann–Whitney doubling trick
+    generalizes: 2·rank = 2·(items below) + tie size + 1 is always an
+    INTEGER, so every rank moment is an exact integer sum in DECIMAL
+    and the factor of 2 cancels in the correlation — no float
+    accumulation anywhere, one final pinned assembly.
+
+    Plan: two value-keyed aggregations collapse each variable to its
+    distinct support, the rank windows run over those bounded supports,
+    and the moment pass is one partial-aggregatable reduction riding
+    two broadcast-sized rank-lookup joins. The ks_two_sample posture,
+    applied twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        F.col("n_chars").alias("x"),
+        F.length(F.regexp_replace(F.col("text"), "[^ ]", "")).cast("long").alias("y"),
+    )
+    v = v.persist()
+    v.count()  # both rank tables and the moment join read it
+
+    def ranks(col: str) -> DataFrame:
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            v.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("long").alias("t"))
+            .withColumn(
+                "below", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long")
+            )
+            .select(
+                col,
+                (2 * F.col("below") + F.col("t") + 1).alias(f"r_{col}2"),
+            )
+        )
+
+    ranked = v.join(F.broadcast(ranks("x")), "x").join(
+        F.broadcast(ranks("y")), "y"
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r_x2").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("r_y2").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.col("r_x2").cast("decimal(38,0)") * F.col("r_x2"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("r_y2").cast("decimal(38,0)") * F.col("r_y2"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.col("r_x2").cast("decimal(38,0)") * F.col("r_y2"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    return m.select(
+        F.col("n").alias("n_docs"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+                F.lit(0.0),
+            )
+        ).alias("spearman_rho"),
+    )

@@ -1491,3 +1491,143 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_cents").cast("double") / F.col("cohort_size")
         ).alias("ltv_cents_per_customer"),
     )
+
+
+# --------------------------------------------------------------------------
+# Position-weighted (U-shape) attribution — the multi-touch sibling.
+# --------------------------------------------------------------------------
+_ATTR_FXP = 1048576.0  # 2^20 credit grid
+
+
+@query(
+    "attribution_position_weighted",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+    ), p AS (
+        SELECT user_id, event_id AS pid, ts_us AS pts FROM e
+        WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT user_id, event_id AS tid, event_type AS touch_type,
+               ts_us AS tts
+        FROM e WHERE event_type IN ('click', 'view')
+    ), pairs AS (
+        SELECT p.pid, t.touch_type, t.tts, t.tid,
+               count(*) OVER (PARTITION BY p.pid) AS k,
+               row_number() OVER (
+                   PARTITION BY p.pid ORDER BY t.tts, t.tid) AS ra,
+               row_number() OVER (
+                   PARTITION BY p.pid ORDER BY t.tts DESC, t.tid DESC) AS rd
+        FROM p JOIN t ON t.user_id = p.user_id
+         AND (t.tts < p.pts OR (t.tts = p.pts AND t.tid < p.pid))
+         AND p.pts - t.tts <= {ATTR_LOOKBACK_US}
+    ), credited AS (
+        SELECT touch_type,
+               CAST(round((CASE WHEN k = 1 THEN 1.0
+                                WHEN k = 2 THEN 0.5
+                                WHEN ra = 1 OR rd = 1 THEN 0.4
+                                ELSE 0.2 / (k - 2.0)
+                           END) * {_ATTR_FXP}) AS BIGINT) AS q
+        FROM pairs
+    ), touched AS (
+        SELECT touch_type,
+               CAST(count(*) AS BIGINT) AS n_credits,
+               CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / {_ATTR_FXP}
+                   AS credit
+        FROM credited GROUP BY touch_type
+    )
+    SELECT * FROM touched
+    UNION ALL
+    SELECT 'none' AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(count(*) AS DOUBLE) AS credit
+    FROM p WHERE NOT EXISTS (
+        SELECT 1 FROM t
+        WHERE t.user_id = p.user_id
+          AND (t.tts < p.pts OR (t.tts = p.pts AND t.tid < p.pid))
+          AND p.pts - t.tts <= {ATTR_LOOKBACK_US})
+    """,
+)
+def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: every purchase
+    splits one unit of credit across ALL qualifying touches in the
+    7-day lookback — 40% to the first touch, 40% to the last, 20%
+    shared across the middle (1.0 / 0.5-0.5 for one/two-touch paths) —
+    the standard answer to last-touch's (attribution_last_touch)
+    known bias toward bottom-of-funnel channels; running both and
+    diffing per-channel credit IS the attribution-model sensitivity
+    analysis.
+
+    Determinism: per-pair weights are pinned rational expressions;
+    each credit quantizes to the 2^-20 grid and channel totals are
+    plain INTEGER sums (order-free, partial-aggregatable — the _fxp
+    discipline applied to money-like credit), reported after one final
+    division. Untouched purchases carry whole-unit credit to 'none', so
+    Σ credit = #purchases exactly (the conservation property test).
+
+    Plan: one user-keyed equi-join pairs purchases with their touches
+    (per-user activity bounds the blowup; the lookback predicate is a
+    residual filter), two shared-partition windows rank within each
+    purchase, then a channel-key rollup. The anti-join supplies the
+    'none' row. No inequality-join fallback to nested loops."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts_us").alias("pts")
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts_us").alias("tts"),
+    )
+    qual = (F.col("tts") < F.col("pts")) | (
+        (F.col("tts") == F.col("pts")) & (F.col("tid") < F.col("pid"))
+    )
+    within = (F.col("pts") - F.col("tts")) <= ATTR_LOOKBACK_US
+    pairs = p.join(t, "user_id").filter(qual & within)
+    wk = Window.partitionBy("pid")
+    wa = Window.partitionBy("pid").orderBy("tts", "tid")
+    wd = Window.partitionBy("pid").orderBy(F.desc("tts"), F.desc("tid"))
+    ranked = pairs.select(
+        "pid",
+        "touch_type",
+        F.count(F.lit(1)).over(wk).alias("k"),
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    weight = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when((F.col("ra") == 1) | (F.col("rd") == 1), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("k") - F.lit(2.0)))
+    )
+    credited = ranked.select(
+        "touch_type",
+        F.round(weight * F.lit(_ATTR_FXP)).cast("long").alias("q"),
+    )
+    touched = credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
+        (F.sum("q").cast("long").cast("double") / F.lit(_ATTR_FXP)).alias(
+            "credit"
+        ),
+    )
+    none_row = (
+        p.join(
+            t,
+            (p.user_id == t.user_id) & qual & within,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_credits"))
+        .select(
+            F.lit("none").alias("touch_type"),
+            "n_credits",
+            F.col("n_credits").cast("double").alias("credit"),
+        )
+    )
+    return touched.unionByName(none_row)

@@ -3068,3 +3068,56 @@ def test_reconcile_matches_pandas_replay(spark, sf_small):
     assert row["n_exact_match"] == matched
     assert row["total_abs_diff_cents"] == diffsum
     assert row["max_abs_diff_cents"] == maxdiff
+
+
+def test_spearman_matches_scipy_style(spark, sf_small):
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    x = docs["n_chars"].to_numpy()
+    y = docs["text"].str.count(" ").to_numpy()
+
+    def avg_ranks(v):
+        order = np.argsort(v, kind="mergesort")
+        r = np.empty(len(v), dtype=np.float64)
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            r[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return r
+
+    rx, ry = avg_ranks(x), avg_ranks(y)
+    expected = float(np.corrcoef(rx, ry)[0, 1])
+    row = registry.QUERIES["spearman_rank_corr"](spark, sf_small).collect()[0]
+    assert row["n_docs"] == len(x)
+    assert abs(row["spearman_rho"] - expected) < 1e-9
+    assert -1.0 <= row["spearman_rho"] <= 1.0
+
+
+def test_position_attribution_conserves_credit(spark, sf_small):
+    """Σ credit over channels (incl. 'none') must equal the purchase
+    count exactly — every purchase distributes one unit (up to the
+    2^-20 credit grid x #touches rounding, bounded tightly)."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    n_purchases = int((ev["event_type"] == "purchase").sum())
+    rows = registry.QUERIES["attribution_position_weighted"](
+        spark, sf_small
+    ).collect()
+    total_credit = sum(r["credit"] for r in rows)
+    n_pairs = sum(r["n_credits"] for r in rows if r["touch_type"] != "none")
+    # grid rounding error ≤ half a grid step per credited pair
+    assert abs(total_credit - n_purchases) <= (n_pairs + 1) * 2**-21
+    types = {r["touch_type"] for r in rows}
+    assert "none" in types and types <= {"click", "view", "none"}
+    for r in rows:
+        assert r["credit"] >= 0.0

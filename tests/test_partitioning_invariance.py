@@ -162,6 +162,8 @@ QUERIES = [
     "text_readability",             # map-only regex counts, pinned score
     "emb_covariance_offdiag_mass",  # integer covariance numerators, DECIMAL mass
     "dq_order_lineitem_reconcile",  # co-keyed money reconciliation, int diffs
+    "spearman_rank_corr",           # integer 2-rank moments in DECIMAL
+    "attribution_position_weighted",  # grid-quantized credit integer sums
 ]
 
 

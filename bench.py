@@ -241,6 +241,7 @@ HEADLINE = [
     "dq_order_lineitem_reconcile",
     "spearman_rank_corr",
     "attribution_position_weighted",
+    "emb_fisher_ratio",
 ]
 
 

@@ -2846,3 +2846,144 @@ def emb_covariance_offdiag_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("diag").cast("double") * F.lit(float(DIM - 1)))
         ).alias("anisotropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fisher discriminant ratio: is the label structure actually separable?
+# ---------------------------------------------------------------------------
+@query(
+    "emb_fisher_ratio",
+    oracle=f"""
+    WITH x AS (
+        SELECT label, vec_id,
+               unnest(generate_series(1, {DIM})) AS i, embedding
+        FROM embeddings
+    ), q AS (
+        SELECT label, i,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * {_FXP_SCALE})
+                    AS BIGINT) AS qv
+        FROM x
+    ), cls AS (
+        SELECT label, i,
+               CAST(count(*) AS BIGINT) AS n_c,
+               CAST(sum(qv) AS BIGINT) AS s_c,
+               CAST(sum(CAST(qv AS DECIMAL(38,0)) * qv) AS DOUBLE) AS ss_c
+        FROM q GROUP BY label, i
+    ), tot AS (
+        SELECT i,
+               CAST(sum(n_c) AS BIGINT) AS n,
+               CAST(sum(s_c) AS BIGINT) AS s
+        FROM cls GROUP BY i
+    ), per_dim AS (
+        -- within = Σ_c (ss_c - s_c²/n_c); between = Σ_c n_c·(μ_c - μ)²
+        --        = Σ_c s_c²/n_c - s²/n  (all from the same exact sums)
+        SELECT c.i,
+               sum(c.ss_c - CAST(c.s_c AS DOUBLE) * c.s_c / c.n_c)
+                   AS within_q,
+               sum(CAST(c.s_c AS DOUBLE) * c.s_c / c.n_c) AS cross_q,
+               max(CAST(t.s AS DOUBLE) * t.s / t.n) AS grand_q
+        FROM cls c JOIN tot t ON t.i = c.i
+        GROUP BY c.i
+    ), folded AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_dims,
+               list_reduce([0.0] || list_transform(
+                   list_sort(list(struct_pack(i := i, w := within_q))),
+                   __x -> __x.w), (a, b) -> a + b) AS within_mass,
+               list_reduce([0.0] || list_transform(
+                   list_sort(list(struct_pack(i := i,
+                                              b := cross_q - grand_q))),
+                   __x -> __x.b), (a, b) -> a + b) AS between_mass
+        FROM per_dim
+    )
+    SELECT n_dims,
+           round(within_mass / {_FXP_SCALE_SQ}, 6) AS within_mass,
+           round(between_mass / {_FXP_SCALE_SQ}, 6) AS between_mass,
+           round(between_mass / nullif(within_mass, 0.0), 6)
+               AS fisher_ratio
+    FROM folded
+    """,
+)
+def emb_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher discriminant ratio of the labeled embedding space:
+    between-class scatter over within-class scatter, summed across
+    dimensions — the one-number answer to "is there actually label
+    structure in these vectors?" that should be read BEFORE trusting
+    knn_classify's accuracy or nearest_centroid_confusion's diagonal.
+    Near zero = labels are noise in this space; large = linearly
+    separable structure.
+
+    Exactness: every scatter term derives from the same exact integer
+    sums (2^-20-quantized coordinates; Σq and Σq² per (label, dim),
+    the ss in DECIMAL) via the algebraic identities within =
+    Σ(ss_c − s_c²/n_c), between = Σs_c²/n_c − s²/n — per-dim values
+    are pinned doubles, the DIM-bounded cross-dimension fold runs in
+    sorted dim order (entropy_fold discipline), outputs round to 6 dp.
+
+    Plan: ONE (label, dim)-keyed shuffle of integer partials (the
+    emb_centroids shape carrying one extra ss column), a dim-keyed
+    rollup over label×DIM rows, one bounded fold. Strictly cheaper
+    than any classifier it sanity-checks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode("embedding").alias("i0", "xif")
+    ).select(
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xif").cast("double").alias("xi"),
+    )
+    q = x.select(
+        "label", "i", _fxp_q(F.col("xi"), "emb_fisher_ratio").alias("qv")
+    )
+    cls = q.groupBy("label", "i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.sum("qv").cast("long").alias("s_c"),
+        F.sum(F.col("qv").cast("decimal(38,0)") * F.col("qv"))
+        .cast("double")
+        .alias("ss_c"),
+    )
+    tot = cls.groupBy("i").agg(
+        F.sum("n_c").cast("long").alias("n"),
+        F.sum("s_c").cast("long").alias("s"),
+    )
+    per_dim = (
+        cls.join(tot, "i")
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.col("ss_c")
+                - F.col("s_c").cast("double") * F.col("s_c") / F.col("n_c")
+            ).alias("within_q"),
+            F.sum(
+                F.col("s_c").cast("double") * F.col("s_c") / F.col("n_c")
+            ).alias("cross_q"),
+            F.max(
+                F.col("s").cast("double") * F.col("s") / F.col("n")
+            ).alias("grand_q"),
+        )
+    )
+    folded = per_dim.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(i, within_q AS w))), x -> x.w),"
+            " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("within_mass"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(i, cross_q - grand_q AS b))), x -> x.b),"
+            " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("between_mass"),
+    )
+    return folded.select(
+        "n_dims",
+        F.round(F.col("within_mass") / F.lit(_FXP_SCALE_SQ), 6).alias(
+            "within_mass"
+        ),
+        F.round(F.col("between_mass") / F.lit(_FXP_SCALE_SQ), 6).alias(
+            "between_mass"
+        ),
+        F.round(
+            F.col("between_mass") / F.nullif(F.col("within_mass"), F.lit(0.0)),
+            6,
+        ).alias("fisher_ratio"),
+    )

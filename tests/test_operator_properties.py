@@ -3121,3 +3121,34 @@ def test_position_attribution_conserves_credit(spark, sf_small):
     assert "none" in types and types <= {"click", "view", "none"}
     for r in rows:
         assert r["credit"] >= 0.0
+
+
+def test_fisher_ratio_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.similarity import _FXP_SCALE
+
+    registry.load_all()
+    emb = _load_pdf(sf_small, "embeddings")
+    X = np.round(
+        np.array(
+            [np.asarray(e, dtype=np.float32) for e in emb["embedding"]],
+            dtype=np.float64,
+        )
+        * _FXP_SCALE
+    )
+    labels = emb["label"].to_numpy()
+    within = between = 0.0
+    mu = X.sum(axis=0) / len(X)
+    for lab in np.unique(labels):
+        sub = X[labels == lab]
+        muc = sub.sum(axis=0) / len(sub)
+        within += float(((sub - muc) ** 2).sum())
+        between += float(len(sub) * ((muc - mu) ** 2).sum())
+    row = registry.QUERIES["emb_fisher_ratio"](spark, sf_small).collect()[0]
+    within /= _FXP_SCALE**2
+    between /= _FXP_SCALE**2
+    assert abs(row["within_mass"] - within) < 1e-4 * max(1.0, within)
+    assert abs(row["between_mass"] - between) < 1e-4 * max(1.0, between)
+    assert row["fisher_ratio"] >= 0.0

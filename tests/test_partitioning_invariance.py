@@ -164,6 +164,7 @@ QUERIES = [
     "dq_order_lineitem_reconcile",  # co-keyed money reconciliation, int diffs
     "spearman_rank_corr",           # integer 2-rank moments in DECIMAL
     "attribution_position_weighted",  # grid-quantized credit integer sums
+    "emb_fisher_ratio",             # per-class integer scatter identities
 ]
 
 

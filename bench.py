@@ -242,6 +242,7 @@ HEADLINE = [
     "spearman_rank_corr",
     "attribution_position_weighted",
     "emb_fisher_ratio",
+    "prep_pipeline_v3",
 ]
 
 

@@ -777,3 +777,126 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "proportional_weight"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# v3: the full pipeline with readability and decontamination stages added —
+# every gate a registered operator, the whole chain one Catalyst plan.
+# --------------------------------------------------------------------------
+FLESCH_MIN = -200.0  # permissive floor: drops only degenerate/unreadable docs
+
+
+def _v3_oracle() -> str:
+    from ..functions.hashing import sql_hash48
+    from ..registry import ORACLES
+    from .dedup import _NORM_SQL
+
+    h = sql_hash48("CAST(d.doc_id AS VARCHAR)")
+    return f"""
+    WITH q AS ({ORACLES['text_quality']}),
+    ppl AS ({ORACLES['text_perplexity_bigram']}),
+    rd AS ({ORACLES['text_readability']}),
+    contam AS ({ORACLES['decontam_ngram_overlap']}),
+    d AS (
+        SELECT doc_id, source, n_chars,
+               md5({_NORM_SQL.format(c='text')}) AS norm_hash
+        FROM documents
+    ),
+    kept AS (
+        SELECT d.doc_id, d.source, d.n_chars, d.norm_hash,
+               CASE WHEN {h} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN {h} % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM d
+        JOIN q USING (doc_id)
+        JOIN ppl USING (doc_id)
+        JOIN rd USING (doc_id)
+        WHERE q.quality >= {QUALITY_MIN} AND q.n_tokens >= {TOKENS_MIN}
+          AND ppl.avg_neg_logp <= {PPL_MAX}
+          AND rd.flesch IS NOT NULL AND rd.flesch >= {FLESCH_MIN}
+          AND NOT EXISTS (
+              SELECT 1 FROM contam c WHERE c.train_doc_id = d.doc_id)
+    ),
+    uniq AS (
+        SELECT * FROM (
+            SELECT kept.*,
+                   min(doc_id) OVER (PARTITION BY norm_hash) AS keeper
+            FROM kept
+        ) WHERE doc_id = keeper
+    )
+    SELECT split, source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM uniq
+    GROUP BY split, source
+    """
+
+
+@query("prep_pipeline_v3", oracle=_v3_oracle())
+def prep_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 of the composed pre-training pipeline — v2's chain (quality ∧
+    fluency gates → canonical dedup → hash split → accounting) plus the
+    two stages a production 2024-era recipe adds: a READABILITY floor
+    (text_readability; drops only degenerate docs at this permissive
+    threshold, but the stage is where a real corpus tunes its band) and
+    BENCHMARK DECONTAMINATION (any doc sharing a 5-gram with the eval
+    carve is excluded via anti-join against decontam_ngram_overlap's
+    flag table). Six registered operators, one Catalyst plan, one
+    oracle built from their registered SQL — the pipeline cannot drift
+    from its parts.
+
+    100 TB shape: all gates remain doc_id-keyed scan-stage joins; the
+    decontam anti-join probes a broadcast flag table (eval sets are
+    tiny); the dedup keeper window is the single content-hash shuffle;
+    the report is a two-key rollup. Adding stages composed plans, not
+    passes — the corpus is still scanned once per feature family."""
+    from ..functions.hashing import hash48
+    from ..registry import QUERIES
+    from .dedup import _NORM_SPARK
+
+    q = QUERIES["text_quality"](spark, sf_dir).select(
+        "doc_id", "quality", "n_tokens"
+    )
+    ppl = QUERIES["text_perplexity_bigram"](spark, sf_dir).select(
+        "doc_id", "avg_neg_logp"
+    )
+    rd = QUERIES["text_readability"](spark, sf_dir).select("doc_id", "flesch")
+    contam = QUERIES["decontam_ngram_overlap"](spark, sf_dir).select(
+        F.col("train_doc_id").alias("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(_NORM_SPARK(F.col("text"))).alias("norm_hash"),
+    )
+    bucket = hash48(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    kept = (
+        docs.join(q, "doc_id")
+        .join(ppl, "doc_id")
+        .join(rd, "doc_id")
+        .join(F.broadcast(contam), "doc_id", "left_anti")
+        .filter(
+            (F.col("quality") >= QUALITY_MIN)
+            & (F.col("n_tokens") >= TOKENS_MIN)
+            & (F.col("avg_neg_logp") <= PPL_MAX)
+            & F.col("flesch").isNotNull()
+            & (F.col("flesch") >= FLESCH_MIN)
+        )
+        .withColumn("split", split)
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("norm_hash"))
+    uniq = kept.withColumn("keeper", keeper).filter(
+        F.col("doc_id") == F.col("keeper")
+    )
+    return uniq.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+    )

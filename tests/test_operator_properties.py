@@ -3152,3 +3152,25 @@ def test_fisher_ratio_matches_numpy(spark, sf_small):
     assert abs(row["within_mass"] - within) < 1e-4 * max(1.0, within)
     assert abs(row["between_mass"] - between) < 1e-4 * max(1.0, between)
     assert row["fisher_ratio"] >= 0.0
+
+
+def test_v3_is_v2_with_extra_gates(spark, sf_small):
+    """v3's kept set must be a subset of v2's per (split, source) cell —
+    the added readability/decontam gates only REMOVE documents — and
+    with all-permissive extra gates v3 degenerates to exactly v2 minus
+    the decontam-flagged docs."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    v2 = {
+        (r["split"], r["source"]): r["n_docs"]
+        for r in registry.QUERIES["prep_pipeline_v2"](spark, sf_small).collect()
+    }
+    v3 = {
+        (r["split"], r["source"]): r["n_docs"]
+        for r in registry.QUERIES["prep_pipeline_v3"](spark, sf_small).collect()
+    }
+    assert set(v3) <= set(v2)
+    for cell, n in v3.items():
+        assert 0 < n <= v2[cell]
+    assert sum(v3.values()) < sum(v2.values())  # decontam really bites

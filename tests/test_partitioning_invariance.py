@@ -165,6 +165,7 @@ QUERIES = [
     "spearman_rank_corr",           # integer 2-rank moments in DECIMAL
     "attribution_position_weighted",  # grid-quantized credit integer sums
     "emb_fisher_ratio",             # per-class integer scatter identities
+    "prep_pipeline_v3",             # six composed gates, one plan
 ]
 
 

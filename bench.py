@@ -243,6 +243,11 @@ HEADLINE = [
     "attribution_position_weighted",
     "emb_fisher_ratio",
     "prep_pipeline_v3",
+    "roc_auc_exact",
+    "pr_auc_average_precision",
+    "score_calibration_bins",
+    "anova_oneway_f",
+    "kruskal_wallis",
 ]
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from .. import registry
 from ..registry import query
 from ..sources.parquet import load_table
+from . import decontam as _decontam  # noqa: F401  (registers the oracle CTEs v3 composes)
 from .textstats import text_quality
 
 QUALITY_MIN = 0.7

@@ -1,0 +1,336 @@
+"""Model-evaluation surface: exact ROC-AUC, average precision, and score
+calibration over the (quality score, near-dup label) relation.
+
+The reference pipeline's analytical kernels stop at descriptive aggregates
+(SURVEY §2.4); a training-data engine additionally needs the MODEL-EVAL
+loop closed: given a scalar score and a binary outcome, how discriminative
+and how calibrated is the score? These operators treat the registered
+quality score as the predictor and near-duplicate cluster membership as
+the outcome — the exact pairing quality_dup_pointbiserial correlates —
+and compute the three standard readouts: AUC (threshold-free ranking
+power), average precision (ranking power under class imbalance), and a
+reliability table + Brier decomposition (calibration).
+
+Exactness disciplines (established tier rules):
+* Scores enter as x = round(quality·10⁶) — an unambiguous integer on both
+  engines (quality is already 6-dp rounded).
+* AUC uses the Mann–Whitney identity with average ranks over tie blocks:
+  2·R1 stays an exact INTEGER (mann_whitney_u discipline), so
+  AUC = (2R1 − n1(n1+1)) / (2·n1·n0) is ONE double division of exact
+  integers.
+* Average precision pins a deterministic total order (x DESC, doc_id ASC)
+  so ranks are engine-independent, computes each precision@k as one
+  double division, and folds the per-positive terms in sorted-k order
+  with a 0.0 seed (entropy_fold / chisq discipline).
+* Calibration bins come from integer floor-division of x; per-bin squared
+  error Σ(x − y·10⁶)² accumulates in DECIMAL(38,0) before ONE cast
+  (HUGEINT→DOUBLE 1-ulp trap).
+
+Scale notes (100 TB):
+* All three scan the corpus once through the quality kernel (map-only
+  expressions) plus ONE doc_id-keyed left join against the near-dup
+  cluster table (near-dup-scale, not corpus-scale).
+* roc_auc_exact / score_calibration_bins then collapse to the distinct
+  score support / 10 bins — partial-aggregatable, no row-level sort.
+* pr_auc_average_precision is the one operator with a genuine total
+  order (a global rank is part of its DEFINITION). The window runs over
+  the corpus — at 100 TB swap the exact rank for a two-phase rank
+  (per-partition rank + boundary offsets from a partition-count pass) or
+  evaluate AP on a score-threshold head; the plan here is the exact
+  single-sort form, acceptable because AP is an offline audit, not a
+  per-batch kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import registry
+from ..operators import dedup as _dedup  # noqa: F401  (registers dedup_clusters' oracle)
+from ..operators import textstats as _textstats  # noqa: F401  (registers text_quality's oracle)
+from ..registry import query
+from ..sources.parquet import load_table  # noqa: F401  (module convention)
+
+# Fixed-point scale for the 6-dp quality score.
+_Q_SCALE = 1_000_000
+# Equal-width calibration bins over quality in [0, 1]; scores outside
+# clamp into the edge bins.
+N_CALIB_BINS = 10
+_BIN_WIDTH = _Q_SCALE // N_CALIB_BINS
+
+
+def _scored_ctes() -> str:
+    """Shared oracle CTEs: quality score x (fixed-point int) + dup label y,
+    keyed by doc_id. Mirrors quality_dup_pointbiserial's join exactly."""
+    return f"""
+    WITH q AS ({registry.ORACLES['text_quality']}),
+    cl AS ({registry.ORACLES['dedup_clusters']}),
+    sc AS (
+        SELECT q.doc_id,
+               CAST(round(q.quality * {_Q_SCALE}) AS BIGINT) AS x,
+               CASE WHEN cl.doc_id IS NULL THEN 0 ELSE 1 END AS y
+        FROM q LEFT JOIN cl ON cl.doc_id = q.doc_id
+        WHERE q.quality IS NOT NULL
+    )"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, x, y): fixed-point quality score + near-dup membership."""
+    q = registry.QUERIES["text_quality"](spark, sf_dir).filter(
+        F.col("quality").isNotNull()
+    )
+    cl = (
+        registry.QUERIES["dedup_clusters"](spark, sf_dir)
+        .select("doc_id")
+        .withColumn("is_dup", F.lit(1))
+    )
+    return q.join(cl, "doc_id", "left").select(
+        "doc_id",
+        F.expr(f"CAST(round(quality * {_Q_SCALE}) AS BIGINT)").alias("x"),
+        F.coalesce(F.col("is_dup"), F.lit(0)).alias("y"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact tie-corrected ROC-AUC via the Mann–Whitney identity.
+# ---------------------------------------------------------------------------
+@query(
+    "roc_auc_exact",
+    oracle=_scored_ctes()
+    + """
+    , per_v AS (
+        SELECT x AS v, CAST(count(*) AS BIGINT) AS t,
+               CAST(sum(y) AS BIGINT) AS t1
+        FROM sc GROUP BY x
+    ), ranked AS (
+        SELECT v, t, t1,
+               CAST(coalesce(sum(t) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS below
+        FROM per_v
+    ), sums AS (
+        SELECT CAST(sum(t1) AS BIGINT) AS n1,
+               CAST(sum(t - t1) AS BIGINT) AS n0,
+               CAST(sum(t1 * (2 * below + t + 1)) AS BIGINT) AS two_r1
+        FROM ranked
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+               / nullif(CAST(2 * n1 * n0 AS DOUBLE), 0.0) AS auc
+    FROM sums
+    """,
+)
+def roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the quality score against near-dup membership —
+    the threshold-free answer to "can quality rank duplicates apart from
+    originals?". AUC = P(score_pos > score_neg) + ½·P(tie), computed via
+    the Mann–Whitney identity AUC = (R1 − n1(n1+1)/2)/(n1·n0) with
+    average ranks over tie blocks.
+
+    Exactness: identical rank machinery to mann_whitney_u — 2·R1 is an
+    exact integer (each positive in a tie block of size t after `below`
+    items contributes 2·rank = 2·below + t + 1), so the AUC numerator
+    2R1 − n1(n1+1) and denominator 2·n1·n0 are both exact integers and
+    the statistic is ONE IEEE division. Degenerate single-class corpora
+    null out via nullif.
+
+    Plan: quality is map-only; the label is one doc_id-keyed left join
+    against the near-dup-scale cluster table; ONE value-keyed aggregation
+    collapses the corpus to the distinct score support; the rank window
+    runs over that bounded support; the final row is a 1-row reduction.
+    No sort of raw rows anywhere (ks_two_sample posture)."""
+    sc = _scored(spark, sf_dir)
+    per_v = sc.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("y").cast("long").alias("t1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn(
+        "below", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long")
+    )
+    sums = ranked.agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("long").alias("n0"),
+        F.sum(F.col("t1") * (2 * F.col("below") + F.col("t") + 1))
+        .cast("long")
+        .alias("two_r1"),
+    )
+    return sums.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        (
+            (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+            / F.nullif(
+                (2 * F.col("n1") * F.col("n0")).cast("double"), F.lit(0.0)
+            )
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Average precision (PR-AUC) under a pinned deterministic tie order.
+# ---------------------------------------------------------------------------
+@query(
+    "pr_auc_average_precision",
+    oracle=_scored_ctes()
+    + """
+    , ranked AS (
+        SELECT y,
+               CAST(row_number() OVER (ORDER BY x DESC, doc_id ASC)
+                    AS BIGINT) AS k,
+               CAST(sum(y) OVER (ORDER BY x DESC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_pos
+        FROM sc
+    ), pos AS (
+        SELECT k, CAST(cum_pos AS DOUBLE) / k AS term
+        FROM ranked WHERE y = 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+               CAST(sum(y) AS BIGINT) AS n_pos
+        FROM ranked
+    )
+    SELECT t.n_ranked, t.n_pos,
+           list_reduce(
+               [0.0] || list_transform(
+                   list_sort(list(struct_pack(k := p.k, term := p.term))),
+                   s -> s.term),
+               (a, b) -> a + b)
+               / nullif(CAST(t.n_pos AS DOUBLE), 0.0) AS average_precision
+    FROM pos p CROSS JOIN tot t
+    GROUP BY t.n_ranked, t.n_pos
+    """,
+)
+def pr_auc_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    form): AP = (1/n_pos) Σ_{positives at rank k} precision@k. The
+    imbalance-aware companion to roc_auc_exact — with rare positives,
+    AUC saturates while AP still separates rankers.
+
+    Definition pin: ranks use the TOTAL order (x DESC, doc_id ASC) —
+    tie-broken by doc_id so both engines agree on every rank (the
+    interpolated-over-ties AP variant is a different, engine-dependent
+    statistic; this one is reproducible bit-for-bit).
+
+    Exactness: k and cum_pos are window integers; each precision@k is
+    ONE division; the per-positive terms fold in sorted-k order with a
+    0.0 seed (chisq_independence discipline); one final division by
+    n_pos. Degenerate no-positive corpora null out.
+
+    Plan: the rank window is a single global sort — inherent to AP's
+    definition (see module docstring for the 100 TB two-phase-rank
+    swap). Everything after the window is positives-only (near-dup
+    scale) plus a 1-row total."""
+    sc = _scored(spark, sf_dir)
+    w_ord = Window.orderBy(F.desc("x"), F.asc("doc_id"))
+    ranked = sc.select(
+        "y",
+        F.row_number().over(w_ord).cast("long").alias("k"),
+        F.sum("y")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_pos"),
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    pos = ranked.filter(F.col("y") == 1).select(
+        "k", (F.col("cum_pos").cast("double") / F.col("k")).alias("term")
+    )
+    return (
+        pos.crossJoin(F.broadcast(tot))
+        .groupBy("n_ranked", "n_pos")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("k", "term"))).alias("__lst")
+        )
+        .select(
+            "n_ranked",
+            "n_pos",
+            (
+                F.expr(
+                    "aggregate(transform(__lst, s -> s.term),"
+                    " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+                )
+                / F.nullif(F.col("n_pos").cast("double"), F.lit(0.0))
+            ).alias("average_precision"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration reliability table + per-bin Brier contributions.
+# ---------------------------------------------------------------------------
+@query(
+    "score_calibration_bins",
+    oracle=_scored_ctes()
+    + f"""
+    , b AS (
+        SELECT greatest(least(CAST(floor(CAST(x AS DOUBLE) / {_BIN_WIDTH}.0)
+                                   AS BIGINT), {N_CALIB_BINS - 1}), 0) AS bin,
+               x, 1 - y AS z
+        FROM sc
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(z) AS BIGINT) AS n_kept,
+           CAST(sum(x) AS DOUBLE) / count(*) / {_Q_SCALE}.0 AS mean_score,
+           CAST(sum(z) AS DOUBLE) / count(*) AS frac_kept,
+           CAST(sum(CAST(x - z * {_Q_SCALE} AS DECIMAL(38,0))
+                    * (x - z * {_Q_SCALE})) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * {_Q_SCALE}.0 * {_Q_SCALE}.0)
+               AS bin_brier
+    FROM b GROUP BY bin
+    """,
+)
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the quality score read as a probability that
+    a document SURVIVES dedup (z = 1 − dup): 10 equal-width score bins,
+    each with its mean score, observed keep rate, and Brier contribution
+    mean((score − z)²). A calibrated score tracks frac_kept with
+    mean_score per bin; the n-weighted mean of bin_brier is the corpus
+    Brier score. This is the calibration leg of the eval triple —
+    AUC/AP measure ranking, Brier measures probability quality.
+
+    Exactness: bins come from floor(x / binwidth) — x ≤ ~10⁶ so the
+    division is far from representability ties — clamped into [0, 9] by
+    integer compares; per-bin Σx and Σ(x − z·10⁶)² are exact integer
+    sums (the square accumulates in DECIMAL(38,0) before ONE cast);
+    mean/rate/brier are pinned division chains of exact operands.
+
+    Plan: map-only expressions + the one cluster-table join, then ONE
+    10-group partial-aggregatable rollup. Scan-bound at any SF."""
+    sc = _scored(spark, sf_dir)
+    b = sc.select(
+        F.greatest(
+            F.least(
+                F.floor(F.col("x").cast("double") / float(_BIN_WIDTH)).cast(
+                    "long"
+                ),
+                F.lit(N_CALIB_BINS - 1).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+        ).alias("bin"),
+        "x",
+        (1 - F.col("y")).alias("z"),
+    )
+    err = F.col("x") - F.col("z") * _Q_SCALE
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("z").cast("long").alias("n_kept"),
+        (
+            F.sum("x").cast("double")
+            / F.count(F.lit(1))
+            / float(_Q_SCALE)
+        ).alias("mean_score"),
+        (F.sum("z").cast("double") / F.count(F.lit(1))).alias("frac_kept"),
+        (
+            F.sum(err.cast("decimal(38,0)") * err).cast("double")
+            / (
+                F.count(F.lit(1)).cast("double")
+                * float(_Q_SCALE)
+                * float(_Q_SCALE)
+            )
+        ).alias("bin_brier"),
+    )

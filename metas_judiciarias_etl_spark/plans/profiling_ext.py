@@ -1252,3 +1252,266 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("spearman_rho"),
     )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA F: does mean document length differ across sources?
+# --------------------------------------------------------------------------
+@query(
+    "anova_oneway_f",
+    oracle="""
+    WITH g AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS s,
+               CAST(sum(CAST(n_chars AS DECIMAL(38,0)) * n_chars)
+                    AS DECIMAL(38,0)) AS q
+        FROM documents GROUP BY source
+    ), terms AS (
+        SELECT source, n, s,
+               CAST(q AS DOUBLE)
+                   - CAST(CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
+                     / CAST(n AS DOUBLE) AS w_term,
+               CAST(CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS b_term
+        FROM g
+    ), folded AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n_tot,
+               CAST(sum(s) AS BIGINT) AS s_tot,
+               list_reduce(
+                   [0.0] || list_transform(
+                       list_sort(list(struct_pack(source := source,
+                                                  t := w_term))),
+                       x -> x.t),
+                   (a, b) -> a + b) AS ssw,
+               list_reduce(
+                   [0.0] || list_transform(
+                       list_sort(list(struct_pack(source := source,
+                                                  t := b_term))),
+                       x -> x.t),
+                   (a, b) -> a + b) AS sum_b
+        FROM terms
+    )
+    SELECT k AS k_groups, n_tot AS n_total,
+           sum_b - CAST(CAST(s_tot AS DECIMAL(38,0)) * s_tot AS DOUBLE)
+                   / CAST(n_tot AS DOUBLE) AS ss_between,
+           ssw AS ss_within,
+           (sum_b - CAST(CAST(s_tot AS DECIMAL(38,0)) * s_tot AS DOUBLE)
+                    / CAST(n_tot AS DOUBLE)) / CAST(k - 1 AS DOUBLE)
+               / nullif(ssw / CAST(n_tot - k AS DOUBLE), 0.0) AS f_stat
+    FROM folded
+    """,
+)
+def anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across sources on document length — the k-sample
+    mean-comparison leg of the drift family (mann_whitney_u compares two
+    groups by rank; this compares ALL source means at once). A large F
+    says the source mix alone shifts the length distribution — the
+    signal source_mixture_weights then acts on.
+
+    Exactness: per-group n, Σv, Σv² are exact integer sums (the square
+    accumulates in DECIMAL(38,0)); each group's s²/n appears as ONE
+    double division of exact operands; SSW and Σs²/n fold over groups in
+    sorted-source order with a 0.0 seed (chisq discipline); the grand
+    S²/N correction and the two dof divisions are pinned IEEE ops.
+
+    Plan: ONE source-keyed partial-aggregatable rollup collapses the
+    corpus to |sources| rows; the folds run on that tiny relation inside
+    a single 1-row aggregation. Scan-bound at any SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    terms = g.select(
+        "source",
+        "n",
+        "s",
+        (
+            F.col("q").cast("double")
+            - (F.col("s").cast("decimal(38,0)") * F.col("s")).cast("double")
+            / F.col("n").cast("double")
+        ).alias("w_term"),
+        (
+            (F.col("s").cast("decimal(38,0)") * F.col("s")).cast("double")
+            / F.col("n").cast("double")
+        ).alias("b_term"),
+    )
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("s").cast("long").alias("s_tot"),
+        F.sort_array(F.collect_list(F.struct("source", F.col("w_term").alias("t")))).alias("__w"),
+        F.sort_array(F.collect_list(F.struct("source", F.col("b_term").alias("t")))).alias("__b"),
+    ).select(
+        "k",
+        "n_tot",
+        "s_tot",
+        F.expr(
+            "aggregate(transform(__w, x -> x.t), CAST(0.0 AS DOUBLE),"
+            " (a, b) -> a + b)"
+        ).alias("ssw"),
+        F.expr(
+            "aggregate(transform(__b, x -> x.t), CAST(0.0 AS DOUBLE),"
+            " (a, b) -> a + b)"
+        ).alias("sum_b"),
+    )
+    grand = (
+        (F.col("s_tot").cast("decimal(38,0)") * F.col("s_tot")).cast("double")
+        / F.col("n_tot").cast("double")
+    )
+    ssb = F.col("sum_b") - grand
+    return folded.select(
+        F.col("k").alias("k_groups"),
+        F.col("n_tot").alias("n_total"),
+        ssb.alias("ss_between"),
+        F.col("ssw").alias("ss_within"),
+        (
+            ssb / (F.col("k") - 1).cast("double")
+            / F.nullif(
+                F.col("ssw") / (F.col("n_tot") - F.col("k")).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("f_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis H: the rank-based (distribution-free) k-sample test.
+# --------------------------------------------------------------------------
+@query(
+    "kruskal_wallis",
+    oracle="""
+    WITH per_gv AS (
+        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS tg
+        FROM documents GROUP BY source, n_chars
+    ), per_v AS (
+        SELECT v, CAST(sum(tg) AS BIGINT) AS t
+        FROM per_gv GROUP BY v
+    ), ranked AS (
+        SELECT v, t,
+               CAST(coalesce(sum(t) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS below
+        FROM per_v
+    ), per_g AS (
+        SELECT g.source,
+               CAST(sum(g.tg) AS BIGINT) AS n_g,
+               CAST(sum(g.tg * (2 * r.below + r.t + 1)) AS BIGINT) AS two_r
+        FROM per_gv g JOIN ranked r ON r.v = g.v
+        GROUP BY g.source
+    ), ties AS (
+        SELECT CAST(sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS DOUBLE)
+                   AS tie_term
+        FROM per_v
+    ), folded AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n_g) AS BIGINT) AS n_tot,
+               list_reduce(
+                   [0.0] || list_transform(
+                       list_sort(list(struct_pack(source := source,
+                           t := CAST(CAST(two_r AS DECIMAL(38,0)) * two_r
+                                     AS DOUBLE)
+                                / CAST(4 * n_g AS DOUBLE)))),
+                       x -> x.t),
+                   (a, b) -> a + b) AS sum_r2n
+        FROM per_g
+    )
+    SELECT k AS k_groups, n_tot AS n_total,
+           12.0 * sum_r2n / (CAST(n_tot AS DOUBLE) * (n_tot + 1.0))
+               - 3.0 * (n_tot + 1.0) AS h_stat,
+           (12.0 * sum_r2n / (CAST(n_tot AS DOUBLE) * (n_tot + 1.0))
+               - 3.0 * (n_tot + 1.0))
+               / nullif(1.0 - t.tie_term
+                        / (CAST(CAST(n_tot AS DECIMAL(38,0)) * n_tot * n_tot
+                                - n_tot AS DOUBLE)), 0.0) AS h_adj
+    FROM folded CROSS JOIN ties t
+    """,
+)
+def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across sources on document length — the
+    distribution-free counterpart of anova_oneway_f (exactly as
+    mann_whitney_u is to the two-sample t): compares ALL k source rank
+    distributions at once, robust to outliers and any monotone
+    transform. Tie-corrected (h_adj) in the standard Σ(t³−t) form.
+
+    Exactness: the global rank machinery is mann_whitney_u's — per-value
+    tie blocks give each group an exact INTEGER 2·R_g; each group's
+    R_g²/n_g is ONE double division of exact operands ((2R)²/(4n));
+    the k terms fold in sorted-source order with a 0.0 seed; the H
+    assembly and the tie-correction division are pinned IEEE ops with
+    DECIMAL-routed big-integer casts (N³ − N).
+
+    Plan: (source, value)-keyed rollup collapses the corpus; the global
+    support table and its rank window are value-scale; the group join is
+    value-keyed; everything after is |sources|-scale. No raw-row sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_gv = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("tg")
+    )
+    per_v = per_gv.groupBy("v").agg(F.sum("tg").cast("long").alias("t"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn(
+        "below", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long")
+    )
+    per_g = (
+        per_gv.join(ranked, "v")
+        .groupBy("source")
+        .agg(
+            F.sum("tg").cast("long").alias("n_g"),
+            F.sum(
+                F.col("tg") * (2 * F.col("below") + F.col("t") + 1)
+            )
+            .cast("long")
+            .alias("two_r"),
+        )
+    )
+    ties = per_v.agg(
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        )
+        .cast("double")
+        .alias("tie_term")
+    )
+    term = (
+        (F.col("two_r").cast("decimal(38,0)") * F.col("two_r")).cast("double")
+        / (4 * F.col("n_g")).cast("double")
+    )
+    folded = per_g.select("source", "n_g", term.alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n_tot"),
+        F.sort_array(F.collect_list(F.struct("source", "t"))).alias("__lst"),
+    ).select(
+        "k",
+        "n_tot",
+        F.expr(
+            "aggregate(transform(__lst, x -> x.t), CAST(0.0 AS DOUBLE),"
+            " (a, b) -> a + b)"
+        ).alias("sum_r2n"),
+    )
+    h = (
+        F.lit(12.0)
+        * F.col("sum_r2n")
+        / (F.col("n_tot").cast("double") * (F.col("n_tot") + F.lit(1.0)))
+        - F.lit(3.0) * (F.col("n_tot") + F.lit(1.0))
+    )
+    n_cubed = (
+        F.col("n_tot").cast("decimal(38,0)") * F.col("n_tot") * F.col("n_tot")
+        - F.col("n_tot")
+    ).cast("double")
+    return folded.crossJoin(F.broadcast(ties)).select(
+        F.col("k").alias("k_groups"),
+        F.col("n_tot").alias("n_total"),
+        h.alias("h_stat"),
+        (
+            h
+            / F.nullif(
+                F.lit(1.0) - F.col("tie_term") / n_cubed, F.lit(0.0)
+            )
+        ).alias("h_adj"),
+    )

@@ -3174,3 +3174,181 @@ def test_v3_is_v2_with_extra_gates(spark, sf_small):
     for cell, n in v3.items():
         assert 0 < n <= v2[cell]
     assert sum(v3.values()) < sum(v2.values())  # decontam really bites
+
+
+def test_roc_auc_matches_sklearn_style_replay(spark, sf_small):
+    """Tie-corrected AUC must equal the trapezoid-free rank formulation
+    computed independently in numpy on the engine's own (score, label)
+    pairs — the rank machinery, not the label construction, is under
+    test here (the labels themselves are oracle-checked elsewhere)."""
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.evaluation_ext import _scored
+
+    registry.load_all()
+    pdf = _scored(spark, sf_small).toPandas()
+    x = pdf["x"].to_numpy(dtype=np.float64)
+    y = pdf["y"].to_numpy()
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(len(x), dtype=np.float64)
+    sv = x[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    n1 = int(y.sum())
+    n0 = len(y) - n1
+    r1 = float(ranks[y == 1].sum())
+    auc = (r1 - n1 * (n1 + 1) / 2.0) / (n1 * n0)
+    row = registry.QUERIES["roc_auc_exact"](spark, sf_small).collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (n1, n0)
+    assert abs(row["auc"] - auc) < 1e-12
+    assert 0.0 <= row["auc"] <= 1.0
+
+
+def test_average_precision_matches_python_replay(spark, sf_small):
+    """AP under the pinned (score DESC, doc_id ASC) order must equal the
+    direct per-positive precision@k mean; it must also dominate the
+    positive prevalence (AP >= n_pos/n for any better-than-nothing
+    ranking is NOT guaranteed, but AP of a constant ranker equals
+    prevalence — so we check range + exact replay instead)."""
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.evaluation_ext import _scored
+
+    registry.load_all()
+    pdf = _scored(spark, sf_small).toPandas()
+    ordered = pdf.sort_values(
+        ["x", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    cum = 0
+    terms = []
+    for k, yv in enumerate(ordered["y"], start=1):
+        if yv == 1:
+            cum += 1
+            terms.append(cum / k)
+    n_pos = cum
+    ap = sum(sorted_terms for sorted_terms in terms) / n_pos
+    row = registry.QUERIES["pr_auc_average_precision"](
+        spark, sf_small
+    ).collect()[0]
+    assert row["n_ranked"] == len(ordered)
+    assert row["n_pos"] == n_pos
+    assert abs(row["average_precision"] - ap) < 1e-9
+    assert 0.0 < row["average_precision"] <= 1.0
+
+
+def test_calibration_bins_match_pandas_replay(spark, sf_small):
+    """Per-bin n / keep-rate / mean score / Brier contribution must match
+    a pandas groupby on the engine's own scored pairs; bins must
+    partition the corpus and the weighted bin_brier must reassemble the
+    corpus Brier score."""
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.evaluation_ext import (
+        _BIN_WIDTH,
+        _Q_SCALE,
+        N_CALIB_BINS,
+        _scored,
+    )
+
+    registry.load_all()
+    pdf = _scored(spark, sf_small).toPandas()
+    pdf = pdf.assign(z=1 - pdf["y"])
+    pdf = pdf.assign(
+        bin=(pdf["x"] // _BIN_WIDTH).clip(0, N_CALIB_BINS - 1)
+    )
+    got = {
+        r["bin"]: r
+        for r in registry.QUERIES["score_calibration_bins"](
+            spark, sf_small
+        ).collect()
+    }
+    assert sum(r["n_docs"] for r in got.values()) == len(pdf)
+    brier_total = 0.0
+    for bin_id, grp in pdf.groupby("bin"):
+        r = got[bin_id]
+        assert r["n_docs"] == len(grp)
+        assert r["n_kept"] == int(grp["z"].sum())
+        assert abs(r["mean_score"] - grp["x"].mean() / _Q_SCALE) < 1e-9
+        assert abs(r["frac_kept"] - grp["z"].mean()) < 1e-12
+        err = (grp["x"] - grp["z"] * _Q_SCALE).to_numpy(dtype="int64")
+        assert abs(
+            r["bin_brier"] - (err * err).sum() / (len(grp) * _Q_SCALE**2)
+        ) < 1e-12
+        brier_total += r["bin_brier"] * r["n_docs"]
+    full_err = (pdf["x"] - pdf["z"] * _Q_SCALE).to_numpy(dtype="int64")
+    assert abs(
+        brier_total / len(pdf)
+        - (full_err * full_err).sum() / (len(pdf) * _Q_SCALE**2)
+    ) < 1e-12
+
+
+def test_anova_f_matches_numpy_replay(spark, sf_small):
+    """F statistic must equal the textbook SSB/SSW decomposition computed
+    in float64 numpy on the raw table, and the two sums of squares must
+    reassemble the total sum of squares exactly."""
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    groups = [
+        g["n_chars"].to_numpy(dtype=np.float64)
+        for _, g in docs.groupby("source")
+    ]
+    allv = docs["n_chars"].to_numpy(dtype=np.float64)
+    grand = allv.mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    k, n = len(groups), len(allv)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    row = registry.QUERIES["anova_oneway_f"](spark, sf_small).collect()[0]
+    assert (row["k_groups"], row["n_total"]) == (k, n)
+    assert abs(row["ss_between"] - ssb) < 1e-4 * max(1.0, abs(ssb))
+    assert abs(row["ss_within"] - ssw) < 1e-4 * max(1.0, abs(ssw))
+    assert abs(row["f_stat"] - f) < 1e-6 * max(1.0, abs(f))
+    # decomposition identity: SSB + SSW == total SS
+    sst = ((allv - grand) ** 2).sum()
+    assert abs((row["ss_between"] + row["ss_within"]) - sst) < 1e-4 * sst
+
+
+def test_kruskal_wallis_matches_scipy_formula(spark, sf_small):
+    """H and its tie-corrected form must equal the scipy.stats.kruskal
+    formulation (average ranks, Σ(t³−t) correction) replayed in numpy."""
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    allv = docs["n_chars"].to_numpy()
+    order = np.argsort(allv, kind="mergesort")
+    ranks = np.empty(len(allv), dtype=np.float64)
+    sv = allv[order]
+    i = 0
+    tie_term = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        t = j - i
+        tie_term += t**3 - t
+        i = j
+    docs = docs.assign(rank=ranks)
+    n = len(docs)
+    sum_r2n = sum(
+        g["rank"].sum() ** 2 / len(g) for _, g in docs.groupby("source")
+    )
+    h = 12.0 * sum_r2n / (n * (n + 1)) - 3.0 * (n + 1)
+    c = 1.0 - tie_term / (n**3 - n)
+    row = registry.QUERIES["kruskal_wallis"](spark, sf_small).collect()[0]
+    assert row["n_total"] == n
+    assert abs(row["h_stat"] - h) < 1e-8 * max(1.0, abs(h))
+    assert abs(row["h_adj"] - h / c) < 1e-8 * max(1.0, abs(h / c))
+    # tie correction can only GROW the statistic (C <= 1)
+    assert row["h_adj"] >= row["h_stat"]

@@ -166,6 +166,11 @@ QUERIES = [
     "attribution_position_weighted",  # grid-quantized credit integer sums
     "emb_fisher_ratio",             # per-class integer scatter identities
     "prep_pipeline_v3",             # six composed gates, one plan
+    "roc_auc_exact",                # integer 2R1 over score support
+    "pr_auc_average_precision",     # pinned total order + sorted fold
+    "score_calibration_bins",       # integer bin moments, DECIMAL squares
+    "anova_oneway_f",               # sorted-source fold of group terms
+    "kruskal_wallis",               # integer 2R_g sums + sorted fold
 ]
 
 

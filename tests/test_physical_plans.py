@@ -1022,3 +1022,52 @@ def test_decontam_curve_probes_broadcast(spark, sf):
     # the training side never shuffle-joins
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_roc_auc_windows_over_score_support_only(spark, sf):
+    df = registry.QUERIES["roc_auc_exact"](spark, sf)
+    plan = _plan(df)
+    # corpus rows are collapsed by a score-keyed hash aggregation before
+    # the rank window; the label join is doc_id-keyed — never cartesian
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+    # the only Sorts feed the support-scale window (+ the CC loop inside
+    # dedup_clusters) — none of them sort the raw document scan directly
+    assert "SortMergeJoin" not in plan.split("Window")[0]
+
+
+def test_average_precision_single_rank_window(spark, sf):
+    df = registry.QUERIES["pr_auc_average_precision"](spark, sf)
+    plan = _plan(df)
+    # rank + running-positives share ONE window over one sort; the
+    # totals row rides a broadcast
+    assert plan.count("Window") == 1
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_calibration_bins_single_rollup(spark, sf):
+    df = registry.QUERIES["score_calibration_bins"](spark, sf)
+    plan = _plan(df)
+    # one 10-group hash rollup after map-only binning — no window, no
+    # sort, no cartesian expansion
+    assert "Window(" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anova_single_source_rollup_no_window(spark, sf):
+    df = registry.QUERIES["anova_oneway_f"](spark, sf)
+    plan = _plan(df)
+    # corpus collapses in ONE source-keyed partial-aggregatable rollup;
+    # no window, no join, no sort of raw rows
+    assert "Window(" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_kruskal_windows_over_value_support_only(spark, sf):
+    df = registry.QUERIES["kruskal_wallis"](spark, sf)
+    plan = _plan(df)
+    # the rank window's input is the aggregated value support, and the
+    # group join is value-keyed — never cartesian over the corpus
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4

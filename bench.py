@@ -248,6 +248,7 @@ HEADLINE = [
     "score_calibration_bins",
     "anova_oneway_f",
     "kruskal_wallis",
+    "poisson_bootstrap_ci",
 ]
 
 

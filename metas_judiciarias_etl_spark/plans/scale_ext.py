@@ -1430,3 +1430,151 @@ def cow_write_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.sum("n_del").cast("long").cast("double"), F.lit(0.0))
         ).alias("write_amplification"),
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap: the single-pass, map-reduce-native resampling CI.
+# --------------------------------------------------------------------------
+BOOT_REPLICATES = 32
+_BOOT_POW48 = float(1 << 48)  # hash48 normalizer
+
+# Cumulative Poisson(1) CDF thresholds for the inverse-CDF weight draw;
+# weights cap at 9 (P(w > 9) < 1e-7). repr() literals are embedded in BOTH
+# engines' expressions, so the parsed doubles are identical by construction.
+def _poisson1_thresholds() -> list[float]:
+    import math
+
+    cum, term, out = 0.0, math.exp(-1.0), []
+    for k in range(9):
+        cum += term
+        out.append(cum)
+        term /= k + 1
+    return out
+
+
+_BOOT_CUM = _poisson1_thresholds()
+
+
+def _boot_weight_case(u_expr: str) -> str:
+    """CASE expression mapping a uniform u in [0,1) to a Poisson(1) draw —
+    identical SQL text for Spark and DuckDB."""
+    whens = "".join(
+        f" WHEN {u_expr} < {c!r} THEN {k}" for k, c in enumerate(_BOOT_CUM)
+    )
+    return f"(CASE{whens} ELSE 9 END)"
+
+
+def _boot_oracle() -> str:
+    from ..functions.hashing import sql_hash48
+
+    w_cols = ",\n               ".join(
+        "{case} AS w{r}".format(
+            case=_boot_weight_case(
+                "(CAST({h} AS DOUBLE) / {p!r})".format(
+                    h=sql_hash48(f"o_orderkey::VARCHAR || ':{r}'"),
+                    p=_BOOT_POW48,
+                )
+            ),
+            r=r,
+        )
+        for r in range(BOOT_REPLICATES)
+    )
+    agg_cols = ",\n               ".join(
+        f"CAST(sum(w{r} * x) AS BIGINT) AS s{r},"
+        f" CAST(sum(w{r}) AS BIGINT) AS c{r}"
+        for r in range(BOOT_REPLICATES)
+    )
+    means = ", ".join(
+        f"CAST(s{r} AS DOUBLE) / nullif(c{r}, 0)"
+        for r in range(BOOT_REPLICATES)
+    )
+    return f"""
+    WITH o AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+               {w_cols}
+        FROM orders
+    ), a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               {agg_cols}
+        FROM o
+    ), m AS (
+        SELECT n, sx, list_sort([{means}]) AS ms FROM a
+    )
+    SELECT n AS n_orders,
+           CAST({BOOT_REPLICATES} AS BIGINT) AS n_replicates,
+           CAST(sx AS DOUBLE) / n AS mean_cents,
+           ms[2] AS ci_lo_cents,
+           ms[{BOOT_REPLICATES - 1}] AS ci_hi_cents
+    FROM m
+    """
+
+
+@query("poisson_bootstrap_ci", oracle=_boot_oracle())
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI for the mean order value — THE resampling
+    scheme that survives 100 TB: classical bootstrap needs n draws WITH
+    replacement from the full dataset per replicate (a global shuffle
+    per replicate); the Poisson bootstrap replaces each row's multinomial
+    count with an independent Poisson(1) weight, so ALL replicates
+    compute in ONE scan as R extra conditional-sum columns — partial
+    aggregation does the rest. Standard large-n equivalence (the
+    multinomial marginal converges to Poisson(1)).
+
+    Determinism/exactness: replicate r's weight for a row derives from
+    md5(o_orderkey || ':' || r) -> 48-bit integer -> u = h/2^48 (one
+    correctly-rounded division of exact operands) -> inverse-CDF CASE
+    against repr()-shared Poisson(1) thresholds — identical doubles on
+    both engines by construction, no RNG state anywhere. Weighted sums
+    Σw·x and Σw are exact integer sums (cents x small ints); each
+    replicate mean is ONE division; the CI bounds are SELECTIONS
+    (2nd-smallest / 2nd-largest of 32 replicate means ≈ a 93.75%
+    percentile-bootstrap interval) — no interpolation, no float
+    accumulation beyond the pinned divisions.
+
+    Plan: ONE pass over orders computing 32 md5s per row map-side, ONE
+    partial-aggregatable 65-column reduction, then 1-row assembly. No
+    shuffle of data rows at all — the aggregate state is 65 longs."""
+    from ..functions.hashing import HASH_HEX_LEN
+
+    orders = load_table(spark, sf_dir, "orders")
+    w_exprs = [
+        F.expr(
+            _boot_weight_case(
+                "(CAST(CONV(SUBSTRING(md5(CONCAT(CAST(o_orderkey AS STRING),"
+                f" ':{r}')), 1, {HASH_HEX_LEN}), 16, 10) AS DOUBLE)"
+                f" / {_BOOT_POW48!r})"
+            )
+        ).alias(f"w{r}")
+        for r in range(BOOT_REPLICATES)
+    ]
+    o = orders.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("x"),
+        *w_exprs,
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    ]
+    for r in range(BOOT_REPLICATES):
+        aggs.append(
+            F.sum(F.col(f"w{r}") * F.col("x")).cast("long").alias(f"s{r}")
+        )
+        aggs.append(F.sum(f"w{r}").cast("long").alias(f"c{r}"))
+    a = o.agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.col(f"s{r}").cast("double")
+                / F.nullif(F.col(f"c{r}"), F.lit(0)).cast("double")
+                for r in range(BOOT_REPLICATES)
+            ]
+        )
+    )
+    return a.select(
+        F.col("n").alias("n_orders"),
+        F.lit(BOOT_REPLICATES).cast("long").alias("n_replicates"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_cents"),
+        F.element_at(means, 2).alias("ci_lo_cents"),
+        F.element_at(means, BOOT_REPLICATES - 1).alias("ci_hi_cents"),
+    )

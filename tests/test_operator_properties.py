@@ -3352,3 +3352,46 @@ def test_kruskal_wallis_matches_scipy_formula(spark, sf_small):
     assert abs(row["h_adj"] - h / c) < 1e-8 * max(1.0, abs(h / c))
     # tie correction can only GROW the statistic (C <= 1)
     assert row["h_adj"] >= row["h_stat"]
+
+
+def test_poisson_bootstrap_matches_hashlib_replay(spark, sf_small):
+    """Replicate weights must reproduce from hashlib md5 + the shared
+    Poisson(1) thresholds; the CI bounds must be the 2nd/31st order
+    statistics of the replayed replicate means and must bracket them."""
+    import hashlib
+
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.scale_ext import (
+        _BOOT_CUM,
+        BOOT_REPLICATES,
+    )
+
+    registry.load_all()
+    orders = _load_pdf(sf_small, "orders")
+    x = np.round(orders["o_totalprice"].to_numpy() * 100).astype("int64")
+    keys = orders["o_orderkey"].astype("int64").tolist()
+    means = []
+    for r in range(BOOT_REPLICATES):
+        sw = swx = 0
+        for k, xi in zip(keys, x):
+            h = int(hashlib.md5(f"{k}:{r}".encode()).hexdigest()[:12], 16)
+            u = h / float(1 << 48)
+            w = 9
+            for kk, c in enumerate(_BOOT_CUM):
+                if u < c:
+                    w = kk
+                    break
+            sw += w
+            swx += w * int(xi)
+        means.append(swx / sw)
+    means.sort()
+    row = registry.QUERIES["poisson_bootstrap_ci"](spark, sf_small).collect()[0]
+    assert row["n_orders"] == len(orders)
+    assert row["n_replicates"] == BOOT_REPLICATES
+    assert abs(row["mean_cents"] - x.sum() / len(x)) < 1e-6
+    assert abs(row["ci_lo_cents"] - means[1]) < 1e-9
+    assert abs(row["ci_hi_cents"] - means[-2]) < 1e-9
+    # the interval must bracket the full-sample mean at this n
+    assert row["ci_lo_cents"] < row["mean_cents"] < row["ci_hi_cents"]

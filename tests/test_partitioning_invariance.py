@@ -171,6 +171,7 @@ QUERIES = [
     "score_calibration_bins",       # integer bin moments, DECIMAL squares
     "anova_oneway_f",               # sorted-source fold of group terms
     "kruskal_wallis",               # integer 2R_g sums + sorted fold
+    "poisson_bootstrap_ci",         # hash-derived weights, 65-long agg state
 ]
 
 

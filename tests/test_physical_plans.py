@@ -1071,3 +1071,14 @@ def test_kruskal_windows_over_value_support_only(spark, sf):
     # group join is value-keyed — never cartesian over the corpus
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_poisson_bootstrap_is_one_pass_no_row_shuffle(spark, sf):
+    df = registry.QUERIES["poisson_bootstrap_ci"](spark, sf)
+    plan = _plan(df)
+    # all 32 replicates ride ONE scan -> partial agg -> single-partition
+    # final agg; the only exchange carries 65-long aggregate state
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "Window(" not in plan
+    assert plan.count("HashAggregate") == 2

@@ -249,6 +249,8 @@ HEADLINE = [
     "anova_oneway_f",
     "kruskal_wallis",
     "poisson_bootstrap_ci",
+    "sim_ndcg_ivf",
+    "emb_hubness",
 ]
 
 

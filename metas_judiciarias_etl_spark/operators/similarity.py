@@ -2987,3 +2987,258 @@ def emb_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fisher_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@k of the IVF index against brute-force truth — graded ranking
+# quality, where recall@k only counts set overlap.
+# ---------------------------------------------------------------------------
+def _ndcg_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH truth AS ({ORACLES['sim_cosine_topk_bruteforce']}),
+    appr AS ({ORACLES['sim_cosine_topk_ivf']}),
+    t AS (
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rt
+        FROM truth
+    ), a AS (
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS BIGINT) AS ra
+        FROM appr
+    ), j AS (
+        SELECT a.query_id, a.ra, t.rt
+        FROM a LEFT JOIN t ON t.query_id = a.query_id
+         AND t.vec_id = a.vec_id
+    ), d AS (
+        SELECT query_id,
+               CAST(count(rt) AS BIGINT) AS n_hit,
+               sum(CASE WHEN rt IS NULL THEN 0.0
+                        ELSE CAST({TOPK} - rt + 1 AS DOUBLE)
+                             / CAST(1 << (ra - 1) AS DOUBLE) END) AS dcg
+        FROM j GROUP BY query_id
+    ), i AS (
+        SELECT query_id,
+               sum(CAST({TOPK} - rt + 1 AS DOUBLE)
+                   / CAST(1 << (rt - 1) AS DOUBLE)) AS idcg
+        FROM t GROUP BY query_id
+    )
+    SELECT d.query_id, d.n_hit, d.dcg, i.idcg,
+           d.dcg / i.idcg AS ndcg
+    FROM d JOIN i ON i.query_id = d.query_id
+    """
+
+
+@query("sim_ndcg_ivf", oracle=_ndcg_oracle())
+def sim_ndcg_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the IVF ranking against brute-force truth — the GRADED
+    ranking audit: sim_recall_ivf counts set overlap only, but an index
+    that returns the right 10 vectors in the wrong order still degrades
+    downstream rerankers. Relevance of an approximate hit = its reversed
+    truth rank (k − rt + 1, misses 0); positions are discounted
+    EXPONENTIALLY (gain/2^(i−1)) rather than by the textbook 1/log2(i+1):
+    the dyadic discount makes every term an exact dyadic rational
+    (integer / 2^(i−1)), so DCG sums are bit-exact on both engines with
+    NO transcendental evaluation and NO fold-order pinning needed —
+    addition of dyadics with bounded exponent range is associative-exact.
+    NDCG = DCG/IDCG is then ONE division per query.
+
+    Plan: composes the two REGISTERED queries (index build + search cost
+    dominates); both re-rank windows run over k-row-per-query lists and
+    the hit join is (query_id, vec_id)-keyed at query-set scale."""
+    from ..registry import QUERIES
+
+    truth = QUERIES["sim_cosine_topk_bruteforce"](spark, sf_dir)
+    appr = QUERIES["sim_cosine_topk_ivf"](spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    t = truth.select(
+        "query_id", "vec_id", F.row_number().over(w).cast("long").alias("rt")
+    )
+    a = appr.select(
+        "query_id", "vec_id", F.row_number().over(w).cast("long").alias("ra")
+    )
+    j = a.join(t, ["query_id", "vec_id"], "left")
+    gain = (F.lit(TOPK) - F.col("rt") + 1).cast("double")
+    d = j.groupBy("query_id").agg(
+        F.count("rt").cast("long").alias("n_hit"),
+        F.sum(
+            F.when(F.col("rt").isNull(), F.lit(0.0)).otherwise(
+                gain / F.expr("CAST(shiftleft(1, ra - 1) AS DOUBLE)")
+            )
+        ).alias("dcg"),
+    )
+    i = t.groupBy("query_id").agg(
+        F.sum(
+            gain / F.expr("CAST(shiftleft(1, rt - 1) AS DOUBLE)")
+        ).alias("idcg")
+    )
+    return d.join(i, "query_id").select(
+        "query_id",
+        "n_hit",
+        "dcg",
+        "idcg",
+        (F.col("dcg") / F.col("idcg")).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hubness of the embedding space: k-occurrence skewness over the bucketed
+# kNN graph — the intrinsic-dimensionality health check for ANN indexes.
+# ---------------------------------------------------------------------------
+HUB_K = 5  # neighbors per vector in the k-occurrence graph
+
+
+@query(
+    "emb_hubness",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm,
+               {_sql_bucket('embedding')} AS bucket
+        FROM embeddings
+    ), knn AS (
+        SELECT b_id FROM (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round({_sql_dot('a.embedding', 'b.embedding')}
+                                      / (a.nrm * b.nrm), 4) DESC,
+                                b.vec_id) AS rn
+            FROM base a JOIN base b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        ) WHERE rn <= {HUB_K}
+    ), occ AS (
+        SELECT base.vec_id,
+               CAST(coalesce(c.n, 0) AS BIGINT) AS c
+        FROM base LEFT JOIN (
+            SELECT b_id, CAST(count(*) AS BIGINT) AS n
+            FROM knn GROUP BY b_id
+        ) c ON c.b_id = base.vec_id
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT) AS s2,
+               CAST(sum(CAST(c AS DECIMAL(38,0)) * c * c) AS BIGINT) AS s3,
+               CAST(max(c) AS BIGINT) AS c_max,
+               CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_isolated
+        FROM occ
+    )
+    SELECT n AS n_vectors, CAST({HUB_K} AS BIGINT) AS k,
+           CAST(s1 AS DOUBLE) / n AS mean_kocc,
+           c_max AS max_kocc, n_isolated,
+           CAST(CAST(n AS DECIMAL(38,0)) * n * s3
+                - 3 * CAST(n AS DECIMAL(38,0)) * s1 * s2
+                + 2 * CAST(s1 AS DECIMAL(38,0)) * s1 * s1 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * n * n)
+               / nullif(
+                   (CAST(CAST(n AS DECIMAL(38,0)) * s2
+                         - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * n))
+                   * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2
+                               - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * n)), 0.0) AS skew_kocc
+    FROM m
+    """,
+)
+def emb_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit: the k-occurrence distribution of the (bucketed) kNN
+    graph — how often each vector appears in other vectors' top-k. High
+    intrinsic dimensionality concentrates in-degree on a few "hub"
+    vectors (skewness >> 0) and strands "anti-hubs" (n_isolated), which
+    silently degrades kNN classifiers, ANN recall, and dedup-by-cosine.
+    Neighbor lists come from the SAME sign-LSH bucketing the index ops
+    use, so the audit measures the graph those operators actually see.
+
+    Exactness: in-degrees c are exact integers (zeros included via the
+    corpus left join — dropping them would bias every moment); raw
+    moments S1..S3 are integer sums with DECIMAL-routed products; mean,
+    m2, m3 and Fisher skewness g1 = m3/m2^1.5 assemble from pinned
+    divisions (m2·√m2 avoids pow). Max and isolation count are exact.
+
+    Plan: the kNN build is the bucket-equi-join + per-vector top-k
+    window (no cross product — dedup_embedding_cosine's shape); the
+    k-occurrence rollup keys on the neighbor id; the moment pass is one
+    partial-aggregatable reduction. At 100 TB the bucket join IS the
+    scalable surrogate for exact all-pairs kNN; more planes shrink
+    buckets to keep the join linear."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        _bucket_expr(F.col("embedding")).alias("bucket"),
+    ).persist()
+    base.count()  # materialize: both join sides + the zero join read this
+    a = base.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        "bucket",
+    )
+    cos = F.round(
+        _dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm")),
+        4,
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
+    knn = (
+        a.join(b, ["bucket"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HUB_K)
+    )
+    counts = knn.groupBy("b_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    occ = (
+        base.select("vec_id")
+        .join(counts, base["vec_id"] == counts["b_id"], "left")
+        .select(
+            "vec_id", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("c")
+        )
+    )
+    m = occ.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("long")
+        .alias("s2"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c"))
+        .cast("long")
+        .alias("s3"),
+        F.max("c").cast("long").alias("c_max"),
+        F.sum(F.when(F.col("c") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_isolated"),
+    )
+    nd = F.col("n").cast("double")
+    m2 = (
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+        ).cast("double")
+        / (nd * F.col("n"))
+    )
+    m3 = (
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("n") * F.col("s3")
+            - 3 * F.col("n").cast("decimal(38,0)") * F.col("s1") * F.col("s2")
+            + 2 * F.col("s1").cast("decimal(38,0)") * F.col("s1") * F.col("s1")
+        ).cast("double")
+        / (nd * F.col("n") * F.col("n"))
+    )
+    return m.select(
+        F.col("n").alias("n_vectors"),
+        F.lit(HUB_K).cast("long").alias("k"),
+        (F.col("s1").cast("double") / F.col("n")).alias("mean_kocc"),
+        F.col("c_max").alias("max_kocc"),
+        "n_isolated",
+        (m3 / F.nullif(m2 * F.sqrt(m2), F.lit(0.0))).alias("skew_kocc"),
+    )

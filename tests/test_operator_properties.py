@@ -3395,3 +3395,101 @@ def test_poisson_bootstrap_matches_hashlib_replay(spark, sf_small):
     assert abs(row["ci_hi_cents"] - means[-2]) < 1e-9
     # the interval must bracket the full-sample mean at this n
     assert row["ci_lo_cents"] < row["mean_cents"] < row["ci_hi_cents"]
+
+
+def test_ndcg_matches_python_replay_and_bounds(spark, sf_small):
+    """NDCG must equal a direct python computation over the two composed
+    lists (reversed-truth-rank gains, dyadic discount), sit in (0, 1],
+    and hit exactly 1.0 only when the approximate list IS the truth
+    list; n_hit must agree with set overlap."""
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.similarity import TOPK
+
+    registry.load_all()
+
+    def ranked_lists(name):
+        rows = registry.QUERIES[name](spark, sf_small).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(
+                (-r["cosine"], r["vec_id"])
+            )
+        return {
+            q: [v for _, v in sorted(lst)] for q, lst in out.items()
+        }
+
+    truth = ranked_lists("sim_cosine_topk_bruteforce")
+    appr = ranked_lists("sim_cosine_topk_ivf")
+    got = {
+        r["query_id"]: r
+        for r in registry.QUERIES["sim_ndcg_ivf"](spark, sf_small).collect()
+    }
+    assert set(got) == set(truth)
+    for q, tlist in truth.items():
+        rank_t = {v: i + 1 for i, v in enumerate(tlist)}
+        alist = appr[q]
+        dcg = sum(
+            (TOPK - rank_t[v] + 1) / (1 << i)
+            for i, v in enumerate(alist)
+            if v in rank_t
+        )
+        idcg = sum((TOPK - i) / (1 << i) for i in range(len(tlist)))
+        r = got[q]
+        assert r["n_hit"] == len(set(alist) & set(tlist))
+        assert r["dcg"] == dcg  # dyadic sums: bit-exact, no tolerance
+        assert r["idcg"] == idcg
+        assert abs(r["ndcg"] - dcg / idcg) < 1e-15
+        assert 0.0 <= r["ndcg"] <= 1.0
+        assert (r["ndcg"] == 1.0) == (alist == tlist)
+
+
+def test_hubness_matches_numpy_replay(spark, sf_small):
+    """k-occurrence counts, moments, and Fisher skewness must reproduce
+    from a from-scratch numpy reimplementation of the LCG hyperplane
+    bucketing + in-bucket kNN."""
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.similarity import (
+        _LCG_A,
+        _LCG_C,
+        _LCG_M,
+        _LCG_SHIFT,
+        DIM,
+        HUB_K,
+        LSH_PLANES,
+    )
+
+    registry.load_all()
+    emb = _load_pdf(sf_small, "embeddings")
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    # LCG hyperplane buckets (coef over flattened (plane, dim) index)
+    k_idx = np.arange(LSH_PLANES * DIM, dtype=np.int64).reshape(
+        LSH_PLANES, DIM
+    )
+    coefs = (_LCG_A * k_idx + _LCG_C) % _LCG_M - _LCG_SHIFT
+    proj = vecs @ coefs.T
+    buckets = ((proj > 0) * (1 << np.arange(LSH_PLANES))).sum(axis=1)
+    nrm = np.sqrt((vecs * vecs).sum(axis=1))
+    occ = {int(v): 0 for v in ids}
+    for i in range(len(ids)):
+        mask = (buckets == buckets[i]) & (ids != ids[i])
+        cand = np.where(mask)[0]
+        cos = vecs[cand] @ vecs[i] / (nrm[cand] * nrm[i])
+        # away-from-zero half-up 4dp round (Spark/DuckDB convention)
+        cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
+        order = sorted(zip(-cos, ids[cand]))[:HUB_K]
+        for _, b in order:
+            occ[int(b)] += 1
+    c = np.array(sorted(occ.values()), dtype=np.int64)
+    n = len(c)
+    mean = c.sum() / n
+    m2 = ((c - mean) ** 2).sum() / n
+    m3 = ((c - mean) ** 3).sum() / n
+    row = registry.QUERIES["emb_hubness"](spark, sf_small).collect()[0]
+    assert row["n_vectors"] == n
+    assert row["max_kocc"] == int(c.max())
+    assert row["n_isolated"] == int((c == 0).sum())
+    assert abs(row["mean_kocc"] - mean) < 1e-12
+    assert abs(row["skew_kocc"] - m3 / m2**1.5) < 1e-9

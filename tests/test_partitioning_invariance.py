@@ -172,6 +172,8 @@ QUERIES = [
     "anova_oneway_f",               # sorted-source fold of group terms
     "kruskal_wallis",               # integer 2R_g sums + sorted fold
     "poisson_bootstrap_ci",         # hash-derived weights, 65-long agg state
+    "sim_ndcg_ivf",                 # dyadic-exact graded ranking sums
+    "emb_hubness",                  # bucketed kNN in-degrees + moments
 ]
 
 

@@ -1082,3 +1082,19 @@ def test_poisson_bootstrap_is_one_pass_no_row_shuffle(spark, sf):
     assert "Join" not in plan
     assert "Window(" not in plan
     assert plan.count("HashAggregate") == 2
+
+
+def test_ndcg_no_cartesian_rerank_windows_partitioned(spark, sf):
+    df = registry.QUERIES["sim_ndcg_ivf"](spark, sf)
+    plan = _plan(df)
+    # the hit join is (query_id, vec_id)-keyed; the only nested-loop
+    # joins are the composed queries' broadcast query-set expansions
+    assert "CartesianProduct" not in plan
+
+
+def test_hubness_knn_is_bucket_equi_join(spark, sf):
+    df = registry.QUERIES["emb_hubness"](spark, sf)
+    plan = _plan(df)
+    # candidates come from the bucket equi-join — never a cross product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -251,6 +251,8 @@ HEADLINE = [
     "poisson_bootstrap_ci",
     "sim_ndcg_ivf",
     "emb_hubness",
+    "ols_two_feature",
+    "bh_fdr_token_drift",
 ]
 
 

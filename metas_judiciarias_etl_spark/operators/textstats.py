@@ -1736,3 +1736,211 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-token drift tests: which tokens ACTUALLY
+# drifted, at a controlled false-discovery rate.
+# --------------------------------------------------------------------------
+FDR_ALPHA = 0.05
+
+# Abramowitz & Stegun 7.1.26 erfc approximation (|abs err| < 1.5e-7,
+# below the 2^-20 p-value grid). The SAME repr() literals are embedded in
+# both engines' expressions, and the Horner evaluation order is pinned, so
+# the only cross-engine wiggle is exp()'s final ulp — absorbed by the grid.
+_ERF_P = 0.3275911
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_P_GRID = float(1 << 20)
+
+
+def _sql_chi2_pvalue(chi2: str) -> str:
+    """Pinned SQL for p = erfc(sqrt(chi2/2)), quantized to the 2^-20 grid.
+
+    Identical text runs on Spark and DuckDB; floor(x*g + 0.5) is the
+    cross-engine round (round() tie rules differ, floor is exact IEEE)."""
+    a1, a2, a3, a4, a5 = _ERF_A
+    x = f"sqrt(({chi2}) / 2.0)"
+    t = f"(1.0 / (1.0 + {_ERF_P!r} * {x}))"
+    poly = f"((((({a5!r} * {t} + {a4!r}) * {t} + {a3!r}) * {t} + {a2!r}) * {t} + {a1!r}) * {t})"
+    p_raw = f"({poly} * exp(-({x}) * ({x})))"
+    # floor() returns BIGINT on Spark and a bare decimal literal divisor
+    # makes the quotient a scale-limited DECIMAL — cast both sides DOUBLE
+    return (
+        f"(CAST(floor({p_raw} * CAST({_P_GRID!r} AS DOUBLE) + 0.5) AS DOUBLE)"
+        f" / CAST({_P_GRID!r} AS DOUBLE))"
+    )
+
+
+def _sql_grid(expr: str) -> str:
+    """Snap a double to the 2^-20 grid (cross-engine 1-ulp absorber)."""
+    return (
+        f"(CAST(floor(({expr}) * CAST({_P_GRID!r} AS DOUBLE) + 0.5) AS DOUBLE)"
+        f" / CAST({_P_GRID!r} AS DOUBLE))"
+    )
+
+
+@query(
+    "bh_fdr_token_drift",
+    oracle=f"""
+    WITH ref AS (
+        SELECT min(source) AS ref_source FROM documents
+    ), tk AS (
+        SELECT CASE WHEN d.source = r.ref_source THEN 1 ELSE 0 END AS g1,
+               unnest({_SQL_TOKS}) AS token
+        FROM documents d CROSS JOIN ref r
+    ), top AS (
+        SELECT token FROM (
+            SELECT token, count(*) AS c FROM tk GROUP BY token
+            ORDER BY c DESC, token LIMIT {DRIFT_TOP_TOKENS}
+        )
+    ), tot AS (
+        SELECT CAST(sum(g1) AS BIGINT) AS n1,
+               CAST(count(*) - sum(g1) AS BIGINT) AS n2
+        FROM tk
+    ), cells AS (
+        SELECT t.token,
+               CAST(count(*) FILTER (WHERE g1 = 1) AS BIGINT) AS c1,
+               CAST(count(*) FILTER (WHERE g1 = 0) AS BIGINT) AS c2
+        FROM tk JOIN top t USING (token)
+        GROUP BY t.token
+    ), stats AS (
+        SELECT c.token,
+               CAST(CAST(t.n1 + t.n2 AS DECIMAL(38,0))
+                    * (c.c1 * (t.n2 - c.c2) - (t.n1 - c.c1) * c.c2)
+                    * (c.c1 * (t.n2 - c.c2) - (t.n1 - c.c1) * c.c2)
+                    AS DOUBLE)
+               / CAST(CAST(t.n1 AS DECIMAL(38,0)) * t.n2 * (c.c1 + c.c2)
+                      * (t.n1 + t.n2 - c.c1 - c.c2) AS DOUBLE) AS chi2_raw
+        FROM cells c CROSS JOIN tot t
+    ), snapped AS (
+        SELECT token, {_sql_grid('chi2_raw')} AS chi2 FROM stats
+    ), pv AS (
+        SELECT token, chi2,
+               {_sql_chi2_pvalue('chi2')} AS p_value
+        FROM snapped
+    ), ranked AS (
+        SELECT token, chi2, p_value,
+               CAST(row_number() OVER (ORDER BY p_value, token)
+                    AS BIGINT) AS k_rank,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM pv
+    ), cut AS (
+        SELECT *,
+               max(CASE WHEN p_value <= {FDR_ALPHA!r} * CAST(k_rank AS DOUBLE)
+                                        / CAST(m AS DOUBLE)
+                        THEN k_rank ELSE 0 END) OVER () AS k_max
+        FROM ranked
+    )
+    SELECT token, chi2, p_value, k_rank,
+           CAST(CASE WHEN k_rank <= k_max THEN 1 ELSE 0 END AS BIGINT)
+               AS rejected
+    FROM cut
+    """,
+)
+def bh_fdr_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg step-up over per-token 2x2 drift tests: each
+    top-V token gets its own chi-square (token vs rest-of-vocabulary,
+    reference source vs rest — the per-token refinement of
+    text_token_drift_chi2's single omnibus statistic), and BH at
+    α = 0.05 marks which tokens are REAL discoveries under a controlled
+    false-discovery rate — the multiple-testing correction every
+    per-feature drift dashboard needs (50 tests at p<0.05 expect 2.5
+    false alarms uncorrected).
+
+    Exactness: each chi2 is ONE division of DECIMAL-routed exact-integer
+    products (the 2x2 shortcut n(ad−bc)²/marginals — no floating
+    expected counts at all), then SNAPPED to the 2^-20 grid: above 2^53
+    the DECIMAL→DOUBLE cast itself rounds per-engine (observed 1-ulp at
+    sf0.1), and the grid absorbs it; p-values use a PINNED A&S erfc
+    approximation whose only transcendental is exp(), then snap to the
+    2^-20 grid (floor(x·g+0.5) — cross-engine round), so sub-ulp exp()
+    differences cannot flip a comparison; the BH cut compares identical
+    doubles and the step-up is a window max over the V-row relation.
+
+    Plan: one token explode feeds the top-V selection, the cell counts,
+    and the corpus marginals (persisted once); everything from `stats`
+    down is V rows — the windows are V-scale, never corpus-scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.agg(F.min("source").alias("ref_source"))
+    tk = (
+        docs.crossJoin(F.broadcast(ref))
+        .select(
+            (F.col("source") == F.col("ref_source")).cast("int").alias("g1"),
+            F.explode(tokens(F.col("text"))).alias("token"),
+        )
+        .persist()
+    )
+    tk.count()  # top-V, cells, and marginals all read it
+    top = (
+        tk.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(DRIFT_TOP_TOKENS)
+        .select("token")
+    )
+    tot = tk.agg(
+        F.sum("g1").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("g1")).cast("long").alias("n2"),
+    )
+    cells = (
+        tk.join(F.broadcast(top), "token")
+        .groupBy("token")
+        .agg(
+            F.sum("g1").cast("long").alias("c1"),
+            F.sum(1 - F.col("g1")).cast("long").alias("c2"),
+        )
+    )
+    cross = (
+        F.col("c1") * (F.col("n2") - F.col("c2"))
+        - (F.col("n1") - F.col("c1")) * F.col("c2")
+    )
+    chi2 = (
+        (
+            (F.col("n1") + F.col("n2")).cast("decimal(38,0)") * cross * cross
+        ).cast("double")
+        / (
+            F.col("n1").cast("decimal(38,0)")
+            * F.col("n2")
+            * (F.col("c1") + F.col("c2"))
+            * (F.col("n1") + F.col("n2") - F.col("c1") - F.col("c2"))
+        ).cast("double")
+    )
+    pv = (
+        cells.crossJoin(F.broadcast(tot))
+        .select("token", chi2.alias("chi2_raw"))
+        .withColumn("chi2", F.expr(_sql_grid("chi2_raw")))
+        .drop("chi2_raw")
+        .withColumn("p_value", F.expr(_sql_chi2_pvalue("chi2")))
+    )
+    w_rank = Window.orderBy("p_value", "token")
+    w_all = Window.partitionBy()
+    ranked = pv.select(
+        "token",
+        "chi2",
+        "p_value",
+        F.row_number().over(w_rank).cast("long").alias("k_rank"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("m"),
+    )
+    thr = (
+        F.lit(FDR_ALPHA)
+        * F.col("k_rank").cast("double")
+        / F.col("m").cast("double")
+    )
+    cut = ranked.withColumn(
+        "k_max",
+        F.max(
+            F.when(F.col("p_value") <= thr, F.col("k_rank")).otherwise(
+                F.lit(0)
+            )
+        ).over(w_all),
+    )
+    return cut.select(
+        "token",
+        "chi2",
+        "p_value",
+        "k_rank",
+        F.when(F.col("k_rank") <= F.col("k_max"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("rejected"),
+    )

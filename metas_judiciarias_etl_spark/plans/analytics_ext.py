@@ -2324,3 +2324,130 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-feature OLS with intercept, closed-form via Cramer's rule on exact
+# integer normal-equation moments.
+# --------------------------------------------------------------------------
+@query(
+    "ols_two_feature",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+               CAST(round(l_discount * 100) AS BIGINT) AS x2,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x1 AS DECIMAL(38,0)) * x1) AS DOUBLE) AS s11,
+               CAST(sum(CAST(x1 AS DECIMAL(38,0)) * x2) AS DOUBLE) AS s12,
+               CAST(sum(CAST(x2 AS DECIMAL(38,0)) * x2) AS DOUBLE) AS s22,
+               CAST(sum(CAST(x1 AS DECIMAL(38,0)) * y) AS DOUBLE) AS s1y,
+               CAST(sum(CAST(x2 AS DECIMAL(38,0)) * y) AS DOUBLE) AS s2y,
+               CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+        FROM b
+    ), d AS (
+        SELECT n, sy, s1y, s2y, syy,
+               n * (s11 * s22 - s12 * s12)
+                   - s1 * (s1 * s22 - s12 * s2)
+                   + s2 * (s1 * s12 - s11 * s2) AS det,
+               sy * (s11 * s22 - s12 * s12)
+                   - s1 * (s1y * s22 - s12 * s2y)
+                   + s2 * (s1y * s12 - s11 * s2y) AS det0,
+               n * (s1y * s22 - s12 * s2y)
+                   - sy * (s1 * s22 - s12 * s2)
+                   + s2 * (s1 * s2y - s1y * s2) AS det1,
+               n * (s11 * s2y - s1y * s12)
+                   - s1 * (s1 * s2y - s1y * s2)
+                   + sy * (s1 * s12 - s11 * s2) AS det2
+        FROM m
+    )
+    SELECT n AS n_rows,
+           det0 / det AS beta0,
+           det1 / det AS beta1,
+           det2 / det AS beta2,
+           1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+                      - (det2 / det) * s2y)
+                 / nullif(syy - sy * (sy / n), 0.0) AS r2
+    FROM d
+    """,
+)
+def ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multiple regression: extendedprice (cents) on quantity
+    and discount (pct) with intercept — the 2-feature generalization of
+    grouped_linear_fit, solved by Cramer's rule on the 3x3 normal
+    equations. The single-pass moment formulation is THE scalable shape:
+    at any corpus size the regression costs one partial-aggregatable
+    scan producing 10 numbers; no gradient loop, no per-row residual
+    pass (SSE comes from the algebraic identity SSE = Syy − βᵀXᵀy).
+
+    Exactness: inputs are exact integers (cents / pct); all ten moments
+    accumulate in DECIMAL(38,0) and cast once to DOUBLE (every moment
+    except Σy² is < 2^53, i.e. exactly representable; Σy² takes one
+    correctly-rounded cast identical on both engines); the three Cramer
+    determinants and the R² assembly are PINNED arithmetic trees —
+    every multiply/divide has identical operands on both engines, so
+    IEEE correct rounding makes them bit-equal.
+
+    Plan: ONE HashAggregate pass over the scan (map-side partials),
+    then 1-row arithmetic. No shuffle of data rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("x1"),
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("x2"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("y"),
+    )
+
+    def dsum(e):
+        return F.sum(e).cast("double")
+
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(dec("x1")).alias("s1"),
+        dsum(dec("x2")).alias("s2"),
+        dsum(dec("y")).alias("sy"),
+        dsum(dec("x1") * F.col("x1")).alias("s11"),
+        dsum(dec("x1") * F.col("x2")).alias("s12"),
+        dsum(dec("x2") * F.col("x2")).alias("s22"),
+        dsum(dec("x1") * F.col("y")).alias("s1y"),
+        dsum(dec("x2") * F.col("y")).alias("s2y"),
+        dsum(dec("y") * F.col("y")).alias("syy"),
+    )
+    n, s1, s2, sy = (F.col(c) for c in ("n", "s1", "s2", "sy"))
+    s11, s12, s22 = (F.col(c) for c in ("s11", "s12", "s22"))
+    s1y, s2y, syy = (F.col(c) for c in ("s1y", "s2y", "syy"))
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    sst = syy - sy * (sy / n)
+    return m.select(
+        F.col("n").alias("n_rows"),
+        b0.alias("beta0"),
+        b1.alias("beta1"),
+        b2.alias("beta2"),
+        (F.lit(1.0) - sse / F.nullif(sst, F.lit(0.0))).alias("r2"),
+    )

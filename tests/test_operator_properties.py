@@ -3493,3 +3493,81 @@ def test_hubness_matches_numpy_replay(spark, sf_small):
     assert row["n_isolated"] == int((c == 0).sum())
     assert abs(row["mean_kocc"] - mean) < 1e-12
     assert abs(row["skew_kocc"] - m3 / m2**1.5) < 1e-9
+
+
+def test_ols_two_feature_matches_numpy_lstsq(spark, sf_small):
+    """Cramer-rule betas and R² must match numpy least squares on the
+    integer-scaled design matrix."""
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    li = _load_pdf(sf_small, "lineitem")
+    x1 = np.round(li["l_quantity"].to_numpy()).astype("int64")
+    x2 = np.round(li["l_discount"].to_numpy() * 100).astype("int64")
+    y = np.round(li["l_extendedprice"].to_numpy() * 100).astype("int64")
+    X = np.stack([np.ones_like(x1), x1, x2], axis=1).astype(np.float64)
+    beta, *_ = np.linalg.lstsq(X, y.astype(np.float64), rcond=None)
+    resid = y - X @ beta
+    sst = ((y - y.mean()) ** 2).sum()
+    r2 = 1.0 - (resid**2).sum() / sst
+    row = registry.QUERIES["ols_two_feature"](spark, sf_small).collect()[0]
+    assert row["n_rows"] == len(y)
+    for got, exp in zip(
+        (row["beta0"], row["beta1"], row["beta2"], row["r2"]),
+        (*beta, r2),
+    ):
+        assert abs(got - exp) < 1e-6 * max(1.0, abs(exp))
+
+
+def test_bh_fdr_matches_python_replay(spark, sf_small):
+    """Per-token chi2 must match the 2x2 shortcut replayed in python from
+    raw tokens; p-values must sit within approximation+grid tolerance of
+    math.erfc; the BH step-up must reproduce exactly from the engine's
+    own p-values (and be monotone: rejections form a rank prefix)."""
+    import math
+    import re
+    from collections import Counter
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.textstats import (
+        DRIFT_TOP_TOKENS,
+        FDR_ALPHA,
+    )
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    ref = docs["source"].min()
+    cnt1, cnt2 = Counter(), Counter()
+    for _, r in docs.iterrows():
+        toks = re.split(r"\s+", r["text"].strip())
+        (cnt1 if r["source"] == ref else cnt2).update(toks)
+    n1, n2 = sum(cnt1.values()), sum(cnt2.values())
+    total = cnt1 + cnt2
+    top = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :DRIFT_TOP_TOKENS
+    ]
+    rows = registry.QUERIES["bh_fdr_token_drift"](spark, sf_small).collect()
+    got = {r["token"]: r for r in rows}
+    assert set(got) == {t for t, _ in top}
+    n = n1 + n2
+    for tok, _ in top:
+        a, c = cnt1[tok], cnt2[tok]
+        cross = a * (n2 - c) - (n1 - a) * c
+        chi2 = n * cross * cross / (n1 * n2 * (a + c) * (n - a - c))
+        r = got[tok]
+        # chi2 is snapped to the 2^-20 grid before output
+        assert abs(r["chi2"] - chi2) < 1e-6 + 1e-9 * chi2
+        p_true = math.erfc(math.sqrt(chi2 / 2.0))
+        assert abs(r["p_value"] - p_true) < 2e-6
+    # BH step-up replay on the engine's own (quantized) p-values
+    ranked = sorted(rows, key=lambda r: (r["p_value"], r["token"]))
+    m = len(ranked)
+    k_max = 0
+    for i, r in enumerate(ranked, start=1):
+        assert r["k_rank"] == i
+        if r["p_value"] <= FDR_ALPHA * i / m:
+            k_max = i
+    for i, r in enumerate(ranked, start=1):
+        assert r["rejected"] == (1 if i <= k_max else 0)

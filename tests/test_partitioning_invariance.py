@@ -174,6 +174,8 @@ QUERIES = [
     "poisson_bootstrap_ci",         # hash-derived weights, 65-long agg state
     "sim_ndcg_ivf",                 # dyadic-exact graded ranking sums
     "emb_hubness",                  # bucketed kNN in-degrees + moments
+    "ols_two_feature",              # DECIMAL moments + pinned Cramer tree
+    "bh_fdr_token_drift",           # grid-quantized p-values + step-up
 ]
 
 

@@ -1098,3 +1098,21 @@ def test_hubness_knn_is_bucket_equi_join(spark, sf):
     # candidates come from the bucket equi-join — never a cross product
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ols_is_single_aggregation_pass(spark, sf):
+    df = registry.QUERIES["ols_two_feature"](spark, sf)
+    plan = _plan(df)
+    # ten moments in ONE partial-aggregatable pass; no join/window/sort
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") == 2
+
+
+def test_bh_fdr_windows_are_vocab_scale(spark, sf):
+    df = registry.QUERIES["bh_fdr_token_drift"](spark, sf)
+    plan = _plan(df)
+    # the rank/step-up windows run AFTER the top-V cut — their input is
+    # V rows, and candidates join through a broadcast of the V-token list
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1

@@ -253,6 +253,8 @@ HEADLINE = [
     "emb_hubness",
     "ols_two_feature",
     "bh_fdr_token_drift",
+    "kendall_tau_b",
+    "score_quantile_normalize",
 ]
 
 

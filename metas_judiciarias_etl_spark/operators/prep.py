@@ -901,3 +901,98 @@ def prep_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.min("doc_id").cast("long").alias("min_doc_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source quantile normalization of the quality score.
+# --------------------------------------------------------------------------
+def _qnorm_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH q AS ({ORACLES['text_quality']}),
+    sc AS (
+        SELECT d.source, q.doc_id,
+               CAST(round(q.quality * 1000000) AS BIGINT) AS x
+        FROM q JOIN documents d ON d.doc_id = q.doc_id
+        WHERE q.quality IS NOT NULL
+    ), src AS (
+        SELECT source, doc_id, x,
+               CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY x, doc_id) AS BIGINT) AS r,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM sc
+    ), pooled AS (
+        SELECT x AS px,
+               CAST(row_number() OVER (ORDER BY x, doc_id) AS BIGINT) AS k
+        FROM sc
+    )
+    SELECT s.doc_id, s.source, s.x AS q_orig, p.px AS q_norm
+    FROM src s JOIN pooled p
+      ON p.k = ((2 * s.r - 1) * s.n + 2 * s.n_s - 1) // (2 * s.n_s)
+    """
+
+
+@query("score_quantile_normalize", oracle=_qnorm_oracle())
+def score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of the quality score ACROSS sources: each
+    document's score is replaced by the pooled-corpus score at the same
+    quantile position, so every source ends up with (a selection from)
+    the same marginal distribution — the standard cross-batch alignment
+    move (microarray quantile normalization, score calibration across
+    crawls) before mixing sources with source_mixture_weights. Rank
+    order WITHIN each source is preserved exactly.
+
+    Determinism/exactness: scores are fixed-point ints; within-source
+    rank r and pooled rank k are deterministic row_numbers tie-broken by
+    doc_id; the quantile map k = ceil((2r−1)·N / (2n_s)) is PURE integer
+    arithmetic ((a + b − 1) div b) — no floats anywhere in the operator.
+    The normalized score is a SELECTION from the pooled support, never
+    an interpolation.
+
+    Plan: one scan through the quality kernel; the within-source windows
+    share one source-hash exchange; the pooled rank is the one global
+    sort (inherent — the pooled ECDF is the definition; at 100 TB swap
+    in a two-phase rank: per-partition ranks + broadcast partition
+    offsets, same join). The k-join is an integer equi-join."""
+    from ..registry import QUERIES
+
+    q = QUERIES["text_quality"](spark, sf_dir).filter(
+        F.col("quality").isNotNull()
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sc = q.join(docs, "doc_id").select(
+        "source",
+        "doc_id",
+        F.expr("CAST(round(quality * 1000000) AS BIGINT)").alias("x"),
+    ).persist()
+    sc.count()  # the source-rank and pooled-rank branches both read it
+    w_src = Window.partitionBy("source").orderBy("x", "doc_id")
+    w_all = Window.orderBy("x", "doc_id")
+    src = sc.select(
+        "source",
+        "doc_id",
+        "x",
+        F.row_number().over(w_src).cast("long").alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("n_s"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    pooled = sc.select(
+        F.col("x").alias("px"),
+        F.row_number().over(w_all).cast("long").alias("k"),
+    )
+    key = F.expr("((2 * r - 1) * n + 2 * n_s - 1) DIV (2 * n_s)")
+    return (
+        src.withColumn("k", key)
+        .join(pooled, "k")
+        .select(
+            "doc_id",
+            "source",
+            F.col("x").alias("q_orig"),
+            F.col("px").alias("q_norm"),
+        )
+    )

@@ -1515,3 +1515,155 @@ def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h_adj"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-b between length band and quality decile — the pair-
+# concordance leg of the association family.
+# --------------------------------------------------------------------------
+KENDALL_X_BAND = 64  # chars per length band (support knob, mirrored in SQL)
+
+
+def _kendall_oracle() -> str:
+    from ..operators import textstats as _textstats  # noqa: F401  (registers text_quality)
+    from ..registry import ORACLES
+
+    return f"""
+    WITH q AS ({ORACLES['text_quality']}),
+    v AS (
+        SELECT CAST(d.n_chars // {KENDALL_X_BAND} AS BIGINT) AS x,
+               greatest(least(CAST(round(q.quality * 1000000) AS BIGINT)
+                              // 100000, 9), 0) AS y
+        FROM documents d JOIN q ON q.doc_id = d.doc_id
+        WHERE q.quality IS NOT NULL
+    ), cells AS (
+        SELECT x, y, CAST(count(*) AS BIGINT) AS c
+        FROM v GROUP BY x, y
+    ), pairs AS (
+        SELECT CAST(coalesce(sum(CASE WHEN a.y < b.y
+                       THEN CAST(a.c AS DECIMAL(38,0)) * b.c END), 0)
+                    AS BIGINT) AS conc,
+               CAST(coalesce(sum(CASE WHEN a.y > b.y
+                       THEN CAST(a.c AS DECIMAL(38,0)) * b.c END), 0)
+                    AS BIGINT) AS disc
+        FROM cells a JOIN cells b ON a.x < b.x
+    ), m1 AS (
+        SELECT CAST(sum(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS BIGINT) // 2
+                   AS n1
+        FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY x)
+    ), m2 AS (
+        SELECT CAST(sum(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS BIGINT) // 2
+                   AS n2
+        FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY y)
+    ), nt AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(CAST(sum(c) AS DECIMAL(38,0)) * (sum(c) - 1)
+                    AS BIGINT) // 2 AS n0
+        FROM cells
+    )
+    SELECT nt.n AS n_docs, p.conc, p.disc, m1.n1, m2.n2,
+           CAST(p.conc - p.disc AS DOUBLE)
+               / nullif(sqrt(CAST(nt.n0 - m1.n1 AS DOUBLE))
+                        * sqrt(CAST(nt.n0 - m2.n2 AS DOUBLE)), 0.0) AS tau_b
+    FROM pairs p CROSS JOIN nt CROSS JOIN m1 CROSS JOIN m2
+    """
+
+
+@query("kendall_tau_b", oracle=_kendall_oracle())
+def kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between the document length band (n_chars // 64) and
+    the quality decile — the pair-concordance association measure that
+    completes the family: corr_exact (linear), spearman_rank_corr
+    (monotone via ranks), tau-b (monotone via concordant/discordant
+    PAIRS, with the cleanest tie story and direct interpretation as
+    P(concordant) − P(discordant)). Banding is the published scale knob:
+    it bounds the cell support so the pair join is support², never
+    corpus² (theil_sen's calendar-scale-pairs discipline).
+
+    Exactness: concordant/discordant masses are Σ c_a·c_b over cell
+    pairs — exact integers in DECIMAL; tie terms n1/n2 come from
+    marginal counts t(t−1)/2 (always even product, integer division
+    exact); tau_b = (C−D)/(√(n0−n1)·√(n0−n2)) is a pinned assembly of
+    exact operands.
+
+    Plan: ONE (x,y)-keyed rollup collapses the corpus to ≤ |bands|x10
+    cells; the x-inequality pair join is a nested loop over that tiny
+    relation (≤ ~650 cells at sf0.1 → ≤ 0.2M pairs); marginals are two
+    more cell-scale rollups. Corpus cost = one scan + one shuffle."""
+    from ..registry import QUERIES
+
+    q = QUERIES["text_quality"](spark, sf_dir).filter(
+        F.col("quality").isNotNull()
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    v = docs.join(q.select("doc_id", "quality"), "doc_id").select(
+        F.expr(f"CAST(n_chars DIV {KENDALL_X_BAND} AS BIGINT)").alias("x"),
+        F.expr(
+            "greatest(least(CAST(round(quality * 1000000) AS BIGINT)"
+            " DIV 100000, 9), 0)"
+        ).alias("y"),
+    )
+    cells = v.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).persist()
+    cells.count()  # pair join (both sides) + marginals read it
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("c").alias("ac")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("c").alias("bc")
+    )
+    prod = F.col("ac").cast("decimal(38,0)") * F.col("bc")
+    pairs = (
+        a.join(b, F.col("ax") < F.col("bx"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ay") < F.col("by"), prod)), F.lit(0)
+            )
+            .cast("long")
+            .alias("conc"),
+            F.coalesce(
+                F.sum(F.when(F.col("ay") > F.col("by"), prod)), F.lit(0)
+            )
+            .cast("long")
+            .alias("disc"),
+        )
+    )
+    tx = cells.groupBy("x").agg(F.sum("c").cast("long").alias("t"))
+    ty = cells.groupBy("y").agg(F.sum("c").cast("long").alias("t"))
+    n_tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    tie = lambda df: df.agg(
+        (
+            F.sum(F.col("t").cast("decimal(38,0)") * (F.col("t") - 1)).cast(
+                "long"
+            )
+            / F.lit(2)
+        )
+        .cast("long")
+        .alias("ties")
+    )
+    n1 = tie(tx).select(F.col("ties").alias("n1"))
+    n2 = tie(ty).select(F.col("ties").alias("n2"))
+    joined = (
+        pairs.crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    n0 = (
+        F.col("n").cast("decimal(38,0)") * (F.col("n") - 1) / F.lit(2)
+    ).cast("long")
+    return joined.select(
+        F.col("n").alias("n_docs"),
+        "conc",
+        "disc",
+        "n1",
+        "n2",
+        (
+            (F.col("conc") - F.col("disc")).cast("double")
+            / F.nullif(
+                F.sqrt((n0 - F.col("n1")).cast("double"))
+                * F.sqrt((n0 - F.col("n2")).cast("double")),
+                F.lit(0.0),
+            )
+        ).alias("tau_b"),
+    )

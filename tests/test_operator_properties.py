@@ -3571,3 +3571,88 @@ def test_bh_fdr_matches_python_replay(spark, sf_small):
             k_max = i
     for i, r in enumerate(ranked, start=1):
         assert r["rejected"] == (1 if i <= k_max else 0)
+
+
+def test_kendall_tau_matches_bruteforce_pairs(spark, sf_small):
+    """tau-b must equal the O(n^2) definition (concordant - discordant
+    over the tie-corrected denominator) computed directly on the banded
+    variables, and agree in sign with Spearman on the same data."""
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.profiling_ext import KENDALL_X_BAND
+
+    registry.load_all()
+    # engine's own scored pairs (quality construction is oracle-checked)
+    from metas_judiciarias_etl_spark.operators.textstats import text_quality
+
+    q = {
+        r["doc_id"]: r["quality"]
+        for r in text_quality(spark, sf_small).collect()
+        if r["quality"] is not None
+    }
+    docs = _load_pdf(sf_small, "documents")
+    docs = docs[docs["doc_id"].isin(q)]
+    x = (docs["n_chars"] // KENDALL_X_BAND).to_numpy()
+    y = np.clip(
+        np.array([round(q[d] * 1e6) for d in docs["doc_id"]]) // 100000, 0, 9
+    )
+    n = len(x)
+    conc = disc = 0
+    for i in range(n):
+        dx = x[i + 1 :] - x[i]
+        dy = y[i + 1 :] - y[i]
+        s = dx * dy
+        conc += int((s > 0).sum())
+        disc += int((s < 0).sum())
+    n0 = n * (n - 1) // 2
+    n1 = sum(t * (t - 1) // 2 for t in np.bincount(x).tolist())
+    n2 = sum(t * (t - 1) // 2 for t in np.bincount(y).tolist())
+    tau = (conc - disc) / (np.sqrt(n0 - n1) * np.sqrt(n0 - n2))
+    row = registry.QUERIES["kendall_tau_b"](spark, sf_small).collect()[0]
+    assert row["n_docs"] == n
+    assert (row["conc"], row["disc"]) == (conc, disc)
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert abs(row["tau_b"] - tau) < 1e-12
+    rho = registry.QUERIES["spearman_rank_corr"](spark, sf_small).collect()[0][
+        "spearman_rho"
+    ]
+    assert (row["tau_b"] > 0) == (rho > 0)
+
+
+def test_quantile_normalize_matches_pandas_replay(spark, sf_small):
+    """The rank map must reproduce in pandas; within-source order must be
+    preserved; every normalized value must come from the pooled support;
+    and a source's top document must map to (near) the pooled top."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["score_quantile_normalize"](
+        spark, sf_small
+    ).collect()
+    got = {r["doc_id"]: r for r in rows}
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [(r["doc_id"], r["source"], r["q_orig"]) for r in rows],
+        columns=["doc_id", "source", "x"],
+    )
+    pooled = pdf.sort_values(["x", "doc_id"]).reset_index(drop=True)
+    n = len(pooled)
+    for src, grp in pdf.groupby("source"):
+        g = grp.sort_values(["x", "doc_id"]).reset_index(drop=True)
+        n_s = len(g)
+        prev = None
+        for r_idx, rec in enumerate(g.itertuples(), start=1):
+            k = ((2 * r_idx - 1) * n + 2 * n_s - 1) // (2 * n_s)
+            expect = int(pooled.iloc[k - 1]["x"])
+            r = got[rec.doc_id]
+            assert r["q_norm"] == expect
+            if prev is not None:
+                assert r["q_norm"] >= prev  # order preserved
+            prev = r["q_norm"]
+        # midpoint-rank convention: the top in-source doc maps to the
+        # (1 - 1/(2 n_s)) pooled quantile, never ABOVE the pooled max
+        assert prev <= int(pooled.iloc[-1]["x"])
+    pooled_support = set(pdf["x"])
+    assert all(r["q_norm"] in pooled_support for r in rows)

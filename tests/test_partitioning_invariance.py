@@ -176,6 +176,8 @@ QUERIES = [
     "emb_hubness",                  # bucketed kNN in-degrees + moments
     "ols_two_feature",              # DECIMAL moments + pinned Cramer tree
     "bh_fdr_token_drift",           # grid-quantized p-values + step-up
+    "kendall_tau_b",                # cell-pair concordance integer sums
+    "score_quantile_normalize",     # integer rank map, selection only
 ]
 
 

@@ -1116,3 +1116,24 @@ def test_bh_fdr_windows_are_vocab_scale(spark, sf):
     # V rows, and candidates join through a broadcast of the V-token list
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_kendall_pair_join_is_cell_scale(spark, sf):
+    df = registry.QUERIES["kendall_tau_b"](spark, sf)
+    plan = _plan(df)
+    # the x-inequality pair join runs over the banded CELL table, whose
+    # build is an (x,y)-keyed hash rollup of the corpus
+    assert plan.count("HashAggregate") >= 4
+    # 1-row aggregates meet via broadcast nested loops — but the pair
+    # source must be the aggregated cells, never raw docs: the explode-
+    # free plan has exactly one corpus-side scan pair (docs + quality)
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_normalize_integer_equi_join(spark, sf):
+    df = registry.QUERIES["score_quantile_normalize"](spark, sf)
+    plan = _plan(df)
+    # the quantile map lands as an integer equi-join on k — no range
+    # join, no cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -255,6 +255,7 @@ HEADLINE = [
     "bh_fdr_token_drift",
     "kendall_tau_b",
     "score_quantile_normalize",
+    "graph_weighted_sssp",
 ]
 
 

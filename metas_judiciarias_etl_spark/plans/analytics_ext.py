@@ -2451,3 +2451,118 @@ def ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         b2.alias("beta2"),
         (F.lit(1.0) - sse / F.nullif(sst, F.lit(0.0))).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bounded-hop weighted shortest distance (Bellman-Ford relaxation rounds).
+# --------------------------------------------------------------------------
+SSSP_ROUNDS = 3
+SSSP_SEED_MOD = BFS_SEED_MOD  # same deterministic seed set as the BFS
+
+
+@query(
+    "graph_weighted_sssp",
+    oracle=f"""
+    WITH RECURSIVE picked AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_partkey <= {_PART_EDGE_CAP}
+    ), wedges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v,
+               CAST(greatest(1, 6 - least(count(*), 5)) AS BIGINT) AS w
+        FROM picked a JOIN picked b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    ), dir AS (
+        SELECT u AS src, v AS dst, w FROM wedges
+        UNION ALL
+        SELECT v AS src, u AS dst, w FROM wedges
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM dir
+    ), walk(node, d, h) AS (
+        SELECT node, CAST(0 AS BIGINT), 0 FROM nodes
+        WHERE node % {SSSP_SEED_MOD} = 0
+        UNION
+        SELECT e.dst, w.d + e.w, w.h + 1
+        FROM walk w JOIN dir e ON e.src = w.node
+        WHERE w.h < {SSSP_ROUNDS}
+    )
+    SELECT node, CAST(min(d) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest distance from the BFS seed set after K = 3
+    Bellman-Ford relaxation rounds — the weighted upgrade of
+    graph_bfs_distance: edge length = greatest(1, 6 − min(co_count, 5)),
+    so strongly co-purchased parts are CLOSE (affinity distance). After
+    K rounds every node holds its exact min-cost path over ≤ K hops —
+    the standard bounded-iteration semantics of distributed SSSP
+    (Pregel/GraphX stop the same way; the round budget is the published
+    knob, and one more unroll step extends the horizon).
+
+    Exactness: weights and path costs are exact integers; each round is
+    a min() of integers — no floats anywhere.
+
+    Plan: the weighted adjacency builds from the same co-keyed
+    order-self-join as every part-graph operator (then coalesces to its
+    own vertex-scale cardinality); each relaxation round is ONE
+    broadcast equi-join of the current distance table against the
+    adjacency plus a node-keyed min rollup, PERSISTED per round (the
+    iterative-plan lesson — unreused rounds recompute combinatorially).
+    At |V| beyond broadcast size the joins degrade to keyed shuffles
+    with identical semantics."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") <= _PART_EDGE_CAP
+    )
+    picked = li.select("l_orderkey", "l_partkey")
+    a = picked.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = picked.select("l_orderkey", F.col("l_partkey").alias("v"))
+    wedges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.greatest(
+                F.lit(1), F.lit(6) - F.least(F.count(F.lit(1)), F.lit(5))
+            )
+            .cast("long")
+            .alias("w")
+        )
+    )
+    dirs = (
+        wedges.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+        .unionAll(
+            wedges.select(
+                F.col("v").alias("src"), F.col("u").alias("dst"), "w"
+            )
+        )
+        .coalesce(1)
+        .persist()
+    )
+    dirs.count()
+    known = (
+        dirs.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % SSSP_SEED_MOD == 0)
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .persist()
+    )
+    known.count()
+    for _ in range(SSSP_ROUNDS):
+        cand = (
+            dirs.join(
+                F.broadcast(known.withColumnRenamed("node", "src")), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        known = (
+            known.unionAll(cand)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .persist()
+        )
+        known.count()
+    return known

@@ -3656,3 +3656,60 @@ def test_quantile_normalize_matches_pandas_replay(spark, sf_small):
         assert prev <= int(pooled.iloc[-1]["x"])
     pooled_support = set(pdf["x"])
     assert all(r["q_norm"] in pooled_support for r in rows)
+
+
+def test_weighted_sssp_matches_python_bellman_ford(spark, sf_small):
+    """Bounded-hop distances must equal a from-scratch python Bellman-Ford
+    on the same weighted graph; they must be <= the hop-count distance
+    from graph_bfs_distance times the max weight, and >= the hop count
+    (weights >= 1)."""
+    from collections import defaultdict
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.analytics_ext import (
+        _PART_EDGE_CAP,
+        SSSP_ROUNDS,
+        SSSP_SEED_MOD,
+    )
+
+    registry.load_all()
+    li = _load_pdf(sf_small, "lineitem")
+    li = li[li["l_partkey"] <= _PART_EDGE_CAP]
+    from collections import Counter
+
+    cnt = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(grp["l_partkey"].tolist())
+        for i, u in enumerate(parts):
+            for v in parts[i + 1 :]:
+                if u < v:
+                    cnt[(u, v)] += 1
+    adj = defaultdict(list)
+    nodes = set()
+    for (u, v), c in cnt.items():
+        w = max(1, 6 - min(c, 5))
+        adj[u].append((v, w))
+        adj[v].append((u, w))
+        nodes.update((u, v))
+    INF = float("inf")
+    dist = {n: (0 if n % SSSP_SEED_MOD == 0 else INF) for n in nodes}
+    for _ in range(SSSP_ROUNDS):
+        nxt = dict(dist)
+        for u in nodes:
+            if dist[u] < INF:
+                for v, w in adj[u]:
+                    if dist[u] + w < nxt[v]:
+                        nxt[v] = dist[u] + w
+        dist = nxt
+    expect = {n: d for n, d in dist.items() if d < INF}
+    got = {
+        r["node"]: r["dist"]
+        for r in registry.QUERIES["graph_weighted_sssp"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == expect
+    # consistency with the unweighted BFS horizon: same reachable set
+    bfs_rows = registry.QUERIES["graph_bfs_distance"](spark, sf_small).collect()
+    n_reached_bfs = sum(r["n_nodes"] for r in bfs_rows if r["dist"] >= 0)
+    assert len(got) == n_reached_bfs

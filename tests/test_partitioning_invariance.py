@@ -178,6 +178,7 @@ QUERIES = [
     "bh_fdr_token_drift",           # grid-quantized p-values + step-up
     "kendall_tau_b",                # cell-pair concordance integer sums
     "score_quantile_normalize",     # integer rank map, selection only
+    "graph_weighted_sssp",          # integer relaxation rounds
 ]
 
 

@@ -1137,3 +1137,12 @@ def test_quantile_normalize_integer_equi_join(spark, sf):
     # join, no cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sssp_rounds_are_broadcast_joins(spark, sf):
+    df = registry.QUERIES["graph_weighted_sssp"](spark, sf)
+    plan = _plan(df)
+    # every relaxation round joins the vertex-scale distance table via
+    # broadcast; nothing cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -256,6 +256,7 @@ HEADLINE = [
     "kendall_tau_b",
     "score_quantile_normalize",
     "graph_weighted_sssp",
+    "knn_label_noise",
 ]
 
 

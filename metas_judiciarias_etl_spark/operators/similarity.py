@@ -3242,3 +3242,137 @@ def emb_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_isolated",
         (m3 / F.nullif(m2 * F.sqrt(m2), F.lit(0.0))).alias("skew_kocc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-noise audit: kNN label disagreement over the whole corpus.
+# ---------------------------------------------------------------------------
+@query(
+    "knn_label_noise",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, label, embedding, {_sql_norm('embedding')} AS nrm,
+               {_sql_bucket('embedding')} AS bucket
+        FROM embeddings
+    ), knn AS (
+        SELECT a_id, b_id FROM (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round({_sql_dot('a.embedding', 'b.embedding')}
+                                      / (a.nrm * b.nrm), 4) DESC,
+                                b.vec_id) AS rn
+            FROM base a JOIN base b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        ) WHERE rn <= {HUB_K}
+    ), votes AS (
+        SELECT k.a_id, nb.label, CAST(count(*) AS BIGINT) AS n_votes
+        FROM knn k JOIN base nb ON nb.vec_id = k.b_id
+        GROUP BY k.a_id, nb.label
+    ), pred AS (
+        SELECT a_id,
+               CAST((min(struct_pack(negv := -n_votes, lab := label))).lab
+                    AS INTEGER) AS knn_label
+        FROM votes GROUP BY a_id
+    )
+    SELECT b.label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(p.knn_label) AS BIGINT) AS n_scored,
+           CAST(coalesce(sum(CASE WHEN p.knn_label IS NOT NULL
+                                   AND p.knn_label <> b.label
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_disagree,
+           CAST(coalesce(sum(CASE WHEN p.knn_label IS NOT NULL
+                                   AND p.knn_label <> b.label
+                             THEN 1 ELSE 0 END), 0) AS DOUBLE)
+               / nullif(CAST(count(p.knn_label) AS DOUBLE), 0.0)
+               AS disagree_rate
+    FROM base b LEFT JOIN pred p ON p.a_id = b.vec_id
+    GROUP BY b.label
+    """,
+)
+def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: every vector's own label vs the majority label
+    of its k nearest (bucketed) neighbors — the standard kNN-
+    disagreement estimator for mislabeled training examples (confident-
+    learning's cheap cousin). Per-label disagreement rates localize
+    which class's labels are suspect; on this fixture labels are random,
+    so rates sit near the (1 − 1/n_labels) chance line — the honest
+    reading, asserted in the property replay.
+
+    Composes the SAME bucketed-kNN graph as emb_hubness (one definition
+    of "neighbor" across the audit family) and knn_classify's
+    deterministic majority vote (ties → smaller label). Vectors whose
+    bucket holds no neighbor are counted (n_vectors − n_scored) but
+    excluded from the rate's denominator.
+
+    Exactness: votes/majorities/disagreements are exact integers; the
+    rate is ONE division. Plan: bucket equi-join + per-vector top-k
+    window (never a cross product), one vote rollup keyed on (vector,
+    label), one struct-min argmax, one label-keyed report rollup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        _bucket_expr(F.col("embedding")).alias("bucket"),
+    ).persist()
+    base.count()  # both kNN sides, the label probe, and the report read it
+    a = base.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        "bucket",
+    )
+    cos = F.round(
+        _dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm")),
+        4,
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
+    knn = (
+        a.join(b, ["bucket"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HUB_K)
+        .select("a_id", "b_id")
+    )
+    votes = (
+        knn.join(
+            base.select(F.col("vec_id").alias("b_id"), "label"), "b_id"
+        )
+        .groupBy("a_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    pred = votes.groupBy("a_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("n_votes")).alias("negv"), F.col("label").alias("lab")
+            )
+        )["lab"]
+        .cast("int")
+        .alias("knn_label")
+    )
+    joined = base.select("vec_id", "label").join(
+        pred, base["vec_id"] == pred["a_id"], "left"
+    )
+    disagree = F.when(
+        F.col("knn_label").isNotNull()
+        & (F.col("knn_label") != F.col("label")),
+        1,
+    ).otherwise(0)
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.count("knn_label").cast("long").alias("n_scored"),
+        F.sum(disagree).cast("long").alias("n_disagree"),
+        (
+            F.sum(disagree).cast("double")
+            / F.nullif(F.count("knn_label").cast("double"), F.lit(0.0))
+        ).alias("disagree_rate"),
+    )

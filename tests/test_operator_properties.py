@@ -3713,3 +3713,67 @@ def test_weighted_sssp_matches_python_bellman_ford(spark, sf_small):
     bfs_rows = registry.QUERIES["graph_bfs_distance"](spark, sf_small).collect()
     n_reached_bfs = sum(r["n_nodes"] for r in bfs_rows if r["dist"] >= 0)
     assert len(got) == n_reached_bfs
+
+
+def test_label_noise_matches_replay_and_chance_line(spark, sf_small):
+    """Disagreement must reproduce from the hubness replay's kNN graph +
+    majority vote; on this RANDOM-label fixture the pooled rate must sit
+    near the 1 - 1/n_labels chance line (the honest no-signal reading)."""
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.similarity import (
+        _LCG_A,
+        _LCG_C,
+        _LCG_M,
+        _LCG_SHIFT,
+        DIM,
+        HUB_K,
+        LSH_PLANES,
+    )
+
+    registry.load_all()
+    emb = _load_pdf(sf_small, "embeddings")
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    labels = dict(zip(ids.tolist(), emb["label"].tolist()))
+    k_idx = np.arange(LSH_PLANES * DIM, dtype=np.int64).reshape(
+        LSH_PLANES, DIM
+    )
+    coefs = (_LCG_A * k_idx + _LCG_C) % _LCG_M - _LCG_SHIFT
+    buckets = ((vecs @ coefs.T > 0) * (1 << np.arange(LSH_PLANES))).sum(axis=1)
+    nrm = np.sqrt((vecs * vecs).sum(axis=1))
+    from collections import Counter, defaultdict
+
+    per_label = defaultdict(lambda: [0, 0, 0])  # n, scored, disagree
+    for i in range(len(ids)):
+        own = labels[int(ids[i])]
+        per_label[own][0] += 1
+        mask = (buckets == buckets[i]) & (ids != ids[i])
+        cand = np.where(mask)[0]
+        if len(cand) == 0:
+            continue
+        cos = vecs[cand] @ vecs[i] / (nrm[cand] * nrm[i])
+        cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
+        near = sorted(zip(-cos, ids[cand]))[:HUB_K]
+        votes = Counter(labels[int(b)] for _, b in near)
+        pred = min((-(n), lab) for lab, n in votes.items())[1]
+        per_label[own][1] += 1
+        per_label[own][2] += int(pred != own)
+    got = {
+        r["label"]: r
+        for r in registry.QUERIES["knn_label_noise"](spark, sf_small).collect()
+    }
+    assert set(got) == set(per_label)
+    for lab, (n, scored, dis) in per_label.items():
+        r = got[lab]
+        assert (r["n_vectors"], r["n_scored"], r["n_disagree"]) == (
+            n,
+            scored,
+            dis,
+        )
+    total_dis = sum(v[2] for v in per_label.values())
+    total_scored = sum(v[1] for v in per_label.values())
+    n_labels = len(per_label)
+    chance = 1.0 - 1.0 / n_labels
+    assert abs(total_dis / total_scored - chance) < 0.08

@@ -179,6 +179,7 @@ QUERIES = [
     "kendall_tau_b",                # cell-pair concordance integer sums
     "score_quantile_normalize",     # integer rank map, selection only
     "graph_weighted_sssp",          # integer relaxation rounds
+    "knn_label_noise",              # bucketed kNN votes + struct-min
 ]
 
 

@@ -1146,3 +1146,10 @@ def test_weighted_sssp_rounds_are_broadcast_joins(spark, sf):
     # broadcast; nothing cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_label_noise_knn_is_bucket_equi_join(spark, sf):
+    df = registry.QUERIES["knn_label_noise"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

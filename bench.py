@@ -257,6 +257,7 @@ HEADLINE = [
     "score_quantile_normalize",
     "graph_weighted_sssp",
     "knn_label_noise",
+    "seasonal_fourier_fit",
 ]
 
 

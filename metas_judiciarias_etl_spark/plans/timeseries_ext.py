@@ -1535,3 +1535,167 @@ def monthly_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - half) / denom).alias("wilson_lo"),
         ((center + half) / denom).alias("wilson_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weekly harmonic (Fourier) fit of daily event volume — trig-free: the 7
+# day-of-week sin/cos regressor values are Python-computed fixed-point
+# literals, so NO engine ever evaluates a trig function.
+# --------------------------------------------------------------------------
+_FOURIER_DAY_NS = 86_400_000_000_000
+_FOURIER_GRID = 1 << 20
+
+
+def _fourier_tables() -> tuple[list[int], list[int]]:
+    import math
+
+    s = [
+        int(math.floor(math.sin(2.0 * math.pi * d / 7.0) * _FOURIER_GRID + 0.5))
+        for d in range(7)
+    ]
+    c = [
+        int(math.floor(math.cos(2.0 * math.pi * d / 7.0) * _FOURIER_GRID + 0.5))
+        for d in range(7)
+    ]
+    return s, c
+
+
+_F_SIN, _F_COS = _fourier_tables()
+
+
+def _dow_case(table: list[int]) -> str:
+    whens = " ".join(f"WHEN {d} THEN {v}" for d, v in enumerate(table))
+    return f"(CASE dow {whens} END)"
+
+
+@query(
+    "seasonal_fourier_fit",
+    oracle=f"""
+    WITH d AS (
+        SELECT epoch_ns(ts) // {_FOURIER_DAY_NS} AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY day
+    ), reg AS (
+        SELECT y, CAST({_dow_case(_F_SIN).replace('dow', '(day % 7)')}
+                       AS BIGINT) AS s,
+               CAST({_dow_case(_F_COS).replace('dow', '(day % 7)')}
+                    AS BIGINT) AS c
+        FROM d
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(s AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(s AS DECIMAL(38,0)) * s) AS DOUBLE) AS s11,
+               CAST(sum(CAST(s AS DECIMAL(38,0)) * c) AS DOUBLE) AS s12,
+               CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DOUBLE) AS s22,
+               CAST(sum(CAST(s AS DECIMAL(38,0)) * y) AS DOUBLE) AS s1y,
+               CAST(sum(CAST(c AS DECIMAL(38,0)) * y) AS DOUBLE) AS s2y,
+               CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+        FROM reg
+    ), dets AS (
+        SELECT n, sy, s1y, s2y, syy,
+               n * (s11 * s22 - s12 * s12)
+                   - s1 * (s1 * s22 - s12 * s2)
+                   + s2 * (s1 * s12 - s11 * s2) AS det,
+               sy * (s11 * s22 - s12 * s12)
+                   - s1 * (s1y * s22 - s12 * s2y)
+                   + s2 * (s1y * s12 - s11 * s2y) AS det0,
+               n * (s1y * s22 - s12 * s2y)
+                   - sy * (s1 * s22 - s12 * s2)
+                   + s2 * (s1 * s2y - s1y * s2) AS det1,
+               n * (s11 * s2y - s1y * s12)
+                   - s1 * (s1 * s2y - s1y * s2)
+                   + sy * (s1 * s12 - s11 * s2) AS det2
+        FROM m
+    )
+    SELECT n AS n_days,
+           det0 / det AS mean_level,
+           sqrt((det1 / det) * (det1 / det)
+                + (det2 / det) * (det2 / det)) * {float(_FOURIER_GRID)!r}
+               AS weekly_amplitude,
+           1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+                      - (det2 / det) * s2y)
+                 / nullif(syy - sy * (sy / n), 0.0) AS r2
+    FROM dets
+    """,
+)
+def seasonal_fourier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-harmonic weekly seasonality of daily event volume: regress
+    daily counts on sin/cos of the day-of-week phase (harmonic
+    regression — the parametric sibling of seasonal_decompose_monthly's
+    nonparametric dow means). mean_level is the fitted intercept,
+    weekly_amplitude the peak deviation of the fitted sinusoid (in
+    events/day), r2 the share of daily variance the weekly cycle
+    explains.
+
+    Trig-free determinism: the only 7 possible regressor values
+    sin/cos(2πd/7) are computed ONCE in Python, fixed-point-quantized to
+    2^-20, and emitted as CASE literals into BOTH engines — no engine
+    trig call, so cross-libm drift is impossible by construction. From
+    there the whole fit is ols_two_feature's machinery: exact DECIMAL
+    moments, pinned Cramer determinants, pinned R² assembly, and one
+    final sqrt for the amplitude.
+
+    Plan: ONE day-keyed rollup collapses events to ≤ a-few-hundred daily
+    rows; the moment pass and 1-row Cramer arithmetic are calendar-
+    scale. Scan-bound at any SF."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr(f"ts div {_FOURIER_DAY_NS}").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    sin_case = F.expr(
+        "CAST(" + _dow_case(_F_SIN).replace("dow", "(day % 7)") + " AS BIGINT)"
+    )
+    cos_case = F.expr(
+        "CAST(" + _dow_case(_F_COS).replace("dow", "(day % 7)") + " AS BIGINT)"
+    )
+    reg = d.select("y", sin_case.alias("s"), cos_case.alias("c"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    dsum = lambda e: F.sum(e).cast("double")
+    m = reg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(dec("s")).alias("s1"),
+        dsum(dec("c")).alias("s2"),
+        dsum(dec("y")).alias("sy"),
+        dsum(dec("s") * F.col("s")).alias("s11"),
+        dsum(dec("s") * F.col("c")).alias("s12"),
+        dsum(dec("c") * F.col("c")).alias("s22"),
+        dsum(dec("s") * F.col("y")).alias("s1y"),
+        dsum(dec("c") * F.col("y")).alias("s2y"),
+        dsum(dec("y") * F.col("y")).alias("syy"),
+    )
+    n, s1, s2, sy = (F.col(x) for x in ("n", "s1", "s2", "sy"))
+    s11, s12, s22 = (F.col(x) for x in ("s11", "s12", "s22"))
+    s1y, s2y, syy = (F.col(x) for x in ("s1y", "s2y", "syy"))
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    sst = syy - sy * (sy / n)
+    return m.select(
+        F.col("n").alias("n_days"),
+        b0.alias("mean_level"),
+        (F.sqrt(b1 * b1 + b2 * b2) * F.lit(float(_FOURIER_GRID))).alias(
+            "weekly_amplitude"
+        ),
+        (F.lit(1.0) - sse / F.nullif(sst, F.lit(0.0))).alias("r2"),
+    )

@@ -3777,3 +3777,44 @@ def test_label_noise_matches_replay_and_chance_line(spark, sf_small):
     n_labels = len(per_label)
     chance = 1.0 - 1.0 / n_labels
     assert abs(total_dis / total_scored - chance) < 0.08
+
+
+def test_fourier_fit_matches_numpy_harmonic_regression(spark, sf_small):
+    """The harmonic fit must match numpy lstsq on daily counts with the
+    same quantized regressors; r2 must lie in [0, 1]; and the amplitude
+    must equal sqrt(b1^2+b2^2) in count units."""
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.timeseries_ext import (
+        _F_COS,
+        _F_SIN,
+        _FOURIER_DAY_NS,
+        _FOURIER_GRID,
+    )
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    tns = ev["ts"].astype("datetime64[ns]").astype("int64")
+    days = (tns // _FOURIER_DAY_NS).to_numpy()
+    import collections
+
+    counts = collections.Counter(days.tolist())
+    day_ids = np.array(sorted(counts))
+    y = np.array([counts[d] for d in day_ids], dtype=np.float64)
+    s = np.array([_F_SIN[d % 7] for d in day_ids], dtype=np.float64)
+    c = np.array([_F_COS[d % 7] for d in day_ids], dtype=np.float64)
+    X = np.stack([np.ones_like(s), s, c], axis=1)
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    sst = ((y - y.mean()) ** 2).sum()
+    r2 = 1.0 - (resid**2).sum() / sst
+    amp = float(np.hypot(beta[1], beta[2])) * _FOURIER_GRID
+    row = registry.QUERIES["seasonal_fourier_fit"](spark, sf_small).collect()[
+        0
+    ]
+    assert row["n_days"] == len(day_ids)
+    assert abs(row["mean_level"] - beta[0]) < 1e-6 * max(1.0, abs(beta[0]))
+    assert abs(row["weekly_amplitude"] - amp) < 1e-6 * max(1.0, amp)
+    assert abs(row["r2"] - r2) < 1e-9
+    assert 0.0 <= row["r2"] <= 1.0

@@ -180,6 +180,7 @@ QUERIES = [
     "score_quantile_normalize",     # integer rank map, selection only
     "graph_weighted_sssp",          # integer relaxation rounds
     "knn_label_noise",              # bucketed kNN votes + struct-min
+    "seasonal_fourier_fit",         # literal trig tables + DECIMAL moments
 ]
 
 

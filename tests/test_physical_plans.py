@@ -1153,3 +1153,12 @@ def test_label_noise_knn_is_bucket_equi_join(spark, sf):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fourier_fit_is_calendar_scale_after_rollup(spark, sf):
+    df = registry.QUERIES["seasonal_fourier_fit"](spark, sf)
+    plan = _plan(df)
+    # one day-keyed rollup + one moment pass; no joins or windows
+    assert "Join" not in plan
+    assert "Window(" not in plan
+    assert plan.count("HashAggregate") >= 4

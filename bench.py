@@ -258,6 +258,8 @@ HEADLINE = [
     "graph_weighted_sssp",
     "knn_label_noise",
     "seasonal_fourier_fit",
+    "markov_transition_gini",
+    "er_match_weights",
 ]
 
 

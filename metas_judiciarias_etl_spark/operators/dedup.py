@@ -115,7 +115,7 @@ def _signatures(shingled: DataFrame) -> DataFrame:
 BUCKET_CAP = 200
 
 
-def _lsh_candidates(mh: DataFrame, bucket_cap: int = BUCKET_CAP) -> DataFrame:
+def _lsh_candidates(mh: DataFrame, bucket_cap: int = BUCKET_CAP, bands: int = BANDS) -> DataFrame:
     """Band the signatures and bucket docs per band: docs sharing any full
     band become candidate pairs. The bucket key (band_idx, band_sig) is
     what makes this scale — candidates meet in a bucket, never in an
@@ -140,7 +140,7 @@ def _lsh_candidates(mh: DataFrame, bucket_cap: int = BUCKET_CAP) -> DataFrame:
                 F.lit(b).alias("band_idx"),
                 F.concat_ws("|", *cols).alias("band_sig"),
             )
-            for b, cols in band_keys(NUM_HASHES, BANDS)
+            for b, cols in band_keys(NUM_HASHES, bands)
         ]
     )
     banded = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
@@ -1655,3 +1655,167 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter-lite: per-feature match/unmatch agreement weights learned
+# from the verified candidate pairs.
+# ---------------------------------------------------------------------------
+ER_LEN_BAND = 128  # chars per length band for the agreement feature
+ER_BANDS = 9  # 9 bands x 1 row: the LOOSE banding, so non-matches enter the pool
+
+
+def _er_weights_oracle() -> str:
+    feats = {
+        "lang": "CASE WHEN da.lang = db.lang THEN 1 ELSE 0 END",
+        "source": "CASE WHEN da.source = db.source THEN 1 ELSE 0 END",
+        "len_band": (
+            f"CASE WHEN da.n_chars // {ER_LEN_BAND}"
+            f" = db.n_chars // {ER_LEN_BAND} THEN 1 ELSE 0 END"
+        ),
+    }
+    agg_cols = ",\n               ".join(
+        f"CAST(sum(ag_{f} * is_match) AS BIGINT) AS am_{f},"
+        f" CAST(sum(ag_{f} * (1 - is_match)) AS BIGINT) AS au_{f}"
+        for f in feats
+    )
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT '{f}' AS feature, n_m AS n_match, n_u AS n_nonmatch,
+           am_{f} AS n_agree_match, au_{f} AS n_agree_nonmatch,
+           CAST(am_{f} AS DOUBLE) / nullif(CAST(n_m AS DOUBLE), 0.0)
+               AS m_rate,
+           CAST(au_{f} AS DOUBLE) / nullif(CAST(n_u AS DOUBLE), 0.0)
+               AS u_rate,
+           (CAST(am_{f} AS DOUBLE) / nullif(CAST(n_m AS DOUBLE), 0.0))
+               / nullif(CAST(au_{f} AS DOUBLE)
+                        / nullif(CAST(n_u AS DOUBLE), 0.0), 0.0) AS lift
+    FROM agg"""
+        for f in feats
+    )
+    feat_cols = ",\n               ".join(
+        f"{expr} AS ag_{f}" for f, expr in feats.items()
+    )
+    return (
+        _minhash_oracle_ctes()
+        + ", "
+        + _sweep_band_ctes(ER_BANDS, "er")
+        + f""", ver AS (
+        SELECT c.a_id, c.b_id,
+               CASE WHEN len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                         / len(list_distinct(list_concat(sa.shingles,
+                                                         sb.shingles)))
+                         >= {JACCARD_THRESHOLD}
+                    THEN 1 ELSE 0 END AS is_match
+        FROM cand_er c
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id
+    ), feat AS (
+        SELECT v.is_match,
+               {feat_cols}
+        FROM ver v
+        JOIN documents da ON da.doc_id = v.a_id
+        JOIN documents db ON db.doc_id = v.b_id
+    ), agg AS (
+        SELECT CAST(sum(is_match) AS BIGINT) AS n_m,
+               CAST(count(*) - sum(is_match) AS BIGINT) AS n_u,
+               {agg_cols}
+        FROM feat
+    )
+{rows}
+    """
+    )
+
+
+@query("er_match_weights", oracle=_er_weights_oracle())
+def er_match_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter agreement weights learned from the LSH candidate
+    set: for each cheap blocking feature (language, source, length
+    band), the probability it AGREES on verified matches (m) vs on
+    verified non-matches (u), and the log-free lift m/u — exactly the
+    evidence weights a record-linkage scorer multiplies (adds, in log
+    space) per agreeing feature. High-lift features are the ones worth
+    blocking on; lift ≈ 1 features are noise. Learned from the engine's
+    OWN candidate/verify pipeline, so weights move when the dedup
+    definition moves.
+
+    Exactness: the verify flag reuses the certified Jaccard expression;
+    all agreement tallies are exact integers; rates and lift are pinned
+    division chains (lift = m_rate/u_rate with nullif guards — the
+    log(m/u) transform is monotone, so ranking by lift IS ranking by
+    Fellegi-Sunter weight without a transcendental).
+
+    Plan: candidate generation is the bucketed LSH shape (never
+    all-pairs); the verify join and the two attribute joins are
+    doc_id-keyed at candidate scale; the tally is ONE aggregation, and
+    the 3 output rows are projections of that single row."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    cand = _lsh_candidates(_signatures(sh), bands=ER_BANDS)
+    ver = _pair_jaccard(cand, sh).select(
+        "a_id",
+        "b_id",
+        (F.col("jaccard") >= JACCARD_THRESHOLD).cast("int").alias("is_match"),
+    )
+    da = docs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lang").alias("a_lang"),
+        F.col("source").alias("a_source"),
+        F.expr(f"n_chars DIV {ER_LEN_BAND}").alias("a_band"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("source").alias("b_source"),
+        F.expr(f"n_chars DIV {ER_LEN_BAND}").alias("b_band"),
+    )
+    feat = (
+        ver.join(da, "a_id")
+        .join(db, "b_id")
+        .select(
+            "is_match",
+            (F.col("a_lang") == F.col("b_lang")).cast("int").alias("ag_lang"),
+            (F.col("a_source") == F.col("b_source"))
+            .cast("int")
+            .alias("ag_source"),
+            (F.col("a_band") == F.col("b_band"))
+            .cast("int")
+            .alias("ag_len_band"),
+        )
+    )
+    aggs = [
+        F.sum("is_match").cast("long").alias("n_m"),
+        (F.count(F.lit(1)) - F.sum("is_match")).cast("long").alias("n_u"),
+    ]
+    for f in ("lang", "source", "len_band"):
+        aggs.append(
+            F.sum(F.col(f"ag_{f}") * F.col("is_match"))
+            .cast("long")
+            .alias(f"am_{f}")
+        )
+        aggs.append(
+            F.sum(F.col(f"ag_{f}") * (1 - F.col("is_match")))
+            .cast("long")
+            .alias(f"au_{f}")
+        )
+    agg = feat.agg(*aggs).persist()
+    agg.count()  # three projection rows read the single tally row
+    out = None
+    for f in ("lang", "source", "len_band"):
+        m_rate = F.col(f"am_{f}").cast("double") / F.nullif(
+            F.col("n_m").cast("double"), F.lit(0.0)
+        )
+        u_rate = F.col(f"au_{f}").cast("double") / F.nullif(
+            F.col("n_u").cast("double"), F.lit(0.0)
+        )
+        row = agg.select(
+            F.lit(f).alias("feature"),
+            F.col("n_m").alias("n_match"),
+            F.col("n_u").alias("n_nonmatch"),
+            F.col(f"am_{f}").alias("n_agree_match"),
+            F.col(f"au_{f}").alias("n_agree_nonmatch"),
+            m_rate.alias("m_rate"),
+            u_rate.alias("u_rate"),
+            (m_rate / F.nullif(u_rate, F.lit(0.0))).alias("lift"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

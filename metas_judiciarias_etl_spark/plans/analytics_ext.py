@@ -2566,3 +2566,65 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         known.count()
     return known
+
+
+# --------------------------------------------------------------------------
+# Next-event predictability: Gini impurity of each state's transition row.
+# --------------------------------------------------------------------------
+def _transition_gini_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH tr AS ({ORACLES['event_transitions']}),
+    per_src AS (
+        SELECT src,
+               CAST(count(*) AS BIGINT) AS n_dst,
+               CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(sum(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT) AS sum_sq
+        FROM tr GROUP BY src
+    )
+    SELECT src, n_dst, n_total,
+           1.0 - CAST(sum_sq AS DOUBLE)
+                 / (CAST(n_total AS DOUBLE) * n_total) AS gini_impurity
+    FROM per_src
+    """
+
+
+@query("markov_transition_gini", oracle=_transition_gini_oracle())
+def markov_transition_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state next-event predictability: the Gini impurity
+    1 − Σp² of each event type's outgoing transition distribution —
+    the LOG-FREE uncertainty measure (entropy's rational twin, the same
+    move text_collocation_pmi makes with lift): 0 = next event fully
+    determined, (k−1)/k = uniform over k successors. Ranks states by
+    how much signal a next-event model can extract, and complements
+    markov_stationary (where the chain spends time) and
+    event_transitions (the raw matrix this composes).
+
+    Exactness: transition counts are integers off the registered query;
+    Σn² accumulates in DECIMAL(38,0); the impurity is one division of
+    exact operands (denominator written n·n, both factors exact) — no
+    logs, no folds, nothing order-sensitive.
+
+    Plan: adds ONE |types|-keyed rollup over the |types|² transition
+    matrix — free next to the lead() window that builds it."""
+    from ..registry import QUERIES
+
+    tr = QUERIES["event_transitions"](spark, sf_dir)
+    per = tr.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dst"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n"))
+        .cast("long")
+        .alias("sum_sq"),
+    )
+    return per.select(
+        "src",
+        "n_dst",
+        "n_total",
+        (
+            F.lit(1.0)
+            - F.col("sum_sq").cast("double")
+            / (F.col("n_total").cast("double") * F.col("n_total"))
+        ).alias("gini_impurity"),
+    )

@@ -3818,3 +3818,64 @@ def test_fourier_fit_matches_numpy_harmonic_regression(spark, sf_small):
     assert abs(row["weekly_amplitude"] - amp) < 1e-6 * max(1.0, amp)
     assert abs(row["r2"] - r2) < 1e-9
     assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_transition_gini_matches_pandas_replay(spark, sf_small):
+    """Per-state impurity must equal 1 - sum(p^2) from a pandas transition
+    replay, and sit in [0, (k-1)/k]."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    from collections import Counter, defaultdict
+
+    trans = defaultdict(Counter)
+    for _, grp in ev.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        for a, b in zip(types, types[1:]):
+            trans[a][b] += 1
+    got = {
+        r["src"]: r
+        for r in registry.QUERIES["markov_transition_gini"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == set(trans)
+    for src, cnt in trans.items():
+        n = sum(cnt.values())
+        gini = 1.0 - sum(c * c for c in cnt.values()) / (n * n)
+        r = got[src]
+        assert (r["n_dst"], r["n_total"]) == (len(cnt), n)
+        assert abs(r["gini_impurity"] - gini) < 1e-12
+        k = len(cnt)
+        assert 0.0 <= r["gini_impurity"] <= (k - 1) / k + 1e-12
+
+
+def test_er_weights_consistency_and_bounds(spark, sf_small):
+    """The three feature rows must share one (n_match, n_nonmatch) tally;
+    rates must be valid probabilities; matches must be a subset of the
+    lossless truth pairs and a superset of the 3x3-banded verified set
+    (9x1 banding is strictly looser)."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["er_match_weights"](spark, sf_small).collect()
+    assert {r["feature"] for r in rows} == {"lang", "source", "len_band"}
+    tallies = {(r["n_match"], r["n_nonmatch"]) for r in rows}
+    assert len(tallies) == 1
+    n_match, n_nonmatch = tallies.pop()
+    assert n_match > 0 and n_nonmatch > 0  # the loose banding must
+    # surface BOTH classes, else u-rates are undefined
+    for r in rows:
+        assert 0 <= r["n_agree_match"] <= n_match
+        assert 0 <= r["n_agree_nonmatch"] <= n_nonmatch
+        assert abs(r["m_rate"] - r["n_agree_match"] / n_match) < 1e-12
+        assert abs(r["u_rate"] - r["n_agree_nonmatch"] / n_nonmatch) < 1e-12
+        assert abs(r["lift"] - r["m_rate"] / r["u_rate"]) < 1e-9
+    n_truth = registry.QUERIES["dedup_prefix_filter_jaccard"](
+        spark, sf_small
+    ).count()
+    n_lsh33 = registry.QUERIES["dedup_minhash_lsh"](spark, sf_small).count()
+    assert n_lsh33 <= n_match <= n_truth

@@ -181,6 +181,8 @@ QUERIES = [
     "graph_weighted_sssp",          # integer relaxation rounds
     "knn_label_noise",              # bucketed kNN votes + struct-min
     "seasonal_fourier_fit",         # literal trig tables + DECIMAL moments
+    "markov_transition_gini",       # integer transition squares
+    "er_match_weights",             # loose-band candidates + exact tallies
 ]
 
 

@@ -1162,3 +1162,17 @@ def test_fourier_fit_is_calendar_scale_after_rollup(spark, sf):
     assert "Join" not in plan
     assert "Window(" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_transition_gini_adds_one_rollup(spark, sf):
+    df = registry.QUERIES["markov_transition_gini"](spark, sf)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert plan.count("Window") == 1  # the lead() pass it composes
+
+
+def test_er_weights_bucketed_candidates_no_cross(spark, sf):
+    df = registry.QUERIES["er_match_weights"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -260,6 +260,7 @@ HEADLINE = [
     "seasonal_fourier_fit",
     "markov_transition_gini",
     "er_match_weights",
+    "bm25_topk",
 ]
 
 

@@ -43,7 +43,7 @@ def register_oracle(name: str, sql: str) -> None:
 
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
-    from .plans import analytics_ext, evaluation_ext, functions_ext, joins_ext, profiling_ext, pruning_ext, relational, scalars, scale_ext, sessions_ext, timeseries_ext, tpch_ext  # noqa: F401
+    from .plans import analytics_ext, evaluation_ext, functions_ext, joins_ext, profiling_ext, pruning_ext, relational, retrieval_ext, scalars, scale_ext, sessions_ext, timeseries_ext, tpch_ext  # noqa: F401
     from .plans import windows as window_plans  # noqa: F401
     from .operators import decontam, dedup, multimodal, prep, similarity, textstats  # noqa: F401
     from .streaming import batch_windows  # noqa: F401

@@ -3879,3 +3879,54 @@ def test_er_weights_consistency_and_bounds(spark, sf_small):
     ).count()
     n_lsh33 = registry.QUERIES["dedup_minhash_lsh"](spark, sf_small).count()
     assert n_lsh33 <= n_match <= n_truth
+
+
+def test_bm25_matches_python_replay(spark, sf_small):
+    """Top-k BM25 must equal an independent Python replay of the Robertson
+    formula (ratio idf) with the same data-derived 3-term query."""
+    import re
+    from collections import Counter
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    toks = {
+        r.doc_id: re.split(r"\s+", r.text.strip())
+        for r in docs.itertuples()
+    }
+    n_docs = len(toks)
+    df_cnt = Counter()
+    for ts in toks.values():
+        df_cnt.update(set(ts))
+    qterms = sorted(df_cnt, key=lambda t: (-df_cnt[t], t))[:3]
+    avgdl = sum(len(ts) for ts in toks.values()) / n_docs
+    scored = {}
+    for did, ts in toks.items():
+        tf = Counter(ts)
+        contribs = []
+        for t in qterms:
+            if tf[t] == 0:
+                contribs.append(0.0)
+                continue
+            idf = (float(n_docs - df_cnt[t]) + 0.5) / (float(df_cnt[t]) + 0.5)
+            c = (
+                idf
+                * (float(tf[t]) * 2.2)
+                / (float(tf[t]) + 1.2 * (0.25 + 0.75 * (len(ts) / avgdl)))
+            )
+            contribs.append(c)
+        if any(contribs):
+            scored[did] = ((contribs[0] + contribs[1]) + contribs[2], contribs)
+    want = sorted(scored.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+    got = (
+        registry.QUERIES["bm25_topk"](spark, sf_small)
+        .orderBy("rn")
+        .collect()
+    )
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, (sc, contribs)) in zip(got, want):
+        assert abs(r["score"] - sc) < 1e-9 * max(1.0, abs(sc))
+        for i in (1, 2, 3):
+            assert abs(r[f"contrib_{i}"] - contribs[i - 1]) < 1e-9
+        assert r["dl"] == len(toks[r["doc_id"]])

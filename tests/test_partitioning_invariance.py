@@ -183,6 +183,7 @@ QUERIES = [
     "seasonal_fourier_fit",         # literal trig tables + DECIMAL moments
     "markov_transition_gini",       # integer transition squares
     "er_match_weights",             # loose-band candidates + exact tallies
+    "bm25_topk",                    # ratio idf + fixed-order 3-term sum
 ]
 
 

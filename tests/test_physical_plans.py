@@ -1176,3 +1176,11 @@ def test_er_weights_bucketed_candidates_no_cross(spark, sf):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_broadcasts_query_terms_and_takeordered(spark, sf):
+    df = registry.QUERIES["bm25_topk"](spark, sf)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan  # global top-k never full-sorts
+    assert "BroadcastHashJoin" in plan  # 3-row query-term table broadcast
+    assert "CartesianProduct" not in plan

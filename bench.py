@@ -261,6 +261,7 @@ HEADLINE = [
     "markov_transition_gini",
     "er_match_weights",
     "bm25_topk",
+    "er_pattern_precision",
 ]
 
 

@@ -1665,7 +1665,12 @@ ER_LEN_BAND = 128  # chars per length band for the agreement feature
 ER_BANDS = 9  # 9 bands x 1 row: the LOOSE banding, so non-matches enter the pool
 
 
-def _er_weights_oracle() -> str:
+_ER_FEATS = ("lang", "source", "len_band")
+
+
+def _er_feat_ctes() -> str:
+    """ver + feat CTEs shared by the ER queries: verified candidate pairs
+    (cand_er from the loose 9x1 banding) with the 3 agreement flags."""
     feats = {
         "lang": "CASE WHEN da.lang = db.lang THEN 1 ELSE 0 END",
         "source": "CASE WHEN da.source = db.source THEN 1 ELSE 0 END",
@@ -1674,32 +1679,10 @@ def _er_weights_oracle() -> str:
             f" = db.n_chars // {ER_LEN_BAND} THEN 1 ELSE 0 END"
         ),
     }
-    agg_cols = ",\n               ".join(
-        f"CAST(sum(ag_{f} * is_match) AS BIGINT) AS am_{f},"
-        f" CAST(sum(ag_{f} * (1 - is_match)) AS BIGINT) AS au_{f}"
-        for f in feats
-    )
-    rows = "\n    UNION ALL\n".join(
-        f"""    SELECT '{f}' AS feature, n_m AS n_match, n_u AS n_nonmatch,
-           am_{f} AS n_agree_match, au_{f} AS n_agree_nonmatch,
-           CAST(am_{f} AS DOUBLE) / nullif(CAST(n_m AS DOUBLE), 0.0)
-               AS m_rate,
-           CAST(au_{f} AS DOUBLE) / nullif(CAST(n_u AS DOUBLE), 0.0)
-               AS u_rate,
-           (CAST(am_{f} AS DOUBLE) / nullif(CAST(n_m AS DOUBLE), 0.0))
-               / nullif(CAST(au_{f} AS DOUBLE)
-                        / nullif(CAST(n_u AS DOUBLE), 0.0), 0.0) AS lift
-    FROM agg"""
-        for f in feats
-    )
     feat_cols = ",\n               ".join(
         f"{expr} AS ag_{f}" for f, expr in feats.items()
     )
-    return (
-        _minhash_oracle_ctes()
-        + ", "
-        + _sweep_band_ctes(ER_BANDS, "er")
-        + f""", ver AS (
+    return f""", ver AS (
         SELECT c.a_id, c.b_id,
                CASE WHEN len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
                          / len(list_distinct(list_concat(sa.shingles,
@@ -1715,11 +1698,102 @@ def _er_weights_oracle() -> str:
         FROM ver v
         JOIN documents da ON da.doc_id = v.a_id
         JOIN documents db ON db.doc_id = v.b_id
-    ), agg AS (
-        SELECT CAST(sum(is_match) AS BIGINT) AS n_m,
-               CAST(count(*) - sum(is_match) AS BIGINT) AS n_u,
-               {agg_cols}
-        FROM feat
+    )"""
+
+
+_ER_TALLY_SQL = (
+    "SELECT CAST(sum(is_match) AS BIGINT) AS n_m,\n"
+    "               CAST(count(*) - sum(is_match) AS BIGINT) AS n_u,\n"
+    "               "
+    + ",\n               ".join(
+        f"CAST(sum(ag_{f} * is_match) AS BIGINT) AS am_{f},"
+        f" CAST(sum(ag_{f} * (1 - is_match)) AS BIGINT) AS au_{f}"
+        for f in _ER_FEATS
+    )
+    + "\n        FROM feat"
+)
+
+
+def _er_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _er_feat_ctes: verified loose-band candidate pairs
+    with the 3 integer agreement flags."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    cand = _lsh_candidates(_signatures(sh), bands=ER_BANDS)
+    ver = _pair_jaccard(cand, sh).select(
+        "a_id",
+        "b_id",
+        (F.col("jaccard") >= JACCARD_THRESHOLD).cast("int").alias("is_match"),
+    )
+    da = docs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lang").alias("a_lang"),
+        F.col("source").alias("a_source"),
+        F.expr(f"n_chars DIV {ER_LEN_BAND}").alias("a_band"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("source").alias("b_source"),
+        F.expr(f"n_chars DIV {ER_LEN_BAND}").alias("b_band"),
+    )
+    return (
+        ver.join(da, "a_id")
+        .join(db, "b_id")
+        .select(
+            "is_match",
+            (F.col("a_lang") == F.col("b_lang")).cast("int").alias("ag_lang"),
+            (F.col("a_source") == F.col("b_source"))
+            .cast("int")
+            .alias("ag_source"),
+            (F.col("a_band") == F.col("b_band"))
+            .cast("int")
+            .alias("ag_len_band"),
+        )
+    )
+
+
+def _er_tally_aggs() -> list:
+    aggs = [
+        F.sum("is_match").cast("long").alias("n_m"),
+        (F.count(F.lit(1)) - F.sum("is_match")).cast("long").alias("n_u"),
+    ]
+    for f in _ER_FEATS:
+        aggs.append(
+            F.sum(F.col(f"ag_{f}") * F.col("is_match"))
+            .cast("long")
+            .alias(f"am_{f}")
+        )
+        aggs.append(
+            F.sum(F.col(f"ag_{f}") * (1 - F.col("is_match")))
+            .cast("long")
+            .alias(f"au_{f}")
+        )
+    return aggs
+
+
+def _er_weights_oracle() -> str:
+    feats = _ER_FEATS
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT '{f}' AS feature, n_m AS n_match, n_u AS n_nonmatch,
+           am_{f} AS n_agree_match, au_{f} AS n_agree_nonmatch,
+           CAST(am_{f} AS DOUBLE) / nullif(CAST(n_m AS DOUBLE), 0.0)
+               AS m_rate,
+           CAST(au_{f} AS DOUBLE) / nullif(CAST(n_u AS DOUBLE), 0.0)
+               AS u_rate,
+           (CAST(am_{f} AS DOUBLE) / nullif(CAST(n_m AS DOUBLE), 0.0))
+               / nullif(CAST(au_{f} AS DOUBLE)
+                        / nullif(CAST(n_u AS DOUBLE), 0.0), 0.0) AS lift
+    FROM agg"""
+        for f in feats
+    )
+    return (
+        _minhash_oracle_ctes()
+        + ", "
+        + _sweep_band_ctes(ER_BANDS, "er")
+        + _er_feat_ctes()
+        + f""", agg AS (
+        {_ER_TALLY_SQL}
     )
 {rows}
     """
@@ -1748,59 +1822,11 @@ def er_match_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs); the verify join and the two attribute joins are
     doc_id-keyed at candidate scale; the tally is ONE aggregation, and
     the 3 output rows are projections of that single row."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs)
-    cand = _lsh_candidates(_signatures(sh), bands=ER_BANDS)
-    ver = _pair_jaccard(cand, sh).select(
-        "a_id",
-        "b_id",
-        (F.col("jaccard") >= JACCARD_THRESHOLD).cast("int").alias("is_match"),
-    )
-    da = docs.select(
-        F.col("doc_id").alias("a_id"),
-        F.col("lang").alias("a_lang"),
-        F.col("source").alias("a_source"),
-        F.expr(f"n_chars DIV {ER_LEN_BAND}").alias("a_band"),
-    )
-    db = docs.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("lang").alias("b_lang"),
-        F.col("source").alias("b_source"),
-        F.expr(f"n_chars DIV {ER_LEN_BAND}").alias("b_band"),
-    )
-    feat = (
-        ver.join(da, "a_id")
-        .join(db, "b_id")
-        .select(
-            "is_match",
-            (F.col("a_lang") == F.col("b_lang")).cast("int").alias("ag_lang"),
-            (F.col("a_source") == F.col("b_source"))
-            .cast("int")
-            .alias("ag_source"),
-            (F.col("a_band") == F.col("b_band"))
-            .cast("int")
-            .alias("ag_len_band"),
-        )
-    )
-    aggs = [
-        F.sum("is_match").cast("long").alias("n_m"),
-        (F.count(F.lit(1)) - F.sum("is_match")).cast("long").alias("n_u"),
-    ]
-    for f in ("lang", "source", "len_band"):
-        aggs.append(
-            F.sum(F.col(f"ag_{f}") * F.col("is_match"))
-            .cast("long")
-            .alias(f"am_{f}")
-        )
-        aggs.append(
-            F.sum(F.col(f"ag_{f}") * (1 - F.col("is_match")))
-            .cast("long")
-            .alias(f"au_{f}")
-        )
-    agg = feat.agg(*aggs).persist()
+    feat = _er_feat(spark, sf_dir)
+    agg = feat.agg(*_er_tally_aggs()).persist()
     agg.count()  # three projection rows read the single tally row
     out = None
-    for f in ("lang", "source", "len_band"):
+    for f in _ER_FEATS:
         m_rate = F.col(f"am_{f}").cast("double") / F.nullif(
             F.col("n_m").cast("double"), F.lit(0.0)
         )
@@ -1819,3 +1845,100 @@ def er_match_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def _er_pattern_oracle() -> str:
+    def factor(f: str) -> str:
+        return f"""CASE WHEN p.ag_{f} = 1
+               THEN (CAST(am_{f} AS DOUBLE)
+                     / nullif(CAST(n_m AS DOUBLE), 0.0))
+                    / nullif(CAST(au_{f} AS DOUBLE)
+                             / nullif(CAST(n_u AS DOUBLE), 0.0), 0.0)
+               ELSE (CAST(n_m - am_{f} AS DOUBLE)
+                     / nullif(CAST(n_m AS DOUBLE), 0.0))
+                    / nullif(CAST(n_u - au_{f} AS DOUBLE)
+                             / nullif(CAST(n_u AS DOUBLE), 0.0), 0.0)
+               END"""
+
+    return (
+        _minhash_oracle_ctes()
+        + ", "
+        + _sweep_band_ctes(ER_BANDS, "er")
+        + _er_feat_ctes()
+        + f""", pat AS (
+        SELECT ag_lang, ag_source, ag_len_band,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(is_match) AS BIGINT) AS n_match
+        FROM feat GROUP BY ag_lang, ag_source, ag_len_band
+    ), agg AS (
+        {_ER_TALLY_SQL}
+    )
+    SELECT p.ag_lang, p.ag_source, p.ag_len_band, p.n_pairs, p.n_match,
+           CAST(p.n_match AS DOUBLE) / CAST(p.n_pairs AS DOUBLE)
+               AS match_precision,
+           (({factor('lang')})
+            * ({factor('source')}))
+           * ({factor('len_band')}) AS fs_score
+    FROM pat p CROSS JOIN agg
+    """
+    )
+
+
+@query("er_pattern_precision", oracle=_er_pattern_oracle())
+def er_pattern_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Fellegi–Sunter scorer APPLIED: every verified candidate pair is
+    bucketed by its agreement pattern (one of 2³ combinations of the
+    lang/source/length-band flags), and each pattern gets (a) its
+    observed match precision and (b) the FS likelihood-ratio score — the
+    product over features of m/u when the feature agrees and
+    (1−m)/(1−u) when it disagrees, with the m- and u-rates learned from
+    the same pair pool (er_match_weights' tally). Comparing fs_score to
+    match_precision per pattern is exactly the calibration check a
+    record-linkage deployment runs before trusting the weights to
+    classify unverified pairs.
+
+    Exactness: pattern tallies are exact integers; each factor is a
+    pinned chain of two IEEE divisions of integer-valued doubles; the
+    3-factor product is written in one fixed order (never a fold);
+    nullif guards every denominator.
+
+    Plan: the candidate/verify/feature stages are shared with
+    er_match_weights (bucketed LSH, doc_id-keyed joins); the pattern agg
+    has ≤8 groups and the 1-row learned tally cross-joins in as a
+    broadcast — both free at any scale."""
+    feat = _er_feat(spark, sf_dir)
+    pat = feat.groupBy("ag_lang", "ag_source", "ag_len_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("is_match").cast("long").alias("n_match"),
+    )
+    tally = feat.agg(*_er_tally_aggs())
+
+    def factor(f: str):
+        m = F.col(f"am_{f}").cast("double") / F.nullif(
+            F.col("n_m").cast("double"), F.lit(0.0)
+        )
+        u = F.col(f"au_{f}").cast("double") / F.nullif(
+            F.col("n_u").cast("double"), F.lit(0.0)
+        )
+        dm = (F.col("n_m") - F.col(f"am_{f}")).cast("double") / F.nullif(
+            F.col("n_m").cast("double"), F.lit(0.0)
+        )
+        du = (F.col("n_u") - F.col(f"au_{f}")).cast("double") / F.nullif(
+            F.col("n_u").cast("double"), F.lit(0.0)
+        )
+        return F.when(
+            F.col(f"ag_{f}") == 1, m / F.nullif(u, F.lit(0.0))
+        ).otherwise(dm / F.nullif(du, F.lit(0.0)))
+
+    return pat.crossJoin(F.broadcast(tally)).select(
+        "ag_lang",
+        "ag_source",
+        "ag_len_band",
+        "n_pairs",
+        "n_match",
+        (F.col("n_match").cast("double") / F.col("n_pairs").cast("double"))
+        .alias("match_precision"),
+        (
+            (factor("lang") * factor("source")) * factor("len_band")
+        ).alias("fs_score"),
+    )

@@ -3930,3 +3930,37 @@ def test_bm25_matches_python_replay(spark, sf_small):
         for i in (1, 2, 3):
             assert abs(r[f"contrib_{i}"] - contribs[i - 1]) < 1e-9
         assert r["dl"] == len(toks[r["doc_id"]])
+
+
+def test_er_pattern_precision_consistent_with_weights(spark, sf_small):
+    """Pattern tallies must partition the pair pool learned by
+    er_match_weights, and each fs_score must equal the product of
+    per-feature likelihood ratios recomputed from the weights output."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    weights = {
+        r["feature"]: r
+        for r in registry.QUERIES["er_match_weights"](
+            spark, sf_small
+        ).collect()
+    }
+    pats = registry.QUERIES["er_pattern_precision"](
+        spark, sf_small
+    ).collect()
+    n_m = weights["lang"]["n_match"]
+    n_u = weights["lang"]["n_nonmatch"]
+    assert sum(p["n_pairs"] for p in pats) == n_m + n_u
+    assert sum(p["n_match"] for p in pats) == n_m
+    for p in pats:
+        fs = 1.0
+        for f in ("lang", "source", "len_band"):
+            w = weights[f]
+            if p[f"ag_{f}"] == 1:
+                fs *= (w["n_agree_match"] / n_m) / (w["n_agree_nonmatch"] / n_u)
+            else:
+                fs *= ((n_m - w["n_agree_match"]) / n_m) / (
+                    (n_u - w["n_agree_nonmatch"]) / n_u
+                )
+        assert abs(p["fs_score"] - fs) < 1e-9 * max(1.0, abs(fs))
+        assert 0.0 <= p["match_precision"] <= 1.0

@@ -184,6 +184,7 @@ QUERIES = [
     "markov_transition_gini",       # integer transition squares
     "er_match_weights",             # loose-band candidates + exact tallies
     "bm25_topk",                    # ratio idf + fixed-order 3-term sum
+    "er_pattern_precision",         # 8-pattern rollup + broadcast tally
 ]
 
 

@@ -1184,3 +1184,11 @@ def test_bm25_broadcasts_query_terms_and_takeordered(spark, sf):
     assert "TakeOrderedAndProject" in plan  # global top-k never full-sorts
     assert "BroadcastHashJoin" in plan  # 3-row query-term table broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_er_pattern_precision_bucketed_no_cross_blowup(spark, sf):
+    df = registry.QUERIES["er_pattern_precision"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join is the 1-row learned-tally broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

@@ -262,6 +262,7 @@ HEADLINE = [
     "er_match_weights",
     "bm25_topk",
     "er_pattern_precision",
+    "dataset_card_by_source",
 ]
 
 

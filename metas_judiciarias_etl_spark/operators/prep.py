@@ -996,3 +996,145 @@ def score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("px").alias("q_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the one-row-per-source summary a corpus release ships.
+# ---------------------------------------------------------------------------
+CARD_SHORT_CHARS = 256  # docs under this length count as "short"
+
+_CARD_SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@query(
+    "dataset_card_by_source",
+    oracle=f"""
+    WITH base AS (
+        SELECT source, lang, n_chars, doc_id,
+               len({_CARD_SQL_TOKS}) AS dl, md5(text) AS h
+        FROM documents
+    ), core AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(CASE WHEN n_chars < {CARD_SHORT_CHARS}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        FROM base GROUP BY source
+    ), langs AS (
+        SELECT source, lang, count(*) AS cnt FROM base GROUP BY source, lang
+    ), top_lang AS (
+        SELECT source, lang AS top_lang, cnt FROM (
+            SELECT source, lang, cnt,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY cnt DESC, lang) AS rn
+            FROM langs
+        ) WHERE rn = 1
+    ), hgroups AS (
+        SELECT h, count(*) AS n FROM base GROUP BY h
+    ), dups AS (
+        SELECT b.source,
+               CAST(sum(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs
+        FROM base b JOIN hgroups g USING (h) GROUP BY b.source
+    )
+    SELECT c.source, c.n_docs, c.n_tokens, c.n_chars_total, c.n_langs,
+           t.top_lang,
+           CAST(t.cnt AS DOUBLE) / CAST(c.n_docs AS DOUBLE)
+               AS top_lang_share,
+           d.n_dup_docs,
+           CAST(d.n_dup_docs AS DOUBLE) / CAST(c.n_docs AS DOUBLE)
+               AS dup_share,
+           c.n_short,
+           CAST(c.n_short AS DOUBLE) / CAST(c.n_docs AS DOUBLE)
+               AS short_share
+    FROM core c
+    JOIN top_lang t USING (source)
+    JOIN dups d USING (source)
+    """,
+)
+def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: one row per source with the release-notes
+    numbers a corpus ships — document/token/char volumes, language
+    diversity (count + dominant language and its share), the exact-dup
+    footprint (docs whose md5(text) collides with ANY doc corpus-wide —
+    the dedup_exact group definition — attributed to their source), and
+    the short-doc share. The single
+    summary every downstream training-mix decision starts from.
+
+    Exactness: every tally is an exact integer; the three shares are
+    single IEEE divisions of exact operands. Dominant language ties
+    break lexicographically (rn over cnt DESC, lang).
+
+    Plan: one scan feeds three aggregations — source-grain core, a
+    (source, lang) language histogram, and a corpus-wide md5 group count
+    joined back on the hash (uniform key, co-partitioned with the
+    grouping shuffle) — each reduced before the source-grain joins,
+    which Catalyst broadcasts (cardinality = |sources|). At 100 TB the
+    fact-scale shuffles are the keyed aggs plus one hash-keyed join."""
+    base = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("dl"),
+        F.md5("text").alias("h"),
+    )
+    core = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(
+            F.when(F.col("n_chars") < CARD_SHORT_CHARS, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_short"),
+    )
+    langs = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top_lang = (
+        langs.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("cnt"), F.asc("lang")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "cnt")
+    )
+    hgroups = base.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    dups = (
+        base.join(hgroups, "h")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs")
+        )
+    )
+    return (
+        core.join(top_lang, "source")
+        .join(dups, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars_total",
+            "n_langs",
+            "top_lang",
+            (F.col("cnt").cast("double") / F.col("n_docs").cast("double"))
+            .alias("top_lang_share"),
+            "n_dup_docs",
+            (
+                F.col("n_dup_docs").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_share"),
+            "n_short",
+            (F.col("n_short").cast("double") / F.col("n_docs").cast("double"))
+            .alias("short_share"),
+        )
+    )

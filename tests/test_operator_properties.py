@@ -3964,3 +3964,44 @@ def test_er_pattern_precision_consistent_with_weights(spark, sf_small):
                 )
         assert abs(p["fs_score"] - fs) < 1e-9 * max(1.0, abs(fs))
         assert 0.0 <= p["match_precision"] <= 1.0
+
+
+def test_dataset_card_matches_pandas_replay(spark, sf_small):
+    """Every card column must equal a pandas replay: volumes, dominant
+    language with lexicographic tie-break, corpus-wide dup attribution,
+    short-doc share."""
+    import hashlib
+    import re
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    docs["dl"] = docs.text.map(lambda t: len(re.split(r"\s+", t.strip())))
+    docs["h"] = docs.text.map(
+        lambda t: hashlib.md5(t.encode()).hexdigest()
+    )
+    hcounts = docs.h.value_counts()
+    got = {
+        r["source"]: r
+        for r in registry.QUERIES["dataset_card_by_source"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == set(docs.source.unique())
+    for src, grp in docs.groupby("source"):
+        r = got[src]
+        assert r["n_docs"] == len(grp)
+        assert r["n_tokens"] == int(grp.dl.sum())
+        assert r["n_chars_total"] == int(grp.n_chars.sum())
+        assert r["n_langs"] == grp.lang.nunique()
+        lc = grp.lang.value_counts()
+        best = sorted(lc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert r["top_lang"] == best[0]
+        assert abs(r["top_lang_share"] - best[1] / len(grp)) < 1e-12
+        n_dup = int((grp.h.map(hcounts) > 1).sum())
+        assert r["n_dup_docs"] == n_dup
+        assert abs(r["dup_share"] - n_dup / len(grp)) < 1e-12
+        n_short = int((grp.n_chars < 256).sum())
+        assert r["n_short"] == n_short
+        assert abs(r["short_share"] - n_short / len(grp)) < 1e-12

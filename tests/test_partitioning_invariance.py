@@ -185,6 +185,7 @@ QUERIES = [
     "er_match_weights",             # loose-band candidates + exact tallies
     "bm25_topk",                    # ratio idf + fixed-order 3-term sum
     "er_pattern_precision",         # 8-pattern rollup + broadcast tally
+    "dataset_card_by_source",       # exact tallies + single divisions
 ]
 
 

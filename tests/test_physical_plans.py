@@ -1192,3 +1192,11 @@ def test_er_pattern_precision_bucketed_no_cross_blowup(spark, sf):
     assert "CartesianProduct" not in plan
     # the only nested-loop join is the 1-row learned-tally broadcast
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_dataset_card_one_scan_family_no_cross(spark, sf):
+    df = registry.QUERIES["dataset_card_by_source"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 6  # three partial+final agg pairs

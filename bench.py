@@ -263,6 +263,8 @@ HEADLINE = [
     "bm25_topk",
     "er_pattern_precision",
     "dataset_card_by_source",
+    "k_anonymity_audit",
+    "vocab_growth_curve",
 ]
 
 

@@ -1944,3 +1944,92 @@ def bh_fdr_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve: marginal new-shingle contribution per source.
+# ---------------------------------------------------------------------------
+from ..functions.hashing import sql_word_shingles as _sql_word_shingles
+from ..functions.hashing import word_shingles as _word_shingles
+
+_GROWTH_SHINGLES = f"list_distinct({_sql_word_shingles(_SQL_TOKS, 3)})"
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT source, unnest({_GROWTH_SHINGLES}) AS token
+        FROM documents
+    ), ranks AS (
+        SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT)
+                   AS rank
+        FROM (SELECT DISTINCT source FROM documents)
+    ), firstr AS (
+        SELECT t.token, min(r.rank) AS fr
+        FROM tok t JOIN ranks r USING (source) GROUP BY t.token
+    ), new_per AS (
+        SELECT fr, CAST(count(*) AS BIGINT) AS n_new FROM firstr GROUP BY fr
+    )
+    SELECT r.rank, r.source,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new_tokens,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (
+               ORDER BY r.rank ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_vocab
+    FROM ranks r LEFT JOIN new_per n ON n.fr = r.rank
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps-style) curve: order the sources
+    lexicographically, attribute each distinct 3-token shingle to the
+    FIRST source (in that order) that contains it, and report the
+    marginal new-shingle count plus the cumulative phrase vocabulary
+    after each source — the diversity readout that tells a corpus
+    curator whether the next source still adds phrasing or only repeats
+    it (the flat tail is where acquisition stops paying). Shingles, not
+    unigrams: the fixture's unigram vocabulary saturates inside one
+    source, while the phrase space keeps growing — same reason MinHash
+    shingles at k=3.
+
+    Exactness: pure integer tallies; the cumulative sum is an integer
+    prefix sum over the ≤|sources| curve rows (cast pinned to BIGINT on
+    the oracle side — DuckDB windows promote to HUGEINT).
+
+    Plan: distinct (source, token) pairs in one agg, token-grain
+    min-rank agg (both high-cardinality keyed shuffles), then the
+    |sources|-row curve: broadcast rank join, one tiny window. At
+    100 TB only the two token aggs touch fact-scale data."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.array_distinct(_word_shingles(tokens(F.col("text")), 3))
+        ).alias("token"),
+    ).distinct()
+    ranks = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy("source")).cast("long"),
+        )
+    )
+    firstr = (
+        tok.join(F.broadcast(ranks), "source")
+        .groupBy("token")
+        .agg(F.min("rank").alias("fr"))
+    )
+    new_per = firstr.groupBy("fr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    curve = ranks.join(
+        F.broadcast(new_per), ranks["rank"] == new_per["fr"], "left"
+    ).select(
+        "rank",
+        "source",
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new_tokens"),
+    )
+    w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return curve.withColumn(
+        "cum_vocab", F.sum("n_new_tokens").over(w).cast("long")
+    )

@@ -1667,3 +1667,73 @@ def kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tau_b"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit over the documents quasi-identifier tuple.
+# --------------------------------------------------------------------------
+KANON_LEN_BAND = 256  # chars per length band in the quasi-identifier
+KANON_KS = (2, 5, 10)
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH classes AS (
+        SELECT lang, source, n_chars // {KANON_LEN_BAND} AS len_band,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2, 3
+    ), ks AS (
+        SELECT unnest([{', '.join(str(k) for k in KANON_KS)}]) AS k
+    )
+    SELECT ks.k,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN c.cnt < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_classes_below,
+           CAST(sum(CASE WHEN c.cnt < ks.k THEN c.cnt ELSE 0 END) AS BIGINT)
+               AS n_docs_at_risk,
+           CAST(sum(CASE WHEN c.cnt < ks.k THEN c.cnt ELSE 0 END) AS DOUBLE)
+               / CAST(sum(c.cnt) AS DOUBLE) AS risk_share
+    FROM classes c CROSS JOIN ks
+    GROUP BY ks.k
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: treat (lang, source, length band) as the
+    quasi-identifier tuple a release would expose, and for each policy
+    threshold k report how many equivalence classes fall below k and
+    what share of documents sits in them — the re-identification-risk
+    readout a privacy review asks for before a corpus ships, and the
+    direct measure of how much generalization/suppression a k-anonymous
+    release would cost.
+
+    Exactness: class sizes and tallies are exact integers; risk_share is
+    one IEEE division. Plan: ONE aggregation over the fact table keyed by
+    the QI tuple, then the 3-row threshold table cross-joins into the
+    already-reduced class list (broadcast) and a ≤3-group rollup
+    finishes — at 100 TB only the QI agg touches fact rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy(
+        "lang",
+        "source",
+        F.expr(f"n_chars DIV {KANON_LEN_BAND}").alias("len_band"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in KANON_KS])).alias("k")
+    )
+    below = F.when(F.col("cnt") < F.col("k"), F.col("cnt")).otherwise(0)
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("cnt") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_classes_below"),
+            F.sum(below).cast("long").alias("n_docs_at_risk"),
+            (
+                F.sum(below).cast("double")
+                / F.sum("cnt").cast("double")
+            ).alias("risk_share"),
+        )
+    )

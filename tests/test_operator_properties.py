@@ -4005,3 +4005,70 @@ def test_dataset_card_matches_pandas_replay(spark, sf_small):
         n_short = int((grp.n_chars < 256).sum())
         assert r["n_short"] == n_short
         assert abs(r["short_share"] - n_short / len(grp)) < 1e-12
+
+
+def test_k_anonymity_audit_monotone_and_replay(spark, sf_small):
+    """Risk must be monotone in k, totals must agree across k rows, and
+    every tally must equal a pandas replay."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    docs["len_band"] = docs.n_chars // 256
+    sizes = docs.groupby(["lang", "source", "len_band"]).size()
+    got = {
+        r["k"]: r
+        for r in registry.QUERIES["k_anonymity_audit"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == {2, 5, 10}
+    for k, r in got.items():
+        assert r["n_classes"] == len(sizes)
+        assert r["n_classes_below"] == int((sizes < k).sum())
+        assert r["n_docs_at_risk"] == int(sizes[sizes < k].sum())
+        assert abs(r["risk_share"] - r["n_docs_at_risk"] / len(docs)) < 1e-12
+    assert (
+        got[2]["n_docs_at_risk"]
+        <= got[5]["n_docs_at_risk"]
+        <= got[10]["n_docs_at_risk"]
+    )
+
+
+def test_vocab_growth_curve_partitions_vocabulary(spark, sf_small):
+    """Marginal counts must sum to the distinct-shingle vocabulary, the
+    cumulative column must be their prefix sum, and each row must match
+    a pandas first-source attribution replay."""
+    import re
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+
+    def shingles(t):
+        ts = re.split(r"\s+", t.strip())
+        if len(ts) < 3:
+            return {" ".join(ts)}
+        return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    first = {}
+    for src in sorted(docs.source.unique()):
+        for t in docs[docs.source == src].text:
+            for sh in shingles(t):
+                first.setdefault(sh, src)
+    rows = (
+        registry.QUERIES["vocab_growth_curve"](spark, sf_small)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["source"] for r in rows] == sorted(docs.source.unique())
+    from collections import Counter
+
+    want = Counter(first.values())
+    cum = 0
+    for r in rows:
+        assert r["n_new_tokens"] == want.get(r["source"], 0)
+        cum += r["n_new_tokens"]
+        assert r["cum_vocab"] == cum
+    assert cum == len(first)

@@ -186,6 +186,8 @@ QUERIES = [
     "bm25_topk",                    # ratio idf + fixed-order 3-term sum
     "er_pattern_precision",         # 8-pattern rollup + broadcast tally
     "dataset_card_by_source",       # exact tallies + single divisions
+    "k_anonymity_audit",            # QI-class tallies, integer
+    "vocab_growth_curve",           # first-source shingle attribution
 ]
 
 

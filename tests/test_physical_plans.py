@@ -1200,3 +1200,19 @@ def test_dataset_card_one_scan_family_no_cross(spark, sf):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 6  # three partial+final agg pairs
+
+
+def test_k_anonymity_one_fact_agg(spark, sf):
+    df = registry.QUERIES["k_anonymity_audit"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # threshold table rides a broadcast
+
+
+def test_vocab_growth_two_token_aggs_then_tiny(spark, sf):
+    df = registry.QUERIES["vocab_growth_curve"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # source-rank window (planned twice — ranks feeds two branches) +
+    # prefix sum; all three run on ≤|sources| rows
+    assert plan.count("Window") <= 3

@@ -265,6 +265,7 @@ HEADLINE = [
     "dataset_card_by_source",
     "k_anonymity_audit",
     "vocab_growth_curve",
+    "sim_mmr_diverse_topk",
 ]
 
 

@@ -3376,3 +3376,156 @@ def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.count("knn_label").cast("double"), F.lit(0.0))
         ).alias("disagree_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Maximal Marginal Relevance: diversity-aware top-k selection.
+# --------------------------------------------------------------------------
+MMR_QUERY_ID = 0  # the query vector
+MMR_K = 5  # selections
+MMR_POOL = 64  # relevance prefilter (the production rerank window)
+
+
+def _mmr_oracle() -> str:
+    dot_q = _sql_dot("q0.embedding", "b.embedding")
+    dot_s = _sql_dot("c.embedding", "s.embedding")
+    parts = [
+        f"""base AS (
+        SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm
+        FROM embeddings
+    ), q0 AS (
+        SELECT * FROM base WHERE vec_id = {MMR_QUERY_ID}
+    ), pool AS (
+        SELECT vec_id, embedding, nrm, rel FROM (
+            SELECT b.vec_id, b.embedding, b.nrm,
+                   round({dot_q} / (q0.nrm * b.nrm), 4) AS rel,
+                   row_number() OVER (
+                       ORDER BY round({dot_q} / (q0.nrm * b.nrm), 4) DESC,
+                                b.vec_id) AS prn
+            FROM base b CROSS JOIN q0
+            WHERE b.vec_id <> {MMR_QUERY_ID}
+        ) WHERE prn <= {MMR_POOL}
+    ), sel1 AS (
+        SELECT vec_id, embedding, nrm, rel, 0.0 AS max_sim,
+               rel AS mmr_score, 1 AS rn
+        FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for j in range(2, MMR_K + 1):
+        prev = f"sel{j - 1}"
+        parts.append(
+            f"""m{j} AS (
+        SELECT c.vec_id, c.embedding, c.nrm, c.rel,
+               max(round({dot_s} / (c.nrm * s.nrm), 4)) AS max_sim
+        FROM pool c CROSS JOIN {prev} s
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+        GROUP BY c.vec_id, c.embedding, c.nrm, c.rel
+    ), pick{j} AS (
+        SELECT vec_id, embedding, nrm, rel, max_sim,
+               0.5 * (rel - max_sim) AS mmr_score, {j} AS rn
+        FROM m{j} ORDER BY mmr_score DESC, vec_id LIMIT 1
+    ), sel{j} AS (
+        SELECT * FROM {prev} UNION ALL SELECT * FROM pick{j}
+    )"""
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(rn AS INTEGER) AS rn, vec_id, rel AS relevance,
+           max_sim, mmr_score
+    FROM sel{MMR_K}
+    """
+    )
+
+
+@query("sim_mmr_diverse_topk", oracle=_mmr_oracle())
+def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection: greedily pick K results for
+    query vec_id 0 that trade relevance against redundancy — each round
+    selects argmax of λ·rel(v) − (1−λ)·max_{s∈selected} cos(v, s) with
+    λ = 1/2, from a relevance-prefiltered pool (the production rerank
+    window: MMR never scans the corpus, it diversifies the top-M of a
+    cheaper retriever). The standard diversified-retrieval operator for
+    RAG result lists and for picking varied exemplars from a near-dup
+    cluster.
+
+    Exactness: cosines round to 4 decimals (the certified discipline of
+    every sim_* query); max over rounded values is order-free; λ = 1/2
+    is a power of two so the score multiply is exact; ties break on
+    vec_id. The greedy argmax collects ONE row per round — the same
+    legitimate iterative-scalar pattern as bpe_merge_steps.
+
+    Plan: one broadcast of the query row, one pool prefilter via
+    TakeOrderedAndProject, then K−1 rounds of (≤M pool rows ×
+    ≤K broadcast selected rows) → max-agg → TakeOrdered(1). At 100 TB
+    only the prefilter touches the corpus; the loop runs on M rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = _with_norm(emb)
+    q0 = base.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    rel = F.round(
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (F.col("q_nrm") * F.col("nrm")),
+        4,
+    )
+    pool = (
+        base.filter(F.col("vec_id") != MMR_QUERY_ID)
+        .crossJoin(F.broadcast(q0))
+        .select("vec_id", "embedding", "nrm", rel.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+        .persist()
+    )
+    pool.count()
+    picked: list[tuple] = []
+    ids: list[int] = []
+    for rn in range(1, MMR_K + 1):
+        if rn == 1:
+            row = (
+                pool.orderBy(F.desc("rel"), F.asc("vec_id"))
+                .select("vec_id", "rel")
+                .first()
+            )
+            picked.append((1, row["vec_id"], row["rel"], 0.0, row["rel"]))
+        else:
+            sel = pool.filter(F.col("vec_id").isin(ids)).select(
+                F.col("vec_id").alias("s_id"),
+                F.col("embedding").alias("s_emb"),
+                F.col("nrm").alias("s_nrm"),
+            )
+            sim = F.round(
+                _dot(F.col("embedding"), F.col("s_emb"))
+                / (F.col("nrm") * F.col("s_nrm")),
+                4,
+            )
+            row = (
+                pool.filter(~F.col("vec_id").isin(ids))
+                .crossJoin(F.broadcast(sel))
+                .select("vec_id", "rel", sim.alias("sim"))
+                .groupBy("vec_id", "rel")
+                .agg(F.max("sim").alias("max_sim"))
+                .select(
+                    "vec_id",
+                    "rel",
+                    "max_sim",
+                    (F.lit(0.5) * (F.col("rel") - F.col("max_sim"))).alias(
+                        "score"
+                    ),
+                )
+                .orderBy(F.desc("score"), F.asc("vec_id"))
+                .first()
+            )
+            picked.append(
+                (rn, row["vec_id"], row["rel"], row["max_sim"], row["score"])
+            )
+        ids.append(picked[-1][1])
+    pool.unpersist()
+    return spark.createDataFrame(
+        picked,
+        schema=(
+            "rn int, vec_id long, relevance double, "
+            "max_sim double, mmr_score double"
+        ),
+    )

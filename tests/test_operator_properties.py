@@ -4072,3 +4072,72 @@ def test_vocab_growth_curve_partitions_vocabulary(spark, sf_small):
         cum += r["n_new_tokens"]
         assert r["cum_vocab"] == cum
     assert cum == len(first)
+
+
+def test_mmr_matches_greedy_replay(spark, sf_small):
+    """The MMR selection must equal a Python greedy replay (left-fold dot
+    products, engine rounding), and exhibit the greedy invariants: rn=1 is
+    the relevance argmax, no repeats, scores weakly decrease."""
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    emb = _load_pdf(sf_small, "embeddings")
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.itertuples()}
+
+    def rnd4(x):
+        return math.copysign(math.floor(abs(x) * 1e4 + 0.5), x) / 1e4
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def norm(a):
+        return math.sqrt(dot(a, a))
+
+    q = vecs[0]
+    qn = norm(q)
+    rel = {
+        vid: rnd4(dot(q, v) / (qn * norm(v)))
+        for vid, v in vecs.items()
+        if vid != 0
+    }
+    pool = sorted(rel, key=lambda vid: (-rel[vid], vid))[:64]
+    sel = [min(pool, key=lambda vid: (-rel[vid], vid))]
+    expect = [(1, sel[0], rel[sel[0]], 0.0, rel[sel[0]])]
+    for rn in range(2, 6):
+        best = None
+        for vid in pool:
+            if vid in sel:
+                continue
+            ms = max(
+                rnd4(
+                    dot(vecs[vid], vecs[s])
+                    / (norm(vecs[vid]) * norm(vecs[s]))
+                )
+                for s in sel
+            )
+            score = 0.5 * (rel[vid] - ms)
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, ms, score)
+        sel.append(best[1])
+        expect.append((rn, best[1], rel[best[1]], best[2], best[3]))
+    got = (
+        registry.QUERIES["sim_mmr_diverse_topk"](spark, sf_small)
+        .orderBy("rn")
+        .collect()
+    )
+    assert [
+        (r["rn"], r["vec_id"]) for r in got
+    ] == [(e[0], e[1]) for e in expect]
+    for r, e in zip(got, expect):
+        assert abs(r["relevance"] - e[2]) < 1e-12
+        assert abs(r["max_sim"] - e[3]) < 1e-12
+        assert abs(r["mmr_score"] - e[4]) < 1e-12
+    assert len({r["vec_id"] for r in got}) == 5
+    scores = [r["mmr_score"] for r in got]
+    assert all(a >= b - 1e-12 for a, b in zip(scores[1:], scores[2:]))

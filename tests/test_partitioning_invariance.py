@@ -188,6 +188,7 @@ QUERIES = [
     "dataset_card_by_source",       # exact tallies + single divisions
     "k_anonymity_audit",            # QI-class tallies, integer
     "vocab_growth_curve",           # first-source shingle attribution
+    "sim_mmr_diverse_topk",         # rounded cosines + greedy argmax
 ]
 
 

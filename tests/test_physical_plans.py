@@ -1216,3 +1216,30 @@ def test_vocab_growth_two_token_aggs_then_tiny(spark, sf):
     # source-rank window (planned twice — ranks feeds two branches) +
     # prefix sum; all three run on ≤|sources| rows
     assert plan.count("Window") <= 3
+
+
+def test_mmr_pool_prefilter_is_takeordered(spark, sf):
+    df = registry.QUERIES["sim_mmr_diverse_topk"](spark, sf)
+    # the returned 5-row frame is a local relation; assert the POOL build
+    # plan instead: corpus scan -> broadcast query row -> top-M
+    from metas_judiciarias_etl_spark.operators.similarity import (
+        MMR_POOL,
+        MMR_QUERY_ID,
+        _dot,
+        _with_norm,
+    )
+    from metas_judiciarias_etl_spark.sources.parquet import load_table
+
+    base = _with_norm(load_table(spark, sf, "embeddings"))
+    q0 = base.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    pool = (
+        base.filter(F.col("vec_id") != MMR_QUERY_ID)
+        .crossJoin(F.broadcast(q0))
+        .orderBy(F.desc("nrm"))
+        .limit(MMR_POOL)
+    )
+    plan = _plan(pool)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

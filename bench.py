@@ -266,6 +266,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "vocab_growth_curve",
     "sim_mmr_diverse_topk",
+    "emb_silhouette_by_label",
 ]
 
 

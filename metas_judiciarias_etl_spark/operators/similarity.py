@@ -3529,3 +3529,145 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_sim double, mmr_score double"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Silhouette estimate over the label clustering, from a bounded anchor set.
+# --------------------------------------------------------------------------
+SIL_ANCHORS = 256  # anchors = vec_id < 256: a BOUNDED broadcast at any scale
+
+
+def _silhouette_oracle() -> str:
+    dot = _sql_dot("a.embedding", "b.embedding")
+    return f"""
+    WITH base AS (
+        SELECT vec_id, label, embedding, {_sql_norm('embedding')} AS nrm
+        FROM embeddings
+    ), anchors AS (
+        SELECT * FROM base WHERE vec_id < {SIL_ANCHORS}
+    ), pair AS (
+        SELECT a.vec_id AS aid, a.label AS a_label, b.label AS b_label,
+               CAST(round((1.0 - round({dot} / (a.nrm * b.nrm), 4))
+                          * 10000.0) AS BIGINT) AS dq
+        FROM anchors a CROSS JOIN base b
+        WHERE a.vec_id <> b.vec_id
+    ), per_label AS (
+        SELECT aid, a_label, b_label,
+               CAST(sum(dq) AS BIGINT) AS sq, CAST(count(*) AS BIGINT) AS n
+        FROM pair GROUP BY aid, a_label, b_label
+    ), ab AS (
+        SELECT aid, a_label,
+               max(CASE WHEN b_label = a_label THEN
+                   CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)
+               END) AS a_mean,
+               min(CASE WHEN b_label <> a_label THEN
+                   CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)
+               END) AS b_mean
+        FROM per_label GROUP BY aid, a_label
+    ), sil AS (
+        SELECT aid, a_label, a_mean, b_mean,
+               CAST(round(((b_mean - a_mean)
+                           / nullif(greatest(a_mean, b_mean), 0.0))
+                          * 1048576.0) AS BIGINT) AS sq
+        FROM ab WHERE a_mean IS NOT NULL AND b_mean IS NOT NULL
+    )
+    SELECT a_label AS label, CAST(count(*) AS BIGINT) AS n_anchors,
+           CAST(sum(sq) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1048576.0)
+               AS mean_silhouette,
+           CAST(sum(CASE WHEN sq < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative
+    FROM sil GROUP BY a_label
+    """
+
+
+@query("emb_silhouette_by_label", oracle=_silhouette_oracle())
+def emb_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette health of the label clustering, estimated from a
+    BOUNDED anchor set (vec_id < 256): for each anchor, a = mean cosine
+    distance to its own label, b = the closest other label's mean
+    distance, s = (b−a)/max(a,b); reported per label as the anchor-mean
+    silhouette and the count of negative-silhouette anchors (points
+    sitting closer to a foreign label — the mislabeled/overlapping
+    mass). Complements emb_fisher_ratio (global separability) with the
+    per-point geometry view clustering audits use.
+
+    Exactness: pairwise cosines keep the certified 4-decimal rounding;
+    distances quantize to integer 1e-4ths so the per-(anchor, label)
+    mean is an exact integer sum with one final division; the silhouette
+    itself re-quantizes to the 2^-20 grid before the per-label mean —
+    both folds are order-free integer sums, never IEEE accumulations.
+
+    Plan: the anchor table is a CONSTANT-size broadcast (the estimator's
+    accuracy knob — fix the anchor count, not a rate, so the broadcast
+    is bounded at 100 TB), nested-loop-joined against one corpus scan;
+    then two keyed reductions, each input already anchor-bounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = _with_norm(emb).join(emb.select("vec_id", "label"), "vec_id")
+    anchors = base.filter(F.col("vec_id") < SIL_ANCHORS).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    cos = F.round(
+        _dot(F.col("a_emb"), F.col("embedding"))
+        / (F.col("a_nrm") * F.col("nrm")),
+        4,
+    )
+    pair = (
+        base.crossJoin(F.broadcast(anchors))
+        .filter(F.col("aid") != F.col("vec_id"))
+        .select(
+            "aid",
+            "a_label",
+            F.col("label").alias("b_label"),
+            F.round((F.lit(1.0) - cos) * F.lit(10000.0))
+            .cast("long")
+            .alias("dq"),
+        )
+    )
+    per_label = pair.groupBy("aid", "a_label", "b_label").agg(
+        F.sum("dq").cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    mean_d = F.col("sq").cast("double") / (
+        F.col("n").cast("double") * F.lit(10000.0)
+    )
+    ab = per_label.groupBy("aid", "a_label").agg(
+        F.max(
+            F.when(F.col("b_label") == F.col("a_label"), mean_d)
+        ).alias("a_mean"),
+        F.min(
+            F.when(F.col("b_label") != F.col("a_label"), mean_d)
+        ).alias("b_mean"),
+    )
+    sil = (
+        ab.filter(
+            F.col("a_mean").isNotNull() & F.col("b_mean").isNotNull()
+        )
+        .select(
+            "a_label",
+            F.round(
+                (
+                    (F.col("b_mean") - F.col("a_mean"))
+                    / F.nullif(
+                        F.greatest(F.col("a_mean"), F.col("b_mean")),
+                        F.lit(0.0),
+                    )
+                )
+                * F.lit(_FXP_SCALE)
+            )
+            .cast("long")
+            .alias("sq"),
+        )
+    )
+    return sil.groupBy(F.col("a_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        (
+            F.sum("sq").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(_FXP_SCALE))
+        ).alias("mean_silhouette"),
+        F.sum(F.when(F.col("sq") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+    )

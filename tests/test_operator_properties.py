@@ -4141,3 +4141,65 @@ def test_mmr_matches_greedy_replay(spark, sf_small):
     assert len({r["vec_id"] for r in got}) == 5
     scores = [r["mmr_score"] for r in got]
     assert all(a >= b - 1e-12 for a, b in zip(scores[1:], scores[2:]))
+
+
+def test_silhouette_matches_numpy_replay(spark, sf_small):
+    """Per-label mean silhouette and negative counts must equal a numpy
+    replay using the same rounding/quantization ladder, and every mean
+    must sit in [-1, 1]."""
+    import math
+
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    emb = _load_pdf(sf_small, "embeddings")
+    ids = emb.vec_id.to_numpy()
+    labels = dict(zip(emb.vec_id, emb.label))
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.itertuples()}
+
+    def rnd(x, s):
+        return math.copysign(math.floor(abs(x) * s + 0.5), x)
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    nrm = {v: math.sqrt(dot(vecs[v], vecs[v])) for v in vecs}
+    per = {}
+    for aid in ids[ids < 256]:
+        sums = {}
+        for bid in ids:
+            if bid == aid:
+                continue
+            cos = rnd(dot(vecs[aid], vecs[bid]) / (nrm[aid] * nrm[bid]), 1e4) / 1e4
+            dq = int(rnd((1.0 - cos) * 10000.0, 1))
+            s, n = sums.get(labels[bid], (0, 0))
+            sums[labels[bid]] = (s + dq, n + 1)
+        mine = labels[aid]
+        if mine not in sums or len(sums) < 2:
+            continue
+        a = sums[mine][0] / (sums[mine][1] * 10000.0)
+        b = min(
+            s / (n * 10000.0) for lb, (s, n) in sums.items() if lb != mine
+        )
+        sil = (b - a) / max(a, b)
+        sq = int(rnd(sil * 1048576.0, 1))
+        tot, cnt, neg = per.get(mine, (0, 0, 0))
+        per[mine] = (tot + sq, cnt + 1, neg + (1 if sq < 0 else 0))
+    got = {
+        r["label"]: r
+        for r in registry.QUERIES["emb_silhouette_by_label"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for lb, (tot, cnt, neg) in per.items():
+        r = got[lb]
+        assert r["n_anchors"] == cnt
+        assert r["n_negative"] == neg
+        assert abs(r["mean_silhouette"] - tot / (cnt * 1048576.0)) < 1e-12
+        assert -1.0 - 1e-9 <= r["mean_silhouette"] <= 1.0 + 1e-9

@@ -189,6 +189,7 @@ QUERIES = [
     "k_anonymity_audit",            # QI-class tallies, integer
     "vocab_growth_curve",           # first-source shingle attribution
     "sim_mmr_diverse_topk",         # rounded cosines + greedy argmax
+    "emb_silhouette_by_label",      # quantized distance means
 ]
 
 

@@ -1243,3 +1243,13 @@ def test_mmr_pool_prefilter_is_takeordered(spark, sf):
     plan = _plan(pool)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_silhouette_anchor_broadcast_bounded(spark, sf):
+    df = registry.QUERIES["emb_silhouette_by_label"](spark, sf)
+    plan = _plan(df)
+    # the all-pairs stage must be anchors-broadcast x one corpus scan,
+    # never a shuffled cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # two keyed reductions

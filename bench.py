@@ -267,6 +267,7 @@ HEADLINE = [
     "vocab_growth_curve",
     "sim_mmr_diverse_topk",
     "emb_silhouette_by_label",
+    "brier_decomposition",
 ]
 
 

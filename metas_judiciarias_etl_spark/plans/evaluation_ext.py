@@ -334,3 +334,227 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bin_brier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Murphy decomposition of the Brier score: reliability / resolution /
+# uncertainty over the calibration bins.
+# ---------------------------------------------------------------------------
+_DECOMP_SCALE = 1_048_576  # 2^20: per-bin terms quantize before the bin sum
+
+
+@query(
+    "brier_decomposition",
+    oracle=_scored_ctes()
+    + f"""
+    , b AS (
+        SELECT greatest(least(CAST(floor(CAST(x AS DOUBLE) / {_BIN_WIDTH}.0)
+                                   AS BIGINT), {N_CALIB_BINS - 1}), 0) AS bin,
+               x, 1 - y AS z
+        FROM sc
+    ), per_bin AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(z) AS BIGINT) AS sz,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+                   AS sxx,
+               CAST(sum(x * z) AS BIGINT) AS sxz,
+               CAST(sum(CAST(x - z * {_Q_SCALE} AS DECIMAL(38,0))
+                        * (x - z * {_Q_SCALE})) AS DECIMAL(38,0)) AS sse
+        FROM b GROUP BY bin
+    ), tot AS (
+        SELECT CAST(sum(n_b) AS BIGINT) AS n,
+               CAST(sum(sz) AS BIGINT) AS sz_all,
+               CAST(sum(sse) AS DECIMAL(38,0)) AS sse_all
+        FROM per_bin
+    ), terms AS (
+        SELECT p.n_b,
+               CAST(round(CAST(p.n_b AS DOUBLE)
+                    * ((CAST(p.sx AS DOUBLE)
+                        / (CAST(p.n_b AS DOUBLE) * {_Q_SCALE}.0))
+                       - (CAST(p.sz AS DOUBLE) / CAST(p.n_b AS DOUBLE)))
+                    * ((CAST(p.sx AS DOUBLE)
+                        / (CAST(p.n_b AS DOUBLE) * {_Q_SCALE}.0))
+                       - (CAST(p.sz AS DOUBLE) / CAST(p.n_b AS DOUBLE)))
+                    * {_DECOMP_SCALE}.0) AS BIGINT) AS rel_q,
+               CAST(round(CAST(p.n_b AS DOUBLE)
+                    * ((CAST(p.sz AS DOUBLE) / CAST(p.n_b AS DOUBLE))
+                       - (CAST(t.sz_all AS DOUBLE) / CAST(t.n AS DOUBLE)))
+                    * ((CAST(p.sz AS DOUBLE) / CAST(p.n_b AS DOUBLE))
+                       - (CAST(t.sz_all AS DOUBLE) / CAST(t.n AS DOUBLE)))
+                    * {_DECOMP_SCALE}.0) AS BIGINT) AS res_q,
+               CAST(round((CAST(p.sxx AS DOUBLE)
+                           / ({_Q_SCALE}.0 * {_Q_SCALE}.0)
+                    - CAST(p.n_b AS DOUBLE)
+                      * (CAST(p.sx AS DOUBLE)
+                         / (CAST(p.n_b AS DOUBLE) * {_Q_SCALE}.0))
+                      * (CAST(p.sx AS DOUBLE)
+                         / (CAST(p.n_b AS DOUBLE) * {_Q_SCALE}.0)))
+                    * {_DECOMP_SCALE}.0) AS BIGINT) AS wbv_q,
+               CAST(round(2.0 * (CAST(p.sxz AS DOUBLE) / {_Q_SCALE}.0
+                    - CAST(p.n_b AS DOUBLE)
+                      * (CAST(p.sx AS DOUBLE)
+                         / (CAST(p.n_b AS DOUBLE) * {_Q_SCALE}.0))
+                      * (CAST(p.sz AS DOUBLE) / CAST(p.n_b AS DOUBLE)))
+                    * {_DECOMP_SCALE}.0) AS BIGINT) AS wbc_q
+        FROM per_bin p CROSS JOIN tot t
+    )
+    SELECT t.n,
+           CAST(t.sz_all AS DOUBLE) / CAST(t.n AS DOUBLE) AS base_rate,
+           CAST(t.sse_all AS DOUBLE)
+               / (CAST(t.n AS DOUBLE) * {_Q_SCALE}.0 * {_Q_SCALE}.0)
+               AS brier,
+           CAST(s.sr AS DOUBLE)
+               / (CAST(t.n AS DOUBLE) * {_DECOMP_SCALE}.0) AS reliability,
+           CAST(s.ss AS DOUBLE)
+               / (CAST(t.n AS DOUBLE) * {_DECOMP_SCALE}.0) AS resolution,
+           (CAST(t.sz_all AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * (1.0 - CAST(t.sz_all AS DOUBLE) / CAST(t.n AS DOUBLE))
+               AS uncertainty,
+           CAST(s.sv AS DOUBLE)
+               / (CAST(t.n AS DOUBLE) * {_DECOMP_SCALE}.0)
+               AS within_bin_var,
+           CAST(s.sc AS DOUBLE)
+               / (CAST(t.n AS DOUBLE) * {_DECOMP_SCALE}.0)
+               AS within_bin_cov
+    FROM tot t CROSS JOIN (
+        SELECT CAST(sum(rel_q) AS BIGINT) AS sr,
+               CAST(sum(res_q) AS BIGINT) AS ss,
+               CAST(sum(wbv_q) AS BIGINT) AS sv,
+               CAST(sum(wbc_q) AS BIGINT) AS sc
+        FROM terms
+    ) s
+    """,
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized (Stephenson) decomposition of the Brier score over
+    the reliability table's 10 bins: Brier = reliability − resolution +
+    uncertainty + within_bin_var − within_bin_cov. Reliability
+    (miscalibration mass, lower better) is the n-weighted mean of
+    (mean_score − keep_rate)²; resolution (how much the bins separate
+    outcomes, higher better) is the n-weighted variance of bin keep
+    rates around the base rate; uncertainty is the irreducible
+    base_rate·(1−base_rate); the two within-bin terms carry the
+    continuous-score remainder the classic 3-term Murphy identity
+    drops. One row that tells a score owner whether a bad Brier is a
+    calibration problem (fixable by remapping) or a discrimination
+    problem (needs a better score).
+
+    Exactness: bin tallies and the direct Brier SSE ride exact
+    integer/DECIMAL sums; each bin's four decomposition terms are
+    pinned IEEE chains quantized to the 2^-20 grid before the ≤10-term
+    sum, so the bin fold is an order-free integer sum (the 5-term
+    identity therefore holds to grid precision — the property test
+    pins it).
+
+    Plan: same single rollup as score_calibration_bins, then 10-row
+    arithmetic against a broadcast 1-row total. Scan-bound at any SF."""
+    sc = _scored(spark, sf_dir)
+    b = sc.select(
+        F.greatest(
+            F.least(
+                F.floor(F.col("x").cast("double") / float(_BIN_WIDTH)).cast(
+                    "long"
+                ),
+                F.lit(N_CALIB_BINS - 1).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+        ).alias("bin"),
+        "x",
+        (1 - F.col("y")).alias("z"),
+    )
+    err = F.col("x") - F.col("z") * _Q_SCALE
+    per_bin = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("x") * F.col("z")).cast("long").alias("sxz"),
+        F.sum(err.cast("decimal(38,0)") * err)
+        .cast("decimal(38,0)")
+        .alias("sse"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.sum("sz").cast("long").alias("sz_all"),
+        F.sum("sse").cast("decimal(38,0)").alias("sse_all"),
+    )
+    ms = F.col("sx").cast("double") / (
+        F.col("n_b").cast("double") * float(_Q_SCALE)
+    )
+    fb = F.col("sz").cast("double") / F.col("n_b").cast("double")
+    fbar = F.col("sz_all").cast("double") / F.col("n").cast("double")
+    terms = per_bin.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            F.col("n_b").cast("double")
+            * (ms - fb)
+            * (ms - fb)
+            * F.lit(float(_DECOMP_SCALE))
+        )
+        .cast("long")
+        .alias("rel_q"),
+        F.round(
+            F.col("n_b").cast("double")
+            * (fb - fbar)
+            * (fb - fbar)
+            * F.lit(float(_DECOMP_SCALE))
+        )
+        .cast("long")
+        .alias("res_q"),
+        F.round(
+            (
+                F.col("sxx").cast("double")
+                / (float(_Q_SCALE) * float(_Q_SCALE))
+                - F.col("n_b").cast("double") * ms * ms
+            )
+            * F.lit(float(_DECOMP_SCALE))
+        )
+        .cast("long")
+        .alias("wbv_q"),
+        F.round(
+            F.lit(2.0)
+            * (
+                F.col("sxz").cast("double") / float(_Q_SCALE)
+                - F.col("n_b").cast("double") * ms * fb
+            )
+            * F.lit(float(_DECOMP_SCALE))
+        )
+        .cast("long")
+        .alias("wbc_q"),
+    )
+    sums = terms.agg(
+        F.sum("rel_q").cast("long").alias("sr"),
+        F.sum("res_q").cast("long").alias("ss"),
+        F.sum("wbv_q").cast("long").alias("sv"),
+        F.sum("wbc_q").cast("long").alias("sc"),
+    )
+    return tot.crossJoin(F.broadcast(sums)).select(
+        "n",
+        fbar.alias("base_rate"),
+        (
+            F.col("sse_all").cast("double")
+            / (
+                F.col("n").cast("double")
+                * float(_Q_SCALE)
+                * float(_Q_SCALE)
+            )
+        ).alias("brier"),
+        (
+            F.col("sr").cast("double")
+            / (F.col("n").cast("double") * float(_DECOMP_SCALE))
+        ).alias("reliability"),
+        (
+            F.col("ss").cast("double")
+            / (F.col("n").cast("double") * float(_DECOMP_SCALE))
+        ).alias("resolution"),
+        (fbar * (F.lit(1.0) - fbar)).alias("uncertainty"),
+        (
+            F.col("sv").cast("double")
+            / (F.col("n").cast("double") * float(_DECOMP_SCALE))
+        ).alias("within_bin_var"),
+        (
+            F.col("sc").cast("double")
+            / (F.col("n").cast("double") * float(_DECOMP_SCALE))
+        ).alias("within_bin_cov"),
+    )

@@ -4203,3 +4203,37 @@ def test_silhouette_matches_numpy_replay(spark, sf_small):
         assert r["n_negative"] == neg
         assert abs(r["mean_silhouette"] - tot / (cnt * 1048576.0)) < 1e-12
         assert -1.0 - 1e-9 <= r["mean_silhouette"] <= 1.0 + 1e-9
+
+
+def test_brier_decomposition_identity_and_bounds(spark, sf_small):
+    """The 5-term Stephenson identity must close to grid precision, the
+    direct Brier must equal the n-weighted mean of the calibration
+    table's bin_brier, and each component must respect its bounds."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    r = registry.QUERIES["brier_decomposition"](spark, sf_small).collect()[0]
+    ident = (
+        r["reliability"]
+        - r["resolution"]
+        + r["uncertainty"]
+        + r["within_bin_var"]
+        - r["within_bin_cov"]
+    )
+    assert abs(r["brier"] - ident) < 1e-4
+    assert 0.0 <= r["brier"] <= 1.0
+    assert r["reliability"] >= 0.0 and r["resolution"] >= 0.0
+    assert 0.0 <= r["uncertainty"] <= 0.25
+    assert r["within_bin_var"] >= -1e-9
+    assert abs(
+        r["uncertainty"] - r["base_rate"] * (1 - r["base_rate"])
+    ) < 1e-12
+    bins = registry.QUERIES["score_calibration_bins"](
+        spark, sf_small
+    ).collect()
+    n = sum(b["n_docs"] for b in bins)
+    brier_from_bins = (
+        sum(b["n_docs"] * b["bin_brier"] for b in bins) / n
+    )
+    assert n == r["n"]
+    assert abs(r["brier"] - brier_from_bins) < 1e-9

@@ -190,6 +190,7 @@ QUERIES = [
     "vocab_growth_curve",           # first-source shingle attribution
     "sim_mmr_diverse_topk",         # rounded cosines + greedy argmax
     "emb_silhouette_by_label",      # quantized distance means
+    "brier_decomposition",          # grid-quantized bin terms
 ]
 
 

@@ -1253,3 +1253,11 @@ def test_silhouette_anchor_broadcast_bounded(spark, sf):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("HashAggregate") >= 4  # two keyed reductions
+
+
+def test_brier_decomposition_single_rollup(spark, sf):
+    df = registry.QUERIES["brier_decomposition"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the only nested loops are the two 1-row broadcast totals
+    assert plan.count("BroadcastNestedLoopJoin") <= 2

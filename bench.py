@@ -268,6 +268,7 @@ HEADLINE = [
     "sim_mmr_diverse_topk",
     "emb_silhouette_by_label",
     "brier_decomposition",
+    "crosssource_backoff_score",
 ]
 
 

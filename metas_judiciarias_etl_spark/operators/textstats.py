@@ -2033,3 +2033,270 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curve.withColumn(
         "cum_vocab", F.sum("n_new_tokens").over(w).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source stupid-backoff trigram score: held-out fluency per source.
+# ---------------------------------------------------------------------------
+_SB_ALPHA = "0.4"  # the stupid-backoff discount, as a shared literal
+_SB_SCALE = 1_048_576.0  # 2^20 score grid, order-free per-source mean
+
+
+@query(
+    "crosssource_backoff_score",
+    oracle=f"""
+    WITH docs_t AS (
+        SELECT doc_id, source, {_SQL_TOKS} AS ts FROM documents
+    ), pos AS (
+        SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(ts) - 2),
+                   __i -> struct_pack(w1 := ts[__i], w2 := ts[__i + 1],
+                                      w3 := ts[__i + 2]))) AS g
+        FROM docs_t WHERE len(ts) >= 3
+    ), p AS (
+        SELECT doc_id, source, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM pos
+    ), uni AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS own,
+               CAST(sum(count(*)) OVER (PARTITION BY w) AS BIGINT) AS tot
+        FROM (SELECT source, unnest(ts) AS w FROM docs_t) GROUP BY source, w
+    ), bi AS (
+        SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS own,
+               CAST(sum(count(*)) OVER (PARTITION BY w1, w2) AS BIGINT) AS tot
+        FROM (
+            SELECT source,
+                   unnest(list_transform(generate_series(1, len(ts) - 1),
+                       __i -> struct_pack(a := ts[__i], b := ts[__i + 1]))) AS g
+            FROM docs_t WHERE len(ts) >= 2
+        ) t(source, g_)
+        , LATERAL (SELECT g_.a AS w1, g_.b AS w2) x
+        GROUP BY source, w1, w2
+    ), tri AS (
+        SELECT source, w1, w2, w3, CAST(count(*) AS BIGINT) AS own,
+               CAST(sum(count(*)) OVER (PARTITION BY w1, w2, w3) AS BIGINT)
+                   AS tot
+        FROM p GROUP BY source, w1, w2, w3
+    ), nsrc AS (
+        SELECT source, CAST(sum(own) AS BIGINT) AS n_own,
+               CAST(sum(sum(own)) OVER () AS BIGINT) AS n_all
+        FROM uni GROUP BY source
+    ), scored AS (
+        SELECT p.source,
+               CASE WHEN t.tot - t.own > 0 THEN 0
+                    WHEN b23.tot - b23.own > 0 THEN 1 ELSE 2 END AS lvl,
+               CAST(round(
+                   CASE WHEN t.tot - t.own > 0 THEN
+                       CAST(t.tot - t.own AS DOUBLE)
+                           / CAST(b12.tot - b12.own AS DOUBLE)
+                   WHEN b23.tot - b23.own > 0 THEN
+                       {_SB_ALPHA} * (CAST(b23.tot - b23.own AS DOUBLE)
+                           / CAST(u2.tot - u2.own AS DOUBLE))
+                   ELSE
+                       {_SB_ALPHA} * ({_SB_ALPHA}
+                           * (CAST(u3.tot - u3.own AS DOUBLE)
+                              / CAST(n.n_all - n.n_own AS DOUBLE)))
+                   END * {_SB_SCALE}) AS BIGINT) AS sq
+        FROM p
+        JOIN tri t ON t.source = p.source AND t.w1 = p.w1
+                  AND t.w2 = p.w2 AND t.w3 = p.w3
+        JOIN bi b12 ON b12.source = p.source AND b12.w1 = p.w1
+                   AND b12.w2 = p.w2
+        JOIN bi b23 ON b23.source = p.source AND b23.w1 = p.w2
+                   AND b23.w2 = p.w3
+        JOIN uni u2 ON u2.source = p.source AND u2.w = p.w2
+        JOIN uni u3 ON u3.source = p.source AND u3.w = p.w3
+        JOIN nsrc n ON n.source = p.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_positions,
+           CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tri_hits,
+           CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bi_hits,
+           CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_uni_backoffs,
+           CAST(sum(sq) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * {_SB_SCALE}) AS mean_score
+    FROM scored GROUP BY source
+    """,
+)
+def crosssource_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out fluency per source under a stupid-backoff trigram model
+    trained on ALL OTHER sources (leave-one-source-out — training on the
+    full corpus would make backoff unreachable, since every scored
+    trigram counts itself): each trigram position scores
+    count(w1w2w3)/count(w1w2), backing off to 0.4·count(w2w3)/count(w2),
+    then to 0.4²·count(w3)/N, all counts excluding the doc's own source.
+    Reported per source with the backoff-level histogram — the KenLM-
+    style fluency/novelty readout (CCNet recipe) telling a curator which
+    sources read like the rest of the corpus and which are phrase-level
+    novel (high n_bi/n_uni backoff shares).
+
+    Exactness: every count is an exact integer; held-out counts are
+    total − own from one (gram, source) table per order; each score is a
+    pinned chain of IEEE divisions and 0.4-literal multiplies, quantized
+    to the 2^-20 grid so the per-source mean is an order-free integer
+    sum. No logs anywhere.
+
+    Plan: one tokenized scan feeds the uni/bi/tri count tables (each ONE
+    groupBy + a partition-window for totals, vocabulary-keyed); scoring
+    re-joins positions to five gram tables on vocabulary keys — Zipf
+    heads collapse in map-side partials; final rollup keys on source."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    docs_t = docs.select("doc_id", "source", toks.alias("ts")).persist()
+    docs_t.count()
+    n = F.size("ts")
+
+    uni_raw = docs_t.select("source", F.explode("ts").alias("w"))
+    uni = uni_raw.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("own")
+    ).withColumn(
+        "tot", F.sum("own").over(Window.partitionBy("w")).cast("long")
+    )
+    bi_raw = (
+        docs_t.filter(n >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ts", 1, n - 1).alias("a"),
+                    F.slice("ts", 2, n - 1).alias("b"),
+                )
+            ).alias("g"),
+        )
+        .select("source", F.col("g.a").alias("w1"), F.col("g.b").alias("w2"))
+    )
+    bi = bi_raw.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("own")
+    ).withColumn(
+        "tot",
+        F.sum("own").over(Window.partitionBy("w1", "w2")).cast("long"),
+    )
+    p = (
+        docs_t.filter(n >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ts", 1, n - 2).alias("a"),
+                    F.slice("ts", 2, n - 2).alias("b"),
+                    F.slice("ts", 3, n - 2).alias("c"),
+                )
+            ).alias("g"),
+        )
+        .select(
+            "source",
+            F.col("g.a").alias("w1"),
+            F.col("g.b").alias("w2"),
+            F.col("g.c").alias("w3"),
+        )
+        .persist()
+    )
+    p.count()  # feeds the tri count build AND the scoring join
+    tri = p.groupBy("source", "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("own")
+    ).withColumn(
+        "tot",
+        F.sum("own").over(Window.partitionBy("w1", "w2", "w3")).cast("long"),
+    )
+    nsrc = uni.groupBy("source").agg(
+        F.sum("own").cast("long").alias("n_own")
+    )
+    nsrc = nsrc.withColumn(
+        "n_all", F.sum("n_own").over(Window.partitionBy()).cast("long")
+    )
+
+    def o(t):  # held-out count: total minus own-source
+        return F.col(f"{t}_tot") - F.col(f"{t}_own")
+
+    alpha = float(_SB_ALPHA)
+    score = (
+        F.when(
+            o("t") > 0, o("t").cast("double") / o("b12").cast("double")
+        )
+        .when(
+            o("b23") > 0,
+            F.lit(alpha)
+            * (o("b23").cast("double") / o("u2").cast("double")),
+        )
+        .otherwise(
+            F.lit(alpha)
+            * (
+                F.lit(alpha)
+                * (
+                    o("u3").cast("double")
+                    / (F.col("n_all") - F.col("n_own")).cast("double")
+                )
+            )
+        )
+    )
+    lvl = (
+        F.when(o("t") > 0, 0).when(o("b23") > 0, 1).otherwise(2)
+    )
+    scored = (
+        p.join(
+            tri.select(
+                "source", "w1", "w2", "w3",
+                F.col("own").alias("t_own"), F.col("tot").alias("t_tot"),
+            ),
+            ["source", "w1", "w2", "w3"],
+        )
+        .join(
+            bi.select(
+                F.col("source").alias("b12_src"),
+                F.col("w1").alias("b12_w1"), F.col("w2").alias("b12_w2"),
+                F.col("own").alias("b12_own"), F.col("tot").alias("b12_tot"),
+            ),
+            (F.col("b12_src") == F.col("source"))
+            & (F.col("b12_w1") == F.col("w1"))
+            & (F.col("b12_w2") == F.col("w2")),
+        )
+        .join(
+            bi.select(
+                F.col("source").alias("b23_src"),
+                F.col("w1").alias("b23_w1"), F.col("w2").alias("b23_w2"),
+                F.col("own").alias("b23_own"), F.col("tot").alias("b23_tot"),
+            ),
+            (F.col("b23_src") == F.col("source"))
+            & (F.col("b23_w1") == F.col("w2"))
+            & (F.col("b23_w2") == F.col("w3")),
+        )
+        .join(
+            uni.select(
+                F.col("source").alias("u2_src"), F.col("w").alias("u2_w"),
+                F.col("own").alias("u2_own"), F.col("tot").alias("u2_tot"),
+            ),
+            (F.col("u2_src") == F.col("source"))
+            & (F.col("u2_w") == F.col("w2")),
+        )
+        .join(
+            uni.select(
+                F.col("source").alias("u3_src"), F.col("w").alias("u3_w"),
+                F.col("own").alias("u3_own"), F.col("tot").alias("u3_tot"),
+            ),
+            (F.col("u3_src") == F.col("source"))
+            & (F.col("u3_w") == F.col("w3")),
+        )
+        .join(F.broadcast(nsrc), "source")
+        .select(
+            "source",
+            lvl.alias("lvl"),
+            F.round(score * F.lit(_SB_SCALE)).cast("long").alias("sq"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_positions"),
+        F.sum(F.when(F.col("lvl") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_tri_hits"),
+        F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bi_hits"),
+        F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_uni_backoffs"),
+        (
+            F.sum("sq").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(_SB_SCALE))
+        ).alias("mean_score"),
+    )

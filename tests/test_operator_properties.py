@@ -4237,3 +4237,72 @@ def test_brier_decomposition_identity_and_bounds(spark, sf_small):
     )
     assert n == r["n"]
     assert abs(r["brier"] - brier_from_bins) < 1e-9
+
+
+def test_backoff_score_matches_python_replay(spark, sf_small):
+    """Per-source backoff tallies and quantized mean must equal a pure
+    Python leave-one-source-out replay."""
+    import math
+    import re
+    from collections import Counter
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    toks = {
+        r.Index: (r.source, re.split(r"\s+", r.text.strip()))
+        for r in docs.itertuples()
+    }
+    uni, bi, tri = Counter(), Counter(), Counter()
+    uni_s, bi_s, tri_s = Counter(), Counter(), Counter()
+    n_all = 0
+    n_src = Counter()
+    for src, ts in toks.values():
+        n_all += len(ts)
+        n_src[src] += len(ts)
+        for w in ts:
+            uni[w] += 1
+            uni_s[(src, w)] += 1
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] += 1
+            bi_s[(src, a, b)] += 1
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            tri[(a, b, c)] += 1
+            tri_s[(src, a, b, c)] += 1
+    per = {}
+    for src, ts in toks.values():
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            t_o = tri[(a, b, c)] - tri_s[(src, a, b, c)]
+            b12_o = bi[(a, b)] - bi_s[(src, a, b)]
+            b23_o = bi[(b, c)] - bi_s[(src, b, c)]
+            u2_o = uni[b] - uni_s[(src, b)]
+            u3_o = uni[c] - uni_s[(src, c)]
+            if t_o > 0:
+                lvl, s = 0, t_o / b12_o
+            elif b23_o > 0:
+                lvl, s = 1, 0.4 * (b23_o / u2_o)
+            else:
+                lvl, s = 2, 0.4 * (0.4 * (u3_o / (n_all - n_src[src])))
+            sq = int(math.copysign(math.floor(abs(s) * 1048576.0 + 0.5), s))
+            tot = per.setdefault(src, [0, 0, 0, 0, 0])
+            tot[0] += 1
+            tot[1 + lvl] += 1
+            tot[4] += sq
+    got = {
+        r["source"]: r
+        for r in registry.QUERIES["crosssource_backoff_score"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for src, (np_, t0, t1, t2, sq) in per.items():
+        r = got[src]
+        assert (
+            r["n_positions"],
+            r["n_tri_hits"],
+            r["n_bi_hits"],
+            r["n_uni_backoffs"],
+        ) == (np_, t0, t1, t2)
+        assert abs(r["mean_score"] - sq / (np_ * 1048576.0)) < 1e-12
+        assert r["n_tri_hits"] + r["n_bi_hits"] + r["n_uni_backoffs"] == np_

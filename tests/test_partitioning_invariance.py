@@ -191,6 +191,7 @@ QUERIES = [
     "sim_mmr_diverse_topk",         # rounded cosines + greedy argmax
     "emb_silhouette_by_label",      # quantized distance means
     "brier_decomposition",          # grid-quantized bin terms
+    "crosssource_backoff_score",    # LOO integer counts, grid mean
 ]
 
 

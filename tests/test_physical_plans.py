@@ -1261,3 +1261,10 @@ def test_brier_decomposition_single_rollup(spark, sf):
     assert "CartesianProduct" not in plan
     # the only nested loops are the two 1-row broadcast totals
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_backoff_score_vocab_keyed_joins(spark, sf):
+    df = registry.QUERIES["crosssource_backoff_score"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

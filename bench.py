@@ -269,6 +269,7 @@ HEADLINE = [
     "emb_silhouette_by_label",
     "brier_decomposition",
     "crosssource_backoff_score",
+    "attribution_markov_removal",
 ]
 
 

@@ -2628,3 +2628,233 @@ def markov_transition_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_total").cast("double") * F.col("n_total"))
         ).alias("gini_impurity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution: channel credit from chain surgery.
+# --------------------------------------------------------------------------
+MARKOV_ATTR_H = 4  # conversion horizon (transitions)
+_MA_ONE = 1_048_576  # 2^20: probabilities live on an integer grid
+_MA_CONV = "purchase"  # absorbing conversion state
+_MA_NONE = "__none__"  # sentinel: the un-surgered base chain
+
+
+def _markov_removal_oracle() -> str:
+    from ..registry import ORACLES
+
+    parts = [
+        f"""tr AS ({ORACLES['event_transitions']}),
+    states AS (
+        SELECT DISTINCT src AS state FROM tr
+        UNION SELECT DISTINCT dst FROM tr
+    ), outs AS (
+        SELECT src, CAST(sum(n) AS BIGINT) AS ns FROM tr GROUP BY src
+    ), chans AS (
+        SELECT state AS removed FROM states WHERE state <> '{_MA_CONV}'
+        UNION ALL SELECT '{_MA_NONE}'
+    ), firsts AS (
+        SELECT first_t, CAST(count(*) AS BIGINT) AS n_users FROM (
+            SELECT event_type AS first_t,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1 GROUP BY first_t
+    ), v0 AS (
+        SELECT c.removed, s.state,
+               CASE WHEN s.state = '{_MA_CONV}' THEN {_MA_ONE}
+                    ELSE 0 END AS vq
+        FROM chans c CROSS JOIN states s
+    )"""
+    ]
+    for k in range(1, MARKOV_ATTR_H + 1):
+        prev = f"v{k - 1}"
+        parts.append(
+            f"""v{k} AS (
+        SELECT c.removed, s.state,
+               CASE WHEN s.state = '{_MA_CONV}' THEN {_MA_ONE}
+                    WHEN s.state = c.removed THEN 0
+                    ELSE coalesce(m.vq, 0) END AS vq
+        FROM chans c CROSS JOIN states s
+        LEFT JOIN (
+            SELECT p.removed, t.src,
+                   (2 * CAST(sum(t.n * p.vq) AS BIGINT) + o.ns)
+                       // (2 * o.ns) AS vq
+            FROM tr t
+            JOIN {prev} p ON p.state = t.dst
+            JOIN outs o ON o.src = t.src
+            GROUP BY p.removed, t.src, o.ns
+        ) m ON m.removed = c.removed AND m.src = s.state
+    )"""
+        )
+    last = f"v{MARKOV_ATTR_H}"
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f""", conv AS (
+        SELECT v.removed,
+               (2 * CAST(sum(f.n_users * v.vq) AS BIGINT)
+                + CAST(sum(f.n_users) AS BIGINT))
+                   // (2 * CAST(sum(f.n_users) AS BIGINT)) AS cq
+        FROM {last} v JOIN firsts f ON f.first_t = v.state
+        GROUP BY v.removed
+    ), base AS (
+        SELECT cq AS base_q FROM conv WHERE removed = '{_MA_NONE}'
+    ), eff AS (
+        SELECT c.removed AS channel, c.cq, b.base_q,
+               greatest(b.base_q - c.cq, 0) AS eff_q
+        FROM conv c CROSS JOIN base b
+        WHERE c.removed <> '{_MA_NONE}'
+    )
+    SELECT channel,
+           CAST(base_q AS DOUBLE) / {_MA_ONE}.0 AS base_conv,
+           CAST(cq AS DOUBLE) / {_MA_ONE}.0 AS conv_without,
+           CAST(eff_q AS DOUBLE) / nullif(CAST(base_q AS DOUBLE), 0.0)
+               AS removal_effect,
+           CAST(eff_q AS DOUBLE)
+               / nullif(CAST(sum(eff_q) OVER () AS DOUBLE), 0.0)
+               AS attribution_share
+    FROM eff
+    """
+    )
+
+
+@query("attribution_markov_removal", oracle=_markov_removal_oracle())
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution: model user journeys as the
+    first-order chain of event_transitions with '{conv}' absorbing at 1,
+    compute each user-start's probability of converting within H=4
+    transitions, then re-run the chain with each channel surgically
+    removed (the removed state absorbs at 0 — visits die there). A
+    channel's credit is how much the bounded-horizon conversion rate
+    drops without it, normalized across channels — the data-driven
+    multi-touch model that replaces positional heuristics
+    (attribution_position_weighted) with chain structure.
+
+    Exactness: probabilities live on the integer 2^-20 grid end to end —
+    each value-iteration round is Σ n(s→d)·vq(d) (an order-free integer
+    sum) followed by half-up integer division floor((2s+n)/(2n)); no
+    float enters until the final readout divisions. The horizon is a
+    fixed constant, so both engines run the identical H unrolled rounds.
+
+    Plan: one lead() pass builds the transition matrix; everything after
+    runs on (channels × states) ≤ ~30 rows — H tiny persisted
+    join+groupBy rounds (the kcore bounded-rounds pattern) and a
+    first-event user aggregation. At 100 TB only the window pass and the
+    first-event agg touch fact rows.""".format(conv=_MA_CONV)
+    from ..registry import QUERIES
+
+    tr = QUERIES["event_transitions"](spark, sf_dir).persist()
+    tr.count()
+    states = (
+        tr.select(F.col("src").alias("state"))
+        .union(tr.select("dst"))
+        .distinct()
+        .persist()
+    )
+    outs = tr.groupBy("src").agg(F.sum("n").cast("long").alias("ns"))
+    chans = (
+        states.filter(F.col("state") != _MA_CONV)
+        .select(F.col("state").alias("removed"))
+        .union(
+            states.limit(1).select(F.lit(_MA_NONE).alias("removed"))
+        )
+        .persist()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("event_type").alias("first_t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    v = chans.crossJoin(F.broadcast(states)).select(
+        "removed",
+        "state",
+        F.when(F.col("state") == _MA_CONV, F.lit(_MA_ONE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("vq"),
+    )
+    for _ in range(MARKOV_ATTR_H):
+        m = (
+            tr.join(
+                v.select(
+                    "removed", F.col("state").alias("dst"), "vq"
+                ),
+                "dst",
+            )
+            .join(F.broadcast(outs), "src")
+            .groupBy("removed", "src", "ns")
+            .agg(F.sum(F.col("n") * F.col("vq")).cast("long").alias("sv"))
+            .select(
+                F.col("removed").alias("m_removed"),
+                F.col("src").alias("m_state"),
+                F.expr("(2 * sv + ns) DIV (2 * ns)").alias("m_vq"),
+            )
+        )
+        v = (
+            chans.crossJoin(F.broadcast(states))
+            .join(
+                F.broadcast(m),
+                (F.col("m_state") == F.col("state"))
+                & (F.col("m_removed") == F.col("removed")),
+                "left",
+            )
+            .select(
+                "removed",
+                "state",
+                F.when(F.col("state") == _MA_CONV, F.lit(_MA_ONE))
+                .when(F.col("state") == F.col("removed"), F.lit(0))
+                .otherwise(F.coalesce(F.col("m_vq"), F.lit(0)))
+                .cast("long")
+                .alias("vq"),
+            )
+            .persist()
+        )
+        v.count()
+    conv = (
+        v.join(
+            F.broadcast(firsts),
+            F.col("first_t") == F.col("state"),
+        )
+        .groupBy("removed")
+        .agg(
+            F.sum(F.col("n_users") * F.col("vq")).cast("long").alias("sv"),
+            F.sum("n_users").cast("long").alias("nu"),
+        )
+        .select(
+            "removed", F.expr("(2 * sv + nu) DIV (2 * nu)").alias("cq")
+        )
+        .persist()
+    )
+    conv.count()
+    base = conv.filter(F.col("removed") == _MA_NONE).select(
+        F.col("cq").alias("base_q")
+    )
+    eff = (
+        conv.filter(F.col("removed") != _MA_NONE)
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("removed").alias("channel"),
+            "cq",
+            "base_q",
+            F.greatest(F.col("base_q") - F.col("cq"), F.lit(0))
+            .cast("long")
+            .alias("eff_q"),
+        )
+    )
+    tot = F.sum("eff_q").over(Window.partitionBy())
+    return eff.select(
+        "channel",
+        (F.col("base_q").cast("double") / float(_MA_ONE)).alias("base_conv"),
+        (F.col("cq").cast("double") / float(_MA_ONE)).alias("conv_without"),
+        (
+            F.col("eff_q").cast("double")
+            / F.nullif(F.col("base_q").cast("double"), F.lit(0.0))
+        ).alias("removal_effect"),
+        (
+            F.col("eff_q").cast("double")
+            / F.nullif(tot.cast("double"), F.lit(0.0))
+        ).alias("attribution_share"),
+    )

@@ -4306,3 +4306,68 @@ def test_backoff_score_matches_python_replay(spark, sf_small):
         ) == (np_, t0, t1, t2)
         assert abs(r["mean_score"] - sq / (np_ * 1048576.0)) < 1e-12
         assert r["n_tri_hits"] + r["n_bi_hits"] + r["n_uni_backoffs"] == np_
+
+
+def test_markov_removal_matches_python_replay(spark, sf_small):
+    """Removal-effect attribution must equal an exact integer-grid value
+    iteration replay, shares must sum to 1, and removing a channel must
+    never raise conversion."""
+    from collections import Counter, defaultdict
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    ONE, H, CONV = 1 << 20, 4, "purchase"
+    tr = Counter()
+    firsts = Counter()
+    for _, grp in ev.groupby("user_id"):
+        ts = grp["event_type"].tolist()
+        firsts[ts[0]] += 1
+        for a, b in zip(ts, ts[1:]):
+            tr[(a, b)] += 1
+    states = sorted({a for a, _ in tr} | {b for _, b in tr})
+    outs = defaultdict(int)
+    for (a, _), n in tr.items():
+        outs[a] += n
+
+    def run(removed):
+        v = {s: (ONE if s == CONV else 0) for s in states}
+        for _ in range(H):
+            nv = {}
+            for s in states:
+                if s == CONV:
+                    nv[s] = ONE
+                elif s == removed:
+                    nv[s] = 0
+                else:
+                    sv = sum(
+                        n * v[d] for (a, d), n in tr.items() if a == s
+                    )
+                    nv[s] = (2 * sv + outs[s]) // (2 * outs[s])
+            v = nv
+        nu = sum(firsts.values())
+        sv = sum(firsts[t] * v[t] for t in firsts)
+        return (2 * sv + nu) // (2 * nu)
+
+    base_q = run(None)
+    got = {
+        r["channel"]: r
+        for r in registry.QUERIES["attribution_markov_removal"](
+            spark, sf_small
+        ).collect()
+    }
+    chans = [s for s in states if s != CONV]
+    assert set(got) == set(chans)
+    effs = {c: max(base_q - run(c), 0) for c in chans}
+    tot = sum(effs.values())
+    for c in chans:
+        r = got[c]
+        assert abs(r["base_conv"] - base_q / ONE) < 1e-12
+        assert abs(r["conv_without"] - run(c) / ONE) < 1e-12
+        assert r["conv_without"] <= r["base_conv"] + 1e-12
+        assert abs(r["removal_effect"] - effs[c] / base_q) < 1e-12
+        assert abs(r["attribution_share"] - effs[c] / tot) < 1e-12
+    assert abs(sum(r["attribution_share"] for r in got.values()) - 1.0) < 1e-9

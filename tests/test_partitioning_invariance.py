@@ -192,6 +192,7 @@ QUERIES = [
     "emb_silhouette_by_label",      # quantized distance means
     "brier_decomposition",          # grid-quantized bin terms
     "crosssource_backoff_score",    # LOO integer counts, grid mean
+    "attribution_markov_removal",   # integer-grid value iteration
 ]
 
 

@@ -1268,3 +1268,12 @@ def test_backoff_score_vocab_keyed_joins(spark, sf):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_markov_removal_tiny_after_transitions(spark, sf):
+    df = registry.QUERIES["attribution_markov_removal"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the H value-iteration rounds read the persisted tiny v tables, not
+    # a recomputed lineage
+    assert "InMemoryTableScan" in plan

@@ -2736,125 +2736,75 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     float enters until the final readout divisions. The horizon is a
     fixed constant, so both engines run the identical H unrolled rounds.
 
-    Plan: one lead() pass builds the transition matrix; everything after
-    runs on (channels × states) ≤ ~30 rows — H tiny persisted
-    join+groupBy rounds (the kcore bounded-rounds pattern) and a
-    first-event user aggregation. At 100 TB only the window pass and the
-    first-event agg touch fact rows.""".format(conv=_MA_CONV)
+    Plan: one lead() pass builds the transition matrix and one window
+    pass the first-event histogram — the only fact-scale work, both in
+    Spark. The |types|² ≤ 25-row matrix and ≤ |types| first-event rows
+    then collect to the driver, where the H·|channels| value-iteration
+    rounds run as plain integer arithmetic (the bounded-driver-state
+    class, like the chart render): distributing ~25-row joins costs 8+
+    seconds of pure stage scheduling for zero scalability — measured
+    9.3 s distributed vs ~1.5 s collected at sf0.1.""".format(conv=_MA_CONV)
+    from collections import defaultdict
+
     from ..registry import QUERIES
 
-    tr = QUERIES["event_transitions"](spark, sf_dir).persist()
-    tr.count()
-    states = (
-        tr.select(F.col("src").alias("state"))
-        .union(tr.select("dst"))
-        .distinct()
-        .persist()
-    )
-    outs = tr.groupBy("src").agg(F.sum("n").cast("long").alias("ns"))
-    chans = (
-        states.filter(F.col("state") != _MA_CONV)
-        .select(F.col("state").alias("removed"))
-        .union(
-            states.limit(1).select(F.lit(_MA_NONE).alias("removed"))
-        )
-        .persist()
-    )
+    tr_rows = QUERIES["event_transitions"](spark, sf_dir).collect()
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    firsts = (
+    first_rows = (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .groupBy(F.col("event_type").alias("first_t"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .collect()
     )
-    v = chans.crossJoin(F.broadcast(states)).select(
-        "removed",
-        "state",
-        F.when(F.col("state") == _MA_CONV, F.lit(_MA_ONE))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("vq"),
-    )
-    for _ in range(MARKOV_ATTR_H):
-        m = (
-            tr.join(
-                v.select(
-                    "removed", F.col("state").alias("dst"), "vq"
-                ),
-                "dst",
-            )
-            .join(F.broadcast(outs), "src")
-            .groupBy("removed", "src", "ns")
-            .agg(F.sum(F.col("n") * F.col("vq")).cast("long").alias("sv"))
-            .select(
-                F.col("removed").alias("m_removed"),
-                F.col("src").alias("m_state"),
-                F.expr("(2 * sv + ns) DIV (2 * ns)").alias("m_vq"),
-            )
-        )
-        v = (
-            chans.crossJoin(F.broadcast(states))
-            .join(
-                F.broadcast(m),
-                (F.col("m_state") == F.col("state"))
-                & (F.col("m_removed") == F.col("removed")),
-                "left",
-            )
-            .select(
-                "removed",
-                "state",
-                F.when(F.col("state") == _MA_CONV, F.lit(_MA_ONE))
-                .when(F.col("state") == F.col("removed"), F.lit(0))
-                .otherwise(F.coalesce(F.col("m_vq"), F.lit(0)))
-                .cast("long")
-                .alias("vq"),
-            )
-            .persist()
-        )
-        v.count()
-    conv = (
-        v.join(
-            F.broadcast(firsts),
-            F.col("first_t") == F.col("state"),
-        )
-        .groupBy("removed")
-        .agg(
-            F.sum(F.col("n_users") * F.col("vq")).cast("long").alias("sv"),
-            F.sum("n_users").cast("long").alias("nu"),
-        )
-        .select(
-            "removed", F.expr("(2 * sv + nu) DIV (2 * nu)").alias("cq")
-        )
-        .persist()
-    )
-    conv.count()
-    base = conv.filter(F.col("removed") == _MA_NONE).select(
-        F.col("cq").alias("base_q")
-    )
-    eff = (
-        conv.filter(F.col("removed") != _MA_NONE)
-        .crossJoin(F.broadcast(base))
-        .select(
-            F.col("removed").alias("channel"),
-            "cq",
-            "base_q",
-            F.greatest(F.col("base_q") - F.col("cq"), F.lit(0))
-            .cast("long")
-            .alias("eff_q"),
-        )
-    )
-    tot = F.sum("eff_q").over(Window.partitionBy())
-    return eff.select(
-        "channel",
-        (F.col("base_q").cast("double") / float(_MA_ONE)).alias("base_conv"),
-        (F.col("cq").cast("double") / float(_MA_ONE)).alias("conv_without"),
+    # |types|^2 matrix rows and |types| first-event rows: bounded driver
+    # state (the chart-render class), NOT fact-scale — the fact-scale work
+    # (the lead() window and both aggregations) already ran in Spark.
+    tr = {(r["src"], r["dst"]): r["n"] for r in tr_rows}
+    firsts = {r["first_t"]: r["n_users"] for r in first_rows}
+    states = sorted({s for s, _ in tr} | {d for _, d in tr})
+    outs = defaultdict(int)
+    for (s, _), n in tr.items():
+        outs[s] += n
+
+    def run(removed) -> int:
+        v = {s: (_MA_ONE if s == _MA_CONV else 0) for s in states}
+        for _ in range(MARKOV_ATTR_H):
+            nv = {}
+            for s in states:
+                if s == _MA_CONV:
+                    nv[s] = _MA_ONE
+                elif s == removed:
+                    nv[s] = 0
+                else:
+                    sv = sum(
+                        n * v[d] for (a, d), n in tr.items() if a == s
+                    )
+                    nv[s] = (2 * sv + outs[s]) // (2 * outs[s])
+            v = nv
+        nu = sum(firsts.values())
+        sv = sum(n * v[t] for t, n in firsts.items())
+        return (2 * sv + nu) // (2 * nu)
+
+    base_q = run(None)
+    chans = [s for s in states if s != _MA_CONV]
+    effs = {c: max(base_q - run(c), 0) for c in chans}
+    tot = sum(effs.values())
+    rows = [
         (
-            F.col("eff_q").cast("double")
-            / F.nullif(F.col("base_q").cast("double"), F.lit(0.0))
-        ).alias("removal_effect"),
-        (
-            F.col("eff_q").cast("double")
-            / F.nullif(tot.cast("double"), F.lit(0.0))
-        ).alias("attribution_share"),
+            c,
+            base_q / _MA_ONE,
+            (base_q - effs[c]) / _MA_ONE,
+            (effs[c] / base_q) if base_q else None,
+            (effs[c] / tot) if tot else None,
+        )
+        for c in chans
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "channel string, base_conv double, conv_without double, "
+            "removal_effect double, attribution_share double"
+        ),
     )

@@ -270,6 +270,7 @@ HEADLINE = [
     "brier_decomposition",
     "crosssource_backoff_score",
     "attribution_markov_removal",
+    "cuped_adjustment",
 ]
 
 

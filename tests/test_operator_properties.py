@@ -4371,3 +4371,45 @@ def test_markov_removal_matches_python_replay(spark, sf_small):
         assert abs(r["removal_effect"] - effs[c] / base_q) < 1e-12
         assert abs(r["attribution_share"] - effs[c] / tot) < 1e-12
     assert abs(sum(r["attribution_share"] for r in got.values()) - 1.0) < 1e-9
+
+
+def test_cuped_matches_numpy_replay(spark, sf_small):
+    """theta, variance reduction, and both effect estimates must match a
+    numpy replay on exact cent sums; the adjustment must preserve the
+    identity diff_cuped = diff_unadj - theta * (pre-period arm diff)."""
+    import numpy as np
+    import pandas as pd
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    tns = ev.ts.astype("datetime64[ns]").astype("int64")
+    mid = (tns.min() + tns.max()) // 2
+    cents = (ev.value * 100.0).round().astype("int64")
+    pdf = pd.DataFrame(
+        {"user_id": ev.user_id, "pre": tns < mid, "c": cents}
+    )
+    x = pdf[pdf.pre].groupby("user_id").c.sum()
+    y = pdf[~pdf.pre].groupby("user_id").c.sum()
+    users = sorted(pdf.user_id.unique())
+    X = np.array([x.get(u, 0) for u in users], dtype=float)
+    Y = np.array([y.get(u, 0) for u in users], dtype=float)
+    arm = np.array([u % 2 for u in users])
+    n = len(users)
+    cov = n * (X * Y).sum() - X.sum() * Y.sum()
+    varx = n * (X * X).sum() - X.sum() ** 2
+    vary = n * (Y * Y).sum() - Y.sum() ** 2
+    theta = cov / varx
+    r = registry.QUERIES["cuped_adjustment"](spark, sf_small).collect()[0]
+    assert r["n_treat"] == int((arm == 1).sum())
+    assert r["n_control"] == int((arm == 0).sum())
+    assert abs(r["theta"] - theta) < 1e-9 * max(1.0, abs(theta))
+    assert abs(r["var_reduction"] - cov * cov / (varx * vary)) < 1e-9
+    d_un = (Y[arm == 1].mean() - Y[arm == 0].mean()) / 100.0
+    d_x = (X[arm == 1].mean() - X[arm == 0].mean()) / 100.0
+    assert abs(r["diff_unadjusted"] - d_un) < 1e-6 * max(1.0, abs(d_un))
+    assert abs(r["diff_cuped"] - (d_un - theta * d_x)) < 1e-6 * max(
+        1.0, abs(d_un)
+    )
+    assert 0.0 <= r["var_reduction"] <= 1.0

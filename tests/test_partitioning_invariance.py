@@ -193,6 +193,7 @@ QUERIES = [
     "brier_decomposition",          # grid-quantized bin terms
     "crosssource_backoff_score",    # LOO integer counts, grid mean
     "attribution_markov_removal",   # integer-grid value iteration
+    "cuped_adjustment",             # DECIMAL moments, pinned closed form
 ]
 
 

@@ -1278,3 +1278,10 @@ def test_markov_removal_result_is_local_after_fact_work(spark, sf):
     plan = _plan(df)
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
     assert "Exchange" not in plan
+
+
+def test_cuped_single_user_pass(spark, sf):
+    df = registry.QUERIES["cuped_adjustment"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # user pass + two rollups

@@ -271,6 +271,7 @@ HEADLINE = [
     "crosssource_backoff_score",
     "attribution_markov_removal",
     "cuped_adjustment",
+    "conformal_interval_calibration",
 ]
 
 

@@ -711,3 +711,139 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0))"
         "   * (sx1 / n1 - sx0 / n0)) / 100.0 AS diff_cuped",
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals with exact integer selection.
+# ---------------------------------------------------------------------------
+CONF_ALPHA_NUM = 1  # miscoverage alpha = 1/10
+CONF_ALPHA_DEN = 10
+
+
+@query(
+    "conformal_interval_calibration",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100.0) AS BIGINT) AS c,
+               event_id % 2 AS fold
+        FROM events
+    ), mu AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+               CAST(sum(c) AS BIGINT) AS s_cal
+        FROM ev WHERE fold = 0 GROUP BY event_type
+    ), cal_scores AS (
+        SELECT e.event_type, m.n_cal, m.s_cal,
+               abs(m.n_cal * e.c - m.s_cal) AS sc,
+               row_number() OVER (PARTITION BY e.event_type
+                                  ORDER BY abs(m.n_cal * e.c - m.s_cal),
+                                           e.event_id) AS rn
+        FROM ev e JOIN mu m USING (event_type) WHERE e.fold = 0
+    ), qhat AS (
+        SELECT event_type, n_cal, s_cal, sc AS q_scaled
+        FROM cal_scores
+        WHERE rn = ({CONF_ALPHA_DEN - CONF_ALPHA_NUM} * (n_cal + 1)
+                    + {CONF_ALPHA_DEN - 1}) // {CONF_ALPHA_DEN}
+    ), test AS (
+        SELECT e.event_type, q.n_cal, q.q_scaled,
+               CASE WHEN abs(q.n_cal * e.c - q.s_cal) <= q.q_scaled
+                    THEN 1 ELSE 0 END AS covered
+        FROM ev e JOIN qhat q USING (event_type) WHERE e.fold = 1
+    )
+    SELECT event_type, CAST(min(n_cal) AS BIGINT) AS n_calib,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(min(q_scaled) AS DOUBLE)
+               / (CAST(min(n_cal) AS DOUBLE) * 100.0) AS q_hat,
+           CAST(sum(covered) AS BIGINT) AS n_covered,
+           CAST(sum(covered) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS coverage
+    FROM test GROUP BY event_type
+    """,
+)
+def conformal_interval_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal prediction intervals, per event type: the
+    calibration fold (even event_ids) fits the trivial per-type mean
+    predictor and takes the ceil((1−α)(n+1))-th order statistic of the
+    absolute residuals as the interval half-width q̂ (α = 0.1); the test
+    fold reports empirical coverage — the distribution-free guarantee
+    (coverage ≥ 1−α in expectation under exchangeability) that modern
+    uncertainty quantification ships on top of ANY point predictor.
+
+    Exactness: residuals are scaled to |n·cents − Σcents| so every
+    score is an exact INTEGER (no rational mean materialized); q̂
+    selection is a rank filter (row_number = k, event_id tie-break),
+    never a percentile fold; coverage compares integers. The only
+    floats are the two readout divisions.
+
+    Plan: one scan splits folds map-side; per-type calib sums, then a
+    per-type rank window over calibration scores (type-keyed sort, no
+    giant agg buffer — ks_two_sample posture), a k-th-row filter, and a
+    broadcast of the ≤|types| q̂ rows into the test-fold scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100.0) AS BIGINT)").alias("c"),
+        (F.col("event_id") % 2).alias("fold"),
+    )
+    mu = (
+        ev.filter(F.col("fold") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cal"),
+            F.sum("c").cast("long").alias("s_cal"),
+        )
+    )
+    sc = F.abs(F.col("n_cal") * F.col("c") - F.col("s_cal"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("n_cal") * F.col("c") - F.col("s_cal")), "event_id"
+    )
+    qhat = (
+        ev.filter(F.col("fold") == 0)
+        .join(F.broadcast(mu), "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "s_cal",
+            sc.alias("sc"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(
+            F.col("rn")
+            == F.expr(
+                f"({CONF_ALPHA_DEN - CONF_ALPHA_NUM} * (n_cal + 1)"
+                f" + {CONF_ALPHA_DEN - 1}) DIV {CONF_ALPHA_DEN}"
+            )
+        )
+        .select("event_type", "n_cal", "s_cal", F.col("sc").alias("q_scaled"))
+    )
+    test = (
+        ev.filter(F.col("fold") == 1)
+        .join(F.broadcast(qhat), "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "q_scaled",
+            F.when(
+                F.abs(F.col("n_cal") * F.col("c") - F.col("s_cal"))
+                <= F.col("q_scaled"),
+                1,
+            )
+            .otherwise(0)
+            .alias("covered"),
+        )
+    )
+    return test.groupBy("event_type").agg(
+        F.min("n_cal").cast("long").alias("n_calib"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        (
+            F.min("q_scaled").cast("double")
+            / (F.min("n_cal").cast("double") * F.lit(100.0))
+        ).alias("q_hat"),
+        F.sum("covered").cast("long").alias("n_covered"),
+        (
+            F.sum("covered").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("coverage"),
+    )

@@ -4413,3 +4413,38 @@ def test_cuped_matches_numpy_replay(spark, sf_small):
         1.0, abs(d_un)
     )
     assert 0.0 <= r["var_reduction"] <= 1.0
+
+
+def test_conformal_matches_numpy_replay_and_covers(spark, sf_small):
+    """q-hat must equal the exact order-statistic replay per type and
+    test coverage must sit near the 1-alpha=0.9 target."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    ev["c"] = (ev.value * 100.0).round().astype("int64")
+    ev["fold"] = ev.event_id % 2
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["conformal_interval_calibration"](
+            spark, sf_small
+        ).collect()
+    }
+    for t, grp in ev.groupby("event_type"):
+        cal = grp[grp.fold == 0].sort_values("event_id")
+        tst = grp[grp.fold == 1]
+        n, s = len(cal), int(cal.c.sum())
+        scores = sorted(
+            (abs(n * int(c) - s), eid)
+            for c, eid in zip(cal.c, cal.event_id)
+        )
+        k = (9 * (n + 1) + 9) // 10
+        q = scores[k - 1][0]
+        r = got[t]
+        assert r["n_calib"] == n
+        assert r["n_test"] == len(tst)
+        assert abs(r["q_hat"] - q / (n * 100.0)) < 1e-9
+        n_cov = int(sum(abs(n * int(c) - s) <= q for c in tst.c))
+        assert r["n_covered"] == n_cov
+        assert abs(r["coverage"] - n_cov / len(tst)) < 1e-12
+        assert 0.75 <= r["coverage"] <= 1.0  # near the 0.9 guarantee

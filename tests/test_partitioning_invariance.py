@@ -194,6 +194,7 @@ QUERIES = [
     "crosssource_backoff_score",    # LOO integer counts, grid mean
     "attribution_markov_removal",   # integer-grid value iteration
     "cuped_adjustment",             # DECIMAL moments, pinned closed form
+    "conformal_interval_calibration", # integer residual selection
 ]
 
 

@@ -1285,3 +1285,10 @@ def test_cuped_single_user_pass(spark, sf):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # user pass + two rollups
+
+
+def test_conformal_qhat_broadcasts_into_test_fold(spark, sf):
+    df = registry.QUERIES["conformal_interval_calibration"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the <=|types| q-hat rows

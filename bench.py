@@ -272,6 +272,7 @@ HEADLINE = [
     "attribution_markov_removal",
     "cuped_adjustment",
     "conformal_interval_calibration",
+    "graph_conductance",
 ]
 
 

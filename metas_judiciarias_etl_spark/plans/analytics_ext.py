@@ -2808,3 +2808,119 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "removal_effect double, attribution_share double"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-community conductance: the cut-quality twin of modularity.
+# --------------------------------------------------------------------------
+def _conductance_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH lab AS ({ORACLES['graph_label_propagation']}),
+    {_SQL_PART_EDGES},
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges
+    ), intra AS (
+        SELECT la.label AS community,
+               CAST(count(*) AS BIGINT) AS intra_edges
+        FROM edges e
+        JOIN lab la ON la.node = e.u
+        JOIN lab lb ON lb.node = e.v
+        WHERE la.label = lb.label
+        GROUP BY la.label
+    ), deg AS (
+        SELECT l.label AS community,
+               CAST(count(*) AS BIGINT) AS degree_sum,
+               CAST(count(DISTINCT d.node) AS BIGINT) AS n_nodes
+        FROM (
+            SELECT u AS node FROM edges
+            UNION ALL
+            SELECT v AS node FROM edges
+        ) d JOIN lab l ON l.node = d.node
+        GROUP BY l.label
+    )
+    SELECT d.community, d.n_nodes,
+           CAST(d.degree_sum - 2 * coalesce(i.intra_edges, 0) AS BIGINT)
+               AS cut_edges,
+           d.degree_sum AS volume,
+           CAST(d.degree_sum - 2 * coalesce(i.intra_edges, 0) AS DOUBLE)
+               / nullif(CAST(least(d.degree_sum,
+                                   2 * m.n_edges - d.degree_sum)
+                             AS DOUBLE), 0.0) AS conductance
+    FROM deg d
+    LEFT JOIN intra i ON i.community = d.community
+    CROSS JOIN m
+    """
+
+
+@query("graph_conductance", oracle=_conductance_oracle())
+def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance φ(C) = cut(C)/min(vol(C), 2m−vol(C))
+    for the communities graph_label_propagation ships — the cut-quality
+    twin of graph_modularity (modularity rewards internal density;
+    conductance penalizes boundary leakage — a partition can score well
+    on one and badly on the other, which is exactly why audits report
+    both). Low φ = a well-separated community; φ → 1 = a label that cuts
+    straight through structure.
+
+    Exactness: cut = degree_sum − 2·intra is pure integer arithmetic off
+    the same exact counts modularity uses; φ is ONE division with a
+    nullif guard for whole-graph communities (min(vol, 2m−vol) = 0).
+
+    Plan: identical composed shape to graph_modularity — vertex-scale
+    label broadcasts onto the edge list, community-keyed counts, 1-row
+    edge total broadcast. At scale the labels table outgrows broadcast →
+    same keyed-shuffle fallback documented there."""
+    edges = _part_cooccurrence_edges(spark, sf_dir).coalesce(1).persist()
+    from ..registry import QUERIES
+
+    edges.count()
+    lab = (
+        QUERIES["graph_label_propagation"](spark, sf_dir)
+        .coalesce(1)
+        .persist()
+    )
+    lab.count()
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    la = lab.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    lb = lab.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+    intra = (
+        edges.join(F.broadcast(la), "u")
+        .join(F.broadcast(lb), "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    ends = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = (
+        ends.join(F.broadcast(lab), "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("degree_sum"),
+            F.countDistinct("node").cast("long").alias("n_nodes"),
+        )
+    )
+    cut = F.col("degree_sum") - 2 * F.coalesce(F.col("intra_edges"), F.lit(0))
+    return (
+        deg.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            cut.cast("long").alias("cut_edges"),
+            F.col("degree_sum").alias("volume"),
+            (
+                cut.cast("double")
+                / F.nullif(
+                    F.least(
+                        F.col("degree_sum"),
+                        2 * F.col("n_edges") - F.col("degree_sum"),
+                    ).cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("conductance"),
+        )
+    )

@@ -4448,3 +4448,36 @@ def test_conformal_matches_numpy_replay_and_covers(spark, sf_small):
         assert r["n_covered"] == n_cov
         assert abs(r["coverage"] - n_cov / len(tst)) < 1e-12
         assert 0.75 <= r["coverage"] <= 1.0  # near the 0.9 guarantee
+
+
+def test_conductance_consistent_with_modularity_counts(spark, sf_small):
+    """Conductance must be derivable from graph_modularity's exact counts
+    (cut = degree_sum - 2*intra over the same composed labels) and sit
+    in [0, 1]."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    mod = {
+        r["community"]: r
+        for r in registry.QUERIES["graph_modularity"](
+            spark, sf_small
+        ).collect()
+    }
+    cond = {
+        r["community"]: r
+        for r in registry.QUERIES["graph_conductance"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(mod) == set(cond)
+    two_m = sum(r["degree_sum"] for r in mod.values())
+    for c, rm in mod.items():
+        rc = cond[c]
+        assert rc["n_nodes"] == rm["n_nodes"]
+        assert rc["volume"] == rm["degree_sum"]
+        cut = rm["degree_sum"] - 2 * rm["intra_edges"]
+        assert rc["cut_edges"] == cut
+        denom = min(rm["degree_sum"], two_m - rm["degree_sum"])
+        if denom:
+            assert abs(rc["conductance"] - cut / denom) < 1e-12
+            assert 0.0 <= rc["conductance"] <= 1.0 + 1e-12

@@ -195,6 +195,7 @@ QUERIES = [
     "attribution_markov_removal",   # integer-grid value iteration
     "cuped_adjustment",             # DECIMAL moments, pinned closed form
     "conformal_interval_calibration", # integer residual selection
+    "graph_conductance",            # integer cut/volume counts
 ]
 
 

@@ -1292,3 +1292,10 @@ def test_conformal_qhat_broadcasts_into_test_fold(spark, sf):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # the <=|types| q-hat rows
+
+
+def test_conductance_label_broadcasts(spark, sf):
+    df = registry.QUERIES["graph_conductance"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # vertex-scale labels broadcast

@@ -273,6 +273,7 @@ HEADLINE = [
     "cuped_adjustment",
     "conformal_interval_calibration",
     "graph_conductance",
+    "source_temperature_mix",
 ]
 
 

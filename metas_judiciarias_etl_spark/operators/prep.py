@@ -1138,3 +1138,77 @@ def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("short_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing: the p^alpha upsampling recipe.
+# ---------------------------------------------------------------------------
+MIX_TEMP_NUM = 1  # alpha = 1/2: sqrt temperature (integer-exact via sqrt())
+MIX_TEMP_DEN = 2
+
+
+@query(
+    "source_temperature_mix",
+    oracle="""
+    WITH per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS t_all,
+               list_reduce([0.0] || list_sort(list(
+                   sqrt(CAST(n_tokens AS DOUBLE)))), (a, b) -> a + b) AS z
+        FROM per
+    )
+    SELECT p.source, p.n_docs, p.n_tokens,
+           CAST(p.n_tokens AS DOUBLE) / CAST(t.t_all AS DOUBLE)
+               AS natural_share,
+           sqrt(CAST(p.n_tokens AS DOUBLE)) / t.z AS mix_share,
+           (sqrt(CAST(p.n_tokens AS DOUBLE)) / t.z)
+               / (CAST(p.n_tokens AS DOUBLE) / CAST(t.t_all AS DOUBLE))
+               AS epochs
+    FROM per p CROSS JOIN tot t
+    """,
+)
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled training-mix weights: each source's sampling
+    share is n_tokens^(1/2) renormalized (the p^α upsampling recipe the
+    large-LM corpora use to keep small high-quality sources from being
+    drowned by big ones), reported next to the natural share and the
+    implied epoch multiplier (mix_share/natural_share — how many times
+    the source would be seen per pass over the mixed corpus; >1 =
+    upsampled). The one-table answer to "what does α do to my mix".
+
+    Exactness: token tallies are exact integers; sqrt is exact-rounded
+    IEEE (same double both engines); Z = Σ√n is a SORTED fold over the
+    bounded source set, seeded 0.0 (entropy_fold discipline — engine-
+    native sum order differs), and every share is a pinned division
+    chain.
+
+    Plan: ONE source-keyed aggregation over the corpus, then
+    |sources|-row arithmetic against a broadcast 1-row total."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("t_all"),
+        F.expr(
+            "aggregate(sort_array(collect_list(sqrt(CAST(n_tokens AS"
+            " DOUBLE)))), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("z"),
+    )
+    nat = F.col("n_tokens").cast("double") / F.col("t_all").cast("double")
+    mix = F.sqrt(F.col("n_tokens").cast("double")) / F.col("z")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        nat.alias("natural_share"),
+        mix.alias("mix_share"),
+        (mix / nat).alias("epochs"),
+    )

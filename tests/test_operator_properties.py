@@ -4481,3 +4481,37 @@ def test_conductance_consistent_with_modularity_counts(spark, sf_small):
         if denom:
             assert abs(rc["conductance"] - cut / denom) < 1e-12
             assert 0.0 <= rc["conductance"] <= 1.0 + 1e-12
+
+
+def test_temperature_mix_matches_numpy_replay(spark, sf_small):
+    """Mix shares must equal sqrt-temperature renormalization from exact
+    token counts; shares sum to 1; upsampling order is inverse to size."""
+    import math
+    import re
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    docs["dl"] = docs.text.map(lambda t: len(re.split(r"\s+", t.strip())))
+    per = docs.groupby("source").dl.sum()
+    t_all = int(per.sum())
+    z = sum(sorted(math.sqrt(float(n)) for n in per))
+    got = {
+        r["source"]: r
+        for r in registry.QUERIES["source_temperature_mix"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == set(per.index)
+    for src, n in per.items():
+        r = got[src]
+        assert r["n_tokens"] == int(n)
+        assert abs(r["natural_share"] - n / t_all) < 1e-12
+        assert abs(r["mix_share"] - math.sqrt(float(n)) / z) < 1e-9
+        assert abs(r["epochs"] - r["mix_share"] / r["natural_share"]) < 1e-9
+    assert abs(sum(r["mix_share"] for r in got.values()) - 1.0) < 1e-9
+    # sqrt temperature upsamples smaller sources: epochs anti-correlate
+    # with size
+    sizes = sorted(per.items(), key=lambda kv: kv[1])
+    assert got[sizes[0][0]]["epochs"] >= got[sizes[-1][0]]["epochs"]

@@ -196,6 +196,7 @@ QUERIES = [
     "cuped_adjustment",             # DECIMAL moments, pinned closed form
     "conformal_interval_calibration", # integer residual selection
     "graph_conductance",            # integer cut/volume counts
+    "source_temperature_mix",       # sorted sqrt fold over sources
 ]
 
 

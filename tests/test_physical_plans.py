@@ -1299,3 +1299,10 @@ def test_conductance_label_broadcasts(spark, sf):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # vertex-scale labels broadcast
+
+
+def test_temperature_mix_single_agg(spark, sf):
+    df = registry.QUERIES["source_temperature_mix"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # source agg partial+final

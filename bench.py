@@ -274,6 +274,7 @@ HEADLINE = [
     "conformal_interval_calibration",
     "graph_conductance",
     "source_temperature_mix",
+    "fd_candidate_audit",
 ]
 
 

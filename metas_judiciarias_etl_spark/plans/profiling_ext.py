@@ -1737,3 +1737,72 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("risk_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Candidate functional-dependency audit: does A determine B?
+# --------------------------------------------------------------------------
+_FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_orderdate"),  # PK: must hold
+    ("orders", "o_custkey", "o_orderpriority"),  # expected violated
+    ("lineitem", "l_orderkey", "l_shipdate"),  # expected violated
+    ("events", "user_id", "event_type"),  # expected violated
+)
+
+
+def _fd_oracle() -> str:
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT '{t}.{a} -> {b}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_lhs,
+           CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS violation_share,
+           CAST(max(k) AS BIGINT) AS max_rhs_per_lhs
+    FROM (SELECT {a}, count(DISTINCT {b}) AS k FROM {t} GROUP BY {a})"""
+        for t, a, b in _FD_CANDIDATES
+    )
+    return rows
+
+
+@query("fd_candidate_audit", oracle=_fd_oracle())
+def fd_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit for candidate A→B rules: for each
+    candidate, the number of left-hand values, how many of them map to
+    more than one right-hand value (violations), the violation share,
+    and the worst fan-out — the profiling primitive behind key
+    discovery, denormalization checks, and "can I treat this column as
+    an attribute of that one?" questions. The candidate set mixes a true
+    key dependency (o_orderkey → o_orderdate must audit clean) with
+    expected-violated pairs, so the report is self-validating.
+
+    Exactness: pure integer tallies (count distinct, conditional count,
+    max) and one division per row.
+
+    Plan: one A-keyed count-distinct aggregation per candidate (each
+    partial-aggregatable on its own key) + a 1-row rollup each; the four
+    branches union. At 100 TB each candidate costs one keyed pass over
+    its table — the scans are column-pruned to (A, B)."""
+    out = None
+    for t, a, b in _FD_CANDIDATES:
+        tbl = load_table(spark, sf_dir, t)
+        k = tbl.groupBy(a).agg(F.countDistinct(b).alias("k"))
+        row = k.agg(
+            F.count(F.lit(1)).cast("long").alias("n_lhs"),
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_lhs"),
+            (
+                F.sum(F.when(F.col("k") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("violation_share"),
+            F.max("k").cast("long").alias("max_rhs_per_lhs"),
+        ).select(
+            F.lit(f"{t}.{a} -> {b}").alias("fd"),
+            "n_lhs",
+            "n_violating_lhs",
+            "violation_share",
+            "max_rhs_per_lhs",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

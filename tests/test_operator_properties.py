@@ -4515,3 +4515,34 @@ def test_temperature_mix_matches_numpy_replay(spark, sf_small):
     # with size
     sizes = sorted(per.items(), key=lambda kv: kv[1])
     assert got[sizes[0][0]]["epochs"] >= got[sizes[-1][0]]["epochs"]
+
+
+def test_fd_audit_matches_pandas_and_key_holds(spark, sf_small):
+    """Each FD row must match a pandas nunique replay, and the true key
+    dependency must audit clean."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    got = {
+        r["fd"]: r
+        for r in registry.QUERIES["fd_candidate_audit"](
+            spark, sf_small
+        ).collect()
+    }
+    cands = (
+        ("orders", "o_orderkey", "o_orderdate"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("lineitem", "l_orderkey", "l_shipdate"),
+        ("events", "user_id", "event_type"),
+    )
+    for t, a, b in cands:
+        pdf = _load_pdf(sf_small, t)
+        k = pdf.groupby(a)[b].nunique()
+        r = got[f"{t}.{a} -> {b}"]
+        assert r["n_lhs"] == len(k)
+        assert r["n_violating_lhs"] == int((k > 1).sum())
+        assert r["max_rhs_per_lhs"] == int(k.max())
+        assert abs(
+            r["violation_share"] - int((k > 1).sum()) / len(k)
+        ) < 1e-12
+    assert got["orders.o_orderkey -> o_orderdate"]["n_violating_lhs"] == 0

@@ -197,6 +197,7 @@ QUERIES = [
     "conformal_interval_calibration", # integer residual selection
     "graph_conductance",            # integer cut/volume counts
     "source_temperature_mix",       # sorted sqrt fold over sources
+    "fd_candidate_audit",           # integer fan-out tallies
 ]
 
 

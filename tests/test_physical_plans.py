@@ -1306,3 +1306,12 @@ def test_temperature_mix_single_agg(spark, sf):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2  # source agg partial+final
+
+
+def test_fd_audit_scans_pruned_to_pair(spark, sf):
+    df = registry.QUERIES["fd_candidate_audit"](spark, sf)
+    fmt = _formatted(df)
+    # the orders scan for the PK candidate must read only its (A, B) pair
+    assert "ReadSchema: struct<o_orderkey:bigint,o_orderdate" in fmt
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan

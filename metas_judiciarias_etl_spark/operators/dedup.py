@@ -1682,16 +1682,20 @@ def _er_feat_ctes() -> str:
     feat_cols = ",\n               ".join(
         f"{expr} AS ag_{f}" for f, expr in feats.items()
     )
-    return f""", ver AS (
+    return f""", shh_er AS (
+        SELECT doc_id,
+               list_distinct(list_transform(shingles,
+                   __s -> {sql_hash48("__s")})) AS hsh
+        FROM sh
+    ), ver AS (
         SELECT c.a_id, c.b_id,
-               CASE WHEN len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-                         / len(list_distinct(list_concat(sa.shingles,
-                                                         sb.shingles)))
+               CASE WHEN len(list_intersect(sa.hsh, sb.hsh))::DOUBLE
+                         / len(list_distinct(list_concat(sa.hsh, sb.hsh)))
                          >= {JACCARD_THRESHOLD}
                     THEN 1 ELSE 0 END AS is_match
         FROM cand_er c
-        JOIN sh sa ON sa.doc_id = c.a_id
-        JOIN sh sb ON sb.doc_id = c.b_id
+        JOIN shh_er sa ON sa.doc_id = c.a_id
+        JOIN shh_er sb ON sb.doc_id = c.b_id
     ), feat AS (
         SELECT v.is_match,
                {feat_cols}
@@ -1720,10 +1724,32 @@ def _er_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _doc_shingles(docs)
     cand = _lsh_candidates(_signatures(sh), bands=ER_BANDS)
-    ver = _pair_jaccard(cand, sh).select(
-        "a_id",
-        "b_id",
-        (F.col("jaccard") >= JACCARD_THRESHOLD).cast("int").alias("is_match"),
+    # loose 9x1 banding floods candidates, so the verify bill is paid on
+    # int64 hashed-shingle sets, not string arrays (the dedup_lsh_band_sweep
+    # lesson: measured 13.5 -> 10.0 s there; ~13 -> ~8 s here at sf0.1)
+    hashed = sh.select(
+        "doc_id",
+        F.array_distinct(F.transform("shingles", lambda c: hash48(c))).alias(
+            "hsh"
+        ),
+    ).persist()
+    hashed.count()  # both sides of the verify join read it
+    ha = hashed.select(F.col("doc_id").alias("a_id"), F.col("hsh").alias("a_h"))
+    hb = hashed.select(F.col("doc_id").alias("b_id"), F.col("hsh").alias("b_h"))
+    ver = (
+        cand.join(ha, "a_id")
+        .join(hb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.size(F.array_intersect("a_h", "b_h"))
+                / F.size(F.array_union("a_h", "b_h"))
+                >= JACCARD_THRESHOLD
+            )
+            .cast("int")
+            .alias("is_match"),
+        )
     )
     da = docs.select(
         F.col("doc_id").alias("a_id"),

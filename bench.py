@@ -275,6 +275,7 @@ HEADLINE = [
     "graph_conductance",
     "source_temperature_mix",
     "fd_candidate_audit",
+    "dedup_simhash_recall",
 ]
 
 

@@ -1968,3 +1968,78 @@ def er_pattern_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             (factor("lang") * factor("source")) * factor("len_band")
         ).alias("fs_score"),
     )
+
+
+def _simhash_recall_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH t AS ({ORACLES['dedup_prefix_filter_jaccard']}),
+    s AS ({ORACLES['dedup_simhash_hamming1']}),
+    h AS (
+        SELECT count(*) AS n_hit
+        FROM t WHERE EXISTS (
+            SELECT 1 FROM s WHERE s.a_id = t.a_id AND s.b_id = t.b_id)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_simhash,
+           CAST(h.n_hit AS BIGINT) AS n_hit,
+           CAST(h.n_hit AS DOUBLE)
+               / nullif(CAST((SELECT count(*) FROM t) AS DOUBLE), 0.0)
+               AS recall,
+           CAST(h.n_hit AS DOUBLE)
+               / nullif(CAST((SELECT count(*) FROM s) AS DOUBLE), 0.0)
+               AS matched_share
+    FROM h
+    """
+
+
+@query("dedup_simhash_recall", oracle=_simhash_recall_oracle())
+def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the SimHash hamming<=1 detector against the
+    lossless Jaccard>=0.5 truth set — the third dedup family's
+    calibration number, completing the recall-measured story
+    (dedup_lsh_recall covers MinHash banding, sim_recall_* the ANN
+    side). SimHash answers a DIFFERENT similarity question (weighted
+    cosine over token profiles), so both its recall of Jaccard truth
+    AND the share of its pairs that are Jaccard-true (matched_share)
+    are reported — together they quantify how interchangeable the two
+    detectors actually are on this corpus, which is exactly what you
+    need to know before picking one at 100 TB.
+
+    Plan: both pair sets come from registered queries (multi-index
+    probing / bucketed candidates — nothing all-pairs); the hit count is
+    ONE left-semi join on the pair key; three 1-row aggregates meet via
+    broadcast crossJoins."""
+    from ..registry import QUERIES
+
+    truth = QUERIES["dedup_prefix_filter_jaccard"](spark, sf_dir).select(
+        "a_id", "b_id"
+    ).persist()
+    truth.count()
+    sh = QUERIES["dedup_simhash_hamming1"](spark, sf_dir).select(
+        "a_id", "b_id"
+    ).persist()
+    sh.count()
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_sh = sh.agg(F.count(F.lit(1)).cast("long").alias("n_simhash"))
+    n_hit = truth.join(sh, ["a_id", "b_id"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return (
+        n_hit.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_sh))
+        .select(
+            "n_truth",
+            "n_simhash",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0))
+            ).alias("recall"),
+            (
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_simhash").cast("double"), F.lit(0.0))
+            ).alias("matched_share"),
+        )
+    )

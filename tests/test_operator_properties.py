@@ -4546,3 +4546,33 @@ def test_fd_audit_matches_pandas_and_key_holds(spark, sf_small):
             r["violation_share"] - int((k > 1).sum()) / len(k)
         ) < 1e-12
     assert got["orders.o_orderkey -> o_orderdate"]["n_violating_lhs"] == 0
+
+
+def test_simhash_recall_consistent_with_components(spark, sf_small):
+    """The audit's three counts must match its two component queries, and
+    the ratios must be consistent."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    r = registry.QUERIES["dedup_simhash_recall"](spark, sf_small).collect()[0]
+    truth = {
+        (x["a_id"], x["b_id"])
+        for x in registry.QUERIES["dedup_prefix_filter_jaccard"](
+            spark, sf_small
+        ).collect()
+    }
+    sh = {
+        (x["a_id"], x["b_id"])
+        for x in registry.QUERIES["dedup_simhash_hamming1"](
+            spark, sf_small
+        ).collect()
+    }
+    assert r["n_truth"] == len(truth)
+    assert r["n_simhash"] == len(sh)
+    assert r["n_hit"] == len(truth & sh)
+    if truth:
+        assert abs(r["recall"] - len(truth & sh) / len(truth)) < 1e-12
+    if sh:
+        assert abs(
+            r["matched_share"] - len(truth & sh) / len(sh)
+        ) < 1e-12

@@ -198,6 +198,7 @@ QUERIES = [
     "graph_conductance",            # integer cut/volume counts
     "source_temperature_mix",       # sorted sqrt fold over sources
     "fd_candidate_audit",           # integer fan-out tallies
+    "dedup_simhash_recall",         # exact pair-set intersection
 ]
 
 

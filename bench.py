@@ -276,6 +276,7 @@ HEADLINE = [
     "source_temperature_mix",
     "fd_candidate_audit",
     "dedup_simhash_recall",
+    "mm_image_histogram",
 ]
 
 

@@ -751,3 +751,95 @@ def mm_audio_quiet_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("seg_len").cast("long").alias("longest_run"),
         F.sum("seg_len").cast("long").alias("quiet_windows"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-image byte histogram over the decoded pixel grid: the exposure/
+# distribution audit a vision-data pipeline runs after decode.
+# --------------------------------------------------------------------------
+_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_h", T.LongType()),
+        T.StructField("n_pad", T.LongType()),
+        T.StructField("bin_0", T.LongType()),
+        T.StructField("bin_1", T.LongType()),
+        T.StructField("bin_2", T.LongType()),
+        T.StructField("bin_3", T.LongType()),
+    ]
+)
+
+
+def _image_histogram_batches(
+    batches: Iterator["pd.DataFrame"],  # noqa: F821
+) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """mapInPandas worker: payload → P6 encode → REAL P6 parse → 4-bin
+    intensity histogram (byte >> 6) over the whole pixel grid including
+    the zero padding, which lands in bin 0 and is reported separately."""
+    import numpy as np
+    import pandas as pd
+
+    def one(payload: bytes) -> tuple[int, int, int, int, int, int]:
+        img = decode_ppm(encode_ppm(payload))
+        h = img.shape[0]
+        counts = np.bincount(img.reshape(-1) >> 6, minlength=4)
+        n_pad = img.size - len(payload)
+        return (h, n_pad, int(counts[0]), int(counts[1]),
+                int(counts[2]), int(counts[3]))
+
+    for pdf in batches:
+        rows = [one(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "src_h": pd.Series([r[0] for r in rows], dtype="int64"),
+                "n_pad": pd.Series([r[1] for r in rows], dtype="int64"),
+                "bin_0": pd.Series([r[2] for r in rows], dtype="int64"),
+                "bin_1": pd.Series([r[3] for r in rows], dtype="int64"),
+                "bin_2": pd.Series([r[4] for r in rows], dtype="int64"),
+                "bin_3": pd.Series([r[5] for r in rows], dtype="int64"),
+            }
+        )
+
+
+@query(
+    "mm_image_histogram",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, strlen(text) AS n,
+               greatest(CAST(ceil(strlen(text) / {IMG_W * 3}.0) AS BIGINT),
+                        1) AS h,
+               list_transform(generate_series(1, strlen(text)),
+                   __i -> ascii(substr(text, __i, 1))) AS codes
+        FROM documents
+    )
+    SELECT doc_id, h AS src_h,
+           CAST(h * {IMG_W * 3} - n AS BIGINT) AS n_pad,
+           CAST(len(list_filter(codes, __c -> __c // 64 = 0))
+                + (h * {IMG_W * 3} - n) AS BIGINT) AS bin_0,
+           CAST(len(list_filter(codes, __c -> __c // 64 = 1)) AS BIGINT)
+               AS bin_1,
+           CAST(len(list_filter(codes, __c -> __c // 64 = 2)) AS BIGINT)
+               AS bin_2,
+           CAST(len(list_filter(codes, __c -> __c // 64 = 3)) AS BIGINT)
+               AS bin_3
+    FROM sized
+    """,
+)
+def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image 4-bin intensity histogram through the REAL PPM codec:
+    payload → P6 encode → genuine header parse → histogram of pixel
+    bytes (byte >> 6), padding bin-0 mass reported separately — the
+    exposure/distribution audit (dark-frame and clipped-image detection
+    at production bit depths) a vision-data pipeline runs right after
+    decode, and a second value-level verification of the codec chain
+    with a different reduction than mm_image_resize's sampled mean.
+
+    Oracle: recomputes the histogram byte-level in SQL from the text
+    payload + the container's zero padding, so a bug in the header
+    math, the padding, or the parse breaks parity. Arrow-batched
+    mapInPandas; map-only plan (no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _payloads(docs).select("doc_id", "payload").mapInPandas(
+        _image_histogram_batches, schema=_HIST_SCHEMA
+    )

@@ -92,3 +92,35 @@ def test_nn_resize_index_math():
     small = resize_nn(img, 2, 2)
     assert small.shape == (2, 2, 3)
     assert (small == img[[0, 2]][:, [0, 2], :]).all()
+
+
+def test_image_histogram_matches_direct_decode(spark, sf_small):
+    """Histogram bins must equal a direct numpy decode of the same PPM
+    chain, bins must sum to the pixel grid, and padding must land in
+    bin 0."""
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    registry.load_all()
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+    got = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["mm_image_histogram"](
+            spark, sf_small
+        ).collect()
+    }
+    for r in docs.itertuples():
+        payload = r.text.encode("utf-8")
+        img = decode_ppm(encode_ppm(payload))
+        counts = np.bincount(img.reshape(-1) >> 6, minlength=4)
+        row = got[r.doc_id]
+        assert [row[f"bin_{i}"] for i in range(4)] == list(counts)
+        assert sum(counts) == img.size == row["src_h"] * 48
+        assert row["n_pad"] == img.size - len(payload)

@@ -199,6 +199,7 @@ QUERIES = [
     "source_temperature_mix",       # sorted sqrt fold over sources
     "fd_candidate_audit",           # integer fan-out tallies
     "dedup_simhash_recall",         # exact pair-set intersection
+    "mm_image_histogram",           # per-row codec, integer bins
 ]
 
 

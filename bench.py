@@ -277,6 +277,7 @@ HEADLINE = [
     "fd_candidate_audit",
     "dedup_simhash_recall",
     "mm_image_histogram",
+    "global_rank_two_phase",
 ]
 
 

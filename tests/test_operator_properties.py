@@ -4576,3 +4576,32 @@ def test_simhash_recall_consistent_with_components(spark, sf_small):
         assert abs(
             r["matched_share"] - len(truth & sh) / len(sh)
         ) < 1e-12
+
+
+def test_two_phase_rank_equals_pandas_global_sort(spark, sf_small):
+    """Two-phase ranks must equal a pandas single-sort global rank at the
+    sampled positions, and the sampled positions must cover the range."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    li = _load_pdf(sf_small, "lineitem")
+    li["price_c"] = (li.l_extendedprice * 100).round().astype("int64")
+    li = li.sort_values(
+        ["price_c", "l_orderkey", "l_linenumber"]
+    ).reset_index(drop=True)
+    li["rnk"] = li.index + 1
+    want = li[(li.rnk % 1000 == 0) | (li.rnk <= 5)]
+    got = (
+        registry.QUERIES["global_rank_two_phase"](spark, sf_small)
+        .orderBy("rnk")
+        .collect()
+    )
+    assert len(got) == len(want)
+    for r, w in zip(got, want.itertuples()):
+        assert (
+            r["rnk"],
+            r["l_orderkey"],
+            r["l_linenumber"],
+            r["price_c"],
+        ) == (w.rnk, w.l_orderkey, w.l_linenumber, w.price_c)
+    assert got[-1]["rnk"] >= len(li) - 1000  # sample spans the full range

@@ -200,6 +200,7 @@ QUERIES = [
     "fd_candidate_audit",           # integer fan-out tallies
     "dedup_simhash_recall",         # exact pair-set intersection
     "mm_image_histogram",           # per-row codec, integer bins
+    "global_rank_two_phase",        # bucket offsets + local windows
 ]
 
 

@@ -1315,3 +1315,14 @@ def test_fd_audit_scans_pruned_to_pair(spark, sf):
     assert "ReadSchema: struct<o_orderkey:bigint,o_orderdate" in fmt
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_two_phase_rank_no_single_partition_sort(spark, sf):
+    df = registry.QUERIES["global_rank_two_phase"](spark, sf)
+    plan = _plan(df)
+    # the ranking window partitions by bucket — never a global
+    # range-partitioned sort of the fact table
+    assert "rangepartitioning" not in plan.lower()
+    assert "SinglePartition" not in plan.split("Window")[0]
+    assert "BroadcastHashJoin" in plan  # tiny offset table broadcast
+    assert "CartesianProduct" not in plan

@@ -278,6 +278,7 @@ HEADLINE = [
     "dedup_simhash_recall",
     "mm_image_histogram",
     "global_rank_two_phase",
+    "f1_optimal_threshold",
 ]
 
 

@@ -847,3 +847,110 @@ def conformal_interval_calibration(
             / F.count(F.lit(1)).cast("double")
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact F1-optimal threshold over the score support.
+# ---------------------------------------------------------------------------
+@query(
+    "f1_optimal_threshold",
+    oracle=_scored_ctes()
+    + """
+    , per_v AS (
+        SELECT x AS v, CAST(count(*) AS BIGINT) AS t,
+               CAST(sum(y) AS BIGINT) AS t1
+        FROM sc GROUP BY x
+    ), tot AS (
+        SELECT CAST(sum(t1) AS BIGINT) AS p_all,
+               CAST(sum(t) AS BIGINT) AS n_all
+        FROM per_v
+    ), cum AS (
+        SELECT v,
+               CAST(sum(t) OVER (ORDER BY v DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pred_pos,
+               CAST(sum(t1) OVER (ORDER BY v DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp
+        FROM per_v
+    ), scoredt AS (
+        SELECT c.v AS threshold, c.pred_pos, c.tp, t.p_all,
+               CAST(2 * c.tp AS DOUBLE)
+                   / nullif(CAST(c.pred_pos + t.p_all AS DOUBLE), 0.0)
+                   AS f1,
+               row_number() OVER (
+                   ORDER BY CAST(2 * c.tp AS DOUBLE)
+                       / nullif(CAST(c.pred_pos + t.p_all AS DOUBLE), 0.0)
+                       DESC,
+                       c.v) AS rn
+        FROM cum c CROSS JOIN tot t
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold_x,
+           pred_pos, tp, p_all AS n_pos,
+           CAST(tp AS DOUBLE) / nullif(CAST(pred_pos AS DOUBLE), 0.0)
+               AS precision_at,
+           CAST(tp AS DOUBLE) / nullif(CAST(p_all AS DOUBLE), 0.0)
+               AS recall_at,
+           f1
+    FROM scoredt WHERE rn = 1
+    """,
+)
+def f1_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operating point: sweep EVERY distinct score value as a
+    "predict duplicate when score >= v" threshold and return the one
+    maximizing F1 (ties broken toward the lower threshold), with its
+    precision and recall — the number that turns the AUC/AP ranking
+    audits into a deployable cutoff. F1 = 2TP/(pred_pos + P) avoids
+    materializing FP/FN separately.
+
+    Exactness: the sweep runs on the distinct score support with
+    cumulative INTEGER tp/pred_pos windows (roc_auc_exact's machinery
+    pointed the other direction); each F1 is one guarded division of
+    exact integers; the argmax is a rank filter with a deterministic
+    tie-break — no float aggregation anywhere.
+
+    Plan: corpus collapses to the score support in one keyed agg; the
+    two cumulative windows and the argmax run over support-sized data;
+    1-row output. ks_two_sample posture throughout."""
+    sc = _scored(spark, sf_dir)
+    per_v = sc.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("y").cast("long").alias("t1"),
+    )
+    tot = per_v.agg(
+        F.sum("t1").cast("long").alias("p_all"),
+        F.sum("t").cast("long").alias("n_all"),
+    )
+    w = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_v.select(
+        "v",
+        F.sum("t").over(w).cast("long").alias("pred_pos"),
+        F.sum("t1").over(w).cast("long").alias("tp"),
+    )
+    f1 = (2 * F.col("tp")).cast("double") / F.nullif(
+        (F.col("pred_pos") + F.col("p_all")).cast("double"), F.lit(0.0)
+    )
+    ranked = (
+        cum.crossJoin(F.broadcast(tot))
+        .select("v", "pred_pos", "tp", "p_all", f1.alias("f1"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("f1"), F.asc("v"))),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return ranked.select(
+        F.col("v").cast("long").alias("threshold_x"),
+        "pred_pos",
+        "tp",
+        F.col("p_all").alias("n_pos"),
+        (
+            F.col("tp").cast("double")
+            / F.nullif(F.col("pred_pos").cast("double"), F.lit(0.0))
+        ).alias("precision_at"),
+        (
+            F.col("tp").cast("double")
+            / F.nullif(F.col("p_all").cast("double"), F.lit(0.0))
+        ).alias("recall_at"),
+        "f1",
+    )

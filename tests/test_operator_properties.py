@@ -4605,3 +4605,37 @@ def test_two_phase_rank_equals_pandas_global_sort(spark, sf_small):
             r["price_c"],
         ) == (w.rnk, w.l_orderkey, w.l_linenumber, w.price_c)
     assert got[-1]["rnk"] >= len(li) - 1000  # sample spans the full range
+
+
+def test_f1_threshold_is_argmax_of_python_sweep(spark, sf_small):
+    """The reported threshold must maximize F1 over an exhaustive Python
+    sweep of the same scored relation, with the same tie-break."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    sc = registry.QUERIES["quality_dup_pointbiserial"]  # noqa: F841  (same scored relation family)
+    from metas_judiciarias_etl_spark.plans.evaluation_ext import _scored
+
+    rows = _scored(spark, sf_small).collect()
+    xs = sorted({r["x"] for r in rows})
+    p_all = sum(r["y"] for r in rows)
+    best = None
+    for v in xs:
+        pred = [r for r in rows if r["x"] >= v]
+        tp = sum(r["y"] for r in pred)
+        f1 = 2 * tp / (len(pred) + p_all) if (len(pred) + p_all) else 0.0
+        key = (-f1, v)
+        if best is None or key < best[0]:
+            best = (key, v, len(pred), tp, f1)
+    r = registry.QUERIES["f1_optimal_threshold"](
+        spark, sf_small
+    ).collect()[0]
+    assert r["threshold_x"] == best[1]
+    assert r["pred_pos"] == best[2]
+    assert r["tp"] == best[3]
+    assert abs(r["f1"] - best[4]) < 1e-12
+    assert abs(
+        r["f1"]
+        - 2
+        / (1 / r["precision_at"] + 1 / r["recall_at"])
+    ) < 1e-9  # harmonic-mean identity

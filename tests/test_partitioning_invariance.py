@@ -201,6 +201,7 @@ QUERIES = [
     "dedup_simhash_recall",         # exact pair-set intersection
     "mm_image_histogram",           # per-row codec, integer bins
     "global_rank_two_phase",        # bucket offsets + local windows
+    "f1_optimal_threshold",         # integer cumulative sweep
 ]
 
 

@@ -1326,3 +1326,10 @@ def test_two_phase_rank_no_single_partition_sort(spark, sf):
     assert "SinglePartition" not in plan.split("Window")[0]
     assert "BroadcastHashJoin" in plan  # tiny offset table broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_f1_threshold_support_sized_windows(spark, sf):
+    df = registry.QUERIES["f1_optimal_threshold"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # corpus -> support collapse

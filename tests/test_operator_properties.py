@@ -4613,7 +4613,6 @@ def test_f1_threshold_is_argmax_of_python_sweep(spark, sf_small):
     from metas_judiciarias_etl_spark import registry
 
     registry.load_all()
-    sc = registry.QUERIES["quality_dup_pointbiserial"]  # noqa: F841  (same scored relation family)
     from metas_judiciarias_etl_spark.plans.evaluation_ext import _scored
 
     rows = _scored(spark, sf_small).collect()

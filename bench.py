@@ -279,6 +279,8 @@ HEADLINE = [
     "mm_image_histogram",
     "global_rank_two_phase",
     "f1_optimal_threshold",
+    "diff_in_diff",
+    "ab_test_power_mde",
 ]
 
 

@@ -954,3 +954,186 @@ def f1_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recall_at"),
         "f1",
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences on the arm x period panel.
+# ---------------------------------------------------------------------------
+@query(
+    "diff_in_diff",
+    oracle="""
+    WITH rng AS (
+        SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS mid
+        FROM events
+    ), cell AS (
+        SELECT user_id % 2 AS arm,
+               CASE WHEN epoch_ns(ts) < rng.mid THEN 0 ELSE 1 END AS period,
+               CAST(round(value * 100.0) AS BIGINT) AS c
+        FROM events CROSS JOIN rng
+    ), agg AS (
+        SELECT arm, period, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s
+        FROM cell GROUP BY arm, period
+    ), wide AS (
+        SELECT
+            max(CASE WHEN arm = 1 AND period = 1 THEN
+                CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS t_post,
+            max(CASE WHEN arm = 1 AND period = 0 THEN
+                CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS t_pre,
+            max(CASE WHEN arm = 0 AND period = 1 THEN
+                CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS c_post,
+            max(CASE WHEN arm = 0 AND period = 0 THEN
+                CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS c_pre,
+            CAST(sum(n) AS BIGINT) AS n_events
+        FROM agg
+    )
+    SELECT n_events,
+           (t_post - t_pre) / 100.0 AS treat_delta,
+           (c_post - c_pre) / 100.0 AS control_delta,
+           ((t_post - t_pre) - (c_post - c_pre)) / 100.0 AS did_estimate
+    FROM wide
+    """,
+)
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on the 2×2 arm × period panel (same
+    arm assignment as ab_test_proportions, same time midpoint as
+    cuped_adjustment): the treated arm's pre→post mean-value change
+    minus the control arm's — the canonical causal estimate when
+    parallel pre-trends are assumed and randomization is doubtful. The
+    per-cell deltas stay visible so the parallel-trends eyeball check
+    (control_delta) ships with the estimate.
+
+    Exactness: four cell means from exact integer cent sums; the DiD is
+    one pinned chain of subtractions and divisions.
+
+    Plan: ONE fact pass keyed by (arm, period) — 4 groups — with the
+    1-row midpoint broadcast into the scan; everything after is 4-row
+    arithmetic. Scan-bound at any SF."""
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.agg(F.expr("(min(ts) + max(ts)) DIV 2").alias("mid"))
+    cell = ev.crossJoin(F.broadcast(rng)).select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(F.col("ts") < F.col("mid"), 0).otherwise(1).alias("period"),
+        F.expr("CAST(round(value * 100.0) AS BIGINT)").alias("c"),
+    )
+    agg = cell.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+
+    def mean_of(a, p):
+        return F.max(
+            F.when(
+                (F.col("arm") == a) & (F.col("period") == p),
+                F.col("s").cast("double") / F.col("n").cast("double"),
+            )
+        )
+
+    wide = agg.agg(
+        mean_of(1, 1).alias("t_post"),
+        mean_of(1, 0).alias("t_pre"),
+        mean_of(0, 1).alias("c_post"),
+        mean_of(0, 0).alias("c_pre"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    return wide.select(
+        "n_events",
+        ((F.col("t_post") - F.col("t_pre")) / 100.0).alias("treat_delta"),
+        ((F.col("c_post") - F.col("c_pre")) / 100.0).alias("control_delta"),
+        (
+            (
+                (F.col("t_post") - F.col("t_pre"))
+                - (F.col("c_post") - F.col("c_pre"))
+            )
+            / 100.0
+        ).alias("did_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B power: minimum detectable effect at standard alpha/power.
+# ---------------------------------------------------------------------------
+_Z_ALPHA = "1.959963984540054"  # z_{0.975}, shared literal on both engines
+_Z_BETA = "0.8416212335729143"  # z_{0.80}
+
+
+@query(
+    "ab_test_power_mde",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+        FROM per_user GROUP BY arm
+    ), wide AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_users,
+               max(CASE WHEN arm = 1 THEN n END) AS n1,
+               max(CASE WHEN arm = 0 THEN n END) AS n0,
+               max(CASE WHEN arm = 1 THEN
+                   (n * syy - sy * sy) / (n * (n - 1)) END) AS var1,
+               max(CASE WHEN arm = 0 THEN
+                   (n * syy - sy * sy) / (n * (n - 1)) END) AS var0
+        FROM m
+    )
+    SELECT n_users, n1 AS n_treat, n0 AS n_control,
+           sqrt(var1 / n1 + var0 / n0) / 100.0 AS se_diff,
+           ({_Z_ALPHA} + {_Z_BETA})
+               * sqrt(var1 / n1 + var0 / n0) / 100.0 AS mde_abs
+    FROM wide
+    """,
+)
+def ab_test_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power readout: the standard error of the arm-mean
+    difference and the minimum detectable effect at α = 0.05 two-sided /
+    80% power — MDE = (z₀.₉₇₅ + z₀.₈)·SE — for the per-user value
+    metric under the standing parity assignment. The pre-launch "is
+    this experiment even worth running at this traffic" number, and the
+    denominator CUPED's variance reduction acts on.
+
+    Exactness: per-arm sample variances from exact DECIMAL moments
+    (corr_exact discipline); the z constants are shared 17-digit
+    literals (both engines parse the same binary64 — no inverse-normal
+    evaluated at runtime); SE and MDE are pinned chains ending in
+    exact-rounded sqrt.
+
+    Plan: one user-keyed fact pass → 2-group moment agg → 1-row pivot.
+    Scan-bound at any SF."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)"
+        ).alias("y")
+    ).select((F.col("user_id") % 2).alias("arm"), "y")
+    m = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE)").alias(
+            "syy"
+        ),
+    )
+    var = (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    ) / (F.col("n") * (F.col("n") - 1))
+    wide = m.agg(
+        F.sum("n").cast("long").alias("n_users"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, var)).alias("var1"),
+        F.max(F.when(F.col("arm") == 0, var)).alias("var0"),
+    )
+    se = F.sqrt(
+        F.col("var1") / F.col("n1") + F.col("var0") / F.col("n0")
+    )
+    return wide.select(
+        "n_users",
+        F.col("n1").alias("n_treat"),
+        F.col("n0").alias("n_control"),
+        (se / 100.0).alias("se_diff"),
+        (
+            (F.lit(float(_Z_ALPHA)) + F.lit(float(_Z_BETA))) * se / 100.0
+        ).alias("mde_abs"),
+    )

@@ -4638,3 +4638,52 @@ def test_f1_threshold_is_argmax_of_python_sweep(spark, sf_small):
         - 2
         / (1 / r["precision_at"] + 1 / r["recall_at"])
     ) < 1e-9  # harmonic-mean identity
+
+
+def test_did_and_mde_match_numpy_replays(spark, sf_small):
+    """DiD cells and the MDE must equal numpy replays on exact cents."""
+    import math
+
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    tns = ev.ts.astype("datetime64[ns]").astype("int64")
+    mid = (tns.min() + tns.max()) // 2
+    cents = (ev.value * 100.0).round().astype("int64")
+    arm = (ev.user_id % 2).to_numpy()
+    post = (tns >= mid).to_numpy()
+
+    def cell_mean(a, p):
+        sel = (arm == a) & (post == p)
+        return cents[sel].sum() / sel.sum()
+
+    r = registry.QUERIES["diff_in_diff"](spark, sf_small).collect()[0]
+    td = (cell_mean(1, True) - cell_mean(1, False)) / 100.0
+    cd = (cell_mean(0, True) - cell_mean(0, False)) / 100.0
+    assert abs(r["treat_delta"] - td) < 1e-9
+    assert abs(r["control_delta"] - cd) < 1e-9
+    assert abs(r["did_estimate"] - (td - cd)) < 1e-9
+    assert r["n_events"] == len(ev)
+
+    per = (
+        ev.assign(c=cents)
+        .groupby("user_id")
+        .c.sum()
+    )
+    users = per.index.to_numpy()
+    y = per.to_numpy(dtype=float)
+    a = users % 2
+    v1 = np.var(y[a == 1], ddof=1)
+    v0 = np.var(y[a == 0], ddof=1)
+    se = math.sqrt(v1 / (a == 1).sum() + v0 / (a == 0).sum()) / 100.0
+    r2 = registry.QUERIES["ab_test_power_mde"](spark, sf_small).collect()[0]
+    assert r2["n_treat"] == int((a == 1).sum())
+    assert r2["n_control"] == int((a == 0).sum())
+    assert abs(r2["se_diff"] - se) < 1e-9 * max(1.0, se)
+    assert abs(
+        r2["mde_abs"] - (1.959963984540054 + 0.8416212335729143) * se
+    ) < 1e-9 * max(1.0, se)
+    assert r2["mde_abs"] > r2["se_diff"] > 0

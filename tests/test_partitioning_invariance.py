@@ -202,6 +202,8 @@ QUERIES = [
     "mm_image_histogram",           # per-row codec, integer bins
     "global_rank_two_phase",        # bucket offsets + local windows
     "f1_optimal_threshold",         # integer cumulative sweep
+    "diff_in_diff",                 # 4-cell integer means
+    "ab_test_power_mde",            # DECIMAL moments + literal z
 ]
 
 

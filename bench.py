@@ -281,6 +281,7 @@ HEADLINE = [
     "f1_optimal_threshold",
     "diff_in_diff",
     "ab_test_power_mde",
+    "sampled_sum_estimate",
 ]
 
 

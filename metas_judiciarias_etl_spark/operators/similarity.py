@@ -3671,3 +3671,83 @@ def emb_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_negative"),
     )
+
+
+# --------------------------------------------------------------------------
+# MRR of the IVF index against brute-force truth: where does the ONE true
+# nearest neighbor land in the approximate ranking?
+# --------------------------------------------------------------------------
+MRR_SCALE = 2520  # lcm(1..10): MRR_SCALE/r is an exact integer for r <= TOPK
+
+
+def _mrr_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH truth AS ({ORACLES['sim_cosine_topk_bruteforce']}),
+    appr AS ({ORACLES['sim_cosine_topk_ivf']}),
+    t1 AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id) AS rn
+            FROM truth) WHERE rn = 1
+    ), a AS (
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS BIGINT) AS ra
+        FROM appr
+    )
+    SELECT t1.query_id, t1.vec_id AS true_vec_id,
+           CAST(coalesce(a.ra, 0) AS BIGINT) AS approx_rank,
+           CAST(coalesce({MRR_SCALE} // a.ra, 0) AS BIGINT) AS rr_x2520
+    FROM t1 LEFT JOIN a
+      ON a.query_id = t1.query_id AND a.vec_id = t1.vec_id
+    """
+
+
+@query("sim_mrr_ivf", oracle=_mrr_oracle())
+def sim_mrr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the true nearest neighbor in the IVF ranking —
+    the single-number "does the index put THE right answer first" audit
+    (recall@k says the truth set is present; NDCG grades the whole list;
+    MRR isolates the top answer a retrieval pipeline actually serves).
+
+    Exactness: ranks are integers, and the reciprocal is carried on the
+    lcm(1..k) = 2520 integer grid (2520/r is exact for every r <= 10), so
+    rr terms — and any downstream mean — are exact integer arithmetic,
+    never an order-sensitive float sum of 1/3 + 1/7 + ... A miss is the
+    0 sentinel on both columns (rank NULL-free for the hash compare).
+
+    Plan: composes the two REGISTERED queries (index cost dominates);
+    the truth top-1 filter and approx ranking are k-row-per-query
+    windows, and the hit join is (query_id, vec_id)-keyed at query-set
+    scale — AQE broadcasts it."""
+    from ..registry import QUERIES
+
+    truth = QUERIES["sim_cosine_topk_bruteforce"](spark, sf_dir)
+    appr = QUERIES["sim_cosine_topk_ivf"](spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    t1 = (
+        truth.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("vec_id").alias("true_vec_id"))
+    )
+    a = appr.select(
+        F.col("query_id").alias("q2"),
+        F.col("vec_id").alias("v2"),
+        F.row_number().over(w).cast("long").alias("ra"),
+    )
+    j = t1.join(
+        a,
+        (F.col("query_id") == F.col("q2")) & (F.col("true_vec_id") == F.col("v2")),
+        "left",
+    )
+    return j.select(
+        "query_id",
+        "true_vec_id",
+        F.coalesce(F.col("ra"), F.lit(0)).cast("long").alias("approx_rank"),
+        F.coalesce(F.expr(f"{MRR_SCALE} DIV ra"), F.lit(0))
+        .cast("long")
+        .alias("rr_x2520"),
+    )

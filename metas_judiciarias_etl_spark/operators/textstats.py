@@ -2300,3 +2300,235 @@ def crosssource_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)).cast("double") * F.lit(_SB_SCALE))
         ).alias("mean_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# Clustering-agreement metrics over the language-ID partition: ARI and NMI
+# of the predicted language clustering against the corpus labels. These are
+# the partition-vs-partition numbers (the confusion matrix collapses every
+# permutation question away): ARI for chance-corrected pair agreement, NMI
+# for information overlap — the standard pair when auditing an unsupervised
+# grouping (cluster labels, lang gates, dedup buckets) against a reference.
+# --------------------------------------------------------------------------
+def _agreement_cells_sql() -> str:
+    from ..registry import ORACLES
+
+    return (
+        "cells AS (SELECT lang_label, lang_pred, "
+        "CAST(n_docs AS BIGINT) AS nij FROM ("
+        + ORACLES["text_lang_confusion"]
+        + "))"
+    )
+
+
+def _ari_oracle() -> str:
+    return f"""
+    WITH {_agreement_cells_sql()},
+    s AS (
+        SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS s_ij,
+               CAST(sum(nij) AS BIGINT) AS n_docs
+        FROM cells
+    ), ru AS (
+        SELECT lang_label, CAST(sum(nij) AS BIGINT) AS ai
+        FROM cells GROUP BY lang_label
+    ), rv AS (
+        SELECT lang_pred, CAST(sum(nij) AS BIGINT) AS bj
+        FROM cells GROUP BY lang_pred
+    ), sa AS (
+        SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS s_a FROM ru
+    ), sb AS (
+        SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS s_b FROM rv
+    )
+    SELECT n_docs, s_ij, s_a, s_b,
+           (2 * (n_docs * (n_docs - 1) // 2) * s_ij - 2 * s_a * s_b)
+           / nullif((n_docs * (n_docs - 1) // 2) * (s_a + s_b)
+                    - 2 * s_a * s_b, 0) AS ari
+    FROM s, sa, sb
+    """
+
+
+@query("lang_agreement_ari", oracle=_ari_oracle())
+def lang_agreement_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand index of the language-ID clustering vs corpus labels.
+
+    Exactness: ARI is pure pair combinatorics — every term is an integer
+    pair count (sum of C(x,2) over contingency cells / marginals), and the
+    chance-corrected ratio is restructured over the common denominator
+    C(n,2) so the whole statistic is ONE division of two exact int64
+    products: ari = (2*C*S_ij - 2*S_a*S_b) / (C*(S_a+S_b) - 2*S_a*S_b).
+    No floats until that final correctly-rounded division, so both engines
+    agree bitwise. int64 headroom: terms are O(C^2) = O(n^4/4); n up to
+    ~55k keeps products under 2^63 — beyond that move the two products to
+    DECIMAL(38,0) (the cells/marginal layer is unchanged).
+
+    Plan: the fact table is touched ONCE by the registered confusion
+    query (map-only classifier + one 2-key rollup to <=20 cells);
+    everything after runs on cell-count relations, meeting in two
+    broadcast crossJoins of 1-row aggregates."""
+    from ..registry import QUERIES
+
+    cells = (
+        QUERIES["text_lang_confusion"](spark, sf_dir)
+        .select("lang_label", "lang_pred", F.col("n_docs").alias("nij"))
+        .persist()
+    )
+    cells.count()
+    s = cells.agg(
+        F.sum(F.expr("nij * (nij - 1) DIV 2")).cast("long").alias("s_ij"),
+        F.sum("nij").cast("long").alias("n_docs"),
+    )
+    sa = (
+        cells.groupBy("lang_label")
+        .agg(F.sum("nij").alias("ai"))
+        .agg(F.sum(F.expr("ai * (ai - 1) DIV 2")).cast("long").alias("s_a"))
+    )
+    sb = (
+        cells.groupBy("lang_pred")
+        .agg(F.sum("nij").alias("bj"))
+        .agg(F.sum(F.expr("bj * (bj - 1) DIV 2")).cast("long").alias("s_b"))
+    )
+    return (
+        s.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .select(
+            "n_docs",
+            "s_ij",
+            "s_a",
+            "s_b",
+            F.expr(
+                "(2 * (n_docs * (n_docs - 1) DIV 2) * s_ij - 2 * s_a * s_b)"
+                " / nullif((n_docs * (n_docs - 1) DIV 2) * (s_a + s_b)"
+                "          - 2 * s_a * s_b, 0)"
+            ).alias("ari"),
+        )
+    )
+
+
+def _nmi_oracle() -> str:
+    fold = (
+        "list_reduce([0.0] || list_transform({lst}, "
+        "x -> -(x.{f} / n_docs) * ln(x.{f} / n_docs)), (a, b) -> a + b)"
+    )
+    h_u = fold.format(lst="l_u", f="ai")
+    h_v = fold.format(lst="l_v", f="bj")
+    h_uv = fold.format(lst="l_joint", f="nij")
+    return f"""
+    WITH {_agreement_cells_sql()},
+    g AS (
+        SELECT list_sort(list(struct_pack(lang_label := lang_label,
+                                          lang_pred := lang_pred,
+                                          nij := nij))) AS l_joint,
+               CAST(sum(nij) AS BIGINT) AS n_docs
+        FROM cells
+    ), ru AS (
+        SELECT lang_label, CAST(sum(nij) AS BIGINT) AS ai
+        FROM cells GROUP BY lang_label
+    ), rv AS (
+        SELECT lang_pred, CAST(sum(nij) AS BIGINT) AS bj
+        FROM cells GROUP BY lang_pred
+    ), gu AS (
+        SELECT list_sort(list(struct_pack(lang_label := lang_label,
+                                          ai := ai))) AS l_u FROM ru
+    ), gv AS (
+        SELECT list_sort(list(struct_pack(lang_pred := lang_pred,
+                                          bj := bj))) AS l_v FROM rv
+    ), h AS (
+        SELECT n_docs, {h_u} AS h_u, {h_v} AS h_v, {h_uv} AS h_uv
+        FROM g, gu, gv
+    )
+    SELECT n_docs,
+           round(h_u, 6) + 0.0 AS h_true,
+           round(h_v, 6) + 0.0 AS h_pred,
+           round(h_uv, 6) + 0.0 AS h_joint,
+           round(h_u + h_v - h_uv, 6) + 0.0 AS mutual_info,
+           round((h_u + h_v - h_uv) / nullif((h_u + h_v) / 2, 0), 6)
+               + 0.0 AS nmi
+    FROM h
+    """
+
+
+@query("lang_agreement_nmi", oracle=_nmi_oracle())
+def lang_agreement_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized mutual information (arithmetic-mean normalizer) of the
+    language-ID clustering vs corpus labels: nmi = (H(U)+H(V)-H(U,V)) /
+    ((H(U)+H(V))/2), computed from the same <=20-cell contingency table as
+    lang_agreement_ari.
+
+    Determinism: each entropy is a SORTED float fold over its own
+    bounded-cardinality term list (the entropy_fold discipline — identical
+    fold order and identical ln() inputs on both engines, bounded by label
+    cardinality, never by fact rows); the normalizer ratio is computed
+    from the unrounded entropies and rounded once at the end.
+
+    Plan: one fact-table pass (the registered confusion query), then
+    three tiny sorted-list aggregates meet via broadcast crossJoins."""
+    from ..registry import QUERIES
+
+    cells = (
+        QUERIES["text_lang_confusion"](spark, sf_dir)
+        .select(
+            "lang_label",
+            "lang_pred",
+            F.col("n_docs").cast("long").alias("nij"),
+        )
+        .persist()
+    )
+    cells.count()
+    g = cells.agg(
+        F.sort_array(
+            F.collect_list(F.struct("lang_label", "lang_pred", "nij"))
+        ).alias("l_joint"),
+        F.sum("nij").cast("long").alias("n_docs"),
+    )
+    gu = (
+        cells.groupBy("lang_label")
+        .agg(F.sum("nij").cast("long").alias("ai"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("lang_label", "ai"))).alias(
+                "l_u"
+            )
+        )
+    )
+    gv = (
+        cells.groupBy("lang_pred")
+        .agg(F.sum("nij").cast("long").alias("bj"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("lang_pred", "bj"))).alias(
+                "l_v"
+            )
+        )
+    )
+    fold = (
+        "aggregate(transform({lst}, "
+        "x -> -(x.{f} / n_docs) * ln(x.{f} / n_docs)), "
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    h = (
+        g.crossJoin(F.broadcast(gu))
+        .crossJoin(F.broadcast(gv))
+        .select(
+            "n_docs",
+            F.expr(fold.format(lst="l_u", f="ai")).alias("h_u"),
+            F.expr(fold.format(lst="l_v", f="bj")).alias("h_v"),
+            F.expr(fold.format(lst="l_joint", f="nij")).alias("h_uv"),
+        )
+    )
+    return h.select(
+        "n_docs",
+        (F.round("h_u", 6) + F.lit(0.0)).alias("h_true"),
+        (F.round("h_v", 6) + F.lit(0.0)).alias("h_pred"),
+        (F.round("h_uv", 6) + F.lit(0.0)).alias("h_joint"),
+        (F.round(F.col("h_u") + F.col("h_v") - F.col("h_uv"), 6) + F.lit(0.0)).alias(
+            "mutual_info"
+        ),
+        (
+            F.round(
+                (F.col("h_u") + F.col("h_v") - F.col("h_uv"))
+                / F.nullif(
+                    (F.col("h_u") + F.col("h_v")) / F.lit(2.0), F.lit(0.0)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("nmi"),
+    )

@@ -1806,3 +1806,76 @@ def fd_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit: the sensitive-attribute companion to k-anonymity.
+# --------------------------------------------------------------------------
+LDIV_LS = (2, 3, 4)
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH classes AS (
+        SELECT source, n_chars // {KANON_LEN_BAND} AS len_band,
+               CAST(count(DISTINCT lang) AS BIGINT) AS l_distinct,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ), ls AS (
+        SELECT unnest([{', '.join(str(v) for v in LDIV_LS)}]) AS l
+    )
+    SELECT ls.l,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN c.l_distinct < ls.l THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_classes_below,
+           CAST(sum(CASE WHEN c.l_distinct < ls.l THEN c.cnt ELSE 0 END) AS BIGINT)
+               AS n_docs_at_risk,
+           CAST(sum(CASE WHEN c.l_distinct < ls.l THEN c.cnt ELSE 0 END) AS DOUBLE)
+               / CAST(sum(c.cnt) AS DOUBLE) AS risk_share
+    FROM classes c CROSS JOIN ls
+    GROUP BY ls.l
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: k-anonymity alone still leaks when every member
+    of a quasi-identifier class shares the SAME sensitive value (the
+    homogeneity attack), so the companion number is how many distinct
+    sensitive values each class carries. QI = (source, length band) —
+    deliberately EXCLUDING the sensitive attribute (lang) that
+    k_anonymity_audit folds into its tuple — and for each policy l the
+    audit reports classes below l and the share of documents in them.
+
+    Exactness: per-class distinct counts and tallies are exact integers;
+    risk_share is one IEEE division. Plan: ONE exact two-level distinct
+    aggregation over the fact table keyed by the QI tuple (partial
+    per-(QI, lang) collapse map-side, then the distinct count), then the
+    3-row threshold table broadcast-crossJoins into the reduced class
+    list and a <=3-group rollup finishes — same 100 TB shape as
+    k_anonymity_audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy(
+        "source",
+        F.expr(f"n_chars DIV {KANON_LEN_BAND}").alias("len_band"),
+    ).agg(
+        F.count_distinct("lang").cast("long").alias("l_distinct"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    ls = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in LDIV_LS])).alias("l")
+    )
+    below = F.when(F.col("l_distinct") < F.col("l"), F.col("cnt")).otherwise(0)
+    return (
+        classes.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("l_distinct") < F.col("l"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_classes_below"),
+            F.sum(below).cast("long").alias("n_docs_at_risk"),
+            (
+                F.sum(below).cast("double") / F.sum("cnt").cast("double")
+            ).alias("risk_share"),
+        )
+    )

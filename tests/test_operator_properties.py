@@ -4720,3 +4720,141 @@ def test_sampled_sum_matches_replay_and_ci_prices_error(spark, sf_small):
     assert abs(r["ci_half"] - ci) < 1e-6 * max(1.0, ci)
     err_abs = abs(r["est_total"] - r["exact_total"])
     assert err_abs <= 1.6 * r["ci_half"]  # within ~3 design-based SEs
+
+
+def test_lang_agreement_ari_matches_exact_replay(spark, sf_small):
+    """ARI must equal an exact-rational Python replay of the textbook
+    formula from the same confusion cells, and sit in [-1, 1]."""
+    from fractions import Fraction
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    cells = {
+        (r["lang_label"], r["lang_pred"]): r["n_docs"]
+        for r in registry.QUERIES["text_lang_confusion"](
+            spark, sf_small
+        ).collect()
+    }
+    n = sum(cells.values())
+    c2 = lambda x: x * (x - 1) // 2  # noqa: E731
+    s_ij = sum(c2(v) for v in cells.values())
+    ai: dict[str, int] = {}
+    bj: dict[str, int] = {}
+    for (u, v), c in cells.items():
+        ai[u] = ai.get(u, 0) + c
+        bj[v] = bj.get(v, 0) + c
+    s_a = sum(c2(x) for x in ai.values())
+    s_b = sum(c2(x) for x in bj.values())
+    C = c2(n)
+    exp = Fraction(s_ij) - Fraction(s_a * s_b, C)
+    exp /= Fraction(s_a + s_b, 2) - Fraction(s_a * s_b, C)
+    r = registry.QUERIES["lang_agreement_ari"](spark, sf_small).collect()[0]
+    assert (r["n_docs"], r["s_ij"], r["s_a"], r["s_b"]) == (n, s_ij, s_a, s_b)
+    assert abs(r["ari"] - float(exp)) < 1e-12
+    assert -1.0 <= r["ari"] <= 1.0
+
+
+def test_lang_agreement_nmi_identities(spark, sf_small):
+    """NMI entropies must satisfy the information identities: each H in
+    [0, ln(cells)], max(H_u, H_v) <= H_joint <= H_u + H_v (=> MI >= 0),
+    and nmi = mi / mean(H) recomputed from the unrounded Python fold."""
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    r = registry.QUERIES["lang_agreement_nmi"](spark, sf_small).collect()[0]
+    assert 0.0 <= r["h_true"] and 0.0 <= r["h_pred"]
+    assert max(r["h_true"], r["h_pred"]) <= r["h_joint"] + 1e-6
+    assert r["h_joint"] <= r["h_true"] + r["h_pred"] + 1e-6
+    assert r["mutual_info"] >= -1e-6
+    assert -1e-6 <= r["nmi"] <= 1.0 + 1e-6
+    # replay the sorted fold exactly from the confusion cells
+    cells = sorted(
+        (r2["lang_label"], r2["lang_pred"], r2["n_docs"])
+        for r2 in registry.QUERIES["text_lang_confusion"](
+            spark, sf_small
+        ).collect()
+    )
+    n = sum(c for _, _, c in cells)
+
+    def h(terms):
+        acc = 0.0
+        for c in terms:
+            acc += -(c / n) * math.log(c / n)
+        return acc
+
+    h_uv = h([c for _, _, c in cells])
+    au: dict[str, int] = {}
+    bv: dict[str, int] = {}
+    for u, v, c in cells:
+        au[u] = au.get(u, 0) + c
+        bv[v] = bv.get(v, 0) + c
+    h_u = h([au[k] for k in sorted(au)])
+    h_v = h([bv[k] for k in sorted(bv)])
+    assert abs(r["h_joint"] - round(h_uv, 6)) < 1e-9
+    assert abs(r["mutual_info"] - round(h_u + h_v - h_uv, 6)) < 1e-9
+    assert (
+        abs(r["nmi"] - round((h_u + h_v - h_uv) / ((h_u + h_v) / 2), 6))
+        < 1e-9
+    )
+
+
+def test_l_diversity_matches_pandas_and_is_monotone(spark, sf_small):
+    """Class tallies must match a pandas nunique replay per threshold, and
+    at-risk counts must be non-decreasing in l (a class below l=2 is
+    below l=3 too)."""
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.profiling_ext import (
+        KANON_LEN_BAND,
+        LDIV_LS,
+    )
+
+    registry.load_all()
+    got = {
+        r["l"]: r
+        for r in registry.QUERIES["l_diversity_audit"](
+            spark, sf_small
+        ).collect()
+    }
+    pdf = _load_pdf(sf_small, "documents")
+    pdf = pdf.assign(len_band=pdf["n_chars"] // KANON_LEN_BAND)
+    g = pdf.groupby(["source", "len_band"])["lang"].agg(["nunique", "size"])
+    for l_thr in LDIV_LS:
+        below = g[g["nunique"] < l_thr]
+        r = got[l_thr]
+        assert r["n_classes"] == len(g)
+        assert r["n_classes_below"] == len(below)
+        assert r["n_docs_at_risk"] == int(below["size"].sum())
+        assert abs(
+            r["risk_share"] - int(below["size"].sum()) / int(g["size"].sum())
+        ) < 1e-12
+    ls = sorted(LDIV_LS)
+    for lo, hi in zip(ls, ls[1:]):
+        assert got[lo]["n_classes_below"] <= got[hi]["n_classes_below"]
+        assert got[lo]["n_docs_at_risk"] <= got[hi]["n_docs_at_risk"]
+
+
+def test_sim_mrr_grid_consistency(spark, sf_small):
+    """One row per query; ranks within [0, TOPK]; the reciprocal is the
+    exact 2520-grid integer (0 sentinel on a miss); and the top-1 hit
+    must agree with the NDCG audit's per-query hit set."""
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.similarity import (
+        MRR_SCALE,
+        N_QUERIES,
+        TOPK,
+    )
+
+    registry.load_all()
+    rows = registry.QUERIES["sim_mrr_ivf"](spark, sf_small).collect()
+    assert len(rows) == N_QUERIES
+    assert len({r["query_id"] for r in rows}) == N_QUERIES
+    for r in rows:
+        assert 0 <= r["approx_rank"] <= TOPK
+        if r["approx_rank"] == 0:
+            assert r["rr_x2520"] == 0
+        else:
+            assert MRR_SCALE % r["approx_rank"] == 0
+            assert r["rr_x2520"] == MRR_SCALE // r["approx_rank"]

@@ -205,6 +205,10 @@ QUERIES = [
     "diff_in_diff",                 # 4-cell integer means
     "ab_test_power_mde",            # DECIMAL moments + literal z
     "sampled_sum_estimate",         # hash-Bernoulli HT + DECIMAL moments
+    "lang_agreement_ari",           # integer pair combinatorics, 1 division
+    "lang_agreement_nmi",           # sorted entropy folds over <=20 cells
+    "l_diversity_audit",            # exact distinct-count class tallies
+    "sim_mrr_ivf",                  # integer ranks on the 2520 grid
 ]
 
 

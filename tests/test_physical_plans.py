@@ -1333,3 +1333,28 @@ def test_f1_threshold_support_sized_windows(spark, sf):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2  # corpus -> support collapse
+
+
+def test_l_diversity_one_fact_agg(spark, sf):
+    df = registry.QUERIES["l_diversity_audit"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # threshold table rides a broadcast
+    fmt = _formatted(df)
+    # the documents scan must be pruned to the QI tuple + sensitive column
+    assert "ReadSchema: struct<lang:string,source:string,n_chars:" in fmt
+
+
+def test_lang_agreement_tiny_meets_on_broadcast(spark, sf):
+    for name in ("lang_agreement_ari", "lang_agreement_nmi"):
+        df = registry.QUERIES[name](spark, sf)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan  # 1-row aggs meet via broadcast
+        assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_sim_mrr_no_cartesian(spark, sf):
+    df = registry.QUERIES["sim_mrr_ivf"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan

@@ -286,6 +286,9 @@ HEADLINE = [
     "lang_agreement_nmi",
     "l_diversity_audit",
     "sim_mrr_ivf",
+    "score_psi_drift",
+    "dist_js_divergence",
+    "dedup_repeated_substrings",
 ]
 
 

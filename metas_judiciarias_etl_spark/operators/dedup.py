@@ -2043,3 +2043,86 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("matched_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring dedup (character level): which documents share long
+# verbatim character spans — the signal word-shingle Jaccard dilutes.
+# --------------------------------------------------------------------------
+SUBSTR_W = 40  # window length in characters; spans >= W are detected
+
+
+@query(
+    "dedup_repeated_substrings",
+    oracle=f"""
+    WITH w0 AS (
+        SELECT doc_id,
+               substr(text, unnest(generate_series(
+                   1, greatest(len(text) - {SUBSTR_W - 1}, 1))),
+                   {SUBSTR_W}) AS win
+        FROM documents
+    ), w AS (
+        SELECT DISTINCT doc_id, win FROM w0
+    ), g AS (
+        SELECT win, CAST(count(*) AS BIGINT) AS nd FROM w GROUP BY win
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_windows,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS shared_share
+    FROM w JOIN g USING (win)
+    GROUP BY doc_id
+    """,
+)
+def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level exact-substring dedup signal: every W=40-char
+    window of every document, grouped across the corpus — a document's
+    shared_share is the fraction of its distinct windows that appear
+    verbatim in at least one OTHER document (or twice in itself). This is
+    the practical form of suffix-array exact-substring dedup for training
+    corpora: boilerplate headers, licence blocks, and copy-pasted spans
+    light up here even when token-level Jaccard stays below threshold,
+    and any span >= W chars is guaranteed to contribute >= 1 window.
+
+    Semantics note: windows are stride-1 and EXACT (no hashing), so the
+    oracle equality is byte-for-byte. At 100 TB the window column becomes
+    a rolling (Rabin-Karp) hash48 and the stride rises to W/2 — recall
+    for spans >= W + stride - 1 is preserved; both are the documented
+    knobs, not semantic changes. The per-window group count shuffles on
+    the window key where boilerplate skew is absorbed by map-side
+    partials (rows are already distinct per doc).
+
+    Plan: explode -> distinct (one shuffle) -> window-keyed count with
+    partial aggregation -> join back on the SAME key (exchange reuse) ->
+    doc-keyed rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    wins = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(text) - "
+                    f"{SUBSTR_W - 1}, 1)), i -> substring(text, i, "
+                    f"{SUBSTR_W}))"
+                )
+            ).alias("win"),
+        )
+        .distinct()
+        .persist()
+    )
+    wins.count()
+    bywin = wins.groupBy("win").agg(F.count(F.lit(1)).alias("nd"))
+    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        wins.join(bywin, "win")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            shared.cast("long").alias("n_shared_windows"),
+            (shared.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "shared_share"
+            ),
+        )
+    )

@@ -588,3 +588,89 @@ def variant_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("max_k"),
         F.count("m").cast("long").alias("n_missing_present"),
     )
+
+
+# --------------------------------------------------------------------------
+# Jensen-Shannon divergence between two cohorts' event-type distributions —
+# the symmetric, bounded (<= ln 2) counterpart to PSI for A/B mix checks.
+# --------------------------------------------------------------------------
+@query(
+    "dist_js_divergence",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM events GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b,
+               CAST(count(*) AS BIGINT) AS n_types,
+               list_sort(list(struct_pack(event_type := event_type,
+                                          ca := ca, cb := cb))) AS lst
+        FROM c
+    )
+    SELECT n_a, n_b, n_types,
+           round(list_reduce([0.0] || list_transform(lst, x ->
+               (CASE WHEN x.ca > 0 THEN 0.5 * (x.ca / n_a)
+                    * ln(2 * (x.ca / n_a) / ((x.ca / n_a) + (x.cb / n_b)))
+                    ELSE 0.0 END)
+             + (CASE WHEN x.cb > 0 THEN 0.5 * (x.cb / n_b)
+                    * ln(2 * (x.cb / n_b) / ((x.ca / n_a) + (x.cb / n_b)))
+                    ELSE 0.0 END)),
+               (a, b) -> a + b), 6) + 0.0 AS jsd
+    FROM tot
+    """,
+)
+def dist_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the event-type distributions of
+    the even- and odd-user cohorts (a deterministic hash split standing in
+    for any A/B or before/after pair): jsd = 0.5*KL(p||m) + 0.5*KL(q||m)
+    with m = (p+q)/2, each term written as 0.5*p*ln(2p/(p+q)) with the
+    0*ln(0) = 0 convention — symmetric and bounded by ln 2, which makes it
+    the mix-shift number to alert on when PSI's reference side is itself
+    moving.
+
+    Determinism: cohort counts are exact integers from ONE conditional
+    aggregation; shares are integer-ratio divisions (identically rounded
+    both engines); the fold runs in sorted event-type order over a
+    type-cardinality-bounded list (entropy_fold discipline).
+
+    Plan: one event_type-keyed pass with two conditional partial sums —
+    no join between cohorts, no second scan; the fold runs on a 1-row
+    relation."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    tot = c.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sort_array(F.collect_list(F.struct("event_type", "ca", "cb"))).alias(
+            "lst"
+        ),
+    )
+    fold = (
+        "aggregate(transform(lst, x -> "
+        "(CASE WHEN x.ca > 0 THEN 0.5 * (x.ca / n_a)"
+        "     * ln(2 * (x.ca / n_a) / ((x.ca / n_a) + (x.cb / n_b)))"
+        "     ELSE 0.0 END)"
+        " + (CASE WHEN x.cb > 0 THEN 0.5 * (x.cb / n_b)"
+        "     * ln(2 * (x.cb / n_b) / ((x.ca / n_a) + (x.cb / n_b)))"
+        "     ELSE 0.0 END)), "
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    return tot.select(
+        "n_a",
+        "n_b",
+        "n_types",
+        (F.round(F.expr(fold), 6) + F.lit(0.0)).alias("jsd"),
+    )

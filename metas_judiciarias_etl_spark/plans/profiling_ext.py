@@ -1879,3 +1879,119 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("risk_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Population-stability index: per-source drift of the document-length
+# distribution against the pooled corpus — the standard ML-monitoring
+# drift number.
+# --------------------------------------------------------------------------
+PSI_BIN_CHARS = 100  # chars per length bin
+PSI_N_BINS = 10  # fixed bin count (last bin is open-ended via clamp)
+
+
+@query(
+    "score_psi_drift",
+    oracle=f"""
+    WITH binned AS (
+        SELECT source, least(n_chars // {PSI_BIN_CHARS}, {PSI_N_BINS - 1}) AS b,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ), srcs AS (
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS n_src FROM binned GROUP BY 1
+    ), pooled AS (
+        SELECT b, CAST(sum(cnt) AS BIGINT) AS cnt_all FROM binned GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM binned
+    ), grid AS (
+        SELECT s.source, s.n_src, g.b,
+               coalesce(x.cnt, 0) AS c_sb,
+               coalesce(p.cnt_all, 0) AS c_b
+        FROM srcs s
+        CROSS JOIN (SELECT unnest(generate_series(0, {PSI_N_BINS - 1})) AS b) g
+        LEFT JOIN binned x ON x.source = s.source AND x.b = g.b
+        LEFT JOIN pooled p ON p.b = g.b
+    ), terms AS (
+        SELECT source, n_src,
+               list_sort(list(struct_pack(b := b, c_sb := c_sb, c_b := c_b)))
+                   AS lst
+        FROM grid GROUP BY source, n_src
+    )
+    SELECT source, n_src AS n_docs,
+           round(list_reduce([0.0] || list_transform(lst, x ->
+               (((x.c_sb + 1) / (n_src + {PSI_N_BINS}))
+                - ((x.c_b + 1) / (n_all + {PSI_N_BINS})))
+               * ln(((x.c_sb + 1) / (n_src + {PSI_N_BINS}))
+                    / ((x.c_b + 1) / (n_all + {PSI_N_BINS})))),
+               (a, b) -> a + b), 6) + 0.0 AS psi
+    FROM terms, tot
+    """,
+)
+def score_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index of each source's document-length
+    distribution against the pooled corpus: psi = sum_b (p_b - q_b) *
+    ln(p_b / q_b) over 10 fixed length bins with add-one
+    (Laplace) smoothing so empty bins stay finite — PSI >= 0, with the
+    conventional 0.1 / 0.25 watch/alarm thresholds. This is the drift
+    gate a production corpus refresh runs per shard before admitting a
+    new crawl slice.
+
+    Determinism: bin counts are exact integers; the smoothed shares are
+    single integer-ratio divisions (identically rounded on both
+    engines); the per-source fold runs in SORTED bin order over a
+    10-term list (entropy_fold discipline) — bounded by the
+    bin count, never by fact rows.
+
+    Plan: ONE (source, bin)-keyed pass over the fact table, then
+    everything runs on the <=source*bin reduced relation: marginals,
+    the literal bin grid (broadcast), and per-source 10-term folds."""
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.groupBy(
+        "source",
+        F.least(
+            F.expr(f"n_chars DIV {PSI_BIN_CHARS}"), F.lit(PSI_N_BINS - 1)
+        ).alias("b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    binned = binned.persist()
+    binned.count()
+    srcs = binned.groupBy("source").agg(F.sum("cnt").cast("long").alias("n_src"))
+    pooled = binned.groupBy("b").agg(F.sum("cnt").cast("long").alias("cnt_all"))
+    tot = binned.agg(F.sum("cnt").cast("long").alias("n_all"))
+    grid = spark.range(PSI_N_BINS).select(F.col("id").cast("long").alias("b"))
+    cells = (
+        srcs.alias("s")
+        .crossJoin(F.broadcast(grid.alias("g")))
+        .join(
+            binned.alias("x"),
+            (F.col("x.source") == F.col("s.source"))
+            & (F.col("x.b") == F.col("g.b")),
+            "left",
+        )
+        .join(pooled.alias("p"), F.col("p.b") == F.col("g.b"), "left")
+        .select(
+            F.col("s.source").alias("source"),
+            F.col("s.n_src").alias("n_src"),
+            F.col("g.b").alias("b"),
+            F.coalesce(F.col("x.cnt"), F.lit(0)).alias("c_sb"),
+            F.coalesce(F.col("p.cnt_all"), F.lit(0)).alias("c_b"),
+        )
+    )
+    terms = cells.groupBy("source", "n_src").agg(
+        F.sort_array(F.collect_list(F.struct("b", "c_sb", "c_b"))).alias("lst")
+    )
+    fold = (
+        f"aggregate(transform(lst, x -> "
+        f"(((x.c_sb + 1) / (n_src + {PSI_N_BINS}))"
+        f" - ((x.c_b + 1) / (n_all + {PSI_N_BINS})))"
+        f" * ln(((x.c_sb + 1) / (n_src + {PSI_N_BINS}))"
+        f"      / ((x.c_b + 1) / (n_all + {PSI_N_BINS})))), "
+        f"CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_src").alias("n_docs"),
+            (F.round(F.expr(fold), 6) + F.lit(0.0)).alias("psi"),
+        )
+    )

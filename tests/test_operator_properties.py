@@ -4858,3 +4858,99 @@ def test_sim_mrr_grid_consistency(spark, sf_small):
         else:
             assert MRR_SCALE % r["approx_rank"] == 0
             assert r["rr_x2520"] == MRR_SCALE // r["approx_rank"]
+
+
+def test_psi_drift_matches_python_replay(spark, sf_small):
+    """Per-source PSI must match an exact Python replay of the smoothed
+    formula from pandas bin counts, and PSI must be non-negative."""
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.profiling_ext import (
+        PSI_BIN_CHARS,
+        PSI_N_BINS,
+    )
+
+    registry.load_all()
+    got = {
+        r["source"]: r
+        for r in registry.QUERIES["score_psi_drift"](spark, sf_small).collect()
+    }
+    pdf = _load_pdf(sf_small, "documents")
+    pdf = pdf.assign(
+        b=(pdf["n_chars"] // PSI_BIN_CHARS).clip(upper=PSI_N_BINS - 1)
+    )
+    n_all = len(pdf)
+    pooled = pdf.groupby("b").size()
+    for src, sub in pdf.groupby("source"):
+        n_src = len(sub)
+        cnt = sub.groupby("b").size()
+        psi = 0.0
+        for b in range(PSI_N_BINS):
+            p = (int(cnt.get(b, 0)) + 1) / (n_src + PSI_N_BINS)
+            q = (int(pooled.get(b, 0)) + 1) / (n_all + PSI_N_BINS)
+            psi += (p - q) * math.log(p / q)
+        r = got[src]
+        assert r["n_docs"] == n_src
+        assert abs(r["psi"] - round(psi, 6)) < 1e-9
+        assert r["psi"] >= -1e-6  # PSI is a symmetrized KL: non-negative
+
+
+def test_js_divergence_bounds_and_replay(spark, sf_small):
+    """JSD must match a Python replay and obey 0 <= jsd <= ln 2."""
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    r = registry.QUERIES["dist_js_divergence"](spark, sf_small).collect()[0]
+    pdf = _load_pdf(sf_small, "events")
+    a = pdf[pdf["user_id"] % 2 == 0].groupby("event_type").size()
+    b = pdf[pdf["user_id"] % 2 == 1].groupby("event_type").size()
+    types = sorted(set(a.index) | set(b.index))
+    n_a, n_b = int(a.sum()), int(b.sum())
+    jsd = 0.0
+    for t in types:
+        p = int(a.get(t, 0)) / n_a
+        q = int(b.get(t, 0)) / n_b
+        if p > 0:
+            jsd += 0.5 * p * math.log(2 * p / (p + q))
+        if q > 0:
+            jsd += 0.5 * q * math.log(2 * q / (p + q))
+    assert (r["n_a"], r["n_b"], r["n_types"]) == (n_a, n_b, len(types))
+    assert abs(r["jsd"] - round(jsd, 6)) < 1e-9
+    assert -1e-6 <= r["jsd"] <= math.log(2) + 1e-6
+
+
+def test_repeated_substrings_matches_bruteforce(spark, sf_small):
+    """Window tallies must match a brute-force Python window scan, and a
+    doc with a >= W-char verbatim span shared with another doc must show
+    n_shared_windows > 0."""
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.dedup import SUBSTR_W
+
+    registry.load_all()
+    got = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["dedup_repeated_substrings"](
+            spark, sf_small
+        ).collect()
+    }
+    pdf = _load_pdf(sf_small, "documents")
+    wins: dict[int, set[str]] = {}
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        n = max(len(text) - SUBSTR_W + 1, 1)
+        wins[int(doc_id)] = {text[i : i + SUBSTR_W] for i in range(n)}
+    counts: dict[str, int] = {}
+    for ws in wins.values():
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    any_shared = False
+    for doc_id, ws in wins.items():
+        shared = sum(1 for w in ws if counts[w] > 1)
+        r = got[doc_id]
+        assert r["n_windows"] == len(ws)
+        assert r["n_shared_windows"] == shared
+        assert abs(r["shared_share"] - shared / len(ws)) < 1e-12
+        any_shared = any_shared or shared > 0
+    assert any_shared  # the fixture contains near-dups with verbatim spans

@@ -209,6 +209,9 @@ QUERIES = [
     "lang_agreement_nmi",           # sorted entropy folds over <=20 cells
     "l_diversity_audit",            # exact distinct-count class tallies
     "sim_mrr_ivf",                  # integer ranks on the 2520 grid
+    "score_psi_drift",              # sorted 10-bin smoothed-share folds
+    "dist_js_divergence",           # sorted type-fold, integer cohort counts
+    "dedup_repeated_substrings",    # exact window counts, 1 division
 ]
 
 

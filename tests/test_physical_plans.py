@@ -1358,3 +1358,29 @@ def test_sim_mrr_no_cartesian(spark, sf):
     df = registry.QUERIES["sim_mrr_ivf"](spark, sf)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_psi_drift_single_fact_pass(spark, sf):
+    df = registry.QUERIES["score_psi_drift"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    fmt = _formatted(df)
+    # the documents scan is pruned to (source, n_chars)
+    assert "ReadSchema: struct<source:string,n_chars:bigint>" in fmt
+
+
+def test_js_divergence_one_conditional_agg(spark, sf):
+    df = registry.QUERIES["dist_js_divergence"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # two cohorts from ONE conditional agg, no join
+    fmt = _formatted(df)
+    assert "ReadSchema: struct<user_id:bigint,event_type:string>" in fmt
+
+
+def test_repeated_substrings_pruned_scan(spark, sf):
+    df = registry.QUERIES["dedup_repeated_substrings"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    fmt = _formatted(df)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in fmt

@@ -3751,3 +3751,126 @@ def sim_mrr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rr_x2520"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rank-biased overlap between two ANN rankings — the top-weighted list
+# agreement measure (Webber et al., TOIS 2010), exact at p = 1/2.
+# --------------------------------------------------------------------------
+_RBO_P_INV = 2  # persistence p = 1/2 makes every RBO term an exact dyadic
+_RBO_SCALE = 2520 * 1024  # lcm(1..10) * 2^10: common denominator of d * 2^d
+# Suffix weights: W[m] = sum_{d=m..TOPK} SCALE / (d * 2^d) — the total RBO
+# mass a document entering the prefix intersection at depth m contributes.
+_RBO_W = [
+    sum(_RBO_SCALE // (d * 2**d) for d in range(m, TOPK + 1))
+    for m in range(1, TOPK + 1)
+]
+# All-overlap maximum: identical lists give ov_d = d, so the truncated RBO
+# tops out at sum_d 1/2^d = 1 - 2^-TOPK — the rbo_norm denominator.
+_RBO_MAX = _RBO_SCALE * (2**TOPK - 1) // 2**TOPK
+
+
+def _rbo_oracle() -> str:
+    from ..registry import ORACLES
+
+    rank = (
+        "row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cosine DESC, vec_id)"
+    )
+    wlist = ", ".join(str(w) for w in _RBO_W)
+    return f"""
+    WITH la AS ({ORACLES['sim_cosine_topk_lsh']}),
+    lb AS ({ORACLES['sim_cosine_topk_ivf']}),
+    ra AS (SELECT query_id, vec_id, {rank} AS r FROM la),
+    rb AS (SELECT query_id, vec_id, {rank} AS r FROM lb),
+    m AS (
+        SELECT ra.query_id, greatest(ra.r, rb.r) AS md
+        FROM ra JOIN rb USING (query_id, vec_id)
+    ), agg AS (
+        SELECT query_id,
+               CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(([{wlist}])[md]) AS BIGINT) AS sw
+        FROM m GROUP BY query_id
+    ), qs AS (
+        SELECT DISTINCT query_id FROM (
+            SELECT query_id FROM ra UNION ALL SELECT query_id FROM rb
+        )
+    )
+    SELECT qs.query_id,
+           coalesce(agg.n_matched, 0) AS n_matched,
+           CAST(coalesce(agg.sw, 0) AS DOUBLE) / {_RBO_SCALE}.0 AS rbo,
+           CAST(coalesce(agg.sw, 0) AS DOUBLE) / {_RBO_MAX}.0 AS rbo_norm
+    FROM qs LEFT JOIN agg USING (query_id)
+    """
+
+
+@query("sim_rbo_overlap", oracle=_rbo_oracle())
+def sim_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (truncated, persistence p = 1/2) between the
+    LSH and IVF top-k rankings per query: RBO = (1-p) Σ_d p^(d-1)·ov_d/d
+    with ov_d the size of the depth-d prefix intersection — the
+    top-weighted agreement number for comparing two ANN indexes (recall
+    asks "is the truth present"; RBO asks "do the two indexes agree, and
+    at the top"). rbo_norm divides by the all-overlap maximum so 1.0
+    means the prefixes agree at every depth.
+
+    Exactness: p = 1/2 makes every term ov_d/(d·2^d) a rational with
+    denominator dividing lcm(1..10)·2^10 = 2580480, and swapping the
+    d-sum with the per-document sum turns RBO into Σ_matched W[max(ra,rb)]
+    over EXACT INTEGER suffix weights (a doc enters the prefix
+    intersection at depth max of its two ranks) — integer arithmetic end
+    to end, one final division, no float accumulation on either engine.
+
+    Plan: both inputs are registered per-query top-k lists (query-set
+    scale, never corpus scale), so the whole measure is one tiny
+    (query_id, vec_id) equi-join plus an element_at weight lookup — the
+    corpus-scale work stays inside the composed index scans, swappable
+    for any registered ANN pair."""
+    from ..registry import QUERIES
+
+    def ranked(name: str) -> DataFrame:
+        lst = QUERIES[name](spark, sf_dir)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        return lst.select(
+            "query_id", "vec_id", F.row_number().over(w).alias("r")
+        )
+
+    ra = ranked("sim_cosine_topk_lsh")
+    rb = ranked("sim_cosine_topk_ivf").select(
+        F.col("query_id").alias("qb"),
+        F.col("vec_id").alias("vb"),
+        F.col("r").alias("rbk"),
+    )
+    wlit = F.array(*[F.lit(w) for w in _RBO_W])
+    m = ra.join(
+        rb,
+        (F.col("query_id") == F.col("qb")) & (F.col("vec_id") == F.col("vb")),
+    ).select(
+        "query_id",
+        F.greatest(F.col("r"), F.col("rbk")).alias("md"),
+    )
+    agg = m.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum(F.element_at(wlit, F.col("md"))).cast("long").alias("sw"),
+    )
+    qs = (
+        ra.select("query_id")
+        .unionAll(rb.select(F.col("qb").alias("query_id")))
+        .distinct()
+    )
+    return qs.join(agg, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias(
+            "n_matched"
+        ),
+        (
+            F.coalesce(F.col("sw"), F.lit(0)).cast("double")
+            / F.lit(float(_RBO_SCALE))
+        ).alias("rbo"),
+        (
+            F.coalesce(F.col("sw"), F.lit(0)).cast("double")
+            / F.lit(float(_RBO_MAX))
+        ).alias("rbo_norm"),
+    )

@@ -1137,3 +1137,104 @@ def ab_test_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(float(_Z_ALPHA)) + F.lit(float(_Z_BETA))) * se / 100.0
         ).alias("mde_abs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta-method CI for a ratio metric — the per-arm readout for metrics
+# whose unit of analysis (event) differs from the randomization unit (user).
+# ---------------------------------------------------------------------------
+@query(
+    "delta_method_ratio_ci",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS y,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT arm,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y AS DECIMAL(38,0)) * x) AS DOUBLE) AS syx
+        FROM per_user GROUP BY arm
+    )
+    SELECT arm, n AS n_users,
+           sy / sx AS ratio_cents_per_event,
+           sqrt((((n * syy - sy * sy) / (n * (n - 1.0)))
+                 - 2 * (sy / sx) * ((n * syx - sy * sx) / (n * (n - 1.0)))
+                 + (sy / sx) * (sy / sx)
+                   * ((n * sxx - sx * sx) / (n * (n - 1.0)))) / n)
+               / (sx / n) AS se,
+           sy / sx - {_Z_ALPHA}
+               * (sqrt((((n * syy - sy * sy) / (n * (n - 1.0)))
+                 - 2 * (sy / sx) * ((n * syx - sy * sx) / (n * (n - 1.0)))
+                 + (sy / sx) * (sy / sx)
+                   * ((n * sxx - sx * sx) / (n * (n - 1.0)))) / n)
+               / (sx / n)) AS ci_lo,
+           sy / sx + {_Z_ALPHA}
+               * (sqrt((((n * syy - sy * sy) / (n * (n - 1.0)))
+                 - 2 * (sy / sx) * ((n * syx - sy * sx) / (n * (n - 1.0)))
+                 + (sy / sx) * (sy / sx)
+                   * ((n * sxx - sx * sx) / (n * (n - 1.0)))) / n)
+               / (sx / n)) AS ci_hi
+    FROM m
+    """,
+)
+def delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for the ratio metric
+    "cents per event" in each experiment arm: randomization is by USER
+    (the parity assignment every experiment query here shares) but the
+    metric's denominator counts EVENTS, so the naive per-event variance
+    is wrong — the right SE linearizes R = Ȳ/X̄ around the user-level
+    means: Var(R) ≈ (s_yy − 2R·s_yx + R²·s_xx) / (n·x̄²). This is the
+    standard readout for revenue-per-session / clicks-per-query metrics
+    (Deng et al.'s ratio-metric correction).
+
+    Exactness: per-user y (cents) and x (count) are exact integers; the
+    five per-arm moments are exact DECIMAL(38,0) sums cast to double
+    ONCE (corr_exact discipline); R, SE, and the z-interval are pinned
+    closed-form chains over those scalars with the z literal shared by
+    both engines — no float aggregation anywhere.
+
+    Plan: one user-keyed pass over the fact table, then a 2-row arm
+    rollup carrying five moments. Scan-bound at any SF."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.expr("CAST(round(value * 100.0) AS BIGINT)"))
+        .cast("long")
+        .alias("y"),
+        F.count(F.lit(1)).cast("long").alias("x"),
+    ).select((F.col("user_id") % 2).alias("arm"), "y", "x")
+    m = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE)").alias(
+            "syy"
+        ),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE)").alias(
+            "sxx"
+        ),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,0)) * x) AS DOUBLE)").alias(
+            "syx"
+        ),
+    )
+    var_terms = (
+        "(((n * syy - sy * sy) / (n * (n - 1.0)))"
+        " - 2 * (sy / sx) * ((n * syx - sy * sx) / (n * (n - 1.0)))"
+        " + (sy / sx) * (sy / sx)"
+        "   * ((n * sxx - sx * sx) / (n * (n - 1.0))))"
+    )
+    se = f"sqrt({var_terms} / n) / (sx / n)"
+    return m.select(
+        "arm",
+        F.col("n").alias("n_users"),
+        F.expr("sy / sx").alias("ratio_cents_per_event"),
+        F.expr(se).alias("se"),
+        F.expr(f"sy / sx - {_Z_ALPHA} * ({se})").alias("ci_lo"),
+        F.expr(f"sy / sx + {_Z_ALPHA} * ({se})").alias("ci_hi"),
+    )

@@ -1631,3 +1631,122 @@ def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return touched.unionByName(none_row)
+
+
+# --------------------------------------------------------------------------
+# Shapley-value attribution — the game-theoretic member of the family.
+# --------------------------------------------------------------------------
+_SHAP_GRID = 12  # lcm(1..4): |path set| <= 4 channels, so 12/k is exact
+
+
+@query(
+    "attribution_shapley",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+    ), p AS (
+        SELECT user_id, event_id AS pid, ts_us AS pts FROM e
+        WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT user_id, event_id AS tid, event_type AS touch_type,
+               ts_us AS tts
+        FROM e WHERE event_type <> 'purchase'
+    ), member AS (
+        SELECT DISTINCT p.pid, t.touch_type
+        FROM p JOIN t ON t.user_id = p.user_id
+         AND (t.tts < p.pts OR (t.tts = p.pts AND t.tid < p.pid))
+         AND p.pts - t.tts <= {ATTR_LOOKBACK_US}
+    ), sized AS (
+        SELECT pid, touch_type,
+               count(*) OVER (PARTITION BY pid) AS k
+        FROM member
+    ), credited AS (
+        SELECT touch_type,
+               CAST(count(*) AS BIGINT) AS n_credits,
+               CAST(CAST(sum({_SHAP_GRID} // k) AS BIGINT) AS DOUBLE)
+                   / {_SHAP_GRID}.0 AS credit
+        FROM sized GROUP BY touch_type
+    )
+    SELECT * FROM credited
+    UNION ALL
+    SELECT 'none' AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(count(*) AS DOUBLE) AS credit
+    FROM p WHERE NOT EXISTS (
+        SELECT 1 FROM t
+        WHERE t.user_id = p.user_id
+          AND (t.tts < p.pts OR (t.tts = p.pts AND t.tid < p.pid))
+          AND p.pts - t.tts <= {ATTR_LOOKBACK_US})
+    """,
+)
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value attribution over the channel coalition game: with
+    v(S) = number of purchases whose touched-channel set is a non-empty
+    subset of S (the standard simplified-Shapley value function for
+    multi-touch attribution), v decomposes exactly into unanimity games
+    v = Σ_T c_T·u_T, and by linearity the Shapley value collapses to the
+    CLOSED FORM φ_i = Σ_{{T ∋ i}} c_T / |T| — each purchase splits one
+    unit of credit EQUALLY across the distinct channels in its 7-day
+    lookback path. No 2^n coalition enumeration is ever needed: the
+    theorem is the query plan. Completes the attribution family
+    (last-touch / position-weighted / markov-removal / shapley); diffing
+    the four credit columns is the model-sensitivity analysis.
+
+    Exactness: |path set| <= 4 channel types, so per-member credit 1/k
+    lands exactly on the 1/12 grid (12 = lcm(1..4)); channel totals are
+    plain integer sums divided ONCE. Untouched purchases credit 'none'
+    whole units, so Σ credit = #purchases exactly (conservation,
+    property-tested).
+
+    Plan: one user-keyed equi-join pairs purchases with touches (same
+    shape as attribution_position_weighted), a DISTINCT to channel-set
+    membership grain, one pid-partition window for |set|, then a
+    channel rollup + anti-join 'none' row. All partial-aggregatable
+    after the distinct; no inequality-join nested loops."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts_us").alias("pts")
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts_us").alias("tts"),
+    )
+    qual = (F.col("tts") < F.col("pts")) | (
+        (F.col("tts") == F.col("pts")) & (F.col("tid") < F.col("pid"))
+    )
+    within = (F.col("pts") - F.col("tts")) <= ATTR_LOOKBACK_US
+    member = (
+        p.join(t, "user_id")
+        .filter(qual & within)
+        .select("pid", "touch_type")
+        .distinct()
+    )
+    wk = Window.partitionBy("pid")
+    sized = member.select(
+        "touch_type", F.count(F.lit(1)).over(wk).alias("k")
+    )
+    credited = sized.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
+        (
+            F.sum(F.expr(f"{_SHAP_GRID} DIV k")).cast("long").cast("double")
+            / F.lit(float(_SHAP_GRID))
+        ).alias("credit"),
+    )
+    none_row = (
+        p.join(t, (p.user_id == t.user_id) & qual & within, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_credits"))
+        .select(
+            F.lit("none").alias("touch_type"),
+            "n_credits",
+            F.col("n_credits").cast("double").alias("credit"),
+        )
+    )
+    return credited.unionByName(none_row)

@@ -4954,3 +4954,137 @@ def test_repeated_substrings_matches_bruteforce(spark, sf_small):
         assert abs(r["shared_share"] - shared / len(ws)) < 1e-12
         any_shared = any_shared or shared > 0
     assert any_shared  # the fixture contains near-dups with verbatim spans
+
+
+def test_rbo_matches_textbook_prefix_formula(spark, sf_small):
+    """The suffix-weight integer form must equal the textbook truncated
+    RBO sum (1-p) Σ p^(d-1)·ov_d/d computed over explicit prefix
+    intersections in exact rational arithmetic."""
+    from fractions import Fraction
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.similarity import TOPK
+
+    registry.load_all()
+
+    def ranking(name):
+        rows = registry.QUERIES[name](spark, sf_small).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(
+                (-r["cosine"], r["vec_id"])
+            )
+        return {
+            q: [v for _, v in sorted(lst)] for q, lst in by_q.items()
+        }
+
+    la, lb = ranking("sim_cosine_topk_lsh"), ranking("sim_cosine_topk_ivf")
+    got = {
+        r["query_id"]: r
+        for r in registry.QUERIES["sim_rbo_overlap"](spark, sf_small).collect()
+    }
+    assert set(got) == set(la) | set(lb)
+    # identical lists give ov_d = d, so truncated RBO tops out at 1 - 2^-K
+    max_rbo = Fraction(2**TOPK - 1, 2**TOPK)
+    for q in got:
+        a, b = la.get(q, []), lb.get(q, [])
+        rbo = sum(
+            Fraction(len(set(a[:d]) & set(b[:d])), d * 2**d)
+            for d in range(1, TOPK + 1)
+        )
+        r = got[q]
+        assert r["n_matched"] == len(set(a) & set(b))
+        assert abs(r["rbo"] - float(rbo)) < 1e-12
+        assert abs(r["rbo_norm"] - float(rbo / max_rbo)) < 1e-12
+        assert 0.0 <= r["rbo_norm"] <= 1.0 + 1e-12
+
+
+def test_attribution_shapley_equal_split_replay(spark, sf_small):
+    """Shapley credit must equal the closed-form equal split over each
+    purchase's distinct-channel lookback set (unanimity decomposition),
+    and total credit must conserve the purchase count EXACTLY (1/12
+    grid, no rounding)."""
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.sessions_ext import (
+        ATTR_LOOKBACK_US,
+    )
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    ev = ev.assign(
+        ts_us=ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    )
+    p = ev[ev["event_type"] == "purchase"]
+    t = ev[ev["event_type"] != "purchase"]
+    by_user = {u: sub for u, sub in t.groupby("user_id")}
+    n_credits = {}
+    credit24 = {}  # credit on the 1/12 grid x 2 to stay integer-safe
+    n_none = 0
+    for _, pr in p.iterrows():
+        sub = by_user.get(pr["user_id"])
+        chans = set()
+        if sub is not None:
+            qual = (
+                (sub["ts_us"] < pr["ts_us"])
+                | (
+                    (sub["ts_us"] == pr["ts_us"])
+                    & (sub["event_id"] < pr["event_id"])
+                )
+            ) & (pr["ts_us"] - sub["ts_us"] <= ATTR_LOOKBACK_US)
+            chans = set(sub.loc[qual, "event_type"])
+        if not chans:
+            n_none += 1
+            continue
+        k = len(chans)
+        for c in chans:
+            n_credits[c] = n_credits.get(c, 0) + 1
+            credit24[c] = credit24.get(c, 0) + 12 // k
+    rows = registry.QUERIES["attribution_shapley"](spark, sf_small).collect()
+    got = {r["touch_type"]: r for r in rows}
+    assert got["none"]["n_credits"] == n_none
+    assert got["none"]["credit"] == float(n_none)
+    for c in n_credits:
+        assert got[c]["n_credits"] == n_credits[c]
+        assert abs(got[c]["credit"] - credit24[c] / 12.0) < 1e-12
+    total = sum(r["credit"] for r in rows)
+    assert abs(total - len(p)) < 1e-9  # exact conservation on the grid
+
+
+def test_delta_method_matches_python_replay(spark, sf_small):
+    """Per-arm ratio, SE, and CI must match an exact-integer-moment
+    Python replay of the delta-method formula, with ci_lo < R < ci_hi."""
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    Z = 1.959963984540054
+    ev = _load_pdf(sf_small, "events")
+    per = ev.assign(cents=(ev["value"] * 100.0).round().astype("int64"))
+    g = per.groupby("user_id").agg(y=("cents", "sum"), x=("cents", "size"))
+    got = {
+        r["arm"]: r
+        for r in registry.QUERIES["delta_method_ratio_ci"](
+            spark, sf_small
+        ).collect()
+    }
+    for arm in (0, 1):
+        sub = g[g.index % 2 == arm]
+        n = len(sub)
+        sy, sx = float(sub["y"].sum()), float(sub["x"].sum())
+        syy = float((sub["y"].astype(object) ** 2).sum())
+        sxx = float((sub["x"].astype(object) ** 2).sum())
+        syx = float(
+            (sub["y"].astype(object) * sub["x"].astype(object)).sum()
+        )
+        R = sy / sx
+        vy = (n * syy - sy * sy) / (n * (n - 1.0))
+        vx = (n * sxx - sx * sx) / (n * (n - 1.0))
+        cyx = (n * syx - sy * sx) / (n * (n - 1.0))
+        se = math.sqrt((vy - 2 * R * cyx + R * R * vx) / n) / (sx / n)
+        r = got[arm]
+        assert r["n_users"] == n
+        assert abs(r["ratio_cents_per_event"] - R) < 1e-9 * abs(R)
+        assert abs(r["se"] - se) < 1e-9 * max(se, 1e-12)
+        assert r["ci_lo"] < R < r["ci_hi"]
+        assert abs(r["ci_hi"] - (R + Z * se)) < 1e-9 * max(abs(R), 1.0)

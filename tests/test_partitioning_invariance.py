@@ -212,6 +212,9 @@ QUERIES = [
     "score_psi_drift",              # sorted 10-bin smoothed-share folds
     "dist_js_divergence",           # sorted type-fold, integer cohort counts
     "dedup_repeated_substrings",    # exact window counts, 1 division
+    "sim_rbo_overlap",              # integer suffix weights, 1 division
+    "attribution_shapley",          # 1/12-grid integer credit sums
+    "delta_method_ratio_ci",        # DECIMAL moments, pinned chains
 ]
 
 

@@ -1384,3 +1384,25 @@ def test_repeated_substrings_pruned_scan(spark, sf):
     assert "CartesianProduct" not in plan
     fmt = _formatted(df)
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in fmt
+
+
+def test_rbo_no_cartesian(spark, sf):
+    df = registry.QUERIES["sim_rbo_overlap"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_shapley_no_cartesian_no_nested_loop(spark, sf):
+    df = registry.QUERIES["attribution_shapley"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_delta_method_pruned_single_pass(spark, sf):
+    df = registry.QUERIES["delta_method_ratio_ci"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # one fact pass, two chained aggregations
+    fmt = _formatted(df)
+    assert "ReadSchema: struct<user_id:bigint,value:double>" in fmt

@@ -1238,3 +1238,111 @@ def delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"sy / sx - {_Z_ALPHA} * ({se})").alias("ci_lo"),
         F.expr(f"sy / sx + {_Z_ALPHA} * ({se})").alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SPRT: Wald's sequential probability ratio test over the daily event feed.
+# ---------------------------------------------------------------------------
+import math as _math
+
+_SPRT_P0 = 0.20  # H0: purchase share of events (5 types, uniform null)
+_SPRT_P1 = 0.25  # H1: elevated purchase share
+# The log-LR weights are evaluated ONCE in Python and embedded as 2^32-grid
+# INTEGERS into both engines: k*I1 + (n-k)*I2 then stays exact integer
+# arithmetic end to end (a raw double k*L1 + (n-k)*L2 diverged by 1 ulp —
+# DuckDB contracts the multiply-add), and the Wald decisions compare
+# integers against integer thresholds. int64 headroom: |I| < 2^31, so the
+# statistic is safe to ~2^32 cumulative events; widen to DECIMAL(38,0)
+# beyond that.
+_SPRT_GRID = 2**32
+_SPRT_I1 = round(_math.log(_SPRT_P1 / _SPRT_P0) * _SPRT_GRID)
+_SPRT_I2 = round(_math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0)) * _SPRT_GRID)
+_SPRT_IA = round(_math.log(0.95 / 0.05) * _SPRT_GRID)  # accept H1 >= IA
+_SPRT_IB = round(_math.log(0.05 / 0.95) * _SPRT_GRID)  # accept H0 <= IB
+
+
+@query(
+    "sprt_sequential_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM events GROUP BY 1
+    ), cum AS (
+        SELECT day_id,
+               CAST(sum(n) OVER w AS BIGINT) AS n_cum,
+               CAST(sum(k) OVER w AS BIGINT) AS k_cum
+        FROM daily
+        WINDOW w AS (ORDER BY day_id ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT day_id, n_cum, k_cum,
+           CAST(k_cum * {_SPRT_I1} + (n_cum - k_cum) * {_SPRT_I2}
+                AS DOUBLE) / {_SPRT_GRID} AS llr,
+           CASE WHEN k_cum * {_SPRT_I1} + (n_cum - k_cum) * {_SPRT_I2}
+                     >= {_SPRT_IA} THEN 'accept_h1'
+                WHEN k_cum * {_SPRT_I1} + (n_cum - k_cum) * {_SPRT_I2}
+                     <= {_SPRT_IB} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum
+    """,
+)
+def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test run day by day over the
+    event feed: is the purchase share of events p0 = 0.20 (the uniform
+    5-type null) or p1 = 0.25? Each day reports the cumulative
+    log-likelihood ratio llr = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) and
+    Wald's decision at alpha = beta = 5% (accept H1 at ln 19, accept H0
+    at −ln 19, else keep sampling) — the "when could we have stopped"
+    readout that fixed-horizon tests like ab_test_proportions cannot
+    give, and the guard against peeking-inflated false positives.
+
+    Exactness: k and n are exact integer cumulative counts; the log-LR
+    weights and Wald thresholds are embedded as shared 2^32-grid INTEGER
+    literals, so the statistic is pure integer arithmetic (a raw-double
+    form diverged by 1 ulp under DuckDB's multiply-add contraction) with
+    ONE final division for the reported llr; decisions are integer
+    comparisons that cannot straddle an ulp.
+
+    Plan: one day-keyed partial-aggregatable pass over the fact table,
+    then a running-sum window over the CALENDAR-BOUNDED day series
+    (state is O(days) at any fact scale; the single-partition window is
+    over ~tens of rows, never fact rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr(
+                "(ts - pmod(ts, 86400000000000)) div 86400000000000"
+            ).alias("day_id"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+                "isp"
+            ),
+        )
+        .groupBy("day_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("isp").cast("long").alias("k"),
+        )
+    )
+    w = Window.orderBy("day_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day_id",
+        F.sum("n").over(w).cast("long").alias("n_cum"),
+        F.sum("k").over(w).cast("long").alias("k_cum"),
+    )
+    grid = f"k_cum * {_SPRT_I1} + (n_cum - k_cum) * {_SPRT_I2}"
+    return cum.select(
+        "day_id",
+        "n_cum",
+        "k_cum",
+        F.expr(f"CAST({grid} AS DOUBLE) / {_SPRT_GRID}").alias("llr"),
+        F.expr(
+            f"CASE WHEN {grid} >= {_SPRT_IA} THEN 'accept_h1' "
+            f"WHEN {grid} <= {_SPRT_IB} THEN 'accept_h0' "
+            f"ELSE 'continue' END"
+        ).alias("decision"),
+    )

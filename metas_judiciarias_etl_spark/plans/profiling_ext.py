@@ -1995,3 +1995,290 @@ def score_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.expr(fold), 6) + F.lit(0.0)).alias("psi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Empirical-Bayes shrinkage of per-source rates — the small-segment
+# stabilizer for any per-segment rate dashboard.
+# --------------------------------------------------------------------------
+_EB_SHORT_CHARS = 200  # "short document" threshold
+
+
+@query(
+    "empirical_bayes_rates",
+    oracle=f"""
+    WITH per AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN n_chars < {_EB_SHORT_CHARS}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM documents GROUP BY source
+    ), lst AS (
+        SELECT CAST(count(*) AS BIGINT) AS s,
+               list_sort(list(struct_pack(source := source, k := k,
+                                          n := n))) AS l
+        FROM per
+    ), mom AS (
+        SELECT s,
+               list_reduce([0.0] || list_transform(l,
+                   x -> (x.k / x.n) / s), (a, b) -> a + b) AS m,
+               list_reduce([0.0] || list_transform(l,
+                   x -> ((x.k / x.n) * (x.k / x.n)) / s),
+                   (a, b) -> a + b) AS ex2
+        FROM lst
+    ), ab AS (
+        SELECT s, m, ex2 - m * m AS v,
+               CASE WHEN ex2 - m * m > 0 AND m > 0 AND m < 1 AND s >= 2
+                         AND m * (1 - m) > ex2 - m * m
+                    THEN m * (m * (1 - m) / (ex2 - m * m) - 1)
+                    END AS alpha,
+               CASE WHEN ex2 - m * m > 0 AND m > 0 AND m < 1 AND s >= 2
+                         AND m * (1 - m) > ex2 - m * m
+                    THEN (1 - m) * (m * (1 - m) / (ex2 - m * m) - 1)
+                    END AS beta
+        FROM mom
+    )
+    SELECT per.source, per.n AS n_docs, per.k AS k_short,
+           CAST(per.k AS DOUBLE) / per.n AS raw_rate,
+           CASE WHEN ab.alpha IS NULL THEN CAST(per.k AS DOUBLE) / per.n
+                ELSE (per.k + ab.alpha) / (per.n + ab.alpha + ab.beta)
+                END AS shrunk_rate,
+           ab.alpha, ab.beta
+    FROM per CROSS JOIN ab
+    """,
+)
+def empirical_bayes_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of each source's
+    short-document rate toward the cross-source prior: a Beta(α, β) is
+    fit by method of moments to the observed per-source rates, then each
+    source reports (k + α)/(n + α + β) next to its raw k/n — small
+    sources shrink hard toward the pool, large sources barely move. The
+    standard stabilizer for per-segment CTR/defect-rate dashboards where
+    tiny segments would otherwise dominate the alert list (Robbins'
+    empirical Bayes; the baseball-batting-average construction).
+
+    Exactness: k and n are exact integers; the rate moments fold in
+    SORTED source order over the source-bounded list (entropy_fold
+    discipline); the α/β chain and each shrunk rate are pinned
+    closed-form expressions over those scalars. When the moment fit is
+    degenerate (zero variance, boundary mean, or v >= m(1-m)) α/β are
+    NULL and the shrunk rate falls back to the raw rate — the guard is
+    part of the contract, not an error path.
+
+    Plan: one source-keyed pass over the fact table, a 1-row moment
+    fold over the ≤|sources| list, and a broadcast cross join back —
+    scan-bound at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("n_chars") < _EB_SHORT_CHARS, 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    per = per.persist()
+    per.count()
+    lst = per.agg(
+        F.count(F.lit(1)).cast("long").alias("s"),
+        F.sort_array(F.collect_list(F.struct("source", "k", "n"))).alias("l"),
+    )
+    mom = lst.select(
+        "s",
+        F.expr(
+            "aggregate(transform(l, x -> (x.k / x.n) / s), "
+            "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("m"),
+        F.expr(
+            "aggregate(transform(l, x -> ((x.k / x.n) * (x.k / x.n)) / s), "
+            "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("ex2"),
+    )
+    valid = (
+        "ex2 - m * m > 0 AND m > 0 AND m < 1 AND s >= 2 "
+        "AND m * (1 - m) > ex2 - m * m"
+    )
+    ab = mom.select(
+        F.expr(
+            f"CASE WHEN {valid} "
+            "THEN m * (m * (1 - m) / (ex2 - m * m) - 1) END"
+        ).alias("alpha"),
+        F.expr(
+            f"CASE WHEN {valid} "
+            "THEN (1 - m) * (m * (1 - m) / (ex2 - m * m) - 1) END"
+        ).alias("beta"),
+    )
+    return per.crossJoin(F.broadcast(ab)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("k").alias("k_short"),
+        (F.col("k").cast("double") / F.col("n")).alias("raw_rate"),
+        F.expr(
+            "CASE WHEN alpha IS NULL THEN CAST(k AS DOUBLE) / n "
+            "ELSE (k + alpha) / (n + alpha + beta) END"
+        ).alias("shrunk_rate"),
+        "alpha",
+        "beta",
+    )
+
+
+# --------------------------------------------------------------------------
+# Mutual-information feature ranking — which banded feature predicts the
+# language label, with a parity control pinned at ~zero.
+# --------------------------------------------------------------------------
+_MI_LEN_BIN = 100
+_MI_LEN_BINS = 10
+
+
+def _mi_fold(lst: str, f: str) -> str:
+    return (
+        f"aggregate(transform({lst}, "
+        f"x -> -(x.{f} / n_docs) * ln(x.{f} / n_docs)), "
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+
+
+def _mi_fold_sql(lst: str, f: str) -> str:
+    return (
+        f"list_reduce([0.0] || list_transform({lst}, "
+        f"x -> -(x.{f} / n_docs) * ln(x.{f} / n_docs)), (a, b) -> a + b)"
+    )
+
+
+@query(
+    "feature_mi_ranking",
+    oracle=f"""
+    WITH base AS (
+        SELECT lang, 'len_band' AS feature,
+               CAST(least(n_chars // {_MI_LEN_BIN}, {_MI_LEN_BINS - 1})
+                    AS VARCHAR) AS fv
+        FROM documents
+        UNION ALL
+        SELECT lang, 'source' AS feature, source AS fv FROM documents
+        UNION ALL
+        SELECT lang, 'id_parity' AS feature,
+               CAST(doc_id % 2 AS VARCHAR) AS fv
+        FROM documents
+    ), cells AS (
+        SELECT feature, fv, lang, CAST(count(*) AS BIGINT) AS nij
+        FROM base GROUP BY 1, 2, 3
+    ), g AS (
+        SELECT feature,
+               list_sort(list(struct_pack(fv := fv, lang := lang,
+                                          nij := nij))) AS l_joint,
+               CAST(sum(nij) AS BIGINT) AS n_docs
+        FROM cells GROUP BY feature
+    ), rf AS (
+        SELECT feature, fv, CAST(sum(nij) AS BIGINT) AS af
+        FROM cells GROUP BY feature, fv
+    ), gf AS (
+        SELECT feature, list_sort(list(struct_pack(fv := fv, af := af)))
+                   AS l_f
+        FROM rf GROUP BY feature
+    ), rl AS (
+        SELECT feature, lang, CAST(sum(nij) AS BIGINT) AS al
+        FROM cells GROUP BY feature, lang
+    ), gl AS (
+        SELECT feature, list_sort(list(struct_pack(lang := lang, al := al)))
+                   AS l_l
+        FROM rl GROUP BY feature
+    ), h AS (
+        SELECT g.feature, n_docs,
+               {_mi_fold_sql('l_f', 'af')} AS h_f,
+               {_mi_fold_sql('l_l', 'al')} AS h_l,
+               {_mi_fold_sql('l_joint', 'nij')} AS h_fl
+        FROM g JOIN gf ON g.feature = gf.feature
+               JOIN gl ON g.feature = gl.feature
+    )
+    SELECT feature, n_docs,
+           round(h_f, 6) + 0.0 AS h_feature,
+           round(h_l, 6) + 0.0 AS h_label,
+           round(h_f + h_l - h_fl, 6) + 0.0 AS mutual_info,
+           round((h_f + h_l - h_fl) / nullif((h_f + h_l) / 2, 0), 6)
+               + 0.0 AS nmi
+    FROM h
+    """,
+)
+def feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(feature; lang) for three candidate features —
+    the document-length band, the source, and a doc_id-parity CONTROL
+    (independent by construction, so its MI pins the estimation noise
+    floor) — the filter-style feature-relevance ranking run before
+    training any classifier on corpus metadata, and the generalization of
+    lang_agreement_nmi from one fixed clustering to a feature sweep.
+
+    Determinism: every entropy is a SORTED fold over its own
+    bounded-cardinality list (cells are capped by band × lang × feature
+    cardinalities, never by fact rows) with identical ln() inputs on both
+    engines (entropy_fold discipline); MI and its arithmetic-mean NMI
+    normalizer round once at the end.
+
+    Plan: the three feature columns stack into ONE corpus pass (stack()
+    lowers to a Generate — one scan feeds all three features, the same
+    idea as dq_column_profile's Expand), then one (feature, fv, lang)
+    aggregation; everything after runs on category-bounded relations
+    with broadcast joins on feature."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.expr(
+            f"stack(3, "
+            f"'len_band', CAST(least(n_chars DIV {_MI_LEN_BIN}, "
+            f"{_MI_LEN_BINS - 1}) AS STRING), "
+            f"'source', source, "
+            f"'id_parity', CAST(doc_id % 2 AS STRING)) AS (feature, fv)"
+        ),
+    )
+    cells = base.groupBy("feature", "fv", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("nij")
+    )
+    cells = cells.persist()
+    cells.count()
+    g = cells.groupBy("feature").agg(
+        F.sort_array(F.collect_list(F.struct("fv", "lang", "nij"))).alias(
+            "l_joint"
+        ),
+        F.sum("nij").cast("long").alias("n_docs"),
+    )
+    gf = (
+        cells.groupBy("feature", "fv")
+        .agg(F.sum("nij").cast("long").alias("af"))
+        .groupBy("feature")
+        .agg(F.sort_array(F.collect_list(F.struct("fv", "af"))).alias("l_f"))
+    )
+    gl = (
+        cells.groupBy("feature", "lang")
+        .agg(F.sum("nij").cast("long").alias("al"))
+        .groupBy("feature")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("lang", "al"))).alias("l_l")
+        )
+    )
+    h = (
+        g.join(F.broadcast(gf), "feature")
+        .join(F.broadcast(gl), "feature")
+        .select(
+            "feature",
+            "n_docs",
+            F.expr(_mi_fold("l_f", "af")).alias("h_f"),
+            F.expr(_mi_fold("l_l", "al")).alias("h_l"),
+            F.expr(_mi_fold("l_joint", "nij")).alias("h_fl"),
+        )
+    )
+    return h.select(
+        "feature",
+        "n_docs",
+        (F.round("h_f", 6) + F.lit(0.0)).alias("h_feature"),
+        (F.round("h_l", 6) + F.lit(0.0)).alias("h_label"),
+        (F.round(F.col("h_f") + F.col("h_l") - F.col("h_fl"), 6) + F.lit(0.0)).alias(
+            "mutual_info"
+        ),
+        (
+            F.round(
+                (F.col("h_f") + F.col("h_l") - F.col("h_fl"))
+                / F.nullif(
+                    (F.col("h_f") + F.col("h_l")) / F.lit(2.0), F.lit(0.0)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("nmi"),
+    )

@@ -5088,3 +5088,149 @@ def test_delta_method_matches_python_replay(spark, sf_small):
         assert abs(r["se"] - se) < 1e-9 * max(se, 1e-12)
         assert r["ci_lo"] < R < r["ci_hi"]
         assert abs(r["ci_hi"] - (R + Z * se)) < 1e-9 * max(abs(R), 1.0)
+
+
+def test_sprt_matches_integer_grid_replay(spark, sf_small):
+    """Per-day llr and Wald decisions must match a Python replay of the
+    cumulative integer-grid statistic."""
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.evaluation_ext import (
+        _SPRT_GRID,
+        _SPRT_I1,
+        _SPRT_I2,
+        _SPRT_IA,
+        _SPRT_IB,
+    )
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    ev = ev.assign(
+        day_id=ev["ts"].astype("datetime64[ns]").astype("int64")
+        // (86400 * 10**9)
+    )
+    daily = (
+        ev.groupby("day_id")
+        .agg(
+            n=("event_type", "size"),
+            k=("event_type", lambda s: int((s == "purchase").sum())),
+        )
+        .sort_index()
+    )
+    rows = {
+        r["day_id"]: r
+        for r in registry.QUERIES["sprt_sequential_test"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(rows) == set(daily.index)
+    n_cum = k_cum = 0
+    for day, rec in daily.iterrows():
+        n_cum += int(rec["n"])
+        k_cum += int(rec["k"])
+        grid = k_cum * _SPRT_I1 + (n_cum - k_cum) * _SPRT_I2
+        want = (
+            "accept_h1"
+            if grid >= _SPRT_IA
+            else ("accept_h0" if grid <= _SPRT_IB else "continue")
+        )
+        r = rows[day]
+        assert (r["n_cum"], r["k_cum"]) == (n_cum, k_cum)
+        assert r["llr"] == grid / _SPRT_GRID
+        assert r["decision"] == want
+
+
+def test_empirical_bayes_shrinks_toward_pool(spark, sf_small):
+    """alpha/beta must match the method-of-moments replay, and every
+    shrunk rate must land BETWEEN its raw rate and the prior mean (the
+    convex-combination property of beta-binomial shrinkage)."""
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.profiling_ext import (
+        _EB_SHORT_CHARS,
+    )
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    per = docs.groupby("source").agg(
+        n=("n_chars", "size"),
+        k=("n_chars", lambda s: int((s < _EB_SHORT_CHARS).sum())),
+    )
+    srcs = sorted(per.index)
+    s = len(srcs)
+    m = sum(per.loc[c, "k"] / per.loc[c, "n"] / s for c in srcs)
+    ex2 = sum((per.loc[c, "k"] / per.loc[c, "n"]) ** 2 / s for c in srcs)
+    v = ex2 - m * m
+    rows = {
+        r["source"]: r
+        for r in registry.QUERIES["empirical_bayes_rates"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(rows) == set(srcs)
+    valid = v > 0 and 0 < m < 1 and s >= 2 and m * (1 - m) > v
+    for c in srcs:
+        r = rows[c]
+        raw = per.loc[c, "k"] / per.loc[c, "n"]
+        assert r["n_docs"] == per.loc[c, "n"]
+        assert r["k_short"] == per.loc[c, "k"]
+        assert abs(r["raw_rate"] - raw) < 1e-15
+        if valid:
+            cfac = m * (1 - m) / v - 1
+            alpha, beta = m * cfac, (1 - m) * cfac
+            assert abs(r["alpha"] - alpha) < 1e-9 * max(alpha, 1.0)
+            want = (per.loc[c, "k"] + alpha) / (per.loc[c, "n"] + alpha + beta)
+            assert abs(r["shrunk_rate"] - want) < 1e-12
+            lo, hi = min(raw, m), max(raw, m)
+            assert lo - 1e-12 <= r["shrunk_rate"] <= hi + 1e-12
+        else:
+            assert r["alpha"] is None and r["beta"] is None
+            assert r["shrunk_rate"] == r["raw_rate"]
+
+
+def test_feature_mi_control_is_noise_floor(spark, sf_small):
+    """MI must match a Python entropy replay per feature; the id-parity
+    control (independent by construction) must sit at the noise floor,
+    below the informative features; MI >= 0 up to rounding."""
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.profiling_ext import (
+        _MI_LEN_BIN,
+        _MI_LEN_BINS,
+    )
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    feats = {
+        "len_band": (docs["n_chars"] // _MI_LEN_BIN)
+        .clip(upper=_MI_LEN_BINS - 1)
+        .astype(str),
+        "source": docs["source"],
+        "id_parity": (docs["doc_id"] % 2).astype(str),
+    }
+    got = {
+        r["feature"]: r
+        for r in registry.QUERIES["feature_mi_ranking"](
+            spark, sf_small
+        ).collect()
+    }
+    n = len(docs)
+
+    def h(series_tuples):
+        counts = {}
+        for t in series_tuples:
+            counts[t] = counts.get(t, 0) + 1
+        return sum(
+            -(c / n) * math.log(c / n) for _, c in sorted(counts.items())
+        )
+
+    for name, fv in feats.items():
+        h_f = h(list(zip(fv)))
+        h_l = h(list(zip(docs["lang"])))
+        h_fl = h(list(zip(fv, docs["lang"])))
+        mi = h_f + h_l - h_fl
+        r = got[name]
+        assert r["n_docs"] == n
+        assert abs(r["mutual_info"] - round(mi, 6)) < 2e-6
+        assert r["mutual_info"] >= -1e-6
+    assert got["id_parity"]["mutual_info"] < 0.02
+    assert got["source"]["mutual_info"] >= got["id_parity"]["mutual_info"]

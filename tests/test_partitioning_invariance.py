@@ -215,6 +215,9 @@ QUERIES = [
     "sim_rbo_overlap",              # integer suffix weights, 1 division
     "attribution_shapley",          # 1/12-grid integer credit sums
     "delta_method_ratio_ci",        # DECIMAL moments, pinned chains
+    "sprt_sequential_test",         # 2^32-grid integer log-LR
+    "empirical_bayes_rates",        # sorted source-rate folds
+    "feature_mi_ranking",           # sorted entropy folds per feature
 ]
 
 

@@ -1406,3 +1406,33 @@ def test_delta_method_pruned_single_pass(spark, sf):
     assert "Join" not in plan  # one fact pass, two chained aggregations
     fmt = _formatted(df)
     assert "ReadSchema: struct<user_id:bigint,value:double>" in fmt
+
+
+def test_sprt_single_pass_no_join(spark, sf):
+    df = registry.QUERIES["sprt_sequential_test"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # one day-keyed agg + one bounded window
+
+
+def test_empirical_bayes_pruned_scan(spark, sf):
+    df = registry.QUERIES["empirical_bayes_rates"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    fmt = _formatted(df)
+    assert "ReadSchema: struct<source:string,n_chars:bigint>" in fmt
+
+
+def test_feature_mi_single_expand_pass(spark, sf):
+    df = registry.QUERIES["feature_mi_ranking"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the 3-feature stack rides ONE corpus pass (stack() lowers to a
+    # Generate node; grouping-set style plans would show Expand)
+    assert "Generate" in plan or "Expand" in plan
+    fmt = _formatted(df)
+    # text is never read — the scan prunes to the 4 metadata columns
+    assert (
+        "ReadSchema: struct<doc_id:bigint,lang:string,source:string,"
+        "n_chars:bigint>" in fmt
+    )

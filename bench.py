@@ -289,6 +289,12 @@ HEADLINE = [
     "score_psi_drift",
     "dist_js_divergence",
     "dedup_repeated_substrings",
+    "sim_rbo_overlap",
+    "attribution_shapley",
+    "delta_method_ratio_ci",
+    "sprt_sequential_test",
+    "empirical_bayes_rates",
+    "feature_mi_ranking",
 ]
 
 

@@ -295,6 +295,9 @@ HEADLINE = [
     "sprt_sequential_test",
     "empirical_bayes_rates",
     "feature_mi_ranking",
+    "tokenizer_fertility_by_lang",
+    "decontam_embedding_cosine",
+    "group_sequential_looks",
 ]
 
 

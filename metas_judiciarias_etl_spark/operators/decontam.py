@@ -243,3 +243,138 @@ def decontam_ngram_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) decontamination — the paraphrase-robust twin
+# of the n-gram overlap checks above.
+# ---------------------------------------------------------------------------
+@query(
+    "decontam_embedding_cosine",
+    oracle=None,  # assembled below after the similarity helpers import
+)
+def decontam_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: vectors are hash-split into train
+    (hash%100 < 80) and a held-out eval carve (>= 90) by the SAME
+    content-stable rule as dataset_split_hash, then every train vector
+    whose LSH bucket contains an eval vector with cosine >= threshold is
+    flagged contaminated. This is the embedding-space twin of
+    decontam_ngram_overlap — it catches paraphrased or re-worded eval
+    leakage that exact n-gram matching misses (the Phi/GPT-3 semantic
+    decontamination recipe), and reports the one-row summary a pipeline
+    gates on: carve sizes, candidate pairs, contaminated-train count and
+    share, worst cosine.
+
+    Exactness: split membership, pair counts, and the contaminated
+    distinct-count are exact integers; cosines round to 4 dp through the
+    shared list-ordered dot product (the similarity-module discipline);
+    the share is one integer-ratio division; max() over rounded cosines
+    is order-insensitive (no-candidate case pins -1.0 via coalesce).
+
+    Plan: the bucket equi-join is the ONLY candidate generator (never
+    all-pairs — same LSH posture as dedup_embedding_cosine); both carve
+    projections read one cached base; the summary is four 1-row
+    broadcast-crossJoined aggregates. At 100 TB the eval carve is tiny
+    by construction, so the bucket join degenerates to an eval-side
+    broadcast against the streaming train scan."""
+    from .similarity import NEAR_DUP_COS, _bucket_expr, _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    h = hash48(F.col("vec_id").cast("string")) % 100
+    base = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+            _bucket_expr(F.col("embedding")).alias("bucket"),
+            h.alias("hb"),
+        )
+        .filter((F.col("hb") < 80) | (F.col("hb") >= 90))
+        .persist()
+    )
+    base.count()
+    tr = base.filter(F.col("hb") < 80).select(
+        F.col("vec_id").alias("t_id"),
+        F.col("embedding").alias("t_emb"),
+        F.col("nrm").alias("t_nrm"),
+        "bucket",
+    )
+    ev = base.filter(F.col("hb") >= 90).select(
+        F.col("vec_id").alias("e_id"),
+        F.col("embedding").alias("e_emb"),
+        F.col("nrm").alias("e_nrm"),
+        "bucket",
+    )
+    cos = F.round(
+        _dot(F.col("t_emb"), F.col("e_emb"))
+        / (F.col("t_nrm") * F.col("e_nrm")),
+        4,
+    )
+    pairs = tr.join(ev, "bucket").select("t_id", cos.alias("cosine"))
+    pairs = pairs.persist()
+    pairs.count()
+    n_tr = tr.agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+    n_ev = ev.agg(F.count(F.lit(1)).cast("long").alias("n_eval"))
+    pair_stats = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+        F.coalesce(F.max("cosine"), F.lit(-1.0)).alias("max_cosine"),
+    )
+    contam = (
+        pairs.filter(F.col("cosine") >= NEAR_DUP_COS)
+        .agg(F.countDistinct("t_id").cast("long").alias("n_contaminated"))
+    )
+    return (
+        n_tr.crossJoin(F.broadcast(n_ev))
+        .crossJoin(F.broadcast(pair_stats))
+        .crossJoin(F.broadcast(contam))
+        .select(
+            "n_train",
+            "n_eval",
+            "n_candidate_pairs",
+            "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double") / F.col("n_train")
+            ).alias("contaminated_share"),
+            "max_cosine",
+        )
+    )
+
+
+def _decontam_emb_oracle() -> str:
+    from .similarity import NEAR_DUP_COS, _sql_bucket, _sql_dot, _sql_norm
+
+    h = sql_hash48("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm,
+               {_sql_bucket('embedding')} AS bucket,
+               {h} % 100 AS hb
+        FROM embeddings
+    ), tr AS (
+        SELECT vec_id AS t_id, embedding, nrm, bucket FROM base
+        WHERE hb < 80
+    ), ev AS (
+        SELECT vec_id AS e_id, embedding, nrm, bucket FROM base
+        WHERE hb >= 90
+    ), pairs AS (
+        SELECT t.t_id,
+               round({_sql_dot('t.embedding', 'e.embedding')}
+                     / (t.nrm * e.nrm), 4) AS cosine
+        FROM tr t JOIN ev e ON t.bucket = e.bucket
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_train,
+           (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_eval,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs)
+               AS n_candidate_pairs,
+           (SELECT CAST(count(DISTINCT t_id) AS BIGINT) FROM pairs
+            WHERE cosine >= {NEAR_DUP_COS}) AS n_contaminated,
+           CAST((SELECT count(DISTINCT t_id) FROM pairs
+                 WHERE cosine >= {NEAR_DUP_COS}) AS DOUBLE)
+               / (SELECT count(*) FROM tr) AS contaminated_share,
+           (SELECT coalesce(max(cosine), -1.0) FROM pairs) AS max_cosine
+    """
+
+
+from ..registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["decontam_embedding_cosine"] = _decontam_emb_oracle()

@@ -2532,3 +2532,62 @@ def lang_agreement_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("nmi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language — the multilingual token-budget table.
+# ---------------------------------------------------------------------------
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH per AS (
+        SELECT lang,
+               CAST(len({_SQL_TOKS}) AS BIGINT) AS ws,
+               CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}'))
+                    AS BIGINT) AS bpe,
+               CAST(n_chars AS BIGINT) AS nc
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(nc) AS BIGINT) AS chars,
+           CAST(sum(bpe) AS DOUBLE) / sum(ws) AS fertility,
+           CAST(sum(nc) AS DOUBLE) / sum(bpe) AS chars_per_token
+    FROM per GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word and characters per token — the table a multilingual training
+    run reads before setting per-language sampling budgets, because a
+    language that fragments into 2x the tokens per word costs 2x the
+    compute for the same text (and under-trains at equal document
+    counts). Uses the same segmenters as text_token_count, so the
+    numbers reconcile with the per-document counts.
+
+    Exactness: all four tallies are exact integer sums (each DuckDB sum
+    wrapped back to BIGINT); the two ratios are single integer-ratio
+    divisions, identically rounded on both engines.
+
+    Plan: map-stage tokenization feeding ONE lang-keyed
+    partial-aggregatable pass — scan-bound, no UDFs, the token regex
+    stays inside whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("ws"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
+        .cast("long")
+        .alias("bpe"),
+        F.col("n_chars").cast("long").alias("nc"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.sum("nc").cast("long").alias("chars"),
+        (F.sum("bpe").cast("double") / F.sum("ws")).alias("fertility"),
+        (F.sum("nc").cast("double") / F.sum("bpe")).alias("chars_per_token"),
+    )

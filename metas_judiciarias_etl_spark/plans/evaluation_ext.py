@@ -1346,3 +1346,156 @@ def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE 'continue' END"
         ).alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-sequential monitoring: O'Brien-Fleming boundaries over K looks.
+# ---------------------------------------------------------------------------
+_GSD_K = 5  # number of interim looks (equally spaced in calendar days)
+# Two-sided 5% O'Brien-Fleming critical constant for K=5 equally spaced
+# looks (published group-sequential tables; boundary at look k is
+# C * sqrt(K / k), spending almost no alpha early).
+_GSD_C = "2.04"
+
+
+@query(
+    "group_sequential_looks",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_id,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN user_id % 2 = 1
+                             AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN user_id % 2 = 0
+                             AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS x0
+        FROM events GROUP BY 1
+    ), cum AS (
+        SELECT day_id,
+               row_number() OVER (ORDER BY day_id) AS rn,
+               count(*) OVER () AS d,
+               CAST(sum(n1) OVER w AS BIGINT) AS n1,
+               CAST(sum(x1) OVER w AS BIGINT) AS x1,
+               CAST(sum(n0) OVER w AS BIGINT) AS n0,
+               CAST(sum(x0) OVER w AS BIGINT) AS x0
+        FROM daily
+        WINDOW w AS (ORDER BY day_id ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ), looks AS (
+        SELECT k, c.*
+        FROM (SELECT unnest(generate_series(1, {_GSD_K})) AS k) g
+        JOIN cum c ON c.rn = CAST(ceil(k * c.d / {_GSD_K}.0) AS BIGINT)
+    ), z AS (
+        SELECT k, day_id AS look_day_id, n1, x1, n0, x0,
+               (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+               / sqrt((CAST(x1 + x0 AS DOUBLE) / (n1 + n0))
+                      * (1 - CAST(x1 + x0 AS DOUBLE) / (n1 + n0))
+                      * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n0))
+                   AS z,
+               {_GSD_C} * sqrt(CAST({_GSD_K} AS DOUBLE) / k) AS of_bound
+        FROM looks
+    )
+    SELECT k AS look, look_day_id, n1, x1, n0, x0, z, of_bound,
+           CASE WHEN abs(z) >= of_bound THEN 'stop_reject'
+                ELSE 'continue' END AS decision
+    FROM z
+    """,
+)
+def group_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring with O'Brien-Fleming boundaries:
+    the two-proportion z statistic (purchase share of events, arms by
+    user parity) evaluated at K=5 equally spaced calendar looks, each
+    compared against the OF critical value C·sqrt(K/k) — near-untouchable
+    early (k=1 boundary ≈ 4.56) and close to the fixed-horizon 1.96 at
+    the final look. Together with sprt_sequential_test this covers both
+    canonical always-valid-monitoring designs: SPRT decides per
+    observation, group-sequential at scheduled interim analyses.
+
+    Determinism: cumulative cells are exact integers off one day-keyed
+    pass; the z chain is the pinned ab_test_proportions closed form over
+    those scalars; the boundary is a shared decimal literal times
+    sqrt(K/k) — and IEEE sqrt is correctly rounded, so both engines
+    produce bit-identical boundaries (unlike ln, which is why SPRT uses
+    an integer grid); look selection is an integer rank equality, so the
+    chosen days cannot straddle an ulp.
+
+    Plan: one day-keyed partial-aggregatable pass with four conditional
+    sums, a running-sum window over the calendar-bounded day series, and
+    a ≤K-row rank-equality join — state is O(days) at any fact scale."""
+    ev = load_table(spark, sf_dir, "events")
+    arm1 = F.col("user_id") % 2 == 1
+    isp = F.col("event_type") == "purchase"
+    daily = (
+        ev.select(
+            F.expr(
+                "(ts - pmod(ts, 86400000000000)) div 86400000000000"
+            ).alias("day_id"),
+            arm1.alias("a1"),
+            isp.alias("p"),
+        )
+        .groupBy("day_id")
+        .agg(
+            F.sum(F.when(F.col("a1"), 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(F.col("a1") & F.col("p"), 1).otherwise(0))
+            .cast("long")
+            .alias("x1"),
+            F.sum(F.when(~F.col("a1"), 1).otherwise(0)).cast("long").alias("n0"),
+            F.sum(F.when(~F.col("a1") & F.col("p"), 1).otherwise(0))
+            .cast("long")
+            .alias("x0"),
+        )
+    )
+    wo = Window.orderBy("day_id")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select(
+        "day_id",
+        F.row_number().over(wo).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("d"),
+        F.sum("n1").over(wc).cast("long").alias("n1"),
+        F.sum("x1").over(wc).cast("long").alias("x1"),
+        F.sum("n0").over(wc).cast("long").alias("n0"),
+        F.sum("x0").over(wc).cast("long").alias("x0"),
+    )
+    looks = (
+        spark.range(1, _GSD_K + 1)
+        .select(F.col("id").cast("long").alias("k"))
+        .join(
+            cum,
+            F.col("rn")
+            == F.ceil(F.col("k") * F.col("d") / F.lit(float(_GSD_K))).cast(
+                "long"
+            ),
+        )
+    )
+    phat = "(CAST(x1 + x0 AS DOUBLE) / (n1 + n0))"
+    # NOTE: "1.0" in Spark SQL is a DECIMAL literal — 1.0/n would take the
+    # decimal division path (1 ulp off DuckDB's double path); CAST keeps
+    # every term in IEEE doubles on both engines.
+    z = (
+        f"(CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)"
+        f" / sqrt({phat} * (1 - {phat})"
+        f" * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n0))"
+    )
+    bound = f"{_GSD_C} * sqrt(CAST({_GSD_K} AS DOUBLE) / k)"
+    return looks.select(
+        F.col("k").alias("look"),
+        F.col("day_id").alias("look_day_id"),
+        "n1",
+        "x1",
+        "n0",
+        "x0",
+        F.expr(z).alias("z"),
+        F.expr(bound).alias("of_bound"),
+        F.expr(
+            f"CASE WHEN abs({z}) >= {bound} THEN 'stop_reject' "
+            f"ELSE 'continue' END"
+        ).alias("decision"),
+    )

@@ -5234,3 +5234,182 @@ def test_feature_mi_control_is_noise_floor(spark, sf_small):
         assert r["mutual_info"] >= -1e-6
     assert got["id_parity"]["mutual_info"] < 0.02
     assert got["source"]["mutual_info"] >= got["id_parity"]["mutual_info"]
+
+
+def test_tokenizer_fertility_matches_replay(spark, sf_small):
+    """Per-lang token tallies must match a Python regex replay, and
+    fertility >= 1 (every whitespace chunk yields >= 1 BPE token)."""
+    import re
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.textstats import _BPE_PATTERN
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    pat = re.compile(_BPE_PATTERN)
+    agg = {}
+    for lang, text, nc in zip(docs["lang"], docs["text"], docs["n_chars"]):
+        ws = len(re.split(r"\s+", text.strip()))
+        bpe = len(pat.findall(text))
+        d = agg.setdefault(lang, [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += ws
+        d[2] += bpe
+        d[3] += int(nc)
+    rows = registry.QUERIES["tokenizer_fertility_by_lang"](
+        spark, sf_small
+    ).collect()
+    assert {r["lang"] for r in rows} == set(agg)
+    for r in rows:
+        n, ws, bpe, nc = agg[r["lang"]]
+        assert (r["n_docs"], r["ws_tokens"], r["bpe_tokens"], r["chars"]) == (
+            n,
+            ws,
+            bpe,
+            nc,
+        )
+        assert r["fertility"] == bpe / ws
+        assert r["chars_per_token"] == nc / bpe
+        assert r["fertility"] >= 1.0
+
+
+def test_decontam_embedding_matches_bruteforce(spark, sf_small):
+    """The one-row semantic-decontamination summary must match a full
+    Python replay: hash split, LCG sign-projection buckets, list-ordered
+    dot products rounded to 4 dp, threshold count."""
+    import hashlib
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.similarity import (
+        DIM,
+        LSH_PLANES,
+        NEAR_DUP_COS,
+        _LCG_A,
+        _LCG_C,
+        _LCG_M,
+        _LCG_SHIFT,
+    )
+
+    registry.load_all()
+    emb = _load_pdf(sf_small, "embeddings")
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    def bucket(v):
+        b = 0
+        for j in range(LSH_PLANES):
+            acc = 0.0
+            for i, x in enumerate(v):
+                coef = (_LCG_A * (j * DIM + i) + _LCG_C) % _LCG_M - _LCG_SHIFT
+                acc = acc + float(x) * coef
+            if acc > 0:
+                b += 1 << j
+        return b
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    tr, ev = [], []
+    for vid, v in zip(emb["vec_id"], emb["embedding"]):
+        hb = h48(str(vid)) % 100
+        if hb < 80:
+            tr.append((int(vid), list(v)))
+        elif hb >= 90:
+            ev.append((int(vid), list(v)))
+    import math
+
+    def nrm(v):
+        return math.sqrt(dot(v, v))
+
+    buckets_ev = {}
+    for vid, v in ev:
+        buckets_ev.setdefault(bucket(v), []).append((vid, v))
+    n_pairs = 0
+    contaminated = set()
+    max_cos = -1.0
+    for vid, v in tr:
+        for evid, evv in buckets_ev.get(bucket(v), []):
+            c = round(dot(v, evv) / (nrm(v) * nrm(evv)), 4)
+            n_pairs += 1
+            max_cos = max(max_cos, c)
+            if c >= NEAR_DUP_COS:
+                contaminated.add(vid)
+    r = registry.QUERIES["decontam_embedding_cosine"](
+        spark, sf_small
+    ).collect()[0]
+    assert r["n_train"] == len(tr)
+    assert r["n_eval"] == len(ev)
+    assert r["n_candidate_pairs"] == n_pairs
+    assert r["n_contaminated"] == len(contaminated)
+    assert abs(r["contaminated_share"] - len(contaminated) / len(tr)) < 1e-15
+    assert abs(r["max_cosine"] - max_cos) < 5e-5
+
+
+def test_group_sequential_boundaries_and_replay(spark, sf_small):
+    """Look rows must match a pandas cumulative replay; OF boundaries
+    strictly decrease toward ~2.04 at the final look; decisions are
+    consistent with |z| vs boundary."""
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.evaluation_ext import (
+        _GSD_C,
+        _GSD_K,
+    )
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    ev = ev.assign(
+        day_id=ev["ts"].astype("datetime64[ns]").astype("int64")
+        // (86400 * 10**9),
+        a1=(ev["user_id"] % 2 == 1),
+        p=(ev["event_type"] == "purchase"),
+    )
+    daily = (
+        ev.groupby("day_id")
+        .agg(
+            n1=("a1", "sum"),
+            x1=("p", lambda s: int((s & ev.loc[s.index, "a1"]).sum())),
+            n0=("a1", lambda s: int((~s).sum())),
+            x0=("p", lambda s: int((s & ~ev.loc[s.index, "a1"]).sum())),
+        )
+        .sort_index()
+    )
+    d = len(daily)
+    cum = daily.cumsum()
+    got = {
+        r["look"]: r
+        for r in registry.QUERIES["group_sequential_looks"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == set(range(1, _GSD_K + 1))
+    prev_bound = float("inf")
+    for k in range(1, _GSD_K + 1):
+        rn = math.ceil(k * d / _GSD_K)
+        row = cum.iloc[rn - 1]
+        r = got[k]
+        assert r["look_day_id"] == daily.index[rn - 1]
+        assert (r["n1"], r["x1"], r["n0"], r["x0"]) == (
+            int(row["n1"]),
+            int(row["x1"]),
+            int(row["n0"]),
+            int(row["x0"]),
+        )
+        n1, x1, n0, x0 = (int(row[c]) for c in ("n1", "x1", "n0", "x0"))
+        phat = (x1 + x0) / (n1 + n0)
+        z = (x1 / n1 - x0 / n0) / math.sqrt(
+            phat * (1 - phat) * (1 / n1 + 1 / n0)
+        )
+        bound = float(_GSD_C) * math.sqrt(_GSD_K / k)
+        assert abs(r["z"] - z) < 1e-12
+        assert abs(r["of_bound"] - bound) < 1e-12
+        assert r["of_bound"] < prev_bound
+        prev_bound = r["of_bound"]
+        want = "stop_reject" if abs(z) >= bound else "continue"
+        assert r["decision"] == want
+    assert abs(got[_GSD_K]["of_bound"] - float(_GSD_C)) < 1e-12

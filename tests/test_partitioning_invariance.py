@@ -218,6 +218,9 @@ QUERIES = [
     "sprt_sequential_test",         # 2^32-grid integer log-LR
     "empirical_bayes_rates",        # sorted source-rate folds
     "feature_mi_ranking",           # sorted entropy folds per feature
+    "tokenizer_fertility_by_lang",  # exact integer tallies, 2 divisions
+    "decontam_embedding_cosine",    # integer counts, 4-dp rounded cosines
+    "group_sequential_looks",       # exact cells, pinned z chain
 ]
 
 

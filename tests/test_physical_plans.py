@@ -1436,3 +1436,26 @@ def test_feature_mi_single_expand_pass(spark, sf):
         "ReadSchema: struct<doc_id:bigint,lang:string,source:string,"
         "n_chars:bigint>" in fmt
     )
+
+
+def test_fertility_pruned_single_pass(spark, sf):
+    df = registry.QUERIES["tokenizer_fertility_by_lang"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    fmt = _formatted(df)
+    assert (
+        "ReadSchema: struct<text:string,lang:string,n_chars:bigint>" in fmt
+    )
+
+
+def test_decontam_embedding_bucketed_never_allpairs(spark, sf):
+    df = registry.QUERIES["decontam_embedding_cosine"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan  # bucket equi-join only
+
+
+def test_group_sequential_no_cartesian(spark, sf):
+    df = registry.QUERIES["group_sequential_looks"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan

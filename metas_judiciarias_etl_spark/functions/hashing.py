@@ -27,11 +27,18 @@ def hash48(col: Column) -> Column:
 
 def sql_hash48(expr: str) -> str:
     """DuckDB SQL for the same 48-bit hash (hex-digit expansion — no strtol)."""
+    return sql_hash48_at(expr, 1)
+
+
+def sql_hash48_at(expr: str, start: int) -> str:
+    """48-bit hash from md5 hex digits [start, start+11] (1-based) — one
+    md5 yields two independent 48-bit slices (start=1 and start=13), so
+    multi-draw consumers pay half the hashing."""
     return (
         "CAST(list_sum(list_transform(generate_series(1, {n}), "
-        "__hi -> (strpos('{digits}', substr(md5({expr}), __hi, 1)) - 1) "
+        "__hi -> (strpos('{digits}', substr(md5({expr}), {off} + __hi, 1)) - 1) "
         "* CAST(16 ** ({n} - __hi) AS BIGINT))) AS BIGINT)"
-    ).format(n=HASH_HEX_LEN, digits=HEX_DIGITS, expr=expr)
+    ).format(n=HASH_HEX_LEN, digits=HEX_DIGITS, expr=expr, off=start - 1)
 
 
 def tokens(col: Column) -> Column:

@@ -1465,13 +1465,19 @@ def _boot_weight_case(u_expr: str) -> str:
 
 
 def _boot_oracle() -> str:
-    from ..functions.hashing import sql_hash48
+    from ..functions.hashing import sql_hash48_at
 
+    # Replicates 2g and 2g+1 slice the SAME md5 (hex digits 1-12 and
+    # 13-24): one digest carries two independent 48-bit uniforms, halving
+    # the per-row hashing (the bench-dominant term).
     w_cols = ",\n               ".join(
         "{case} AS w{r}".format(
             case=_boot_weight_case(
                 "(CAST({h} AS DOUBLE) / {p!r})".format(
-                    h=sql_hash48(f"o_orderkey::VARCHAR || ':{r}'"),
+                    h=sql_hash48_at(
+                        f"o_orderkey::VARCHAR || ':{r // 2}'",
+                        1 + 12 * (r % 2),
+                    ),
                     p=_BOOT_POW48,
                 )
             ),
@@ -1521,8 +1527,10 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation does the rest. Standard large-n equivalence (the
     multinomial marginal converges to Poisson(1)).
 
-    Determinism/exactness: replicate r's weight for a row derives from
-    md5(o_orderkey || ':' || r) -> 48-bit integer -> u = h/2^48 (one
+    Determinism/exactness: replicates 2g and 2g+1 derive from
+    md5(o_orderkey || ':' || g) — hex digits 1-12 and 13-24 are two
+    independent 48-bit slices of one digest, so 32 replicates cost 16
+    md5s per row (halving the map-side hot term) -> u = h/2^48 (one
     correctly-rounded division of exact operands) -> inverse-CDF CASE
     against repr()-shared Poisson(1) thresholds — identical doubles on
     both engines by construction, no RNG state anywhere. Weighted sums
@@ -1532,7 +1540,7 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile-bootstrap interval) — no interpolation, no float
     accumulation beyond the pinned divisions.
 
-    Plan: ONE pass over orders computing 32 md5s per row map-side, ONE
+    Plan: ONE pass over orders computing 16 md5s per row map-side, ONE
     partial-aggregatable 65-column reduction, then 1-row assembly. No
     shuffle of data rows at all — the aggregate state is 65 longs."""
     from ..functions.hashing import HASH_HEX_LEN
@@ -1542,7 +1550,8 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             _boot_weight_case(
                 "(CAST(CONV(SUBSTRING(md5(CONCAT(CAST(o_orderkey AS STRING),"
-                f" ':{r}')), 1, {HASH_HEX_LEN}), 16, 10) AS DOUBLE)"
+                f" ':{r // 2}')), {1 + 12 * (r % 2)}, {HASH_HEX_LEN}),"
+                f" 16, 10) AS DOUBLE)"
                 f" / {_BOOT_POW48!r})"
             )
         ).alias(f"w{r}")

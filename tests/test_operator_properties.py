@@ -3376,7 +3376,9 @@ def test_poisson_bootstrap_matches_hashlib_replay(spark, sf_small):
     for r in range(BOOT_REPLICATES):
         sw = swx = 0
         for k, xi in zip(keys, x):
-            h = int(hashlib.md5(f"{k}:{r}".encode()).hexdigest()[:12], 16)
+            off = 12 * (r % 2)
+            hexd = hashlib.md5(f"{k}:{r // 2}".encode()).hexdigest()
+            h = int(hexd[off : off + 12], 16)
             u = h / float(1 << 48)
             w = 9
             for kk, c in enumerate(_BOOT_CUM):

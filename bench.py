@@ -298,6 +298,7 @@ HEADLINE = [
     "tokenizer_fertility_by_lang",
     "decontam_embedding_cosine",
     "group_sequential_looks",
+    "stratified_standardization",
 ]
 
 

@@ -1499,3 +1499,129 @@ def group_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE 'continue' END"
         ).alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified standardization (the discrete-covariate form of IPW): the
+# observational-data treatment-effect estimate with the confounder visible.
+# ---------------------------------------------------------------------------
+_STD_BANDS = 6  # activity bands (confounder cells)
+_STD_BAND_EVENTS = 16  # events per band
+
+
+@query(
+    "stratified_standardization",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               least(count(*) // {_STD_BAND_EVENTS}, {_STD_BANDS - 1})
+                   AS cell,
+               CAST(CASE WHEN 5 * sum(CASE WHEN event_type = 'signup'
+                                      THEN 1 ELSE 0 END) > count(*)
+                    THEN 1 ELSE 0 END AS BIGINT) AS t,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ), cells AS (
+        SELECT cell,
+               CAST(count(*) AS BIGINT) AS n_cell,
+               CAST(sum(t) AS BIGINT) AS n_treat,
+               CAST(sum(1 - t) AS BIGINT) AS n_ctrl,
+               CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT)
+                   AS sy_t,
+               CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS sy_c
+        FROM per_user GROUP BY cell
+    ), tot AS (
+        SELECT CAST(sum(n_cell) AS BIGINT) AS n FROM cells
+    )
+    SELECT cell, n_cell, n_treat, n_ctrl,
+           CAST(sy_t AS DOUBLE) / nullif(n_treat, 0) AS mean_treat_cents,
+           CAST(sy_c AS DOUBLE) / nullif(n_ctrl, 0) AS mean_ctrl_cents,
+           CAST(sy_t AS DOUBLE) / nullif(n_treat, 0)
+             - CAST(sy_c AS DOUBLE) / nullif(n_ctrl, 0) AS cell_effect,
+           CAST(n_cell AS DOUBLE) / n AS weight,
+           (CAST(sy_t AS DOUBLE) / nullif(n_treat, 0)
+             - CAST(sy_c AS DOUBLE) / nullif(n_ctrl, 0))
+             * (CAST(n_cell AS DOUBLE) / n) AS contribution
+    FROM cells CROSS JOIN tot
+    """,
+)
+def stratified_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct standardization over discrete confounder strata — the
+    closed-form, discrete-covariate face of inverse-propensity weighting:
+    treatment = "signup-heavy user" (above-expected signup intensity,
+    5·signups > events — every user signs up at least once in this
+    fixture, so the any-signup flag would be degenerate), outcome =
+    purchase cents, confounder = activity band (total events, 6 bands).
+    Signup intensity is NOT randomized here — it covaries with how
+    active a user is — so
+    the naive treated-vs-control diff is confounded; weighting each
+    band's within-band effect by the band's population share
+    standardizes the comparison to the full population (Σ contribution
+    = the ATE estimate under no-unmeasured-confounding; within a band,
+    weighting by n_cell/n IS the IPW estimate with exact cell
+    propensities n_treat/n_cell). Per-band rows keep the positivity
+    check visible: a band with an empty arm reports NULL effect instead
+    of silently extrapolating.
+
+    Exactness: per-user treatment flags and cent sums, band cells, and
+    all six tallies are exact integers; means, weight, and contribution
+    are pinned division/multiply chains evaluated identically on both
+    engines (each contribution is one product of two correctly-rounded
+    quotients).
+
+    Plan: ONE user-keyed pass over the fact table, a band-keyed rollup
+    of user-grain rows, and a broadcast 1-row total — scan-bound; the
+    band relation is 4 rows at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.least(
+            F.expr(f"count(*) DIV {_STD_BAND_EVENTS}"),
+            F.lit(_STD_BANDS - 1),
+        ).alias("cell"),
+        F.when(
+            5 * F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("t"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    cells = per_user.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cell"),
+        F.sum("t").cast("long").alias("n_treat"),
+        F.sum(F.lit(1) - F.col("t")).cast("long").alias("n_ctrl"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy_t"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy_c"),
+    )
+    tot = cells.agg(F.sum("n_cell").cast("long").alias("n"))
+    mt = "CAST(sy_t AS DOUBLE) / nullif(n_treat, 0)"
+    mc = "CAST(sy_c AS DOUBLE) / nullif(n_ctrl, 0)"
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_cell",
+        "n_treat",
+        "n_ctrl",
+        F.expr(mt).alias("mean_treat_cents"),
+        F.expr(mc).alias("mean_ctrl_cents"),
+        F.expr(f"{mt} - {mc}").alias("cell_effect"),
+        F.expr("CAST(n_cell AS DOUBLE) / n").alias("weight"),
+        F.expr(f"({mt} - {mc}) * (CAST(n_cell AS DOUBLE) / n)").alias(
+            "contribution"
+        ),
+    )

@@ -5415,3 +5415,63 @@ def test_group_sequential_boundaries_and_replay(spark, sf_small):
         want = "stop_reject" if abs(z) >= bound else "continue"
         assert r["decision"] == want
     assert abs(got[_GSD_K]["of_bound"] - float(_GSD_C)) < 1e-12
+
+
+def test_stratified_standardization_replay(spark, sf_small):
+    """Cell table must match a pandas replay; contributions must sum to
+    the standardized ATE; every band keeps both arms populated at test
+    scale (positivity)."""
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.evaluation_ext import (
+        _STD_BAND_EVENTS,
+        _STD_BANDS,
+    )
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    ev = ev.assign(cents=(ev["value"] * 100.0).round().astype("int64"))
+    g = ev.groupby("user_id").apply(
+        lambda s: (
+            min(len(s) // _STD_BAND_EVENTS, _STD_BANDS - 1),
+            int(5 * int((s["event_type"] == "signup").sum()) > len(s)),
+            int(s.loc[s["event_type"] == "purchase", "cents"].sum()),
+        ),
+        include_groups=False,
+    )
+    cells = {}
+    for cell, t, y in g:
+        d = cells.setdefault(cell, [0, 0, 0, 0, 0])  # n, nt, nc, syt, syc
+        d[0] += 1
+        if t:
+            d[1] += 1
+            d[3] += y
+        else:
+            d[2] += 1
+            d[4] += y
+    n = sum(d[0] for d in cells.values())
+    rows = registry.QUERIES["stratified_standardization"](
+        spark, sf_small
+    ).collect()
+    got = {r["cell"]: r for r in rows}
+    assert set(got) == set(cells)
+    ate = 0.0
+    n_full = 0
+    for cell, (nc_, nt, nc0, syt, syc) in cells.items():
+        r = got[cell]
+        assert (r["n_cell"], r["n_treat"], r["n_ctrl"]) == (nc_, nt, nc0)
+        assert abs(r["weight"] - nc_ / n) < 1e-15
+        if nt == 0 or nc0 == 0:
+            # positivity violation: the NULL path, not an extrapolation
+            assert r["cell_effect"] is None and r["contribution"] is None
+            continue
+        n_full += 1
+        eff = syt / nt - syc / nc0
+        assert abs(r["cell_effect"] - eff) < 1e-9 * max(abs(eff), 1.0)
+        contrib = eff * (nc_ / n)
+        assert abs(r["contribution"] - contrib) < 1e-9 * max(abs(contrib), 1)
+        ate += contrib
+    assert n_full >= 1  # the estimate exists on at least one stratum
+    got_ate = sum(
+        r["contribution"] for r in rows if r["contribution"] is not None
+    )
+    assert abs(got_ate - ate) < 1e-6 * max(abs(ate), 1.0)

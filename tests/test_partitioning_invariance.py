@@ -221,6 +221,7 @@ QUERIES = [
     "tokenizer_fertility_by_lang",  # exact integer tallies, 2 divisions
     "decontam_embedding_cosine",    # integer counts, 4-dp rounded cosines
     "group_sequential_looks",       # exact cells, pinned z chain
+    "stratified_standardization",   # exact cells, pinned quotient products
 ]
 
 

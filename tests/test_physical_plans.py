@@ -1459,3 +1459,14 @@ def test_group_sequential_no_cartesian(spark, sf):
     df = registry.QUERIES["group_sequential_looks"](spark, sf)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_stratified_standardization_pruned(spark, sf):
+    df = registry.QUERIES["stratified_standardization"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    fmt = _formatted(df)
+    assert (
+        "ReadSchema: struct<user_id:bigint,event_type:string,value:double>"
+        in fmt
+    )

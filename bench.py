@@ -299,6 +299,7 @@ HEADLINE = [
     "decontam_embedding_cosine",
     "group_sequential_looks",
     "stratified_standardization",
+    "ab_srm_check",
 ]
 
 

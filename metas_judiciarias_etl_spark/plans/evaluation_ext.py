@@ -1625,3 +1625,101 @@ def stratified_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contribution"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch guardrail: the first sanity check every A/B
+# platform runs before reading any metric.
+# ---------------------------------------------------------------------------
+_SRM_P_THRESH = 0.001  # the industry SRM alarm threshold
+
+
+def _srm_oracle() -> str:
+    from ..functions.hashing import sql_hash48
+    from ..operators.textstats import _sql_chi2_pvalue
+
+    h = sql_hash48("CAST(user_id AS VARCHAR)")
+    chi2 = "(CAST((n_treat - n_ctrl) * (n_treat - n_ctrl) AS DOUBLE) / n_units)"
+    p = _sql_chi2_pvalue(chi2)
+    return f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS parity_t,
+               CAST(CASE WHEN {h} % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS buggy_t
+        FROM (SELECT DISTINCT user_id FROM events)
+    ), s AS (
+        SELECT 'parity' AS assignment,
+               CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(parity_t) AS BIGINT) AS n_treat,
+               CAST(count(*) - sum(parity_t) AS BIGINT) AS n_ctrl
+        FROM u
+        UNION ALL
+        SELECT 'hash_third' AS assignment,
+               CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(buggy_t) AS BIGINT) AS n_treat,
+               CAST(count(*) - sum(buggy_t) AS BIGINT) AS n_ctrl
+        FROM u
+    )
+    SELECT assignment, n_units, n_treat, n_ctrl,
+           {chi2} AS chi2,
+           {p} AS p_value,
+           {p} < {_SRM_P_THRESH!r} AS srm_flag
+    FROM s
+    """
+
+
+@query("ab_srm_check", oracle=_srm_oracle())
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the guardrail every experimentation
+    platform evaluates BEFORE any metric is read: a chi-square
+    goodness-of-fit of observed arm counts against the intended 50/50
+    split, alarmed at p < 0.001 (the industry convention; an SRM means
+    the assignment or logging pipeline is broken and every downstream
+    readout is invalid). Two assignments are audited side by side: the
+    healthy user-parity split the experiment queries here share, and a
+    deliberately buggy hash%3 bucket mapped to a 50% intent — the second
+    row demonstrates the alarm firing on a real 33/67 imbalance.
+
+    Exactness: arm counts are exact integers over the distinct-user
+    relation; chi2 = (n1−n0)²/n is ONE division of exact integers; the
+    p-value is the pinned A&S erfc (bh_fdr_token_drift's helper) snapped
+    to the 2^-20 grid, so the flag comparison cannot straddle an ulp.
+
+    Plan: one distinct on user_id (user-keyed shuffle), both assignment
+    flags computed in the same projection, a 2-row stacked rollup —
+    scan-bound at any fact scale."""
+    from ..functions.hashing import hash48
+    from ..operators.textstats import _sql_chi2_pvalue
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct().select(
+        (F.col("user_id") % 2).cast("long").alias("parity_t"),
+        F.when(hash48(F.col("user_id").cast("string")) % 3 == 0, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("buggy_t"),
+    )
+    s = u.select(
+        F.expr(
+            "stack(2, 'parity', parity_t, 'hash_third', buggy_t)"
+            " AS (assignment, t)"
+        )
+    ).groupBy("assignment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("t").cast("long").alias("n_treat"),
+        (F.count(F.lit(1)) - F.sum("t")).cast("long").alias("n_ctrl"),
+    )
+    chi2 = (
+        "(CAST((n_treat - n_ctrl) * (n_treat - n_ctrl) AS DOUBLE) / n_units)"
+    )
+    p = _sql_chi2_pvalue(chi2)
+    return s.select(
+        "assignment",
+        "n_units",
+        "n_treat",
+        "n_ctrl",
+        F.expr(chi2).alias("chi2"),
+        F.expr(p).alias("p_value"),
+        F.expr(f"{p} < {_SRM_P_THRESH!r}").alias("srm_flag"),
+    )

@@ -5475,3 +5475,43 @@ def test_stratified_standardization_replay(spark, sf_small):
         r["contribution"] for r in rows if r["contribution"] is not None
     )
     assert abs(got_ate - ate) < 1e-6 * max(abs(ate), 1.0)
+
+
+def test_srm_check_flags_the_buggy_split_only(spark, sf_small):
+    """Counts must match a hashlib replay; the parity split must pass
+    and the 33/67 hash split must alarm at test scale."""
+    import hashlib
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    users = sorted(set(int(u) for u in ev["user_id"]))
+    n = len(users)
+    par = sum(u % 2 for u in users)
+    bug = sum(
+        1
+        for u in users
+        if int(hashlib.md5(str(u).encode()).hexdigest()[:12], 16) % 3 == 0
+    )
+    got = {
+        r["assignment"]: r
+        for r in registry.QUERIES["ab_srm_check"](spark, sf_small).collect()
+    }
+    assert set(got) == {"parity", "hash_third"}
+    for name, t in [("parity", par), ("hash_third", bug)]:
+        r = got[name]
+        assert (r["n_units"], r["n_treat"], r["n_ctrl"]) == (n, t, n - t)
+        chi2 = (t - (n - t)) ** 2 / n
+        assert abs(r["chi2"] - chi2) < 1e-12
+        # p-value sits within the A&S approximation error of math.erfc
+        assert abs(r["p_value"] - math.erfc(math.sqrt(chi2 / 2))) < 2e-6
+        assert 0.0 <= r["p_value"] <= 1.0
+    assert not got["parity"]["srm_flag"]  # healthy split passes
+    # flag must be exactly the pinned-p comparison; at n >= 100 the 33/67
+    # imbalance is statistically detectable and the alarm must fire
+    for r in got.values():
+        assert r["srm_flag"] == (r["p_value"] < 0.001)
+    if n >= 100:
+        assert got["hash_third"]["srm_flag"]

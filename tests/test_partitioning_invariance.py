@@ -222,6 +222,7 @@ QUERIES = [
     "decontam_embedding_cosine",    # integer counts, 4-dp rounded cosines
     "group_sequential_looks",       # exact cells, pinned z chain
     "stratified_standardization",   # exact cells, pinned quotient products
+    "ab_srm_check",                 # exact counts, gridded erfc p-value
 ]
 
 

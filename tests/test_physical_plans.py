@@ -1470,3 +1470,12 @@ def test_stratified_standardization_pruned(spark, sf):
         "ReadSchema: struct<user_id:bigint,event_type:string,value:double>"
         in fmt
     )
+
+
+def test_srm_single_distinct_pass(spark, sf):
+    df = registry.QUERIES["ab_srm_check"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    fmt = _formatted(df)
+    assert "ReadSchema: struct<user_id:bigint>" in fmt

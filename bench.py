@@ -300,6 +300,8 @@ HEADLINE = [
     "group_sequential_looks",
     "stratified_standardization",
     "ab_srm_check",
+    "forecast_backtest_naive",
+    "uplift_qini_deciles",
 ]
 
 

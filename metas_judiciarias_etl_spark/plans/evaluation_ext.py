@@ -1723,3 +1723,156 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(p).alias("p_value"),
         F.expr(f"{p} < {_SRM_P_THRESH!r}").alias("srm_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Qini deciles: the uplift-model evaluation curve — ROC's sibling for
+# "whom should we treat" questions.
+# ---------------------------------------------------------------------------
+_QINI_BUCKETS = 10
+
+
+@query(
+    "uplift_qini_deciles",
+    oracle=f"""
+    WITH pu AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS t,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS score,
+               CAST(CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) > count(*)
+                    THEN 1 ELSE 0 END AS BIGINT) AS conv
+        FROM events GROUP BY user_id
+    ), ranked AS (
+        SELECT t, conv,
+               CAST(ceil(CAST(row_number() OVER (ORDER BY score DESC,
+                                                 user_id) AS DOUBLE)
+                         * {_QINI_BUCKETS}
+                         / (count(*) OVER ())) AS BIGINT) AS decile
+        FROM pu
+    ), d AS (
+        SELECT decile,
+               CAST(sum(t) AS BIGINT) AS n_t,
+               CAST(count(*) - sum(t) AS BIGINT) AS n_c,
+               CAST(sum(CASE WHEN t = 1 THEN conv ELSE 0 END) AS BIGINT)
+                   AS conv_t,
+               CAST(sum(CASE WHEN t = 0 THEN conv ELSE 0 END) AS BIGINT)
+                   AS conv_c
+        FROM ranked GROUP BY decile
+    ), cum AS (
+        SELECT decile, n_t, n_c, conv_t, conv_c,
+               CAST(sum(n_t) OVER w AS BIGINT) AS cn_t,
+               CAST(sum(n_c) OVER w AS BIGINT) AS cn_c,
+               CAST(sum(conv_t) OVER w AS BIGINT) AS cconv_t,
+               CAST(sum(conv_c) OVER w AS BIGINT) AS cconv_c
+        FROM d
+        WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT decile, n_t, n_c, conv_t, conv_c,
+           CAST(cconv_t AS DOUBLE)
+             - CAST(cconv_c AS DOUBLE) * cn_t / nullif(cn_c, 0)
+               AS qini,
+           CAST(cconv_t AS DOUBLE) / nullif(cn_t, 0)
+             - CAST(cconv_c AS DOUBLE) / nullif(cn_c, 0) AS uplift_at_depth
+    FROM cum
+    """,
+)
+def uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve by score decile — the uplift-modeling evaluation: users
+    are ranked by a targeting score (signup count, standing in for any
+    uplift model's output) and, at each cumulative depth, the incremental
+    conversions attributable to treatment are
+    qini(k) = conv_t(k) − conv_c(k)·n_t(k)/n_c(k) (treated conversions
+    minus the control conversions scaled to the treated population), plus
+    the per-depth uplift rate difference. Arms are the shared parity
+    randomization; conversion is the above-expected-purchaser flag
+    (5·purchases > events — the any-purchase flag saturates in this
+    fixture). A flat qini curve says the score does not concentrate
+    incremental converters; ROC/AUC cannot answer that question because
+    it scores OUTCOME ranking, not INCREMENTAL response.
+
+    Exactness: scores, ranks, deciles, and all cumulative cells are
+    exact integers (the rank window carries a total order — score desc,
+    user_id); qini and uplift are pinned quotient chains over those
+    integers, NULL-guarded on empty control prefixes.
+
+    Plan: ONE user-keyed pass builds (t, score, conv); the rank window
+    runs over the USER-grain relation (at 100 TB swap for
+    global_rank_two_phase's bucket ranks — the registered no-global-sort
+    pattern); everything after is a 10-row cumulative window."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .cast("long")
+        .alias("score"),
+        F.when(
+            5
+            * F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("conv"),
+    ).select(
+        (F.col("user_id") % 2).cast("long").alias("t"),
+        "user_id",
+        "score",
+        "conv",
+    )
+    wr = Window.orderBy(F.desc("score"), F.asc("user_id"))
+    wn = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pu.select(
+        "t",
+        "conv",
+        F.ceil(
+            F.row_number().over(wr).cast("double")
+            * _QINI_BUCKETS
+            / F.count(F.lit(1)).over(wn)
+        )
+        .cast("long")
+        .alias("decile"),
+    )
+    d = ranked.groupBy("decile").agg(
+        F.sum("t").cast("long").alias("n_t"),
+        (F.count(F.lit(1)) - F.sum("t")).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("t") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_t"),
+        F.sum(F.when(F.col("t") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_c"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = d.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.sum("n_t").over(wc).cast("long").alias("cn_t"),
+        F.sum("n_c").over(wc).cast("long").alias("cn_c"),
+        F.sum("conv_t").over(wc).cast("long").alias("cconv_t"),
+        F.sum("conv_c").over(wc).cast("long").alias("cconv_c"),
+    )
+    return cum.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.expr(
+            "CAST(cconv_t AS DOUBLE)"
+            " - CAST(cconv_c AS DOUBLE) * cn_t / nullif(cn_c, 0)"
+        ).alias("qini"),
+        F.expr(
+            "CAST(cconv_t AS DOUBLE) / nullif(cn_t, 0)"
+            " - CAST(cconv_c AS DOUBLE) / nullif(cn_c, 0)"
+        ).alias("uplift_at_depth"),
+    )

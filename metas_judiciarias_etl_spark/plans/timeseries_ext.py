@@ -1699,3 +1699,87 @@ def seasonal_fourier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.lit(1.0) - sse / F.nullif(sst, F.lit(0.0))).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling-origin forecast backtest of the seasonal-naive baseline — the
+# honest-error floor every forecasting pipeline must beat.
+# --------------------------------------------------------------------------
+_BT_LAG_DAYS = 7  # seasonal-naive: forecast(d) = actual(d - 7)
+
+
+@query(
+    "forecast_backtest_naive",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), f AS (
+        SELECT event_type, day_id, c,
+               lag(c, {_BT_LAG_DAYS}) OVER (PARTITION BY event_type
+                                            ORDER BY day_id) AS fc
+        FROM m
+    ), e AS (
+        SELECT event_type, c, fc, abs(c - fc) AS ae
+        FROM f WHERE fc IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(CAST(sum(ae) AS BIGINT) AS DOUBLE) / count(*) AS mae_cents,
+           CAST(CAST(sum(ae) AS BIGINT) AS DOUBLE)
+               / CAST(sum(abs(c)) AS BIGINT) AS wape
+    FROM e GROUP BY event_type
+    """,
+)
+def forecast_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the seasonal-naive baseline (forecast
+    for day d = the actual from d−7) on daily revenue per event stream:
+    MAE in cents and WAPE (Σ|err| / Σ|actual| — the scale-free number
+    that survives zero-revenue days where MAPE blows up). Every
+    forecasting pipeline reports its model AGAINST this floor; a model
+    that can't beat seasonal-naive on WAPE is not a model. Day gaps are
+    intentionally NOT filled here: lag(7) is seven OBSERVED days back,
+    and the gapfill_locf operator is the registered composition point
+    when calendar-exact lags are required.
+
+    Exactness: daily totals, the lagged forecast, and every absolute
+    error are exact integers end to end; MAE and WAPE are each ONE
+    division of exact integers — nothing to diverge.
+
+    Plan: one (type, day)-keyed partial-aggregatable pass, a lag window
+    over the calendar-bounded per-type series, one type-keyed rollup —
+    state is O(days), never O(events)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "(ts - pmod(ts, 86400000000000)) div 86400000000000"
+            ).alias("day_id"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("event_type", "day_id")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day_id")
+    e = (
+        m.select(
+            "event_type",
+            "c",
+            F.lag("c", _BT_LAG_DAYS).over(w).alias("fc"),
+        )
+        .filter(F.col("fc").isNotNull())
+        .select("event_type", "c", F.abs(F.col("c") - F.col("fc")).alias("ae"))
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.sum("ae").cast("long").cast("double") / F.count(F.lit(1))
+        ).alias("mae_cents"),
+        (
+            F.sum("ae").cast("long").cast("double")
+            / F.sum(F.abs("c")).cast("long")
+        ).alias("wape"),
+    )

@@ -5515,3 +5515,89 @@ def test_srm_check_flags_the_buggy_split_only(spark, sf_small):
         assert r["srm_flag"] == (r["p_value"] < 0.001)
     if n >= 100:
         assert got["hash_third"]["srm_flag"]
+
+
+def test_forecast_backtest_matches_replay(spark, sf_small):
+    """MAE/WAPE must match an exact pandas lag-7 replay per stream."""
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.timeseries_ext import _BT_LAG_DAYS
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    ev = ev.assign(
+        day_id=ev["ts"].astype("datetime64[ns]").astype("int64")
+        // (86400 * 10**9),
+        cents=(ev["value"] * 100.0).round().astype("int64"),
+    )
+    daily = (
+        ev.groupby(["event_type", "day_id"])["cents"].sum().reset_index()
+    )
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["forecast_backtest_naive"](
+            spark, sf_small
+        ).collect()
+    }
+    for et, sub in daily.groupby("event_type"):
+        c = sub.sort_values("day_id")["cents"].tolist()
+        errs = [
+            abs(c[i] - c[i - _BT_LAG_DAYS])
+            for i in range(_BT_LAG_DAYS, len(c))
+        ]
+        acts = [abs(c[i]) for i in range(_BT_LAG_DAYS, len(c))]
+        r = got[et]
+        assert r["n_days"] == len(errs)
+        assert r["mae_cents"] == sum(errs) / len(errs)
+        assert r["wape"] == sum(errs) / sum(acts)
+        assert r["wape"] >= 0.0
+
+
+def test_qini_deciles_replay_and_endpoint(spark, sf_small):
+    """Decile cells must match a pandas replay; the final cumulative
+    depth must cover every user; qini at full depth equals the overall
+    scaled incremental conversions."""
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.evaluation_ext import (
+        _QINI_BUCKETS,
+    )
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    pu = []
+    for uid, sub in ev.groupby("user_id"):
+        score = int((sub["event_type"] == "signup").sum())
+        conv = int(5 * int((sub["event_type"] == "purchase").sum()) > len(sub))
+        pu.append((int(uid) % 2, int(uid), score, conv))
+    pu.sort(key=lambda r: (-r[2], r[1]))
+    n = len(pu)
+    cells = {}
+    for rank0, (t, _, _, conv) in enumerate(pu):
+        dec = math.ceil((rank0 + 1) * _QINI_BUCKETS / n)
+        d = cells.setdefault(dec, [0, 0, 0, 0])
+        d[0] += t
+        d[1] += 1 - t
+        d[2] += conv if t else 0
+        d[3] += conv if not t else 0
+    rows = registry.QUERIES["uplift_qini_deciles"](spark, sf_small).collect()
+    got = {r["decile"]: r for r in rows}
+    assert set(got) == set(cells)
+    cn_t = cn_c = cc_t = cc_c = 0
+    for dec in sorted(cells):
+        nt, nc, ct, cc = cells[dec]
+        r = got[dec]
+        assert (r["n_t"], r["n_c"], r["conv_t"], r["conv_c"]) == (
+            nt,
+            nc,
+            ct,
+            cc,
+        )
+        cn_t += nt
+        cn_c += nc
+        cc_t += ct
+        cc_c += cc
+        if cn_c > 0:
+            want = cc_t - cc_c * cn_t / cn_c
+            assert abs(r["qini"] - want) < 1e-9 * max(abs(want), 1.0)
+    assert cn_t + cn_c == n  # full depth covers every user

@@ -223,6 +223,8 @@ QUERIES = [
     "group_sequential_looks",       # exact cells, pinned z chain
     "stratified_standardization",   # exact cells, pinned quotient products
     "ab_srm_check",                 # exact counts, gridded erfc p-value
+    "forecast_backtest_naive",      # exact integer errors, 2 divisions
+    "uplift_qini_deciles",          # integer cells, pinned quotient chains
 ]
 
 

@@ -1479,3 +1479,21 @@ def test_srm_single_distinct_pass(spark, sf):
     assert "Join" not in plan
     fmt = _formatted(df)
     assert "ReadSchema: struct<user_id:bigint>" in fmt
+
+
+def test_forecast_backtest_pruned(spark, sf):
+    df = registry.QUERIES["forecast_backtest_naive"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+
+
+def test_qini_no_cartesian(spark, sf):
+    df = registry.QUERIES["uplift_qini_deciles"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    fmt = _formatted(df)
+    assert (
+        "ReadSchema: struct<user_id:bigint,event_type:string>" in fmt
+    )

@@ -302,6 +302,8 @@ HEADLINE = [
     "ab_srm_check",
     "forecast_backtest_naive",
     "uplift_qini_deciles",
+    "yuen_trimmed_ttest",
+    "stream_join_state_peak",
 ]
 
 

@@ -1876,3 +1876,174 @@ def uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - CAST(cconv_c AS DOUBLE) / nullif(cn_c, 0)"
         ).alias("uplift_at_depth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Yuen's trimmed-means test — the robust two-sample location test that
+# survives the fat tails that invalidate a plain t-test.
+# ---------------------------------------------------------------------------
+_YUEN_TRIM_PCT = 20  # standard 20% symmetric trim
+
+
+@query(
+    "yuen_trimmed_ttest",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ), ranked AS (
+        SELECT arm, y,
+               row_number() OVER (PARTITION BY arm ORDER BY y, user_id)
+                   AS rn,
+               count(*) OVER (PARTITION BY arm) AS n
+        FROM per_user
+    ), bounds AS (
+        SELECT arm, CAST(max(n) AS BIGINT) AS n,
+               CAST((max(n) * {_YUEN_TRIM_PCT} + 99) // 100 AS BIGINT) AS g,
+               max(CASE WHEN rn = (n * {_YUEN_TRIM_PCT} + 99) // 100 + 1
+                        THEN y END) AS lo,
+               max(CASE WHEN rn = n - (n * {_YUEN_TRIM_PCT} + 99) // 100
+                        THEN y END) AS hi
+        FROM ranked GROUP BY arm
+    ), arms AS (
+        SELECT r.arm, b.n, b.g, b.n - 2 * b.g AS h,
+               CAST(sum(CASE WHEN r.rn > b.g AND r.rn <= b.n - b.g
+                        THEN r.y ELSE 0 END) AS BIGINT) AS ts_,
+               CAST(sum(CAST(least(greatest(r.y, b.lo), b.hi)
+                             AS DECIMAL(38,0))) AS DOUBLE) AS ws,
+               CAST(sum(CAST(least(greatest(r.y, b.lo), b.hi)
+                             AS DECIMAL(38,0))
+                        * least(greatest(r.y, b.lo), b.hi)) AS DOUBLE)
+                   AS wss
+        FROM ranked r JOIN bounds b ON b.arm = r.arm
+        GROUP BY r.arm, b.n, b.g
+    ), pivoted AS (
+        SELECT
+            max(CASE WHEN arm = 1 THEN n END) AS n1,
+            max(CASE WHEN arm = 0 THEN n END) AS n0,
+            max(CASE WHEN arm = 1 THEN h END) AS h1,
+            max(CASE WHEN arm = 0 THEN h END) AS h0,
+            max(CASE WHEN arm = 1 THEN CAST(ts_ AS DOUBLE) / h END) AS m1,
+            max(CASE WHEN arm = 0 THEN CAST(ts_ AS DOUBLE) / h END) AS m0,
+            max(CASE WHEN arm = 1 THEN
+                ((wss - ws * ws / n) / (n - 1)) * (n - 1.0)
+                / (h * (h - 1.0)) END) AS d1,
+            max(CASE WHEN arm = 0 THEN
+                ((wss - ws * ws / n) / (n - 1)) * (n - 1.0)
+                / (h * (h - 1.0)) END) AS d0
+        FROM arms
+    )
+    SELECT n1, n0, h1, h0, m1 AS trimmed_mean_1, m0 AS trimmed_mean_0,
+           m1 - m0 AS diff,
+           (m1 - m0) / sqrt(d1 + d0) AS t_stat,
+           (d1 + d0) * (d1 + d0)
+             / (d1 * d1 / (h1 - 1.0) + d0 * d0 / (h0 - 1.0)) AS df
+    FROM pivoted
+    """,
+)
+def yuen_trimmed_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's trimmed-means test between the two parity arms on per-user
+    revenue: 20% of each tail is trimmed (means from the middle 60%) and
+    the standard error comes from the WINSORIZED variance — the robust
+    location test that keeps its nominal error rate under the fat-tailed,
+    outlier-ridden metrics where the plain t-test's variance estimate
+    explodes. Completes the two-sample family: z (proportions), delta
+    (ratio metrics), Mann-Whitney (ranks), Yuen (trimmed means).
+
+    Exactness: per-user cents, rank positions, trim counts, the trimmed
+    sum, and both winsorized DECIMAL moments are exact integers; the
+    trimmed means, Yuen variance terms d_j = s²_w(n−1)/(h(h−1)), t, and
+    the Welch-Satterthwaite df are pinned closed-form chains over those
+    scalars — no float aggregation anywhere (the winsorized_stats
+    clamp-at-order-statistics discipline extended with a test statistic).
+
+    Plan: one user-keyed pass, one arm-partitioned rank window over
+    user-grain rows, an arm-keyed clamp/rollup, and a 1-row pivot. At
+    100 TB the per-arm rank window swaps for global_rank_two_phase's
+    bucket ranks — the registered no-global-sort pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("y")
+    ).select((F.col("user_id") % 2).alias("arm"), "user_id", "y")
+    wr = Window.partitionBy("arm").orderBy("y", "user_id")
+    wn = Window.partitionBy("arm")
+    ranked = per_user.select(
+        "arm",
+        "y",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    g = f"(n * {_YUEN_TRIM_PCT} + 99) DIV 100"
+    bounds = ranked.groupBy("arm").agg(
+        F.max("n").cast("long").alias("n"),
+        F.expr(f"CAST((max(n) * {_YUEN_TRIM_PCT} + 99) DIV 100 AS BIGINT)").alias(
+            "g"
+        ),
+        F.max(F.expr(f"CASE WHEN rn = {g} + 1 THEN y END")).alias("lo"),
+        F.max(F.expr(f"CASE WHEN rn = n - ({g}) THEN y END")).alias("hi"),
+    )
+    clamped = "least(greatest(r.y, b.lo), b.hi)"
+    arms = (
+        ranked.alias("r")
+        .join(F.broadcast(bounds.alias("b")), "arm")
+        .groupBy("arm", F.col("b.n").alias("n"), F.col("b.g").alias("gg"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN r.rn > b.g AND r.rn <= b.n - b.g"
+                    " THEN r.y ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("ts_"),
+            F.expr(
+                f"CAST(sum(CAST({clamped} AS DECIMAL(38,0))) AS DOUBLE)"
+            ).alias("ws"),
+            F.expr(
+                f"CAST(sum(CAST({clamped} AS DECIMAL(38,0)) * {clamped})"
+                " AS DOUBLE)"
+            ).alias("wss"),
+        )
+        .select(
+            "arm",
+            "n",
+            (F.col("n") - 2 * F.col("gg")).alias("h"),
+            "ts_",
+            "ws",
+            "wss",
+        )
+    )
+    dterm = (
+        "((wss - ws * ws / n) / (n - 1)) * (n - 1.0) / (h * (h - 1.0))"
+    )
+    pv = arms.agg(
+        F.max(F.expr("CASE WHEN arm = 1 THEN n END")).alias("n1"),
+        F.max(F.expr("CASE WHEN arm = 0 THEN n END")).alias("n0"),
+        F.max(F.expr("CASE WHEN arm = 1 THEN h END")).alias("h1"),
+        F.max(F.expr("CASE WHEN arm = 0 THEN h END")).alias("h0"),
+        F.max(
+            F.expr("CASE WHEN arm = 1 THEN CAST(ts_ AS DOUBLE) / h END")
+        ).alias("m1"),
+        F.max(
+            F.expr("CASE WHEN arm = 0 THEN CAST(ts_ AS DOUBLE) / h END")
+        ).alias("m0"),
+        F.max(F.expr(f"CASE WHEN arm = 1 THEN {dterm} END")).alias("d1"),
+        F.max(F.expr(f"CASE WHEN arm = 0 THEN {dterm} END")).alias("d0"),
+    )
+    return pv.select(
+        "n1",
+        "n0",
+        "h1",
+        "h0",
+        F.col("m1").alias("trimmed_mean_1"),
+        F.col("m0").alias("trimmed_mean_0"),
+        F.expr("m1 - m0").alias("diff"),
+        F.expr("(m1 - m0) / sqrt(d1 + d0)").alias("t_stat"),
+        F.expr(
+            "(d1 + d0) * (d1 + d0)"
+            " / (d1 * d1 / (h1 - 1.0) + d0 * d0 / (h0 - 1.0))"
+        ).alias("df"),
+    )

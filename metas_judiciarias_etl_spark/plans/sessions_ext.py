@@ -1750,3 +1750,83 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return credited.unionByName(none_row)
+
+
+# --------------------------------------------------------------------------
+# Stream-stream join state sizing: peak retained rows under an interval
+# join horizon — the number that sizes the join's state store.
+# --------------------------------------------------------------------------
+_JSP_HORIZON_NS = 10 * 60 * 1_000_000_000  # 10-minute join horizon
+
+
+@query(
+    "stream_join_state_peak",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type, epoch_ns(ts) AS t, CAST(1 AS BIGINT) AS delta
+        FROM events
+        UNION ALL
+        SELECT event_type, epoch_ns(ts) + {_JSP_HORIZON_NS} AS t,
+               CAST(-1 AS BIGINT) AS delta
+        FROM events
+    ), sweep AS (
+        SELECT event_type,
+               sum(delta) OVER (PARTITION BY event_type
+                                ORDER BY t, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS live
+        FROM b
+    )
+    SELECT event_type,
+           CAST(count(*) / 2 AS BIGINT) AS n_events,
+           CAST({_JSP_HORIZON_NS // 60_000_000_000} AS BIGINT)
+               AS horizon_minutes,
+           CAST(max(live) AS BIGINT) AS peak_state_rows
+    FROM sweep GROUP BY event_type
+    """,
+)
+def stream_join_state_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak state-store occupancy of a stream-stream interval join: under
+    a ±10-minute horizon (the shape of streaming/windows.py's
+    stream-stream interval join), each side retains every row whose
+    event time is within the horizon of the watermark — the PEAK of that
+    retention, per stream, is the number that sizes the join's state
+    store and decides the RocksDB-vs-heap provider question BEFORE the
+    job is deployed. Computed as the classic sweep line: +1 at ts, −1 at
+    ts + horizon, running sum, max — the batch twin of the state-store
+    metric, and the join-side companion of stream_state_keys_profile
+    (which sizes AGGREGATION state by key count).
+
+    Determinism: boundaries, the running sum, and the peak are exact
+    integers; ties at identical boundary instants are pinned by
+    (t, delta) ordering — a row expiring exactly when another arrives
+    releases its slot first (the [ts, ts+H) retention convention),
+    identical on both engines.
+
+    Plan: one union of two scan projections, a per-stream ordered
+    running sum, a stream-keyed max rollup. The per-type sweep window is
+    fact-scale — at 100 TB it becomes the two-phase form (per-time-bucket
+    local sweeps + broadcast cross-bucket offsets, exactly
+    global_rank_two_phase's registered pattern); the answer is identical
+    because prefix sums compose."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    b = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).cast("long").alias("delta")
+    ).unionAll(
+        ev.select(
+            "event_type",
+            (F.col("ts") + F.lit(_JSP_HORIZON_NS)).alias("t"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = b.select("event_type", F.sum("delta").over(w).alias("live"))
+    return sweep.groupBy("event_type").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_events"),
+        F.lit(_JSP_HORIZON_NS // 60_000_000_000)
+        .cast("long")
+        .alias("horizon_minutes"),
+        F.max("live").cast("long").alias("peak_state_rows"),
+    )

@@ -5601,3 +5601,78 @@ def test_qini_deciles_replay_and_endpoint(spark, sf_small):
             want = cc_t - cc_c * cn_t / cn_c
             assert abs(r["qini"] - want) < 1e-9 * max(abs(want), 1.0)
     assert cn_t + cn_c == n  # full depth covers every user
+
+
+def test_yuen_matches_python_replay(spark, sf_small):
+    """Trimmed means, Yuen variance terms, t, and df must match an exact
+    Python replay with rank-based trimming and winsorized moments."""
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.evaluation_ext import (
+        _YUEN_TRIM_PCT,
+    )
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    ev = ev.assign(cents=(ev["value"] * 100.0).round().astype("int64"))
+    per = ev.groupby("user_id")["cents"].sum()
+    stats = {}
+    for arm in (0, 1):
+        ys = sorted(
+            (int(y), int(u)) for u, y in per.items() if u % 2 == arm
+        )
+        n = len(ys)
+        g = (n * _YUEN_TRIM_PCT + 99) // 100
+        h = n - 2 * g
+        kept = [y for y, _ in ys[g : n - g]]
+        m = sum(kept) / h
+        lo, hi = ys[g][0], ys[n - g - 1][0]
+        wvals = [min(max(y, lo), hi) for y, _ in ys]
+        ws, wss = sum(wvals), sum(v * v for v in wvals)
+        swin = (wss - ws * ws / n) / (n - 1)
+        d = swin * (n - 1.0) / (h * (h - 1.0))
+        stats[arm] = (n, h, m, d)
+    r = registry.QUERIES["yuen_trimmed_ttest"](spark, sf_small).collect()[0]
+    n1, h1, m1, d1 = stats[1]
+    n0, h0, m0, d0 = stats[0]
+    assert (r["n1"], r["n0"], r["h1"], r["h0"]) == (n1, n0, h1, h0)
+    assert abs(r["trimmed_mean_1"] - m1) < 1e-6 * max(abs(m1), 1.0)
+    assert abs(r["trimmed_mean_0"] - m0) < 1e-6 * max(abs(m0), 1.0)
+    t = (m1 - m0) / math.sqrt(d1 + d0)
+    df = (d1 + d0) ** 2 / (d1 * d1 / (h1 - 1.0) + d0 * d0 / (h0 - 1.0))
+    assert abs(r["t_stat"] - t) < 1e-9 * max(abs(t), 1.0)
+    assert abs(r["df"] - df) < 1e-6 * max(df, 1.0)
+    assert 1.0 <= r["df"] <= (h1 - 1) + (h0 - 1) + 1e-9
+
+
+def test_join_state_peak_matches_bruteforce(spark, sf_small):
+    """Peak retained rows must equal a brute-force max over arrival
+    instants of the [ts, ts+H) retention window, per stream."""
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.sessions_ext import (
+        _JSP_HORIZON_NS,
+    )
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    ev = ev.assign(t=ev["ts"].astype("datetime64[ns]").astype("int64"))
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["stream_join_state_peak"](
+            spark, sf_small
+        ).collect()
+    }
+    for et, sub in ev.groupby("event_type"):
+        ts = sorted(int(t) for t in sub["t"])
+        # retained at arrival instant t: rows with t' in (t - H, t]
+        peak = 0
+        import bisect
+
+        for i, t in enumerate(ts):
+            lo = bisect.bisect_right(ts, t - _JSP_HORIZON_NS)
+            peak = max(peak, (i + 1) - lo)
+        r = got[et]
+        assert r["n_events"] == len(ts)
+        assert r["peak_state_rows"] == peak
+        assert r["horizon_minutes"] == _JSP_HORIZON_NS // 60_000_000_000

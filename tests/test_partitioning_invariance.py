@@ -225,6 +225,8 @@ QUERIES = [
     "ab_srm_check",                 # exact counts, gridded erfc p-value
     "forecast_backtest_naive",      # exact integer errors, 2 divisions
     "uplift_qini_deciles",          # integer cells, pinned quotient chains
+    "yuen_trimmed_ttest",           # rank trims, DECIMAL winsorized moments
+    "stream_join_state_peak",       # integer sweep-line running sums
 ]
 
 

@@ -1497,3 +1497,18 @@ def test_qini_no_cartesian(spark, sf):
     assert (
         "ReadSchema: struct<user_id:bigint,event_type:string>" in fmt
     )
+
+
+def test_yuen_no_cartesian(spark, sf):
+    df = registry.QUERIES["yuen_trimmed_ttest"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_join_state_peak_pruned(spark, sf):
+    df = registry.QUERIES["stream_join_state_peak"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    fmt = _formatted(df)
+    assert "ReadSchema: struct<ts:" in fmt  # 2-column scan only

@@ -304,6 +304,8 @@ HEADLINE = [
     "uplift_qini_deciles",
     "yuen_trimmed_ttest",
     "stream_join_state_peak",
+    "median_order_ci",
+    "tail_index_hill",
 ]
 
 

@@ -2591,3 +2591,92 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("bpe").cast("double") / F.sum("ws")).alias("fertility"),
         (F.sum("nc").cast("double") / F.sum("bpe")).alias("chars_per_token"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator over the token-frequency spectrum — the
+# order-statistics twin of text_zipf_slope's OLS fit.
+# --------------------------------------------------------------------------
+_HILL_K = 200  # tail order statistics used
+
+
+@query(
+    "tail_index_hill",
+    oracle=f"""
+    WITH tf AS (
+        SELECT unnest({_sql_word_shingles(_SQL_TOKS, 3)}) AS token
+        FROM documents
+    ), cnt AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS c FROM tf GROUP BY token
+    ), top AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rk
+        FROM cnt
+        ORDER BY c DESC, token LIMIT {_HILL_K + 1}
+    ), thr AS (
+        SELECT max(CASE WHEN rk = {_HILL_K + 1} THEN c END) AS ck1,
+               list_sort(list(struct_pack(rk := rk, c := c)
+                         ) FILTER (WHERE rk <= {_HILL_K})) AS lst
+        FROM top
+    )
+    SELECT CAST({_HILL_K} AS BIGINT) AS k,
+           ck1 AS x_k1,
+           {_HILL_K} / list_reduce([0.0] || list_transform(lst,
+               x -> ln(CAST(x.c AS DOUBLE) / ck1)), (a, b) -> a + b)
+               AS alpha_hill
+    FROM thr
+    """,
+)
+def tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the 3-shingle-frequency tail index (the
+    unigram vocabulary saturates at ~31 types in this fixture — the
+    phrase spectrum is the live power law):
+    alpha = k / Σ_{{i<=k}} ln(x_(i) / x_(k+1)) over the k = 200 largest
+    token counts — the order-statistics estimator of the same power law
+    text_zipf_slope fits by OLS on the rank-frequency line. Running both
+    IS the methodological cross-check: when the two disagree materially
+    the "power law" is not one, and every downstream cap (BUCKET_CAP,
+    MAX_BASKET, skew salting width) tuned on it needs a second look.
+    Heavy-tail indexes also size the skew story directly: alpha <= 2
+    means unbounded variance — salting is mandatory, not optional.
+
+    Determinism: token counts are exact integers; the top-(k+1) frontier
+    carries a total order (count desc, token); the k ln-ratio terms fold
+    in SORTED rank order (entropy_fold discipline, bounded by k, never
+    corpus size); one final division.
+
+    Plan: one token-keyed partial-aggregatable count, a top-(k+1)
+    TakeOrdered frontier (no global sort), a 1-row fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            F.explode(_word_shingles(tokens(F.col("text")), 3)).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    top = cnt.orderBy(F.desc("c"), F.asc("token")).limit(_HILL_K + 1)
+    w = Window.orderBy(F.desc("c"), F.asc("token"))
+    ranked = top.select("c", F.row_number().over(w).alias("rk"))
+    thr = ranked.agg(
+        F.max(
+            F.when(F.col("rk") == _HILL_K + 1, F.col("c"))
+        ).alias("ck1"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("rk") <= _HILL_K, F.struct("rk", "c")
+                )
+            )
+        ).alias("lst"),
+    )
+    fold = (
+        "aggregate(transform(lst, x -> ln(CAST(x.c AS DOUBLE) / ck1)), "
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    return thr.select(
+        F.lit(_HILL_K).cast("long").alias("k"),
+        F.col("ck1").alias("x_k1"),
+        F.expr(f"{_HILL_K} / {fold}").alias("alpha_hill"),
+    )

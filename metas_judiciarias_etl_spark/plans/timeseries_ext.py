@@ -1783,3 +1783,113 @@ def forecast_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.abs("c")).cast("long")
         ).alias("wape"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution-free median CI: order-statistic bounds from the binomial —
+# no variance estimate, no normality, just ranks.
+# --------------------------------------------------------------------------
+_MCI_Z = "1.959963984540054"  # z_{0.975}, shared literal
+
+
+@query(
+    "median_order_ci",
+    oracle=f"""
+    WITH v AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                            l_orderkey, l_linenumber) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ), k AS (
+        SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+               CAST(floor((max(n) - {_MCI_Z} * sqrt(CAST(max(n) AS DOUBLE)))
+                          / 2) AS BIGINT) AS klo,
+               CAST(ceil(1 + (max(n) + {_MCI_Z}
+                              * sqrt(CAST(max(n) AS DOUBLE))) / 2)
+                    AS BIGINT) AS khi
+        FROM v GROUP BY l_returnflag
+    )
+    SELECT v.l_returnflag, k.n, k.klo, k.khi,
+           max(CASE WHEN v.rn = (k.n + 1) // 2 THEN v.cents END)
+               AS median_lo_cents,
+           max(CASE WHEN v.rn = k.klo THEN v.cents END) AS ci_lo_cents,
+           max(CASE WHEN v.rn = k.khi THEN v.cents END) AS ci_hi_cents
+    FROM v JOIN k ON k.l_returnflag = v.l_returnflag
+    GROUP BY v.l_returnflag, k.n, k.klo, k.khi
+    """,
+)
+def median_order_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median of
+    per-group price: the CI bounds are the order statistics at ranks
+    floor((n − z√n)/2) and ceil(1 + (n + z√n)/2) — the binomial
+    (sign-test inversion) interval that needs NO variance estimate and
+    NO normality, the right uncertainty statement for skewed money
+    columns where a mean ± z·se interval is meaningless. Reported next
+    to the lower-median order statistic itself.
+
+    Exactness: ranks carry a total order (cents, orderkey, linenumber);
+    the rank cutoffs use the shared z literal and IEEE sqrt (correctly
+    rounded, engine-exact) before floor/ceil to exact integers; every
+    reported value is a SELECTION of an actual data value — no
+    interpolation, no float aggregation.
+
+    Plan: one group-partitioned rank window over the fact table, a
+    group-keyed cutoff rollup, a broadcast join back, rank-equality
+    selections. At 100 TB the rank window swaps for
+    global_rank_two_phase's bucket ranks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wr = Window.partitionBy("l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = v.select(
+        "l_returnflag",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k = ranked.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n"),
+        F.expr(
+            f"CAST(floor((max(n) - {_MCI_Z} * sqrt(CAST(max(n) AS DOUBLE)))"
+            " / 2) AS BIGINT)"
+        ).alias("klo"),
+        F.expr(
+            f"CAST(ceil(1 + (max(n) + {_MCI_Z}"
+            " * sqrt(CAST(max(n) AS DOUBLE))) / 2) AS BIGINT)"
+        ).alias("khi"),
+    )
+    return (
+        ranked.join(F.broadcast(k.withColumnRenamed("n", "ntot")), "l_returnflag")
+        .groupBy("l_returnflag", F.col("ntot").alias("n"), "klo", "khi")
+        .agg(
+            F.max(
+                F.expr("CASE WHEN rn = (n + 1) DIV 2 THEN cents END")
+            ).alias("median_lo_cents"),
+            F.max(F.expr("CASE WHEN rn = klo THEN cents END")).alias(
+                "ci_lo_cents"
+            ),
+            F.max(F.expr("CASE WHEN rn = khi THEN cents END")).alias(
+                "ci_hi_cents"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            "klo",
+            "khi",
+            "median_lo_cents",
+            "ci_lo_cents",
+            "ci_hi_cents",
+        )
+    )

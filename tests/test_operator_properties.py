@@ -5676,3 +5676,69 @@ def test_join_state_peak_matches_bruteforce(spark, sf_small):
         assert r["n_events"] == len(ts)
         assert r["peak_state_rows"] == peak
         assert r["horizon_minutes"] == _JSP_HORIZON_NS // 60_000_000_000
+
+
+def test_median_order_ci_brackets_and_replay(spark, sf_small):
+    """Rank cutoffs and selected values must match a sorted-list replay;
+    the order-statistic CI must bracket the lower median."""
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    Z = 1.959963984540054
+    li = _load_pdf(sf_small, "lineitem")
+    li = li.assign(cents=(li["l_extendedprice"] * 100.0).round().astype("int64"))
+    got = {
+        r["l_returnflag"]: r
+        for r in registry.QUERIES["median_order_ci"](
+            spark, sf_small
+        ).collect()
+    }
+    for flag, sub in li.groupby("l_returnflag"):
+        ys = sorted(
+            zip(sub["cents"], sub["l_orderkey"], sub["l_linenumber"])
+        )
+        n = len(ys)
+        klo = math.floor((n - Z * math.sqrt(n)) / 2)
+        khi = math.ceil(1 + (n + Z * math.sqrt(n)) / 2)
+        r = got[flag]
+        assert (r["n"], r["klo"], r["khi"]) == (n, klo, khi)
+        assert r["median_lo_cents"] == ys[(n + 1) // 2 - 1][0]
+        assert r["ci_lo_cents"] == ys[klo - 1][0]
+        assert r["ci_hi_cents"] == ys[khi - 1][0]
+        assert r["ci_lo_cents"] <= r["median_lo_cents"] <= r["ci_hi_cents"]
+
+
+def test_hill_matches_replay_and_pairs_with_zipf(spark, sf_small):
+    """alpha must match an exact Python replay over the top-(k+1) token
+    counts and be positive; the frontier threshold is the (k+1)-th
+    count."""
+    import math
+    import re
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.textstats import _HILL_K
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    counts = {}
+    for t in docs["text"]:
+        toks = re.split(r"\s+", t.strip())
+        shingles = (
+            [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+            if len(toks) >= 3
+            else [" ".join(toks)]
+        )
+        for tok in shingles:
+            counts[tok] = counts.get(tok, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : _HILL_K + 1
+    ]
+    ck1 = top[_HILL_K][1]
+    s = sum(math.log(c / ck1) for _, c in top[:_HILL_K])
+    r = registry.QUERIES["tail_index_hill"](spark, sf_small).collect()[0]
+    assert r["k"] == _HILL_K
+    assert r["x_k1"] == ck1
+    assert abs(r["alpha_hill"] - _HILL_K / s) < 1e-9 * max(_HILL_K / s, 1.0)
+    assert r["alpha_hill"] > 0.0

@@ -227,6 +227,8 @@ QUERIES = [
     "uplift_qini_deciles",          # integer cells, pinned quotient chains
     "yuen_trimmed_ttest",           # rank trims, DECIMAL winsorized moments
     "stream_join_state_peak",       # integer sweep-line running sums
+    "median_order_ci",              # rank selections, z literal + IEEE sqrt
+    "tail_index_hill",              # sorted ln-ratio folds over top-k
 ]
 
 

@@ -1512,3 +1512,16 @@ def test_join_state_peak_pruned(spark, sf):
     assert "Join" not in plan
     fmt = _formatted(df)
     assert "ReadSchema: struct<ts:" in fmt  # 2-column scan only
+
+
+def test_median_order_ci_no_cartesian(spark, sf):
+    df = registry.QUERIES["median_order_ci"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_hill_takeordered_frontier(spark, sf):
+    df = registry.QUERIES["tail_index_hill"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-(k+1), never a global sort

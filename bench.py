@@ -306,6 +306,7 @@ HEADLINE = [
     "stream_join_state_peak",
     "median_order_ci",
     "tail_index_hill",
+    "covariate_balance_smd",
 ]
 
 

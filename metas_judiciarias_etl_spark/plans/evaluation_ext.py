@@ -2047,3 +2047,149 @@ def yuen_trimmed_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (d1 * d1 / (h1 - 1.0) + d0 * d0 / (h0 - 1.0))"
         ).alias("df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Covariate balance (standardized mean differences) — the audit table read
+# BEFORE trusting any treated-vs-control comparison.
+# ---------------------------------------------------------------------------
+_SMD_THRESH = 0.1  # the conventional imbalance flag
+
+
+@query(
+    "covariate_balance_smd",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(CASE WHEN 5 * sum(CASE WHEN event_type = 'signup'
+                                      THEN 1 ELSE 0 END) > count(*)
+                    THEN 1 ELSE 0 END AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents,
+               CAST(count(DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT))
+                    AS BIGINT) AS active_days
+        FROM events GROUP BY user_id
+    ), long AS (
+        SELECT t, 'n_events' AS covariate, n_events AS v FROM per_user
+        UNION ALL
+        SELECT t, 'n_purchases', n_purchases FROM per_user
+        UNION ALL
+        SELECT t, 'total_cents', total_cents FROM per_user
+        UNION ALL
+        SELECT t, 'active_days', active_days FROM per_user
+    ), m AS (
+        SELECT covariate,
+               CAST(sum(t) AS BIGINT) AS n1,
+               CAST(count(*) - sum(t) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN t = 1
+                        THEN CAST(v AS DECIMAL(38,0)) END) AS DOUBLE) AS s1,
+               CAST(sum(CASE WHEN t = 0
+                        THEN CAST(v AS DECIMAL(38,0)) END) AS DOUBLE) AS s0,
+               CAST(sum(CASE WHEN t = 1
+                        THEN CAST(v AS DECIMAL(38,0)) * v END) AS DOUBLE)
+                   AS q1,
+               CAST(sum(CASE WHEN t = 0
+                        THEN CAST(v AS DECIMAL(38,0)) * v END) AS DOUBLE)
+                   AS q0
+        FROM long GROUP BY covariate
+    )
+    SELECT covariate, n1, n0,
+           s1 / n1 AS mean_treat,
+           s0 / n0 AS mean_ctrl,
+           (s1 / n1 - s0 / n0)
+             / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)
+                     + (q0 - s0 * s0 / n0) / (n0 - 1)) / 2) AS smd,
+           abs((s1 / n1 - s0 / n0)
+             / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)
+                     + (q0 - s0 * s0 / n0) / (n0 - 1)) / 2))
+               > {_SMD_THRESH!r} AS imbalanced
+    FROM m
+    """,
+)
+def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance table: standardized mean difference
+    (m1 − m0) / sqrt((s1² + s0²)/2) of four user-level covariates
+    (events, purchases, cents, active days) between the signup-heavy
+    treatment of stratified_standardization and its control — the audit
+    read BEFORE trusting any treated-vs-control comparison, and AFTER
+    any weighting to confirm it worked. |SMD| > 0.1 is the conventional
+    imbalance flag; a flagged covariate is exactly what the
+    standardization strata must include.
+
+    Exactness: per-user covariates are exact integers; the four long
+    rows ride ONE user pass; per-covariate moments are exact DECIMAL
+    sums cast once; SMD is a pinned chain (sum of two correctly-rounded
+    quotients, one sqrt, one division — no multiply-add pattern); the
+    flag compares against a shared literal.
+
+    Plan: one user-keyed pass (the distinct-days term makes it an exact
+    two-level aggregation), a 4x stacked union at USER grain, one
+    covariate-keyed moment rollup — 4-row output at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            5 * F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("total_cents"),
+        F.countDistinct(
+            F.expr("(ts - pmod(ts, 86400000000000)) div 86400000000000")
+        )
+        .cast("long")
+        .alias("active_days"),
+    )
+    long = per_user.select(
+        "t",
+        F.expr(
+            "stack(4, 'n_events', n_events, 'n_purchases', n_purchases,"
+            " 'total_cents', total_cents, 'active_days', active_days)"
+            " AS (covariate, v)"
+        ),
+    )
+    m = long.groupBy("covariate").agg(
+        F.sum("t").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("t")).cast("long").alias("n0"),
+        F.expr(
+            "CAST(sum(CASE WHEN t = 1 THEN CAST(v AS DECIMAL(38,0)) END)"
+            " AS DOUBLE)"
+        ).alias("s1"),
+        F.expr(
+            "CAST(sum(CASE WHEN t = 0 THEN CAST(v AS DECIMAL(38,0)) END)"
+            " AS DOUBLE)"
+        ).alias("s0"),
+        F.expr(
+            "CAST(sum(CASE WHEN t = 1 THEN CAST(v AS DECIMAL(38,0)) * v END)"
+            " AS DOUBLE)"
+        ).alias("q1"),
+        F.expr(
+            "CAST(sum(CASE WHEN t = 0 THEN CAST(v AS DECIMAL(38,0)) * v END)"
+            " AS DOUBLE)"
+        ).alias("q0"),
+    )
+    smd = (
+        "(s1 / n1 - s0 / n0)"
+        " / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)"
+        "         + (q0 - s0 * s0 / n0) / (n0 - 1)) / 2)"
+    )
+    return m.select(
+        "covariate",
+        "n1",
+        "n0",
+        F.expr("s1 / n1").alias("mean_treat"),
+        F.expr("s0 / n0").alias("mean_ctrl"),
+        F.expr(smd).alias("smd"),
+        F.expr(f"abs({smd}) > {_SMD_THRESH!r}").alias("imbalanced"),
+    )

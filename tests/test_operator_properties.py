@@ -5742,3 +5742,52 @@ def test_hill_matches_replay_and_pairs_with_zipf(spark, sf_small):
     assert r["x_k1"] == ck1
     assert abs(r["alpha_hill"] - _HILL_K / s) < 1e-9 * max(_HILL_K / s, 1.0)
     assert r["alpha_hill"] > 0.0
+
+
+def test_covariate_balance_matches_replay(spark, sf_small):
+    """Per-covariate SMDs must match an exact-moment Python replay, and
+    the flag must be |smd| > 0.1 exactly."""
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    ev = ev.assign(
+        cents=(ev["value"] * 100.0).round().astype("int64"),
+        day=ev["ts"].astype("datetime64[ns]").astype("int64")
+        // (86400 * 10**9),
+    )
+    users = {}
+    for uid, sub in ev.groupby("user_id"):
+        t = int(5 * int((sub["event_type"] == "signup").sum()) > len(sub))
+        users[int(uid)] = (
+            t,
+            {
+                "n_events": len(sub),
+                "n_purchases": int((sub["event_type"] == "purchase").sum()),
+                "total_cents": int(sub["cents"].sum()),
+                "active_days": int(sub["day"].nunique()),
+            },
+        )
+    got = {
+        r["covariate"]: r
+        for r in registry.QUERIES["covariate_balance_smd"](
+            spark, sf_small
+        ).collect()
+    }
+    covs = ["n_events", "n_purchases", "total_cents", "active_days"]
+    assert set(got) == set(covs)
+    for cov in covs:
+        a1 = [v[cov] for t, v in users.values() if t == 1]
+        a0 = [v[cov] for t, v in users.values() if t == 0]
+        n1, n0 = len(a1), len(a0)
+        m1, m0 = sum(a1) / n1, sum(a0) / n0
+        v1 = (sum(x * x for x in a1) - sum(a1) ** 2 / n1) / (n1 - 1)
+        v0 = (sum(x * x for x in a0) - sum(a0) ** 2 / n0) / (n0 - 1)
+        smd = (m1 - m0) / math.sqrt((v1 + v0) / 2)
+        r = got[cov]
+        assert (r["n1"], r["n0"]) == (n1, n0)
+        assert abs(r["mean_treat"] - m1) < 1e-9 * max(abs(m1), 1.0)
+        assert abs(r["smd"] - smd) < 1e-9 * max(abs(smd), 1.0)
+        assert r["imbalanced"] == (abs(r["smd"]) > 0.1)

@@ -229,6 +229,7 @@ QUERIES = [
     "stream_join_state_peak",       # integer sweep-line running sums
     "median_order_ci",              # rank selections, z literal + IEEE sqrt
     "tail_index_hill",              # sorted ln-ratio folds over top-k
+    "covariate_balance_smd",        # DECIMAL moments, pinned SMD chains
 ]
 
 

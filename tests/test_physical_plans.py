@@ -1525,3 +1525,10 @@ def test_hill_takeordered_frontier(spark, sf):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # top-(k+1), never a global sort
+
+
+def test_covariate_balance_single_pass(spark, sf):
+    df = registry.QUERIES["covariate_balance_smd"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan

@@ -307,6 +307,7 @@ HEADLINE = [
     "median_order_ci",
     "tail_index_hill",
     "covariate_balance_smd",
+    "bm25_prf_terms",
 ]
 
 

@@ -179,3 +179,115 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
     )
+
+
+# --------------------------------------------------------------------------
+# Pseudo-relevance feedback: the RM3-style expansion terms mined from the
+# BM25 top documents — stage two of classic query expansion.
+# --------------------------------------------------------------------------
+_PRF_FB_DOCS = 3  # feedback set: top-k documents of the first-pass ranking
+_PRF_TERMS = 5  # expansion terms reported
+
+
+def _prf_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH firstpass AS ({ORACLES['bm25_topk']}),
+    fb AS (
+        SELECT doc_id FROM firstpass WHERE rn <= {_PRF_FB_DOCS}
+    ), tok AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ), dfreq AS (
+        SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY token
+    ), qterms AS (
+        SELECT token FROM (
+            SELECT token, row_number() OVER (ORDER BY df DESC, token) AS rn
+            FROM dfreq
+        ) WHERE rn <= {BM25_NTERMS}
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    ), fbtf AS (
+        SELECT t.token, CAST(count(*) AS BIGINT) AS fb_tf
+        FROM tok t JOIN fb ON fb.doc_id = t.doc_id
+        WHERE t.token NOT IN (SELECT token FROM qterms)
+        GROUP BY t.token
+    )
+    SELECT CAST(row_number() OVER (ORDER BY f.fb_tf DESC, f.token)
+                AS INTEGER) AS rank,
+           f.token, f.fb_tf, d.df,
+           ((CAST(n.n_docs - d.df AS DOUBLE) + 0.5)
+            / (CAST(d.df AS DOUBLE) + 0.5)) AS idf
+    FROM fbtf f JOIN dfreq d ON d.token = f.token CROSS JOIN n
+    ORDER BY f.fb_tf DESC, f.token
+    LIMIT {_PRF_TERMS}
+    """
+
+
+@query("bm25_prf_terms", oracle=_prf_oracle())
+def bm25_prf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (RM3-style) expansion terms: take the
+    registered BM25 ranking's top-{_PRF_FB_DOCS} documents as the
+    feedback set, tally every term they contain EXCLUDING the original
+    query terms, and report the top-{_PRF_TERMS} by feedback term
+    frequency with their corpus df and Robertson ratio idf — the table a
+    search engine folds back into the query for its second pass. The
+    feedback set comes from the COMPOSED bm25_topk on both engine and
+    oracle sides, so the expansion can never drift from the ranking it
+    feeds on.
+
+    Exactness: feedback tallies and df are exact integers; the ranking
+    carries a total order (fb_tf desc, token); idf is one pinned IEEE
+    division of exact operands.
+
+    Plan: the first pass is the registered BM25 (its plan notes apply);
+    the feedback set is {_PRF_FB_DOCS} doc_ids broadcast into the token
+    stream; the expansion tally is one token-keyed partial agg over
+    FEEDBACK postings only; top terms via TakeOrderedAndProject."""
+    from ..registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    fb = (
+        QUERIES["bm25_topk"](spark, sf_dir)
+        .filter(F.col("rn") <= _PRF_FB_DOCS)
+        .select("doc_id")
+    )
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    dfreq = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    qterms = (
+        dfreq.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("df"), F.asc("token"))),
+        )
+        .filter(F.col("rn") <= BM25_NTERMS)
+        .select("token")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    fbtf = (
+        tok.join(F.broadcast(fb), "doc_id")
+        .join(F.broadcast(qterms), "token", "left_anti")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("fb_tf"))
+    )
+    ranked = (
+        fbtf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .orderBy(F.desc("fb_tf"), F.asc("token"))
+        .limit(_PRF_TERMS)
+    )
+    w = Window.orderBy(F.desc("fb_tf"), F.asc("token"))
+    return ranked.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "token",
+        "fb_tf",
+        "df",
+        (
+            ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        ).alias("idf"),
+    )

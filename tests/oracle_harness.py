@@ -174,6 +174,12 @@ def compare(name: str, spark_df, oracle_sql: str, con) -> list[str]:
         return problems
     if len(s_rows) != len(o_rows):
         problems.append(f"{name}: row count spark={len(s_rows)} oracle={len(o_rows)}")
+    # Vacuity guard: two engines can agree perfectly on an all-NULL result
+    # (a constant that never resolves, a LIMIT frontier past the data —
+    # tail_index_hill's unigram form did exactly this). Such a "pass"
+    # certifies nothing; flag it.
+    if s_rows and all(v is None for row in s_rows for v in row):
+        problems.append(f"{name}: result is entirely NULL — vacuous parity")
     s_n = normalize_result(s_cols, s_rows)
     o_n = normalize_result(o_cols, o_rows)
     if s_n != o_n:

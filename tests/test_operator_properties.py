@@ -5791,3 +5791,53 @@ def test_covariate_balance_matches_replay(spark, sf_small):
         assert abs(r["mean_treat"] - m1) < 1e-9 * max(abs(m1), 1.0)
         assert abs(r["smd"] - smd) < 1e-9 * max(abs(smd), 1.0)
         assert r["imbalanced"] == (abs(r["smd"]) > 0.1)
+
+
+def test_prf_terms_match_bruteforce(spark, sf_small):
+    """Expansion terms must match a brute-force replay: top-3 BM25 docs'
+    term tallies excluding the original query terms; idf exact."""
+    import re
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.retrieval_ext import (
+        _PRF_FB_DOCS,
+        _PRF_TERMS,
+        BM25_NTERMS,
+    )
+
+    registry.load_all()
+    fb_ids = [
+        r["doc_id"]
+        for r in registry.QUERIES["bm25_topk"](spark, sf_small).collect()
+        if r["rn"] <= _PRF_FB_DOCS
+    ]
+    docs = _load_pdf(sf_small, "documents")
+    n_docs = len(docs)
+    df_counts = {}
+    for t in docs["text"]:
+        for tok in set(re.split(r"\s+", t.strip())):
+            df_counts[tok] = df_counts.get(tok, 0) + 1
+    qterms = {
+        t
+        for t, _ in sorted(df_counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :BM25_NTERMS
+        ]
+    }
+    fbtf = {}
+    fb_set = set(fb_ids)
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        if int(did) not in fb_set:
+            continue
+        for tok in re.split(r"\s+", t.strip()):
+            if tok not in qterms:
+                fbtf[tok] = fbtf.get(tok, 0) + 1
+    want = sorted(fbtf.items(), key=lambda kv: (-kv[1], kv[0]))[:_PRF_TERMS]
+    rows = registry.QUERIES["bm25_prf_terms"](spark, sf_small).collect()
+    assert len(rows) == len(want)
+    for r, (tok, tf_) in zip(sorted(rows, key=lambda r: r["rank"]), want):
+        assert r["token"] == tok
+        assert r["fb_tf"] == tf_
+        assert r["df"] == df_counts[tok]
+        idf = (n_docs - df_counts[tok] + 0.5) / (df_counts[tok] + 0.5)
+        assert abs(r["idf"] - idf) < 1e-12
+        assert tok not in qterms

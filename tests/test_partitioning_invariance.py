@@ -230,6 +230,7 @@ QUERIES = [
     "median_order_ci",              # rank selections, z literal + IEEE sqrt
     "tail_index_hill",              # sorted ln-ratio folds over top-k
     "covariate_balance_smd",        # DECIMAL moments, pinned SMD chains
+    "bm25_prf_terms",               # integer tallies, total-order ranking
 ]
 
 

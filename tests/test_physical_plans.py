@@ -1532,3 +1532,9 @@ def test_covariate_balance_single_pass(spark, sf):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
+
+
+def test_prf_no_cartesian(spark, sf):
+    df = registry.QUERIES["bm25_prf_terms"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan

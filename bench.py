@@ -308,6 +308,7 @@ HEADLINE = [
     "tail_index_hill",
     "covariate_balance_smd",
     "bm25_prf_terms",
+    "partial_correlation",
 ]
 
 

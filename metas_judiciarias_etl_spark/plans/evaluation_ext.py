@@ -2193,3 +2193,116 @@ def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(smd).alias("smd"),
         F.expr(f"abs({smd}) > {_SMD_THRESH!r}").alias("imbalanced"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partial correlation — association between two metrics with a third held
+# fixed; the first confound-removal step before any causal claim.
+# ---------------------------------------------------------------------------
+@query(
+    "partial_correlation",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y,
+               CAST(count(DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT))
+                    AS BIGINT) AS z
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(z AS DECIMAL(38,0))) AS DOUBLE) AS sz,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+               CAST(sum(CAST(z AS DECIMAL(38,0)) * z) AS DOUBLE) AS szz,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * z) AS DOUBLE) AS sxz,
+               CAST(sum(CAST(y AS DECIMAL(38,0)) * z) AS DOUBLE) AS syz
+        FROM per_user
+    ), r AS (
+        SELECT n,
+               (n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+               (n * sxz - sx * sz)
+                 / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+               (n * syz - sy * sz)
+                 / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) AS ryz
+        FROM m
+    )
+    SELECT n AS n_users, rxy, rxz, ryz,
+           (rxy - rxz * ryz)
+             / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)) AS r_xy_given_z
+    FROM r
+    """,
+)
+def partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation r_{xy·z} between per-user event count (x) and
+    revenue cents (y) with active days (z) held fixed:
+    (r_xy − r_xz·r_yz) / sqrt((1−r_xz²)(1−r_yz²)) — the one-line answer
+    to "do heavy users spend more, or do they just show up on more
+    days?", and the first confound-removal step before any causal
+    machinery (stratified_standardization is the design-based follow-up
+    when z is discrete). Reported next to all three raw correlations so
+    the collapse (or survival) of the association is visible.
+
+    Exactness: the nine moments are exact DECIMAL(38,0) sums cast to
+    double ONCE (corr_exact's discipline extended to three variables);
+    every correlation and the partial form are pinned chains of
+    correctly-rounded IEEE ops — products and divisions only, no
+    multiply-add contraction pattern, no float aggregation.
+
+    Plan: ONE user-keyed pass (two-level exact distinct for z), a 1-row
+    nine-moment rollup — scan-bound at any fact scale."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("y"),
+        F.countDistinct(
+            F.expr("(ts - pmod(ts, 86400000000000)) div 86400000000000")
+        )
+        .cast("long")
+        .alias("z"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.expr(f"CAST(sum(CAST({a} AS DECIMAL(38,0))) AS DOUBLE)").alias(
+                f"s{a}"
+            )
+            for a in ("x", "y", "z")
+        ],
+        *[
+            F.expr(
+                f"CAST(sum(CAST({a} AS DECIMAL(38,0)) * {b}) AS DOUBLE)"
+            ).alias(f"s{a}{b}")
+            for a, b in (("x", "x"), ("y", "y"), ("z", "z"),
+                         ("x", "y"), ("x", "z"), ("y", "z"))
+        ],
+    )
+    def corr(a: str, b: str) -> str:
+        return (
+            f"(n * s{a}{b} - s{a} * s{b})"
+            f" / sqrt((n * s{a}{a} - s{a} * s{a})"
+            f" * (n * s{b}{b} - s{b} * s{b}))"
+        )
+
+    r = m.select(
+        "n",
+        F.expr(corr("x", "y")).alias("rxy"),
+        F.expr(corr("x", "z")).alias("rxz"),
+        F.expr(corr("y", "z")).alias("ryz"),
+    )
+    return r.select(
+        F.col("n").alias("n_users"),
+        "rxy",
+        "rxz",
+        "ryz",
+        F.expr(
+            "(rxy - rxz * ryz)"
+            " / sqrt((1 - rxz * rxz) * (1 - ryz * ryz))"
+        ).alias("r_xy_given_z"),
+    )

@@ -5841,3 +5841,49 @@ def test_prf_terms_match_bruteforce(spark, sf_small):
         idf = (n_docs - df_counts[tok] + 0.5) / (df_counts[tok] + 0.5)
         assert abs(r["idf"] - idf) < 1e-12
         assert tok not in qterms
+
+
+def test_partial_correlation_matches_numpy(spark, sf_small):
+    """All three correlations and the partial form must match an exact
+    replay; |r| bounds hold; the partial form must equal the formula
+    applied to the reported raw correlations."""
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    ev = ev.assign(
+        cents=(ev["value"] * 100.0).round().astype("int64"),
+        day=ev["ts"].astype("datetime64[ns]").astype("int64")
+        // (86400 * 10**9),
+    )
+    xs, ys, zs = [], [], []
+    for _, sub in ev.groupby("user_id"):
+        xs.append(len(sub))
+        ys.append(int(sub["cents"].sum()))
+        zs.append(int(sub["day"].nunique()))
+    n = len(xs)
+
+    def corr(a, b):
+        sa, sb = sum(a), sum(b)
+        sab = sum(u * v for u, v in zip(a, b))
+        saa = sum(u * u for u in a)
+        sbb = sum(v * v for v in b)
+        return (n * sab - sa * sb) / math.sqrt(
+            (n * saa - sa * sa) * (n * sbb - sb * sb)
+        )
+
+    rxy, rxz, ryz = corr(xs, ys), corr(xs, zs), corr(ys, zs)
+    r = registry.QUERIES["partial_correlation"](spark, sf_small).collect()[0]
+    assert r["n_users"] == n
+    for got, want in ((r["rxy"], rxy), (r["rxz"], rxz), (r["ryz"], ryz)):
+        assert abs(got - want) < 1e-9
+        assert -1.0 - 1e-12 <= got <= 1.0 + 1e-12
+    part = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert abs(r["r_xy_given_z"] - part) < 1e-9
+    # consistency with the engine's own reported raw correlations
+    own = (r["rxy"] - r["rxz"] * r["ryz"]) / math.sqrt(
+        (1 - r["rxz"] ** 2) * (1 - r["ryz"] ** 2)
+    )
+    assert abs(r["r_xy_given_z"] - own) < 1e-12

@@ -231,6 +231,7 @@ QUERIES = [
     "tail_index_hill",              # sorted ln-ratio folds over top-k
     "covariate_balance_smd",        # DECIMAL moments, pinned SMD chains
     "bm25_prf_terms",               # integer tallies, total-order ranking
+    "partial_correlation",          # nine DECIMAL moments, pinned chains
 ]
 
 

@@ -1538,3 +1538,10 @@ def test_prf_no_cartesian(spark, sf):
     df = registry.QUERIES["bm25_prf_terms"](spark, sf)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_partial_correlation_single_pass(spark, sf):
+    df = registry.QUERIES["partial_correlation"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan

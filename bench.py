@@ -309,6 +309,7 @@ HEADLINE = [
     "covariate_balance_smd",
     "bm25_prf_terms",
     "partial_correlation",
+    "decision_stump_split",
 ]
 
 

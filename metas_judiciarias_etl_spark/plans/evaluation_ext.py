@@ -2306,3 +2306,134 @@ def partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / sqrt((1 - rxz * rxz) * (1 - ryz * ryz))"
         ).alias("r_xy_given_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump: the exact best Gini split of the quality score for
+# predicting near-dup membership — the supervised-binning primitive.
+# ---------------------------------------------------------------------------
+@query(
+    "decision_stump_split",
+    oracle=_scored_ctes()
+    + """
+    , per_v AS (
+        SELECT x AS v, CAST(count(*) AS BIGINT) AS t,
+               CAST(sum(y) AS BIGINT) AS t1
+        FROM sc GROUP BY x
+    ), tot AS (
+        SELECT CAST(sum(t) AS BIGINT) AS n, CAST(sum(t1) AS BIGINT) AS p
+        FROM per_v
+    ), cum AS (
+        SELECT v,
+               CAST(sum(t) OVER w AS BIGINT) AS nl,
+               CAST(sum(t1) OVER w AS BIGINT) AS kl
+        FROM per_v
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ), scored AS (
+        SELECT c.v, c.nl, c.kl, t.n - c.nl AS nr, t.p - c.kl AS kr,
+               t.n, t.p,
+               ((c.nl - (CAST(c.kl * c.kl AS DOUBLE)
+                         + CAST((c.nl - c.kl) * (c.nl - c.kl) AS DOUBLE))
+                        / c.nl)
+                + ((t.n - c.nl) - (CAST((t.p - c.kl) * (t.p - c.kl)
+                                        AS DOUBLE)
+                    + CAST(((t.n - c.nl) - (t.p - c.kl))
+                           * ((t.n - c.nl) - (t.p - c.kl)) AS DOUBLE))
+                        / (t.n - c.nl)))
+               / t.n AS gini_after
+        FROM cum c CROSS JOIN tot t
+        WHERE t.n - c.nl > 0
+    )
+    SELECT v AS split_x, nl AS n_left, nr AS n_right,
+           kl AS pos_left, kr AS pos_right,
+           (n - (CAST(p * p AS DOUBLE)
+                 + CAST((n - p) * (n - p) AS DOUBLE)) / n) / n
+               AS gini_parent,
+           gini_after,
+           (n - (CAST(p * p AS DOUBLE)
+                 + CAST((n - p) * (n - p) AS DOUBLE)) / n) / n - gini_after
+               AS gini_gain
+    FROM (
+        SELECT s.*, row_number() OVER (ORDER BY gini_after, v) AS rn
+        FROM scored s
+    ) WHERE rn = 1
+    """,
+)
+def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact one-level decision tree (stump) on the quality score for
+    predicting near-dup membership: every cut point on the score support
+    is evaluated by weighted Gini impurity of the two children, and the
+    best split is reported with its child cells and gain — the
+    supervised-binning / feature-screening primitive behind tree
+    learners, and the principled way to pick a quality gate threshold
+    when a LABEL (here: near-dup) is available (f1_optimal_threshold
+    optimizes the classifier metric; the stump optimizes impurity, and
+    running both IS the objective-sensitivity check).
+
+    Exactness: support-level counts and both cumulative cells are exact
+    integers; each child impurity is n_c − (k² + (n_c−k)²)/n_c — integer
+    squares divided ONCE, log-free (Gini, not entropy, exactly so this
+    stays rational); the argmin carries a (gini, v) total order over
+    identically-computed doubles.
+
+    Plan: corpus → score-support collapse (one shuffle), one cumulative
+    window over the SUPPORT (bounded by distinct score values, never
+    docs), broadcast totals, rank-1 selection."""
+    sc = _scored(spark, sf_dir)
+    per_v = sc.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("y").cast("long").alias("t1"),
+    )
+    tot = per_v.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum("t1").cast("long").alias("p"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.select(
+        "v",
+        F.sum("t").over(w).cast("long").alias("nl"),
+        F.sum("t1").over(w).cast("long").alias("kl"),
+    )
+    child = (
+        "((nl - (CAST(kl * kl AS DOUBLE)"
+        " + CAST((nl - kl) * (nl - kl) AS DOUBLE)) / nl)"
+        " + ((n - nl) - (CAST((p - kl) * (p - kl) AS DOUBLE)"
+        " + CAST(((n - nl) - (p - kl)) * ((n - nl) - (p - kl))"
+        " AS DOUBLE)) / (n - nl))) / n"
+    )
+    parent = (
+        "(n - (CAST(p * p AS DOUBLE)"
+        " + CAST((n - p) * (n - p) AS DOUBLE)) / n) / n"
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.expr("n - nl > 0"))
+        .select(
+            "v",
+            "nl",
+            "kl",
+            F.expr("n - nl").alias("nr"),
+            F.expr("p - kl").alias("kr"),
+            "n",
+            "p",
+            F.expr(child).alias("gini_after"),
+        )
+    )
+    wr = Window.orderBy("gini_after", "v")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("v").alias("split_x"),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            F.col("kl").alias("pos_left"),
+            F.col("kr").alias("pos_right"),
+            F.expr(parent).alias("gini_parent"),
+            "gini_after",
+            F.expr(f"{parent} - gini_after").alias("gini_gain"),
+        )
+    )

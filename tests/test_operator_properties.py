@@ -5887,3 +5887,47 @@ def test_partial_correlation_matches_numpy(spark, sf_small):
         (1 - r["rxz"] ** 2) * (1 - r["ryz"] ** 2)
     )
     assert abs(r["r_xy_given_z"] - own) < 1e-12
+
+
+def test_decision_stump_matches_bruteforce(spark, sf_small):
+    """The chosen split must minimize the exact-fraction weighted Gini
+    over ALL cuts (ties to the smallest cut), with gain >= 0 vs the
+    parent impurity."""
+    from fractions import Fraction
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.evaluation_ext import _scored
+
+    registry.load_all()
+    spark_sc = _scored(spark, sf_small)  # the registered (x, y) relation
+    rows = [(r["x"], r["y"]) for r in spark_sc.collect()]
+    per_v = {}
+    for x, y in rows:
+        t, t1 = per_v.get(x, (0, 0))
+        per_v[x] = (t + 1, t1 + y)
+    n = len(rows)
+    p = sum(y for _, y in rows)
+
+    def child_g(k, m):
+        return m - Fraction(k * k + (m - k) * (m - k), m)
+
+    best = None
+    nl = kl = 0
+    for v in sorted(per_v):
+        t, t1 = per_v[v]
+        nl += t
+        kl += t1
+        if n - nl == 0:
+            break
+        g = Fraction(child_g(kl, nl) + child_g(p - kl, n - nl), n)
+        if best is None or g < best[0]:
+            best = (g, v, nl, kl)
+    r = registry.QUERIES["decision_stump_split"](spark, sf_small).collect()[0]
+    g, v, nl, kl = best
+    assert r["split_x"] == v
+    assert (r["n_left"], r["pos_left"]) == (nl, kl)
+    assert (r["n_right"], r["pos_right"]) == (n - nl, p - kl)
+    assert abs(r["gini_after"] - float(g)) < 1e-12
+    parent = float(Fraction(child_g(p, n), n))
+    assert abs(r["gini_parent"] - parent) < 1e-12
+    assert r["gini_gain"] >= -1e-12

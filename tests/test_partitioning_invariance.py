@@ -232,6 +232,7 @@ QUERIES = [
     "covariate_balance_smd",        # DECIMAL moments, pinned SMD chains
     "bm25_prf_terms",               # integer tallies, total-order ranking
     "partial_correlation",          # nine DECIMAL moments, pinned chains
+    "decision_stump_split",         # exact-rational Gini argmin
 ]
 
 

@@ -1545,3 +1545,9 @@ def test_partial_correlation_single_pass(spark, sf):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
+
+
+def test_stump_support_window_no_cartesian(spark, sf):
+    df = registry.QUERIES["decision_stump_split"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan

@@ -310,6 +310,8 @@ HEADLINE = [
     "bm25_prf_terms",
     "partial_correlation",
     "decision_stump_split",
+    "cohens_kappa_langid",
+    "ab_tost_equivalence",
 ]
 
 

@@ -2680,3 +2680,93 @@ def tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ck1").alias("x_k1"),
         F.expr(f"{_HILL_K} / {fold}").alias("alpha_hill"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa — chance-corrected accuracy of the language-ID classifier,
+# from the same confusion table as ARI/NMI but for MATCHED label spaces.
+# --------------------------------------------------------------------------
+def _kappa_oracle() -> str:
+    return f"""
+    WITH {_agreement_cells_sql()},
+    t AS (
+        SELECT CAST(sum(nij) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN lang_label = lang_pred THEN nij
+                        ELSE 0 END) AS BIGINT) AS agree
+        FROM cells
+    ), marg AS (
+        SELECT CAST(sum(a.al * b.bl) AS BIGINT) AS chance_num
+        FROM (SELECT lang_label AS l, CAST(sum(nij) AS BIGINT) AS al
+              FROM cells GROUP BY lang_label) a
+        JOIN (SELECT lang_pred AS l, CAST(sum(nij) AS BIGINT) AS bl
+              FROM cells GROUP BY lang_pred) b ON a.l = b.l
+    )
+    SELECT t.n AS n_docs, t.agree,
+           CAST(t.agree AS DOUBLE) / t.n AS p_observed,
+           CAST(m.chance_num AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n)
+               AS p_chance,
+           (CAST(t.n AS DOUBLE) * t.agree - m.chance_num)
+             / (CAST(t.n AS DOUBLE) * t.n - m.chance_num) AS kappa
+    FROM t, marg m
+    """
+
+
+@query("cohens_kappa_langid", oracle=_kappa_oracle())
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the language-ID classifier against the corpus
+    labels: chance-corrected accuracy (po − pe)/(1 − pe) where pe is the
+    agreement two raters with these marginals would reach by chance —
+    the number that exposes a classifier that "scores 90%" on a corpus
+    that is 90% one language. Completes the agreement family: ARI/NMI
+    grade the CLUSTERING (label-space-free); kappa grades the matched
+    label assignment. Same single-fact-pass confusion table as both.
+
+    Exactness: agreement and the chance numerator Σ aₗ·bₗ are exact
+    integers (kappa is rearranged to (n·agree − Σab)/(n² − Σab) so the
+    expected-agreement subtraction happens in INTEGERS, not after two
+    lossy divisions); the reported po/pe/kappa are pinned single
+    divisions.
+
+    Plan: the registered confusion pass, two marginal rollups joined on
+    the label key (both label-cardinality-bounded), a 1-row meet."""
+    from ..registry import QUERIES
+
+    cells = QUERIES["text_lang_confusion"](spark, sf_dir).select(
+        "lang_label", "lang_pred", F.col("n_docs").cast("long").alias("nij")
+    )
+    cells = cells.persist()
+    cells.count()
+    t = cells.agg(
+        F.sum("nij").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("lang_label") == F.col("lang_pred"), F.col("nij"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("agree"),
+    )
+    a = cells.groupBy(F.col("lang_label").alias("l")).agg(
+        F.sum("nij").cast("long").alias("al")
+    )
+    b = cells.groupBy(F.col("lang_pred").alias("l")).agg(
+        F.sum("nij").cast("long").alias("bl")
+    )
+    marg = (
+        a.join(b, "l")
+        .agg(F.sum(F.col("al") * F.col("bl")).cast("long").alias("chance_num"))
+    )
+    return (
+        t.crossJoin(F.broadcast(marg))
+        .select(
+            F.col("n").alias("n_docs"),
+            "agree",
+            F.expr("CAST(agree AS DOUBLE) / n").alias("p_observed"),
+            F.expr(
+                "CAST(chance_num AS DOUBLE) / (CAST(n AS DOUBLE) * n)"
+            ).alias("p_chance"),
+            F.expr(
+                "(CAST(n AS DOUBLE) * agree - chance_num)"
+                " / (CAST(n AS DOUBLE) * n - chance_num)"
+            ).alias("kappa"),
+        )
+    )

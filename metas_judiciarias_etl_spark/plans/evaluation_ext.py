@@ -2437,3 +2437,112 @@ def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"{parent} - gini_after").alias("gini_gain"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TOST equivalence test — the non-inferiority readout: "is the difference
+# provably INSIDE ±margin", the question significance tests cannot answer.
+# ---------------------------------------------------------------------------
+_TOST_MARGIN = "0.02"  # equivalence margin on the conversion-rate scale
+_TOST_Z90 = "1.6448536269514722"  # z_{0.95}: TOST at 5% uses two 90% bounds
+
+
+@query(
+    "ab_tost_equivalence",
+    oracle=f"""
+    WITH pu AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) > count(*)
+                    THEN 1 ELSE 0 END AS BIGINT) AS conv
+        FROM events GROUP BY user_id
+    ), cells AS (
+        SELECT CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+                   AS x1,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+               CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+                   AS x0
+        FROM pu
+    ), s AS (
+        SELECT n1, x1, n0, x0,
+               CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0 AS diff,
+               sqrt((CAST(x1 AS DOUBLE) / n1)
+                    * (1 - CAST(x1 AS DOUBLE) / n1) / n1
+                    + (CAST(x0 AS DOUBLE) / n0)
+                      * (1 - CAST(x0 AS DOUBLE) / n0) / n0) AS se
+        FROM cells
+    )
+    SELECT n1, x1, n0, x0, diff, se,
+           diff - {_TOST_Z90} * se AS ci90_lo,
+           diff + {_TOST_Z90} * se AS ci90_hi,
+           (diff - {_TOST_Z90} * se > -{_TOST_MARGIN}
+            AND diff + {_TOST_Z90} * se < {_TOST_MARGIN}) AS equivalent
+    FROM s
+    """,
+)
+def ab_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST (two one-sided tests) equivalence readout for the arm
+    conversion rates: the arms are declared EQUIVALENT at the 5% level
+    when the 90% CI of the rate difference lies entirely inside the
+    ±margin band — the non-inferiority question ("did this refactor NOT
+    hurt conversion?") that a non-significant ordinary test can never
+    answer (absence of evidence is not evidence of absence). The parity
+    arms are a true A/A here, so at fixture scale the readout documents
+    how tight an equivalence one can claim at this n.
+
+    Exactness: the four cells are exact integers; diff, the unpooled SE
+    (the Wald form TOST conventionally uses), the 90% bounds with the
+    shared z literal, and the band comparison are pinned chains — the
+    margin is a shared decimal literal so the boolean cannot straddle an
+    ulp.
+
+    Plan: one user-keyed pass, a 1-row conditional-cell rollup, pinned
+    arithmetic — scan-bound."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.when(
+            5
+            * F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("conv"),
+    ).select((F.col("user_id") % 2).alias("arm"), "conv")
+    cells = pu.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("x0"),
+    )
+    diff = "CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0"
+    se = (
+        "sqrt((CAST(x1 AS DOUBLE) / n1) * (1 - CAST(x1 AS DOUBLE) / n1) / n1"
+        " + (CAST(x0 AS DOUBLE) / n0) * (1 - CAST(x0 AS DOUBLE) / n0) / n0)"
+    )
+    return cells.select(
+        "n1",
+        "x1",
+        "n0",
+        "x0",
+        F.expr(diff).alias("diff"),
+        F.expr(se).alias("se"),
+        F.expr(f"({diff}) - {_TOST_Z90} * ({se})").alias("ci90_lo"),
+        F.expr(f"({diff}) + {_TOST_Z90} * ({se})").alias("ci90_hi"),
+        F.expr(
+            f"(({diff}) - {_TOST_Z90} * ({se}) > -{_TOST_MARGIN}"
+            f" AND ({diff}) + {_TOST_Z90} * ({se}) < {_TOST_MARGIN})"
+        ).alias("equivalent"),
+    )

@@ -5931,3 +5931,62 @@ def test_decision_stump_matches_bruteforce(spark, sf_small):
     parent = float(Fraction(child_g(p, n), n))
     assert abs(r["gini_parent"] - parent) < 1e-12
     assert r["gini_gain"] >= -1e-12
+
+
+def test_kappa_matches_replay_and_bounds(spark, sf_small):
+    """kappa must match a replay over the composed confusion cells, obey
+    kappa <= p_observed normalization, and the integer rearrangement
+    must equal the textbook (po-pe)/(1-pe)."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    cells = registry.QUERIES["text_lang_confusion"](spark, sf_small).collect()
+    n = sum(r["n_docs"] for r in cells)
+    agree = sum(
+        r["n_docs"] for r in cells if r["lang_label"] == r["lang_pred"]
+    )
+    a, b = {}, {}
+    for r in cells:
+        a[r["lang_label"]] = a.get(r["lang_label"], 0) + r["n_docs"]
+        b[r["lang_pred"]] = b.get(r["lang_pred"], 0) + r["n_docs"]
+    chance_num = sum(a[l] * b.get(l, 0) for l in a)
+    po, pe = agree / n, chance_num / (n * n)
+    r = registry.QUERIES["cohens_kappa_langid"](spark, sf_small).collect()[0]
+    assert (r["n_docs"], r["agree"]) == (n, agree)
+    assert abs(r["p_observed"] - po) < 1e-15
+    assert abs(r["p_chance"] - pe) < 1e-15
+    assert abs(r["kappa"] - (po - pe) / (1 - pe)) < 1e-12
+    assert r["kappa"] <= 1.0 + 1e-12
+
+
+def test_tost_matches_replay(spark, sf_small):
+    """TOST cells, CI bounds, and the equivalence boolean must match an
+    exact replay; the boolean must be exactly the band containment."""
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    Z90 = 1.6448536269514722
+    MARGIN = 0.02
+    ev = _load_pdf(sf_small, "events")
+    cells = {1: [0, 0], 0: [0, 0]}
+    for uid, sub in ev.groupby("user_id"):
+        conv = int(5 * int((sub["event_type"] == "purchase").sum()) > len(sub))
+        c = cells[int(uid) % 2]
+        c[0] += 1
+        c[1] += conv
+    n1, x1 = cells[1]
+    n0, x0 = cells[0]
+    p1, p0 = x1 / n1, x0 / n0
+    diff = p1 - p0
+    se = math.sqrt(p1 * (1 - p1) / n1 + p0 * (1 - p0) / n0)
+    r = registry.QUERIES["ab_tost_equivalence"](spark, sf_small).collect()[0]
+    assert (r["n1"], r["x1"], r["n0"], r["x0"]) == (n1, x1, n0, x0)
+    assert abs(r["diff"] - diff) < 1e-15
+    assert abs(r["se"] - se) < 1e-15
+    assert abs(r["ci90_lo"] - (diff - Z90 * se)) < 1e-12
+    assert abs(r["ci90_hi"] - (diff + Z90 * se)) < 1e-12
+    assert r["equivalent"] == (
+        r["ci90_lo"] > -MARGIN and r["ci90_hi"] < MARGIN
+    )

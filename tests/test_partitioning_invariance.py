@@ -233,6 +233,8 @@ QUERIES = [
     "bm25_prf_terms",               # integer tallies, total-order ranking
     "partial_correlation",          # nine DECIMAL moments, pinned chains
     "decision_stump_split",         # exact-rational Gini argmin
+    "cohens_kappa_langid",          # integer chance numerator, 1 division
+    "ab_tost_equivalence",          # exact cells, pinned band booleans
 ]
 
 

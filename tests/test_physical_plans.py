@@ -1551,3 +1551,16 @@ def test_stump_support_window_no_cartesian(spark, sf):
     df = registry.QUERIES["decision_stump_split"](spark, sf)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_kappa_no_cartesian(spark, sf):
+    df = registry.QUERIES["cohens_kappa_langid"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_tost_single_pass(spark, sf):
+    df = registry.QUERIES["ab_tost_equivalence"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan

@@ -312,6 +312,7 @@ HEADLINE = [
     "decision_stump_split",
     "cohens_kappa_langid",
     "ab_tost_equivalence",
+    "dynamic_gap_sessions",
 ]
 
 

@@ -1830,3 +1830,106 @@ def stream_join_state_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("horizon_minutes"),
         F.max("live").cast("long").alias("peak_state_rows"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dynamic-gap sessionization: Spark's native session_window with a PER-ROW
+# gap — purchases hold a session open longer than clicks.
+# --------------------------------------------------------------------------
+_DG_GAPS_US = {"purchase": 30 * 60_000_000, "signup": 20 * 60_000_000}
+_DG_DEFAULT_US = 10 * 60_000_000
+
+
+def _dg_gap_sql(col: str) -> str:
+    whens = "".join(
+        f" WHEN {col} = '{k}' THEN {v}" for k, v in sorted(_DG_GAPS_US.items())
+    )
+    return f"(CASE{whens} ELSE {_DG_DEFAULT_US} END)"
+
+
+@query(
+    "dynamic_gap_sessions",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               {_dg_gap_sql('event_type')} AS g
+        FROM events
+    ), o AS (
+        SELECT user_id, t, g,
+               max(t + g) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_end
+        FROM e
+    ), brk AS (
+        SELECT user_id, t, g,
+               CASE WHEN prev_end IS NULL OR t > prev_end
+                    THEN 1 ELSE 0 END AS b
+        FROM o
+    ), isl AS (
+        SELECT user_id, t, g,
+               sum(b) OVER (PARTITION BY user_id ORDER BY t, g
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid
+        FROM brk
+    ), per_session AS (
+        SELECT user_id, sid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(max(t + g) - min(t) AS BIGINT) AS span_us
+        FROM isl GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(max(n) AS BIGINT) AS max_session_events,
+           CAST(sum(span_us) AS BIGINT) AS total_span_us
+    FROM per_session GROUP BY user_id
+    """,
+)
+def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a DYNAMIC, per-event inactivity gap through
+    Spark's native session_window: a purchase holds its session open for
+    30 minutes, a signup 20, everything else 10 — the realistic rule
+    (high-intent events extend engagement) that the fixed-gap
+    sessionize_events cannot express, and the exact batch form of the
+    streaming dynamic-gap session operator. Windows [t, t+gap) merge
+    when the next start is <= the running end (verified empirically:
+    adjacency merges), so the oracle reproduces the merge as
+    gaps-and-islands over max(t+gap) running ends.
+
+    Determinism: all boundaries are exact integer microseconds; the
+    island scan orders by (t, event_id); per-user outputs are integer
+    counts and one exact span sum — nothing floating anywhere.
+
+    Plan: ONE user_id shuffle into session_window's merge (Spark sorts
+    within partition), then a user-keyed rollup on the same exchange.
+    State per user is one open session — the streaming form carries the
+    same invariant."""
+    ev = load_table(spark, sf_dir, "events")
+    whens = "".join(
+        f" WHEN event_type = '{k}' THEN '{v // 1_000_000} seconds'"
+        for k, v in sorted(_DG_GAPS_US.items())
+    )
+    gap = F.expr(
+        f"CASE{whens} ELSE '{_DG_DEFAULT_US // 1_000_000} seconds' END"
+    )
+    d = ev.select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("t"),
+        gap.alias("gap"),
+    )
+    per_session = d.groupBy(
+        "user_id", F.session_window("t", F.col("gap")).alias("sw")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    spans = per_session.select(
+        "user_id",
+        "n",
+        (
+            F.unix_micros(F.col("sw.end")) - F.unix_micros(F.col("sw.start"))
+        ).alias("span_us"),
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.max("n").cast("long").alias("max_session_events"),
+        F.sum("span_us").cast("long").alias("total_span_us"),
+    )

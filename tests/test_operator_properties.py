@@ -5990,3 +5990,56 @@ def test_tost_matches_replay(spark, sf_small):
     assert r["equivalent"] == (
         r["ci90_lo"] > -MARGIN and r["ci90_hi"] < MARGIN
     )
+
+
+def test_dynamic_gap_sessions_replay(spark, sf_small):
+    """Per-user session tallies must match a pandas island-merge replay
+    of the [t, t+gap) rule, and the DYNAMIC gap must be live: some user
+    merges sessions a fixed 10-minute gap would split."""
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.sessions_ext import (
+        _DG_DEFAULT_US,
+        _DG_GAPS_US,
+    )
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    ev = ev.assign(
+        t=ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    )
+    got = {
+        r["user_id"]: r
+        for r in registry.QUERIES["dynamic_gap_sessions"](
+            spark, sf_small
+        ).collect()
+    }
+
+    def replay(sub, gaps, default):
+        rows = sorted(
+            (int(t), int(eid), gaps.get(et, default))
+            for t, eid, et in zip(sub["t"], sub["event_id"], sub["event_type"])
+        )
+        sessions = []
+        end = None
+        for t, _, g in rows:
+            if end is None or t > end:
+                sessions.append([t, t + g, 0])
+                end = t + g
+            else:
+                end = max(end, t + g)
+                sessions[-1][1] = end
+            sessions[-1][2] += 1
+        return sessions
+
+    dynamic_is_live = False
+    for uid, sub in ev.groupby("user_id"):
+        sess = replay(sub, _DG_GAPS_US, _DG_DEFAULT_US)
+        r = got[int(uid)]
+        assert r["n_sessions"] == len(sess)
+        assert r["n_events"] == sum(s[2] for s in sess)
+        assert r["max_session_events"] == max(s[2] for s in sess)
+        assert r["total_span_us"] == sum(s[1] - s[0] for s in sess)
+        fixed = replay(sub, {}, _DG_DEFAULT_US)
+        if len(fixed) != len(sess):
+            dynamic_is_live = True
+    assert dynamic_is_live  # the per-type gap changes real outcomes

@@ -235,6 +235,7 @@ QUERIES = [
     "decision_stump_split",         # exact-rational Gini argmin
     "cohens_kappa_langid",          # integer chance numerator, 1 division
     "ab_tost_equivalence",          # exact cells, pinned band booleans
+    "dynamic_gap_sessions",         # integer-microsecond interval merges
 ]
 
 

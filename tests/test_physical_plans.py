@@ -1564,3 +1564,10 @@ def test_tost_single_pass(spark, sf):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
+
+
+def test_dynamic_gap_sessions_one_exchange(spark, sf):
+    df = registry.QUERIES["dynamic_gap_sessions"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan

@@ -134,6 +134,34 @@ def session_counts(events: DataFrame, gap: str = "10 minutes",
     )
 
 
+def dynamic_session_counts(events: DataFrame,
+                           watermark: str = "2 hours") -> DataFrame:
+    """Session windows whose inactivity gap is a PER-EVENT expression —
+    a view holds the session open 60 minutes, anything else 15: the
+    engagement-aware rule fixed-gap sessions can't express. Exactly the
+    streaming form of the registered batch query dynamic_gap_sessions
+    (same merge semantics: [ts, ts+gap) windows, adjacency merges);
+    session state per user remains one open window regardless of rate."""
+    gap = F.expr(
+        "CASE WHEN event_type = 'view' THEN '60 minutes'"
+        " ELSE '15 minutes' END"
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: running per-user totals via
 # applyInPandasWithState (the arbitrary-state API — the escape hatch for

@@ -539,3 +539,36 @@ def test_watermark_expired_late_row_dropped_with_metric(spark, tmp_path):
         for op in p.get("stateOperators", [])
     )
     assert dropped == 1
+
+
+def test_dynamic_gap_session_stream(spark, event_dir):
+    """True-stream dynamic-gap sessions: a view's 60-minute gap merges
+    events a fixed 15-minute click gap would split (user 2), and
+    sessions whose dynamic end passes the final watermark are withheld
+    in append mode (user 1's view session, user 3's open clicks)."""
+    _drain(
+        SW.dynamic_session_counts(
+            SW.read_event_stream(spark, event_dir), watermark="0 seconds"
+        ),
+        "dyn_session_out",
+        "append",
+    )
+    got = {
+        (r["user_id"], str(r["session_start"])): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in spark.sql("SELECT * FROM dyn_session_out").collect()
+    }
+    # user 1: clicks 10:05+10:20 merge under the 15-min click gap
+    # (end 10:35 <= watermark 12:15 -> emitted); the 11:30 view opens a
+    # 60-min session ending 12:30 > watermark -> withheld.
+    assert got[(1, "2025-06-01 10:05:00")] == (2, 3.0)
+    assert not any(
+        uid == 1 and ts.endswith("11:30:00") for uid, ts in got
+    )
+    # user 2: the 10:45 VIEW's 60-min gap absorbs the 11:10 click — a
+    # fixed 15-min gap would have split them (11:10 > 11:00).
+    assert got[(2, "2025-06-01 10:45:00")] == (2, 7.0)
+    # user 3's session (end 12:30) is still open at the final watermark.
+    assert not any(uid == 3 for uid, _ in got)

@@ -247,6 +247,49 @@ def click_purchase_interval_join(
     ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"), "p_value")
 
 
+def click_purchase_left_join(
+    events: DataFrame, lookback: str = "30 minutes", watermark: str = "0 seconds"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits — matched
+    rows immediately, UNMATCHED clicks as null-padded rows only after the
+    watermark proves no qualifying purchase can still arrive (p_ts <= c_ts
+    bounds the wait to the click's own event time). This is the funnel
+    question the inner join cannot answer: which clicks NEVER converted.
+    The null-row delay is the price of correctness — emitting earlier
+    could be contradicted by a late purchase inside the watermark."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts <= c_ts AND p_ts >= c_ts - INTERVAL {lookback}"
+        ),
+        "leftOuter",
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "purchase_id",
+        "p_value",
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str):
     """Drain all available input into an in-memory table (test/debug sink).
     Returns the (terminated) query so callers can read recentProgress —

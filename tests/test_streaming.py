@@ -572,3 +572,81 @@ def test_dynamic_gap_session_stream(spark, event_dir):
     assert got[(2, "2025-06-01 10:45:00")] == (2, 7.0)
     # user 3's session (end 12:30) is still open at the final watermark.
     assert not any(uid == 3 for uid, _ in got)
+
+
+def test_stream_stream_left_outer_join_null_emission(spark, tmp_path):
+    """LEFT OUTER stream-stream join: unmatched clicks emit null-padded
+    rows only after the MIN of the two sides' watermarks passes their
+    event time — and because purchases are the scarcer stream, the
+    PURCHASE-side watermark is what gates the funnel's 'never converted'
+    rows. Three subtleties this test pins:
+      (1) the global watermark is min(clicks_wm, purchases_wm), so a
+          stalled purchase stream withholds every null row;
+      (2) eviction results emit in a LATER trigger — one batch per file
+          (maxFilesPerTrigger=1, mtime-ordered) so a trigger exists
+          after the watermark advances;
+      (3) matched rows are identical to the inner join's."""
+    import os
+    import time
+
+    d = str(tmp_path / "lj_in")
+    t0 = time.time() - 1000
+    _write_events(
+        d,
+        "b1.json",
+        [
+            (1, "10:00", 1, "purchase", 10.0),
+            (2, "10:20", 1, "click", 0.0),   # converts (purchase 1)
+            (3, "11:20", 1, "click", 0.0),   # never converts
+            (4, "10:10", 2, "purchase", 5.0),
+        ],
+    )
+    os.utime(os.path.join(d, "b1.json"), (t0, t0))
+    _write_events(
+        d,
+        "b2.json",
+        [
+            (5, "10:15", 2, "purchase", 7.0),
+            (6, "10:30", 2, "click", 0.0),   # converts twice (4 and 5)
+            (7, "12:00", 3, "click", 0.0),   # never converts
+        ],
+    )
+    os.utime(os.path.join(d, "b2.json"), (t0 + 10, t0 + 10))
+    # watermark sentinels: the PURCHASE at 14:00 is what lets the nulls
+    # out (a click sentinel alone leaves min-watermark stuck at 10:15)
+    _write_events(
+        d,
+        "b3.json",
+        [(98, "14:00", 9, "purchase", 0.0), (99, "14:00", 9, "click", 0.0)],
+    )
+    os.utime(os.path.join(d, "b3.json"), (t0 + 20, t0 + 20))
+    _write_events(d, "b4.json", [(100, "16:00", 9, "purchase", 0.0)])
+    os.utime(os.path.join(d, "b4.json"), (t0 + 30, t0 + 30))
+
+    src = (
+        spark.readStream.schema(SW.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    q = SW.run_to_memory(
+        SW.click_purchase_left_join(src), "lj_semantics_out", "append"
+    )
+    got = {
+        (r["click_id"], r["user_id"], r["purchase_id"], r["p_value"])
+        for r in spark.sql("SELECT * FROM lj_semantics_out").collect()
+    }
+    assert got == {
+        (2, 1, 1, 10.0),
+        (6, 2, 4, 5.0),
+        (6, 2, 5, 7.0),
+        (99, 9, 98, 0.0),
+        (3, 1, None, None),   # proved unconvertible at wm >= 11:20
+        (7, 3, None, None),   # proved unconvertible at wm >= 12:00
+    }
+    # the final watermark must have advanced past both null rows' times
+    wm = max(
+        p["eventTime"].get("watermark", "")
+        for p in q.recentProgress
+        if "eventTime" in p
+    )
+    assert wm >= "2025-06-01T14:00:00.000Z"

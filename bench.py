@@ -313,6 +313,7 @@ HEADLINE = [
     "cohens_kappa_langid",
     "ab_tost_equivalence",
     "dynamic_gap_sessions",
+    "source_shingle_overlap_hll",
 ]
 
 

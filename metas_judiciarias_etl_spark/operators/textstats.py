@@ -2770,3 +2770,145 @@ def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch-based source overlap: HLL inclusion-exclusion intersection of the
+# 3-shingle vocabularies — the no-join scale path, audited against the
+# exact pair join it replaces.
+# --------------------------------------------------------------------------
+_HLLOV_TOL = 0.10  # |est - exact| <= 10% of the exact UNION size
+
+
+def _hllov_oracle() -> str:
+    sh = f"list_distinct({_sql_word_shingles(_SQL_TOKS, 3)})"
+    return f"""
+    WITH st AS (
+        SELECT DISTINCT source, unnest({sh}) AS token FROM documents
+    ), vocab AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS v FROM st GROUP BY source
+    ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+        GROUP BY a.source, b.source
+    ), pairs AS (
+        SELECT i.src_a, i.src_b, i.n_common,
+               va.v AS vocab_a, vb.v AS vocab_b,
+               va.v + vb.v - i.n_common AS n_union
+        FROM inter i
+        JOIN vocab va ON va.source = i.src_a
+        JOIN vocab vb ON vb.source = i.src_b
+    ), est AS (
+        SELECT p.src_a, p.src_b,
+               CAST(approx_count_distinct(s.token) AS BIGINT) AS union_est
+        FROM pairs p JOIN st s ON s.source = p.src_a OR s.source = p.src_b
+        GROUP BY p.src_a, p.src_b
+    ), ua AS (
+        SELECT source, CAST(approx_count_distinct(token) AS BIGINT) AS v_est
+        FROM st GROUP BY source
+    )
+    SELECT p.src_a, p.src_b, p.n_common, p.vocab_a, p.vocab_b, p.n_union,
+           CAST(p.n_common AS DOUBLE) / p.n_union AS jaccard,
+           CAST(abs((ea.v_est + eb.v_est - e.union_est) - p.n_common)
+                <= {_HLLOV_TOL!r} * p.n_union AS INT) AS inter_within_tol
+    FROM pairs p
+    JOIN est e ON e.src_a = p.src_a AND e.src_b = p.src_b
+    JOIN ua ea ON ea.source = p.src_a
+    JOIN ua eb ON eb.source = p.src_b
+    """
+
+
+@query("source_shingle_overlap_hll", oracle=_hllov_oracle())
+def source_shingle_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source overlap on the 3-shingle vocabulary, two ways at
+    once: the EXACT pair join (n_common, Jaccard — the cross-engine
+    compared columns) and each engine's OWN sketch-based
+    inclusion-exclusion estimate |A|+|B|−|A∪B| asserted within 10% of
+    the exact union (the approx_distinct_sketch bounded-error contract).
+    The sketch path is the 100 TB form: per-source sketches build in ONE
+    pass and every pairwise intersection is sketch algebra on
+    |sources|² tiny states — no shingle-level pair join ever runs; the
+    exact join here exists to PRICE the estimate, exactly like
+    sim_recall_* price the ANN indexes.
+
+    Plan: one distinct (source, shingle) relation feeds (a) the exact
+    pair join (shingle-keyed, even spread) and (b) per-source
+    Datasketches HLL sketches (hll_sketch_agg) whose pairwise
+    hll_union estimates come from a |sources|-row broadcast self-join.
+    At 100 TB only (b) survives; (a) is the audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source",
+            F.explode(
+                F.array_distinct(_word_shingles(tokens(F.col("text")), 3))
+            ).alias("token"),
+        )
+        .distinct()
+        .persist()
+    )
+    st.count()
+    vocab = st.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    sk = st.groupBy("source").agg(
+        F.expr("hll_sketch_agg(token, 12)").alias("sk"),
+        F.count(F.lit(1)).cast("long").alias("v_exact"),
+    )
+    a = st.select(F.col("source").alias("src_a"), "token")
+    b = st.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    ska = sk.select(
+        F.col("source").alias("src_a"),
+        F.col("sk").alias("sk_a"),
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_a"),
+    )
+    skb = sk.select(
+        F.col("source").alias("src_b"),
+        F.col("sk").alias("sk_b"),
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_b"),
+    )
+    est = (
+        ska.crossJoin(F.broadcast(skb))
+        .filter(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            "est_a",
+            "est_b",
+            F.expr(
+                "CAST(hll_sketch_estimate(hll_union(sk_a, sk_b)) AS BIGINT)"
+            ).alias("union_est"),
+        )
+    )
+    va = vocab.select(F.col("source").alias("src_a"), F.col("v").alias("vocab_a"))
+    vb = vocab.select(F.col("source").alias("src_b"), F.col("v").alias("vocab_b"))
+    pairs = (
+        inter.join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+        .withColumn(
+            "n_union", F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
+        )
+    )
+    return pairs.join(F.broadcast(est), ["src_a", "src_b"]).select(
+        "src_a",
+        "src_b",
+        "n_common",
+        "vocab_a",
+        "vocab_b",
+        "n_union",
+        (F.col("n_common").cast("double") / F.col("n_union")).alias("jaccard"),
+        (
+            F.abs(
+                (F.col("est_a") + F.col("est_b") - F.col("union_est"))
+                - F.col("n_common")
+            )
+            <= F.lit(_HLLOV_TOL) * F.col("n_union")
+        )
+        .cast("int")
+        .alias("inter_within_tol"),
+    )

@@ -6043,3 +6043,37 @@ def test_dynamic_gap_sessions_replay(spark, sf_small):
         if len(fixed) != len(sess):
             dynamic_is_live = True
     assert dynamic_is_live  # the per-type gap changes real outcomes
+
+
+def test_hll_overlap_exact_columns_and_tolerance(spark, sf_small):
+    """Exact pair cells must match a Python set replay; every pair's
+    sketch intersection must sit within the declared tolerance (the
+    flag is 1 everywhere)."""
+    import re
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    vocab = {}
+    for src, t in zip(docs["source"], docs["text"]):
+        toks = re.split(r"\s+", t.strip())
+        sh = (
+            {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            if len(toks) >= 3
+            else {" ".join(toks)}
+        )
+        vocab.setdefault(src, set()).update(sh)
+    rows = registry.QUERIES["source_shingle_overlap_hll"](
+        spark, sf_small
+    ).collect()
+    srcs = sorted(vocab)
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+    for r in rows:
+        a, b = vocab[r["src_a"]], vocab[r["src_b"]]
+        assert r["src_a"] < r["src_b"]
+        assert r["n_common"] == len(a & b)
+        assert (r["vocab_a"], r["vocab_b"]) == (len(a), len(b))
+        assert r["n_union"] == len(a | b)
+        assert abs(r["jaccard"] - len(a & b) / len(a | b)) < 1e-12
+        assert r["inter_within_tol"] == 1  # the sketch holds its bound

@@ -236,6 +236,7 @@ QUERIES = [
     "cohens_kappa_langid",          # integer chance numerator, 1 division
     "ab_tost_equivalence",          # exact cells, pinned band booleans
     "dynamic_gap_sessions",         # integer-microsecond interval merges
+    "source_shingle_overlap_hll",   # exact pair cells + own-sketch flags
 ]
 
 

@@ -1571,3 +1571,9 @@ def test_dynamic_gap_sessions_one_exchange(spark, sf):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
+
+
+def test_hll_overlap_sketch_side_broadcast(spark, sf):
+    df = registry.QUERIES["source_shingle_overlap_hll"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan

@@ -314,6 +314,7 @@ HEADLINE = [
     "ab_tost_equivalence",
     "dynamic_gap_sessions",
     "source_shingle_overlap_hll",
+    "dedup_detector_ensemble",
 ]
 
 

@@ -2126,3 +2126,70 @@ def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Detector ensemble census: how the three pair detectors vote — the
+# decision table behind "which dedup signal do we trust at which cost".
+# --------------------------------------------------------------------------
+def _ensemble_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH m AS (SELECT a_id, b_id, 1 AS bit FROM ({ORACLES['dedup_minhash_lsh']})),
+    g AS (SELECT a_id, b_id, 2 AS bit FROM ({ORACLES['dedup_ngram_jaccard']})),
+    s AS (SELECT a_id, b_id, 4 AS bit FROM ({ORACLES['dedup_simhash_hamming1']})),
+    u AS (
+        SELECT a_id, b_id, CAST(sum(bit) AS BIGINT) AS mask
+        FROM (SELECT * FROM m UNION ALL SELECT * FROM g
+              UNION ALL SELECT * FROM s)
+        GROUP BY a_id, b_id
+    )
+    SELECT mask,
+           CAST(bit_count(CAST(mask AS BIGINT)) AS INTEGER) AS n_votes,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM u GROUP BY mask
+    """
+
+
+@query("dedup_detector_ensemble", oracle=_ensemble_oracle())
+def dedup_detector_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble census of the three registered pair detectors — MinHash-LSH
+    verified pairs (bit 1), n-gram Jaccard (bit 2), SimHash hamming<=1
+    (bit 4): every candidate pair is tallied by WHICH detectors flagged
+    it, and the mask histogram is the decision table for choosing a
+    production detector stack (pairs at 3 votes are safe deletes;
+    mask=4-only pairs are the SimHash flood dedup_simhash_recall
+    measures; a mask=1-only or 2-only population would expose threshold
+    drift between the two Jaccard-based detectors). Composes the three
+    REGISTERED detectors on both sides, so the census can never drift
+    from what the detectors actually emit.
+
+    Determinism: pure integer set algebra — pair keys, bit sums, and
+    popcounts; nothing floating anywhere.
+
+    Plan: three registered pair pipelines union into ONE (a_id, b_id)
+    keyed aggregation (map-side combinable), then a <=7-row mask rollup.
+    Pair volume is detector-bounded (the flood detector is the documented
+    recall knob), never corpus-quadratic."""
+    from ..registry import QUERIES
+
+    parts = [
+        QUERIES["dedup_minhash_lsh"](spark, sf_dir).select(
+            "a_id", "b_id", F.lit(1).alias("bit")
+        ),
+        QUERIES["dedup_ngram_jaccard"](spark, sf_dir).select(
+            "a_id", "b_id", F.lit(2).alias("bit")
+        ),
+        QUERIES["dedup_simhash_hamming1"](spark, sf_dir).select(
+            "a_id", "b_id", F.lit(4).alias("bit")
+        ),
+    ]
+    u = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    masks = u.groupBy("a_id", "b_id").agg(
+        F.sum("bit").cast("long").alias("mask")
+    )
+    return masks.groupBy("mask").agg(
+        F.expr("CAST(bit_count(mask) AS INT)").alias("n_votes"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )

@@ -6077,3 +6077,33 @@ def test_hll_overlap_exact_columns_and_tolerance(spark, sf_small):
         assert r["n_union"] == len(a | b)
         assert abs(r["jaccard"] - len(a & b) / len(a | b)) < 1e-12
         assert r["inter_within_tol"] == 1  # the sketch holds its bound
+
+
+def test_detector_ensemble_census_replay(spark, sf_small):
+    """The mask histogram must equal the set-algebra replay of the three
+    composed detectors' pair sets, and popcounts must be consistent."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+
+    def pairs(name):
+        return {
+            (r["a_id"], r["b_id"])
+            for r in registry.QUERIES[name](spark, sf_small).collect()
+        }
+
+    m = pairs("dedup_minhash_lsh")
+    g = pairs("dedup_ngram_jaccard")
+    s = pairs("dedup_simhash_hamming1")
+    masks = {}
+    for p in m | g | s:
+        mask = (1 if p in m else 0) + (2 if p in g else 0) + (4 if p in s else 0)
+        masks[mask] = masks.get(mask, 0) + 1
+    rows = registry.QUERIES["dedup_detector_ensemble"](
+        spark, sf_small
+    ).collect()
+    got = {r["mask"]: (r["n_votes"], r["n_pairs"]) for r in rows}
+    assert set(got) == set(masks)
+    for mask, n in masks.items():
+        assert got[mask] == (bin(mask).count("1"), n)
+    assert sum(n for _, n in got.values()) == len(m | g | s)

@@ -237,6 +237,7 @@ QUERIES = [
     "ab_tost_equivalence",          # exact cells, pinned band booleans
     "dynamic_gap_sessions",         # integer-microsecond interval merges
     "source_shingle_overlap_hll",   # exact pair cells + own-sketch flags
+    "dedup_detector_ensemble",      # pure integer set algebra
 ]
 
 

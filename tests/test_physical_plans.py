@@ -1577,3 +1577,9 @@ def test_hll_overlap_sketch_side_broadcast(spark, sf):
     df = registry.QUERIES["source_shingle_overlap_hll"](spark, sf)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_detector_ensemble_no_cartesian(spark, sf):
+    df = registry.QUERIES["dedup_detector_ensemble"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan

@@ -315,6 +315,8 @@ HEADLINE = [
     "dynamic_gap_sessions",
     "source_shingle_overlap_hll",
     "dedup_detector_ensemble",
+    "loso_source_influence",
+    "pinball_loss_eval",
 ]
 
 

@@ -2546,3 +2546,126 @@ def ab_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AND ({diff}) + {_TOST_Z90} * ({se}) < {_TOST_MARGIN})"
         ).alias("equivalent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pinball (quantile) loss evaluation — why quantile forecasts are scored
+# with an asymmetric loss, shown with exact arithmetic.
+# ---------------------------------------------------------------------------
+_PIN_TAU10 = 9  # tau = 0.9 on a x10 integer grid: weights 9 (under) / 1 (over)
+
+
+@query(
+    "pinball_loss_eval",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               row_number() OVER (ORDER BY
+                   CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+                   AS rn,
+               count(*) OVER () AS n
+        FROM orders
+    ), preds AS (
+        SELECT max(CASE WHEN rn = (n * 9 + 9) // 10 THEN cents END) AS q90,
+               CAST(sum(cents) AS HUGEINT) AS s,
+               CAST(max(n) AS BIGINT) AS n
+        FROM v
+    ), loss AS (
+        SELECT p.n, p.q90,
+               CAST(CAST(p.s AS VARCHAR) AS DOUBLE) / p.n AS mean_cents,
+               CAST(sum(CASE WHEN v.cents >= p.q90
+                        THEN {_PIN_TAU10} * (v.cents - p.q90)
+                        ELSE (10 - {_PIN_TAU10}) * (p.q90 - v.cents) END)
+                    AS HUGEINT) AS l_q90_x10,
+               CAST(sum(CASE WHEN v.cents >= p.s // p.n
+                        THEN {_PIN_TAU10} * (v.cents - p.s // p.n)
+                        ELSE (10 - {_PIN_TAU10}) * (p.s // p.n - v.cents)
+                        END) AS HUGEINT) AS l_mean_x10
+        FROM v CROSS JOIN preds p
+        GROUP BY p.n, p.q90, p.s
+    )
+    SELECT n AS n_orders, q90 AS q90_cents, mean_cents,
+           CAST(CAST(l_q90_x10 AS VARCHAR) AS DOUBLE) / (10.0 * n)
+               AS pinball_q90,
+           CAST(CAST(l_mean_x10 AS VARCHAR) AS DOUBLE) / (10.0 * n)
+               AS pinball_mean,
+           CAST(l_q90_x10 <= l_mean_x10 AS INT) AS quantile_wins
+    FROM loss
+    """,
+)
+def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss at tau = 0.9 for two constant predictors
+    of order value — the empirical P90 order statistic and the integer
+    mean: L_tau(y, q) = tau·(y−q)⁺ + (1−tau)·(q−y)⁺. The P90 minimizes
+    expected pinball loss at tau = 0.9 BY CONSTRUCTION, so
+    quantile_wins = 1 is a theorem made visible — the demonstration of
+    WHY quantile forecasts (capacity planning, SLA sizing) are scored
+    with this asymmetric loss and never with MAE/RMSE. Completes the
+    forecast-evaluation pair with forecast_backtest_naive's MAE/WAPE.
+
+    Exactness: tau = 0.9 puts both weights on a x10 integer grid, so
+    every loss term and both loss sums are EXACT integers (accumulated
+    as HUGEINT/DECIMAL, VARCHAR-routed to double — the 1-ulp cast trap);
+    the P90 is a rank selection of a real data value; the mean predictor
+    is the integer floor mean so the comparison stays exact.
+
+    Plan: one rank window over orders (two-phase-swappable at scale),
+    one broadcast of the two predictors back onto the scan, one loss
+    rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.orderBy("cents", "o_orderkey")
+    ranked = v.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    preds = ranked.agg(
+        F.max(
+            F.expr("CASE WHEN rn = (n * 9 + 9) DIV 10 THEN cents END")
+        ).alias("q90"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.max("n").cast("long").alias("n_all"),
+    )
+    loss = (
+        ranked.select("cents")
+        .crossJoin(F.broadcast(preds))
+        .groupBy("n_all", "q90", "s")
+        .agg(
+            F.expr(
+                f"CAST(sum(CASE WHEN cents >= q90"
+                f" THEN {_PIN_TAU10} * (cents - q90)"
+                f" ELSE (10 - {_PIN_TAU10}) * (q90 - cents) END)"
+                " AS DECIMAL(38,0))"
+            ).alias("l_q90_x10"),
+            F.expr(
+                f"CAST(sum(CASE WHEN cents >= CAST(s AS DECIMAL(38,0))"
+                f" DIV n_all THEN {_PIN_TAU10} * (cents - s DIV n_all)"
+                f" ELSE (10 - {_PIN_TAU10}) * (s DIV n_all - cents) END)"
+                " AS DECIMAL(38,0))"
+            ).alias("l_mean_x10"),
+        )
+    )
+    return loss.select(
+        F.col("n_all").alias("n_orders"),
+        F.col("q90").alias("q90_cents"),
+        F.expr("CAST(CAST(s AS STRING) AS DOUBLE) / n_all").alias(
+            "mean_cents"
+        ),
+        F.expr(
+            "CAST(CAST(l_q90_x10 AS STRING) AS DOUBLE) / (10.0 * n_all)"
+        ).alias("pinball_q90"),
+        F.expr(
+            "CAST(CAST(l_mean_x10 AS STRING) AS DOUBLE) / (10.0 * n_all)"
+        ).alias("pinball_mean"),
+        F.expr("CAST(l_q90_x10 <= l_mean_x10 AS INT)").alias(
+            "quantile_wins"
+        ),
+    )

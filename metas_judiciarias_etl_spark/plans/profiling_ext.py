@@ -2282,3 +2282,67 @@ def feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("nmi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Leave-one-source-out influence: how much each source moves the corpus
+# mean quality — the cheapest data-valuation number.
+# --------------------------------------------------------------------------
+@query(
+    "loso_source_influence",
+    oracle="""
+    WITH per AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS t
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_all,
+               CAST(sum(CAST(t AS DECIMAL(38,6))) AS DOUBLE) AS t_all
+        FROM per
+    )
+    SELECT per.source, per.n AS n_docs,
+           per.t / per.n AS source_mean_chars,
+           tot.t_all / tot.n_all AS corpus_mean_chars,
+           (tot.t_all - per.t) / (tot.n_all - per.n)
+             - tot.t_all / tot.n_all AS loso_delta
+    FROM per CROSS JOIN tot
+    """,
+)
+def loso_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out influence on the corpus mean document length:
+    for each source, how the corpus mean WOULD move if that source were
+    dropped — delta = (T − t_s)/(N − n_s) − T/N, the cheapest
+    data-valuation number (the exact group-level form of
+    leave-one-out influence; crosssource_backoff_score is the LM-loss
+    sibling). A strongly negative delta says the source props the mean
+    up; sources rank by |delta| for curation attention.
+
+    Exactness: per-source counts and totals are exact integers/DECIMAL
+    sums cast once; each reported value is a pinned quotient chain —
+    closed-form algebra on group totals, NO per-source re-scan (the
+    naive LOSO loop would rescan the corpus |sources| times; the
+    identity makes it one pass).
+
+    Plan: one source-keyed pass, a 1-row total, a broadcast cross join —
+    scan-bound at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias("t"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("n_all"),
+        F.expr("CAST(sum(CAST(t AS DECIMAL(38,6))) AS DOUBLE)").alias("t_all"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.expr("t / n").alias("source_mean_chars"),
+        F.expr("t_all / n_all").alias("corpus_mean_chars"),
+        F.expr("(t_all - t) / (n_all - n) - t_all / n_all").alias(
+            "loso_delta"
+        ),
+    )

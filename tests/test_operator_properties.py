@@ -6107,3 +6107,64 @@ def test_detector_ensemble_census_replay(spark, sf_small):
     for mask, n in masks.items():
         assert got[mask] == (bin(mask).count("1"), n)
     assert sum(n for _, n in got.values()) == len(m | g | s)
+
+
+def test_loso_influence_matches_replay_and_identity(spark, sf_small):
+    """LOSO deltas must match the closed form from per-source totals, and
+    the weighted deltas must satisfy the mean identity (dropping a
+    below-mean source raises the mean)."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    per = docs.groupby("source")["n_chars"].agg(["count", "sum"])
+    n_all = int(per["count"].sum())
+    t_all = float(per["sum"].sum())
+    got = {
+        r["source"]: r
+        for r in registry.QUERIES["loso_source_influence"](
+            spark, sf_small
+        ).collect()
+    }
+    for src in per.index:
+        n, t = int(per.loc[src, "count"]), float(per.loc[src, "sum"])
+        r = got[src]
+        assert r["n_docs"] == n
+        assert abs(r["source_mean_chars"] - t / n) < 1e-9
+        delta = (t_all - t) / (n_all - n) - t_all / n_all
+        assert abs(r["loso_delta"] - delta) < 1e-9
+        # dropping a below-corpus-mean source must RAISE the mean
+        assert (delta > 0) == (t / n < t_all / n_all)
+
+
+def test_pinball_q90_beats_mean_by_construction(spark, sf_small):
+    """The empirical P90 must win the tau=0.9 pinball comparison (the
+    quantile is the loss minimizer), and both losses must match an
+    exact integer replay."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    orders = _load_pdf(sf_small, "orders")
+    cents = sorted(
+        zip(
+            (orders["o_totalprice"] * 100.0).round().astype("int64"),
+            orders["o_orderkey"],
+        )
+    )
+    vals = [int(c) for c, _ in cents]
+    n = len(vals)
+    q90 = vals[(n * 9 + 9) // 10 - 1]
+    mean_floor = sum(vals) // n
+
+    def loss_x10(q):
+        return sum(
+            9 * (v - q) if v >= q else 1 * (q - v) for v in vals
+        )
+
+    r = registry.QUERIES["pinball_loss_eval"](spark, sf_small).collect()[0]
+    assert r["n_orders"] == n
+    assert r["q90_cents"] == q90
+    assert abs(r["pinball_q90"] - loss_x10(q90) / (10 * n)) < 1e-6
+    assert abs(r["pinball_mean"] - loss_x10(mean_floor) / (10 * n)) < 1e-6
+    assert r["quantile_wins"] == 1
+    assert r["pinball_q90"] <= r["pinball_mean"]

@@ -238,6 +238,8 @@ QUERIES = [
     "dynamic_gap_sessions",         # integer-microsecond interval merges
     "source_shingle_overlap_hll",   # exact pair cells + own-sketch flags
     "dedup_detector_ensemble",      # pure integer set algebra
+    "loso_source_influence",        # closed-form group-total algebra
+    "pinball_loss_eval",            # x10-grid integer loss sums
 ]
 
 

@@ -1583,3 +1583,17 @@ def test_detector_ensemble_no_cartesian(spark, sf):
     df = registry.QUERIES["dedup_detector_ensemble"](spark, sf)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_loso_single_pass(spark, sf):
+    df = registry.QUERIES["loso_source_influence"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    fmt = _formatted(df)
+    assert "ReadSchema: struct<source:string,n_chars:bigint>" in fmt
+
+
+def test_pinball_no_cartesian(spark, sf):
+    df = registry.QUERIES["pinball_loss_eval"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan

@@ -317,6 +317,7 @@ HEADLINE = [
     "dedup_detector_ensemble",
     "loso_source_influence",
     "pinball_loss_eval",
+    "ips_policy_replay",
 ]
 
 

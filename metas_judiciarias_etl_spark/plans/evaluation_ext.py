@@ -2669,3 +2669,112 @@ def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quantile_wins"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Off-policy evaluation: inverse-propensity-scored replay of a target
+# policy over logged randomized traffic — the recommender-system estimator.
+# ---------------------------------------------------------------------------
+@query(
+    "ips_policy_replay",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS logged_arm,
+               CAST(CASE WHEN 5 * sum(CASE WHEN event_type = 'signup'
+                                      THEN 1 ELSE 0 END) > count(*)
+                    THEN 1 ELSE 0 END AS BIGINT) AS pi_arm,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS r
+        FROM events GROUP BY user_id
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(r) AS BIGINT) AS r_all,
+               CAST(sum(CASE WHEN pi_arm = logged_arm THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_match,
+               CAST(sum(CASE WHEN pi_arm = logged_arm THEN r ELSE 0 END)
+                    AS BIGINT) AS r_match
+        FROM pu
+    )
+    SELECT n AS n_users, n_match,
+           CAST(n_match AS DOUBLE) / n AS match_rate,
+           CAST(r_all AS DOUBLE) / (CAST(100 AS DOUBLE) * n)
+               AS logged_value,
+           CAST(2 AS DOUBLE) * r_match / (CAST(100 AS DOUBLE) * n)
+               AS ips_value,
+           CAST(r_match AS DOUBLE)
+             / nullif(CAST(100 AS DOUBLE) * n_match, CAST(0 AS DOUBLE))
+               AS snips_value
+    FROM s
+    """,
+)
+def ips_policy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by inverse-propensity-scored replay: the
+    logged randomization (user parity, known propensity 1/2 per arm)
+    lets a NEW target policy — "treat signup-heavy users" — be valued
+    without deploying it: IPS = (1/n) Σ r·1[π(u)=a_u]/0.5 (unbiased,
+    high variance at low match rates) next to SNIPS = Σ_match r / Σ_match
+    w (self-normalized — biased but variance-damped), plus the logged
+    value and the match rate that governs which estimator to trust. This
+    is the counterfactual-evaluation primitive behind every recommender
+    and ranking-policy iteration on logged data.
+
+    Exactness: per-user rewards (cents), match indicators, and all four
+    tallies are exact integers off ONE user-keyed pass; each reported
+    value is a single pinned division (the 1/0.5 importance weight folds
+    into the literal 2.0).
+
+    Plan: one user-keyed pass, a 1-row conditional rollup — scan-bound
+    at any fact scale."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.when(
+            5 * F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("pi_arm"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("r"),
+    ).select(
+        (F.col("user_id") % 2).cast("long").alias("logged_arm"),
+        "pi_arm",
+        "r",
+    )
+    s = pu.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("r_all"),
+        F.sum(F.when(F.col("pi_arm") == F.col("logged_arm"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_match"),
+        F.sum(
+            F.when(F.col("pi_arm") == F.col("logged_arm"), F.col("r")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("r_match"),
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        "n_match",
+        F.expr("CAST(n_match AS DOUBLE) / n").alias("match_rate"),
+        F.expr(
+            "CAST(r_all AS DOUBLE) / (CAST(100 AS DOUBLE) * n)"
+        ).alias("logged_value"),
+        F.expr(
+            "CAST(2 AS DOUBLE) * r_match / (CAST(100 AS DOUBLE) * n)"
+        ).alias("ips_value"),
+        F.expr(
+            "CAST(r_match AS DOUBLE)"
+            " / nullif(CAST(100 AS DOUBLE) * n_match, CAST(0 AS DOUBLE))"
+        ).alias("snips_value"),
+    )

@@ -6168,3 +6168,31 @@ def test_pinball_q90_beats_mean_by_construction(spark, sf_small):
     assert abs(r["pinball_mean"] - loss_x10(mean_floor) / (10 * n)) < 1e-6
     assert r["quantile_wins"] == 1
     assert r["pinball_q90"] <= r["pinball_mean"]
+
+
+def test_ips_policy_replay_matches_replay(spark, sf_small):
+    """IPS/SNIPS must match an exact Python replay; the IPS identity
+    ips = 2 * match_rate * snips must hold on the reported values."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    ev = ev.assign(cents=(ev["value"] * 100.0).round().astype("int64"))
+    n = n_match = r_all = r_match = 0
+    for uid, sub in ev.groupby("user_id"):
+        pi = int(5 * int((sub["event_type"] == "signup").sum()) > len(sub))
+        logged = int(uid) % 2
+        r = int(sub.loc[sub["event_type"] == "purchase", "cents"].sum())
+        n += 1
+        r_all += r
+        if pi == logged:
+            n_match += 1
+            r_match += r
+    row = registry.QUERIES["ips_policy_replay"](spark, sf_small).collect()[0]
+    assert (row["n_users"], row["n_match"]) == (n, n_match)
+    assert abs(row["match_rate"] - n_match / n) < 1e-15
+    assert abs(row["logged_value"] - r_all / (100 * n)) < 1e-12
+    assert abs(row["ips_value"] - 2 * r_match / (100 * n)) < 1e-12
+    assert abs(row["snips_value"] - r_match / (100 * n_match)) < 1e-12
+    ident = 2 * row["match_rate"] * row["snips_value"]
+    assert abs(row["ips_value"] - ident) < 1e-9

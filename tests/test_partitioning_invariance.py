@@ -240,6 +240,7 @@ QUERIES = [
     "dedup_detector_ensemble",      # pure integer set algebra
     "loso_source_influence",        # closed-form group-total algebra
     "pinball_loss_eval",            # x10-grid integer loss sums
+    "ips_policy_replay",            # exact match/reward cells
 ]
 
 

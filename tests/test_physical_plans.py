@@ -1597,3 +1597,10 @@ def test_pinball_no_cartesian(spark, sf):
     df = registry.QUERIES["pinball_loss_eval"](spark, sf)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_ips_single_pass(spark, sf):
+    df = registry.QUERIES["ips_policy_replay"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan

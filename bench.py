@@ -318,6 +318,7 @@ HEADLINE = [
     "loso_source_influence",
     "pinball_loss_eval",
     "ips_policy_replay",
+    "heavy_hitter_drift",
 ]
 
 

@@ -2912,3 +2912,104 @@ def source_shingle_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("inter_within_tol"),
     )
+
+
+# --------------------------------------------------------------------------
+# Heavy-hitter drift: how the top-token leaderboard changed between two
+# corpus halves — the trending/regression detector over frequency ranks.
+# --------------------------------------------------------------------------
+_HHD_TOPK = 15
+
+
+@query(
+    "heavy_hitter_drift",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id % 2 AS half, unnest({_SQL_TOKS}) AS token
+        FROM documents
+    ), cnt AS (
+        SELECT half, token, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY half, token
+    ), ranked AS (
+        SELECT half, token, c,
+               CAST(row_number() OVER (PARTITION BY half
+                                       ORDER BY c DESC, token) AS BIGINT)
+                   AS rk
+        FROM cnt
+    ), a AS (SELECT token, c AS c_a, rk AS rk_a FROM ranked
+             WHERE half = 0 AND rk <= {_HHD_TOPK}),
+    b AS (SELECT token, c AS c_b, rk AS rk_b FROM ranked
+          WHERE half = 1 AND rk <= {_HHD_TOPK})
+    SELECT coalesce(a.token, b.token) AS token,
+           a.rk_a, b.rk_b, a.c_a, b.c_b,
+           CASE WHEN a.token IS NULL THEN 'entered'
+                WHEN b.token IS NULL THEN 'dropped'
+                WHEN a.rk_a = b.rk_b THEN 'held'
+                WHEN b.rk_b < a.rk_a THEN 'rose'
+                ELSE 'fell' END AS movement,
+           coalesce(a.rk_a, {_HHD_TOPK + 1})
+             - coalesce(b.rk_b, {_HHD_TOPK + 1}) AS rank_gain
+    FROM a FULL OUTER JOIN b ON a.token = b.token
+    """,
+)
+def heavy_hitter_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter leaderboard drift between two corpus halves (doc_id
+    parity standing in for yesterday/today): the top-{_HHD_TOPK} tokens
+    of each half FULL-OUTER joined into entered / dropped / rose / fell /
+    held movements with signed rank gains — the trending-detection shape
+    a feed or search-ops dashboard runs on every refresh, and the
+    rank-level companion of text_token_drift_chi2 (which tests the
+    distribution but cannot say WHICH way a specific term moved).
+
+    Determinism: counts are exact integers; both leaderboards carry a
+    total order (count desc, token); absent ranks pin to K+1 so the
+    signed gain is integer-exact; the movement CASE is pure integer
+    logic.
+
+    Plan: one (half, token)-keyed partial-agg pass, two WindowGroupLimit
+    top-k frontiers off the same relation, a <=2K-row full outer join —
+    leaderboard-scale, never vocabulary-scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(tokens(F.col("text"))).alias("token"),
+        )
+        .groupBy("half", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("half").orderBy(F.desc("c"), F.asc("token"))
+    ranked = cnt.select(
+        "half", "token", "c", F.row_number().over(w).cast("long").alias("rk")
+    ).filter(F.col("rk") <= _HHD_TOPK)
+    a = ranked.filter(F.col("half") == 0).select(
+        F.col("token").alias("t_a"),
+        F.col("c").alias("c_a"),
+        F.col("rk").alias("rk_a"),
+    )
+    b = ranked.filter(F.col("half") == 1).select(
+        F.col("token").alias("t_b"),
+        F.col("c").alias("c_b"),
+        F.col("rk").alias("rk_b"),
+    )
+    j = a.join(b, a.t_a == b.t_b, "full_outer")
+    return j.select(
+        F.coalesce(F.col("t_a"), F.col("t_b")).alias("token"),
+        "rk_a",
+        "rk_b",
+        "c_a",
+        "c_b",
+        F.expr(
+            "CASE WHEN t_a IS NULL THEN 'entered'"
+            " WHEN t_b IS NULL THEN 'dropped'"
+            " WHEN rk_a = rk_b THEN 'held'"
+            " WHEN rk_b < rk_a THEN 'rose'"
+            " ELSE 'fell' END"
+        ).alias("movement"),
+        (
+            F.coalesce(F.col("rk_a"), F.lit(_HHD_TOPK + 1))
+            - F.coalesce(F.col("rk_b"), F.lit(_HHD_TOPK + 1))
+        )
+        .cast("long")
+        .alias("rank_gain"),
+    )

@@ -6196,3 +6196,62 @@ def test_ips_policy_replay_matches_replay(spark, sf_small):
     assert abs(row["snips_value"] - r_match / (100 * n_match)) < 1e-12
     ident = 2 * row["match_rate"] * row["snips_value"]
     assert abs(row["ips_value"] - ident) < 1e-9
+
+
+def test_heavy_hitter_drift_replay(spark, sf_small):
+    """Movements and signed rank gains must match a Python leaderboard
+    replay; movement labels must be consistent with the rank columns."""
+    import re
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.textstats import _HHD_TOPK
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    cnt = {0: {}, 1: {}}
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        h = int(did) % 2
+        for tok in re.split(r"\s+", t.strip()):
+            cnt[h][tok] = cnt[h].get(tok, 0) + 1
+    tops = {
+        h: {
+            tok: (c, rk + 1)
+            for rk, (tok, c) in enumerate(
+                sorted(cnt[h].items(), key=lambda kv: (-kv[1], kv[0]))[
+                    :_HHD_TOPK
+                ]
+            )
+        }
+        for h in (0, 1)
+    }
+    rows = {
+        r["token"]: r
+        for r in registry.QUERIES["heavy_hitter_drift"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(rows) == set(tops[0]) | set(tops[1])
+    for tok, r in rows.items():
+        a = tops[0].get(tok)
+        b = tops[1].get(tok)
+        assert (r["rk_a"] is None) == (a is None)
+        assert (r["rk_b"] is None) == (b is None)
+        if a:
+            assert (r["c_a"], r["rk_a"]) == a
+        if b:
+            assert (r["c_b"], r["rk_b"]) == b
+        ra = a[1] if a else _HHD_TOPK + 1
+        rb = b[1] if b else _HHD_TOPK + 1
+        assert r["rank_gain"] == ra - rb
+        want = (
+            "entered"
+            if not a
+            else "dropped"
+            if not b
+            else "held"
+            if ra == rb
+            else "rose"
+            if rb < ra
+            else "fell"
+        )
+        assert r["movement"] == want

@@ -241,6 +241,7 @@ QUERIES = [
     "loso_source_influence",        # closed-form group-total algebra
     "pinball_loss_eval",            # x10-grid integer loss sums
     "ips_policy_replay",            # exact match/reward cells
+    "heavy_hitter_drift",           # total-order leaderboards, int gains
 ]
 
 

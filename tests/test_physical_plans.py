@@ -1604,3 +1604,10 @@ def test_ips_single_pass(spark, sf):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
+
+
+def test_heavy_hitter_drift_group_limit(spark, sf):
+    df = registry.QUERIES["heavy_hitter_drift"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan  # top-k frontier, no full sort

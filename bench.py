@@ -319,6 +319,7 @@ HEADLINE = [
     "pinball_loss_eval",
     "ips_policy_replay",
     "heavy_hitter_drift",
+    "holm_fwer_token_drift",
 ]
 
 

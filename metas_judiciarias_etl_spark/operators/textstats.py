@@ -3013,3 +3013,83 @@ def heavy_hitter_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank_gain"),
     )
+
+
+# --------------------------------------------------------------------------
+# Holm step-down (FWER) beside BH step-up (FDR): the other multiple-testing
+# guarantee, composed over the SAME per-token p-values.
+# --------------------------------------------------------------------------
+def _holm_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH bh AS ({ORACLES['bh_fdr_token_drift']}),
+    t AS (
+        SELECT token, chi2, p_value, k_rank, rejected AS bh_rejected,
+               count(*) OVER () AS m,
+               CAST(p_value <= {FDR_ALPHA!r}
+                    / (count(*) OVER () - k_rank + 1) AS INT) AS ok
+        FROM bh
+    )
+    SELECT token, chi2, p_value, k_rank, bh_rejected,
+           CAST(min(ok) OVER (ORDER BY k_rank ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS INT)
+               AS holm_rejected
+    FROM t
+    """
+
+
+@query("holm_fwer_token_drift", oracle=_holm_oracle())
+def holm_fwer_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-down over the SAME per-token drift p-values as
+    bh_fdr_token_drift: reject while p_(i) <= alpha/(m−i+1) and STOP at
+    the first failure (the cumulative-min window). Holm controls the
+    family-wise error rate — "probability of even ONE false alarm" — the
+    stricter guarantee a sign-off gate needs, where BH's false-discovery
+    RATE is the right dial for a triage dashboard; reporting both flags
+    side by side makes the trade visible, and Holm's rejections are
+    provably a SUBSET of BH's (property-tested).
+
+    Exactness: composes the registered BH relation (its 2^-20-snapped
+    p-values and deterministic k_rank), thresholds are alpha over exact
+    integer divisors, and the step-down is an integer cumulative min —
+    nothing new can diverge.
+
+    Plan: the BH pipeline (V-row relation) plus one V-row window."""
+    from ..registry import QUERIES
+
+    bh = QUERIES["bh_fdr_token_drift"](spark, sf_dir).select(
+        "token",
+        "chi2",
+        "p_value",
+        "k_rank",
+        F.col("rejected").alias("bh_rejected"),
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = bh.select(
+        "token",
+        "chi2",
+        "p_value",
+        "k_rank",
+        "bh_rejected",
+        (
+            F.col("p_value")
+            <= F.lit(FDR_ALPHA)
+            / (F.count(F.lit(1)).over(wall) - F.col("k_rank") + 1)
+        )
+        .cast("int")
+        .alias("ok"),
+    )
+    wcum = Window.orderBy("k_rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return t.select(
+        "token",
+        "chi2",
+        "p_value",
+        "k_rank",
+        "bh_rejected",
+        F.min("ok").over(wcum).cast("int").alias("holm_rejected"),
+    )

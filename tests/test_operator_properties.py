@@ -6255,3 +6255,24 @@ def test_heavy_hitter_drift_replay(spark, sf_small):
             else "fell"
         )
         assert r["movement"] == want
+
+
+def test_holm_subset_of_bh_and_stepdown_rule(spark, sf_small):
+    """Holm must replay from the composed BH p-values (stop at the first
+    threshold failure), and Holm rejections must be a SUBSET of BH's."""
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.textstats import FDR_ALPHA
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["holm_fwer_token_drift"](spark, sf_small).collect(),
+        key=lambda r: r["k_rank"],
+    )
+    m = len(rows)
+    alive = True
+    for r in rows:
+        ok = r["p_value"] <= FDR_ALPHA / (m - r["k_rank"] + 1)
+        alive = alive and ok
+        assert r["holm_rejected"] == int(alive)
+        if r["holm_rejected"]:
+            assert r["bh_rejected"] == 1  # FWER rejections ⊆ FDR rejections

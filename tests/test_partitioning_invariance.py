@@ -242,6 +242,7 @@ QUERIES = [
     "pinball_loss_eval",            # x10-grid integer loss sums
     "ips_policy_replay",            # exact match/reward cells
     "heavy_hitter_drift",           # total-order leaderboards, int gains
+    "holm_fwer_token_drift",        # composed gridded p, integer cum-min
 ]
 
 

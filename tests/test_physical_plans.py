@@ -1611,3 +1611,9 @@ def test_heavy_hitter_drift_group_limit(spark, sf):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan  # top-k frontier, no full sort
+
+
+def test_holm_no_cartesian(spark, sf):
+    df = registry.QUERIES["holm_fwer_token_drift"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan

@@ -320,6 +320,7 @@ HEADLINE = [
     "ips_policy_replay",
     "heavy_hitter_drift",
     "holm_fwer_token_drift",
+    "sim_norm_effect_rbo",
 ]
 
 

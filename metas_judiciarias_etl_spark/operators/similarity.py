@@ -3874,3 +3874,113 @@ def sim_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(_RBO_MAX))
         ).alias("rbo_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Does normalization matter here? RBO between raw-dot-product and cosine
+# rankings — the metric-choice audit for an embedding store.
+# --------------------------------------------------------------------------
+def _norm_effect_oracle() -> str:
+    from ..registry import ORACLES
+
+    rank = (
+        "row_number() OVER (PARTITION BY query_id"
+        " ORDER BY {s} DESC, vec_id)"
+    )
+    wlist = ", ".join(str(w) for w in _RBO_W)
+    return (
+        _SQL_BASE_CTE
+        + f"""
+    , cosr AS (
+        SELECT query_id, vec_id,
+               {rank.format(s='cosine')} AS r
+        FROM ({ORACLES['sim_cosine_topk_bruteforce']})
+    ), dotk AS (
+        SELECT query_id, vec_id, dot FROM (
+            SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+                   round({_sql_dot('q.embedding', 'b.embedding')}, 4) AS dot,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_sql_dot('q.embedding', 'b.embedding')}, 4)
+                                DESC, b.vec_id) AS rn
+            FROM q CROSS JOIN base b
+        ) WHERE rn <= {TOPK}
+    ), dotr AS (
+        SELECT query_id, vec_id, {rank.format(s='dot')} AS r FROM dotk
+    ), m AS (
+        SELECT c.query_id, greatest(c.r, d.r) AS md
+        FROM cosr c JOIN dotr d USING (query_id, vec_id)
+    ), agg AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(([{wlist}])[md]) AS BIGINT) AS sw
+        FROM m GROUP BY query_id
+    ), qs AS (SELECT DISTINCT query_id FROM cosr)
+    SELECT qs.query_id,
+           coalesce(agg.n_matched, 0) AS n_matched,
+           CAST(coalesce(agg.sw, 0) AS DOUBLE) / {_RBO_MAX}.0 AS rbo_norm
+    FROM qs LEFT JOIN agg USING (query_id)
+    """
+    )
+
+
+@query("sim_norm_effect_rbo", oracle=_norm_effect_oracle())
+def sim_norm_effect_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-choice audit: rank-biased overlap (p = 1/2, normalized)
+    between the RAW dot-product ranking and the cosine ranking for each
+    query — the one-number answer to "can this store skip
+    normalization?". rbo_norm near 1 means vector norms are uniform
+    enough that dot ≈ cosine (skip the normalize pass and its storage);
+    low values mean norm variation is steering results and cosine (or
+    pre-normalized vectors) is mandatory. Uses sim_rbo_overlap's exact
+    integer suffix-weight identity; the cosine side is the REGISTERED
+    brute force, the dot side the same broadcast scan minus the norm
+    division.
+
+    Plan: two broadcast-query scans of the corpus (one shared at 100 TB
+    via a cached projection), per-query top-k windows, a query-scale
+    weight-lookup join — no new corpus-scale work."""
+    from ..registry import QUERIES
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    cosr = (
+        QUERIES["sim_cosine_topk_bruteforce"](spark, sf_dir)
+        .select("query_id", "vec_id", F.row_number().over(w).alias("r"))
+    )
+    base = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    dot = F.round(_dot(F.col("q_emb"), F.col("embedding")), 4)
+    wd = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    dotr = (
+        base.crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", dot.alias("dot"))
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= TOPK)
+        .select(
+            F.col("query_id").alias("qd"),
+            F.col("vec_id").alias("vd"),
+            F.col("rn").alias("rd"),
+        )
+    )
+    wlit = F.array(*[F.lit(x) for x in _RBO_W])
+    m = cosr.join(
+        dotr,
+        (F.col("query_id") == F.col("qd")) & (F.col("vec_id") == F.col("vd")),
+    ).select("query_id", F.greatest(F.col("r"), F.col("rd")).alias("md"))
+    agg = m.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum(F.element_at(wlit, F.col("md"))).cast("long").alias("sw"),
+    )
+    qs = cosr.select("query_id").distinct()
+    return qs.join(agg, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias(
+            "n_matched"
+        ),
+        (
+            F.coalesce(F.col("sw"), F.lit(0)).cast("double")
+            / F.lit(float(_RBO_MAX))
+        ).alias("rbo_norm"),
+    )

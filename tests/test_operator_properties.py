@@ -6276,3 +6276,55 @@ def test_holm_subset_of_bh_and_stepdown_rule(spark, sf_small):
         assert r["holm_rejected"] == int(alive)
         if r["holm_rejected"]:
             assert r["bh_rejected"] == 1  # FWER rejections ⊆ FDR rejections
+
+
+def test_norm_effect_rbo_matches_textbook(spark, sf_small):
+    """The dot-vs-cosine RBO must equal the textbook prefix formula over
+    the two rankings recomputed in Python from the embeddings."""
+    import math
+    from fractions import Fraction
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.similarity import (
+        N_QUERIES,
+        TOPK,
+    )
+
+    registry.load_all()
+    emb = _load_pdf(sf_small, "embeddings")
+    vecs = {int(v): [float(x) for x in e] for v, e in zip(emb["vec_id"], emb["embedding"])}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def ranking(qid, use_cos):
+        scored = []
+        qv = vecs[qid]
+        qn = math.sqrt(dot(qv, qv))
+        for vid, v in vecs.items():
+            d = dot(qv, v)
+            s = round(d / (qn * math.sqrt(dot(v, v))), 4) if use_cos else round(d, 4)
+            scored.append((-s, vid))
+        return [v for _, v in sorted(scored)[:TOPK]]
+
+    got = {
+        r["query_id"]: r
+        for r in registry.QUERIES["sim_norm_effect_rbo"](
+            spark, sf_small
+        ).collect()
+    }
+    max_rbo = Fraction(2**TOPK - 1, 2**TOPK)
+    for qid in range(N_QUERIES):
+        a = ranking(qid, True)
+        b = ranking(qid, False)
+        rbo = sum(
+            Fraction(len(set(a[:d]) & set(b[:d])), d * 2**d)
+            for d in range(1, TOPK + 1)
+        )
+        r = got[qid]
+        assert r["n_matched"] == len(set(a) & set(b))
+        assert abs(r["rbo_norm"] - float(rbo / max_rbo)) < 1e-9
+        assert 0.0 <= r["rbo_norm"] <= 1.0 + 1e-12

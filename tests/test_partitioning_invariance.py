@@ -243,6 +243,7 @@ QUERIES = [
     "ips_policy_replay",            # exact match/reward cells
     "heavy_hitter_drift",           # total-order leaderboards, int gains
     "holm_fwer_token_drift",        # composed gridded p, integer cum-min
+    "sim_norm_effect_rbo",          # integer suffix weights, 1 division
 ]
 
 

@@ -1617,3 +1617,9 @@ def test_holm_no_cartesian(spark, sf):
     df = registry.QUERIES["holm_fwer_token_drift"](spark, sf)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_norm_effect_no_cartesian_beyond_broadcast(spark, sf):
+    df = registry.QUERIES["sim_norm_effect_rbo"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan

@@ -321,6 +321,7 @@ HEADLINE = [
     "heavy_hitter_drift",
     "holm_fwer_token_drift",
     "sim_norm_effect_rbo",
+    "calibration_ece",
 ]
 
 

@@ -2778,3 +2778,69 @@ def ips_policy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / nullif(CAST(100 AS DOUBLE) * n_match, CAST(0 AS DOUBLE))"
         ).alias("snips_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Expected / maximum calibration error — the single-number summary of the
+# reliability table (the LLM-eval calibration headline).
+# ---------------------------------------------------------------------------
+def _ece_oracle() -> str:
+    from .. import registry as _r
+
+    return f"""
+    WITH bins AS ({_r.ORACLES['score_calibration_bins']}),
+    l AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_bins,
+               CAST(sum(n_docs) AS BIGINT) AS n_total,
+               list_sort(list(struct_pack(bin := bin, n_docs := n_docs,
+                   gap := abs(frac_kept - mean_score)))) AS lst,
+               max(abs(frac_kept - mean_score)) AS mce
+        FROM bins
+    )
+    SELECT n_bins, n_total,
+           list_reduce([0.0] || list_transform(lst,
+               x -> (CAST(x.n_docs AS DOUBLE) / n_total) * x.gap),
+               (a, b) -> a + b) AS ece,
+           mce
+    FROM l
+    """
+
+
+@query("calibration_ece", oracle=_ece_oracle())
+def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error over the registered reliability bins:
+    ECE = Σ_b (n_b/N)·|accuracy_b − confidence_b| plus the max-bin MCE —
+    the one-number calibration summary every model eval reports next to
+    accuracy (a model can rank perfectly yet be badly calibrated; AUC
+    will not see it, ECE will). Composes score_calibration_bins on both
+    sides, so the summary cannot drift from the table it compresses.
+
+    Determinism: the per-bin gaps come from the registered query's
+    already-engine-identical columns; the weighted sum folds in SORTED
+    bin order over the ≤10-bin list (entropy_fold discipline); max() is
+    order-free.
+
+    Plan: the registered calibration pipeline plus one ≤10-row fold."""
+    from ..registry import QUERIES
+
+    bins = QUERIES["score_calibration_bins"](spark, sf_dir).select(
+        "bin",
+        "n_docs",
+        F.abs(F.col("frac_kept") - F.col("mean_score")).alias("gap"),
+    )
+    l = bins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.sort_array(F.collect_list(F.struct("bin", "n_docs", "gap"))).alias(
+            "lst"
+        ),
+        F.max("gap").alias("mce"),
+    )
+    fold = (
+        "aggregate(transform(lst, "
+        "x -> (CAST(x.n_docs AS DOUBLE) / n_total) * x.gap), "
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    return l.select(
+        "n_bins", "n_total", F.expr(fold).alias("ece"), "mce"
+    )

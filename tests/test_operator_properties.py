@@ -6328,3 +6328,26 @@ def test_norm_effect_rbo_matches_textbook(spark, sf_small):
         assert r["n_matched"] == len(set(a) & set(b))
         assert abs(r["rbo_norm"] - float(rbo / max_rbo)) < 1e-9
         assert 0.0 <= r["rbo_norm"] <= 1.0 + 1e-12
+
+
+def test_ece_matches_bin_table(spark, sf_small):
+    """ECE/MCE must equal the weighted/max gap recomputed from the
+    composed reliability table, with 0 <= ECE <= MCE <= 1."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    bins = registry.QUERIES["score_calibration_bins"](
+        spark, sf_small
+    ).collect()
+    n = sum(r["n_docs"] for r in bins)
+    gaps = {
+        r["bin"]: (r["n_docs"], abs(r["frac_kept"] - r["mean_score"]))
+        for r in bins
+    }
+    ece = sum(nd / n * g for nd, g in (gaps[b] for b in sorted(gaps)))
+    mce = max(g for _, g in gaps.values())
+    r = registry.QUERIES["calibration_ece"](spark, sf_small).collect()[0]
+    assert (r["n_bins"], r["n_total"]) == (len(bins), n)
+    assert abs(r["ece"] - ece) < 1e-12
+    assert abs(r["mce"] - mce) < 1e-12
+    assert 0.0 <= r["ece"] <= r["mce"] <= 1.0

@@ -244,6 +244,7 @@ QUERIES = [
     "heavy_hitter_drift",           # total-order leaderboards, int gains
     "holm_fwer_token_drift",        # composed gridded p, integer cum-min
     "sim_norm_effect_rbo",          # integer suffix weights, 1 division
+    "calibration_ece",              # sorted bin-gap fold, order-free max
 ]
 
 

@@ -1623,3 +1623,9 @@ def test_norm_effect_no_cartesian_beyond_broadcast(spark, sf):
     df = registry.QUERIES["sim_norm_effect_rbo"](spark, sf)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_ece_no_cartesian(spark, sf):
+    df = registry.QUERIES["calibration_ece"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan

@@ -322,6 +322,7 @@ HEADLINE = [
     "holm_fwer_token_drift",
     "sim_norm_effect_rbo",
     "calibration_ece",
+    "lorenz_curve_deciles",
 ]
 
 

@@ -2924,3 +2924,121 @@ def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conductance"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Lorenz curve deciles — the distribution picture behind the Gini number.
+# --------------------------------------------------------------------------
+@query(
+    "lorenz_curve_deciles",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_custkey,
+               CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)),
+                             0) AS BIGINT) AS cents
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    ), ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, c_custkey) AS rn,
+               count(*) OVER () AS n
+        FROM rev
+    ), dec AS (
+        SELECT CAST(ceil(CAST(rn AS DOUBLE) * 10 / n) AS BIGINT) AS decile,
+               cents
+        FROM ranked
+    ), per AS (
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS rev_cents
+        FROM dec GROUP BY decile
+    ), tot AS (
+        SELECT CAST(sum(rev_cents) AS BIGINT) AS t,
+               CAST(sum(n_customers) AS BIGINT) AS n_all
+        FROM per
+    )
+    SELECT decile, n_customers, rev_cents,
+           CAST(sum(rev_cents) OVER w AS BIGINT) AS cum_rev_cents,
+           CAST(sum(rev_cents) OVER w AS DOUBLE) / t AS cum_share,
+           CAST(sum(n_customers) OVER w AS DOUBLE) / n_all
+             - CAST(sum(rev_cents) OVER w AS DOUBLE) / t AS equality_gap
+    FROM per CROSS JOIN tot
+    WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    """,
+)
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue by population decile (customers
+    ranked poorest-first, zero-order customers included at zero — the
+    same population convention as gini_concentration, whose single
+    number this curve explains): cumulative revenue share per decile and
+    the gap to the 45° equality line — the picture that says WHERE the
+    concentration lives (a top-decile cliff vs a broad middle tilt give
+    the same Gini but demand different interventions).
+
+    Exactness: per-customer cents, ranks (total order on (cents, key)),
+    decile cells, and cumulative sums are exact integers; shares and
+    gaps are pinned divisions of exact operands over the 10-row decile
+    relation.
+
+    Plan: one customer-keyed outer-join rollup, a rank window
+    (two-phase-swappable), a 10-row cumulative window — the windowed
+    tail is decile-scale, never customer-scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        cust.join(
+            orders.select(
+                F.col("o_custkey").alias("c_custkey"),
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                    "cents"
+                ),
+            ),
+            "c_custkey",
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("cents"))
+    )
+    wr = Window.orderBy("cents", "c_custkey")
+    wn = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = rev.select(
+        "cents",
+        F.ceil(
+            F.row_number().over(wr).cast("double")
+            * 10
+            / F.count(F.lit(1)).over(wn)
+        )
+        .cast("long")
+        .alias("decile"),
+    )
+    per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("rev_cents"),
+    )
+    tot = per.agg(
+        F.sum("rev_cents").cast("long").alias("t"),
+        F.sum("n_customers").cast("long").alias("n_all"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "rev_cents",
+            F.sum("rev_cents").over(wc).cast("long").alias("cum_rev_cents"),
+            (F.sum("rev_cents").over(wc).cast("double") / F.col("t")).alias(
+                "cum_share"
+            ),
+            (
+                F.sum("n_customers").over(wc).cast("double") / F.col("n_all")
+                - F.sum("rev_cents").over(wc).cast("double") / F.col("t")
+            ).alias("equality_gap"),
+        )
+    )

@@ -6351,3 +6351,48 @@ def test_ece_matches_bin_table(spark, sf_small):
     assert abs(r["ece"] - ece) < 1e-12
     assert abs(r["mce"] - mce) < 1e-12
     assert 0.0 <= r["ece"] <= r["mce"] <= 1.0
+
+
+def test_lorenz_deciles_replay_and_convexity(spark, sf_small):
+    """Decile cells must match a sorted replay; cumulative shares must be
+    nondecreasing and convex-ish (each decile's share >= the previous,
+    poorest-first), ending exactly at 1; equality gap >= 0 everywhere."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    cust = _load_pdf(sf_small, "customer")
+    orders = _load_pdf(sf_small, "orders")
+    cents = {int(k): 0 for k in cust["c_custkey"]}
+    for k, p in zip(orders["o_custkey"], orders["o_totalprice"]):
+        cents[int(k)] += int(round(p * 100))
+    ranked = sorted((v, k) for k, v in cents.items())
+    n = len(ranked)
+    import math
+
+    per = {}
+    for i, (v, _) in enumerate(ranked):
+        d = math.ceil((i + 1) * 10 / n)
+        c = per.setdefault(d, [0, 0])
+        c[0] += 1
+        c[1] += v
+    t = sum(v for _, v in per.values())
+    rows = sorted(
+        registry.QUERIES["lorenz_curve_deciles"](spark, sf_small).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == sorted(per)
+    cum = 0
+    prev_share = -1.0
+    prev_inc = -1
+    for r in rows:
+        nc, rv = per[r["decile"]]
+        assert (r["n_customers"], r["rev_cents"]) == (nc, rv)
+        cum += rv
+        assert r["cum_rev_cents"] == cum
+        assert abs(r["cum_share"] - cum / t) < 1e-12
+        assert r["cum_share"] >= prev_share
+        prev_share = r["cum_share"]
+        assert rv >= prev_inc  # poorest-first: increments nondecreasing
+        prev_inc = rv
+        assert r["equality_gap"] >= -1e-12
+    assert abs(rows[-1]["cum_share"] - 1.0) < 1e-12

@@ -245,6 +245,7 @@ QUERIES = [
     "holm_fwer_token_drift",        # composed gridded p, integer cum-min
     "sim_norm_effect_rbo",          # integer suffix weights, 1 division
     "calibration_ece",              # sorted bin-gap fold, order-free max
+    "lorenz_curve_deciles",         # integer cumulative decile cells
 ]
 
 

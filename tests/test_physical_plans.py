@@ -1629,3 +1629,9 @@ def test_ece_no_cartesian(spark, sf):
     df = registry.QUERIES["calibration_ece"](spark, sf)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_lorenz_no_cartesian(spark, sf):
+    df = registry.QUERIES["lorenz_curve_deciles"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan

@@ -323,6 +323,7 @@ HEADLINE = [
     "sim_norm_effect_rbo",
     "calibration_ece",
     "lorenz_curve_deciles",
+    "popularity_baseline_hitrate",
 ]
 
 

@@ -3042,3 +3042,110 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("equality_gap"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Popularity-baseline hit rate: the recommender floor — "just recommend
+# the bestsellers" — evaluated on a temporal split.
+# --------------------------------------------------------------------------
+_POP_K = 20  # recommendation list size
+
+
+@query(
+    "popularity_baseline_hitrate",
+    oracle=f"""
+    WITH mid AS (
+        SELECT (min(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)))
+                + max(date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)))) // 2 AS m
+        FROM orders
+    ), fact AS (
+        SELECT o.o_custkey AS cust, l.l_partkey AS part,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o.o_orderdate AS DATE)) AS t
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), train AS (
+        SELECT part, CAST(count(*) AS BIGINT) AS c
+        FROM fact CROSS JOIN mid WHERE t < m GROUP BY part
+    ), topk AS (
+        SELECT part FROM (
+            SELECT part, row_number() OVER (ORDER BY c DESC, part) AS rk
+            FROM train
+        ) WHERE rk <= {_POP_K}
+    ), test_users AS (
+        SELECT cust, CAST(max(CASE WHEN part IN (SELECT part FROM topk)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS hit
+        FROM fact CROSS JOIN mid WHERE t >= m
+        GROUP BY cust
+    )
+    SELECT CAST({_POP_K} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_test_users,
+           CAST(sum(hit) AS BIGINT) AS n_hit,
+           CAST(sum(hit) AS DOUBLE) / count(*) AS hit_rate
+    FROM test_users
+    """,
+)
+def popularity_baseline_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recommender floor: recommend the {_POP_K} most-purchased parts
+    of the FIRST time half to every customer, and measure the share of
+    second-half purchasers who bought at least one recommended part —
+    hit-rate@k of the popularity baseline under a temporal split. Every
+    personalized model (item_cooccurrence_cosine is the registered
+    candidate) must beat this number to justify its complexity; on
+    long-tail catalogs the popularity floor is embarrassingly high, and
+    measuring it first is the discipline.
+
+    Exactness: the time midpoint, train counts, the top-k frontier
+    (count desc, part — total order), per-user hit flags, and the hit
+    tally are all exact integers; the rate is one division.
+
+    Plan: one fact join (orders x lineitem, both key-partitioned), the
+    1-row midpoint broadcast, a part-keyed train count with a
+    TakeOrdered-style frontier, the K-part list broadcast into the
+    test-half scan, a user-keyed flag rollup, a 1-row rate."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey"),
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        ).cast("long").alias("t"),
+    ).join(
+        li.select(F.col("l_orderkey").alias("o_orderkey"),
+                  F.col("l_partkey").alias("part")),
+        "o_orderkey",
+    )
+    day = "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+    mid = orders.agg(
+        F.expr(f"(min({day}) + max({day})) DIV 2").cast("long").alias("m")
+    )
+    fm = fact.crossJoin(F.broadcast(mid))
+    train = (
+        fm.filter(F.expr("t < m"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("part"))
+    topk = (
+        train.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _POP_K)
+        .select(F.col("part"), F.lit(1).alias("rec"))
+    )
+    test_users = (
+        fm.filter(F.expr("t >= m"))
+        .join(F.broadcast(topk), "part", "left")
+        .groupBy("cust")
+        .agg(
+            F.max(F.coalesce(F.col("rec"), F.lit(0)))
+            .cast("long")
+            .alias("hit")
+        )
+    )
+    return test_users.agg(
+        F.lit(_POP_K).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_test_users"),
+        F.sum("hit").cast("long").alias("n_hit"),
+        (F.sum("hit").cast("double") / F.count(F.lit(1))).alias("hit_rate"),
+    )

@@ -6396,3 +6396,48 @@ def test_lorenz_deciles_replay_and_convexity(spark, sf_small):
         prev_inc = rv
         assert r["equality_gap"] >= -1e-12
     assert abs(rows[-1]["cum_share"] - 1.0) < 1e-12
+
+
+def test_popularity_baseline_matches_replay(spark, sf_small):
+    """Hit rate must match a pandas replay of the temporal split, top-k
+    frontier, and per-user membership check."""
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.analytics_ext import _POP_K
+
+    registry.load_all()
+    orders = _load_pdf(sf_small, "orders")
+    li = _load_pdf(sf_small, "lineitem")
+    orders = orders.assign(
+        day=(
+            orders["o_orderdate"].astype("datetime64[ns]").astype("int64")
+            // (86400 * 10**9)
+        )
+    )
+    fact = li.merge(
+        orders[["o_orderkey", "o_custkey", "day"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    m = (int(orders["day"].min()) + int(orders["day"].max())) // 2
+    train = fact[fact["day"] < m]
+    cnt = train.groupby("l_partkey").size()
+    top = {
+        p
+        for p, _ in sorted(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:_POP_K]
+    }
+    test = fact[fact["day"] >= m]
+    hits = test.groupby("o_custkey")["l_partkey"].apply(
+        lambda s: int(bool(set(s) & top))
+    )
+    r = registry.QUERIES["popularity_baseline_hitrate"](
+        spark, sf_small
+    ).collect()[0]
+    assert r["k"] == _POP_K
+    assert r["n_test_users"] == len(hits)
+    assert r["n_hit"] == int(hits.sum())
+    assert abs(r["hit_rate"] - hits.sum() / len(hits)) < 1e-12
+    assert 0.0 <= r["hit_rate"] <= 1.0

@@ -246,6 +246,7 @@ QUERIES = [
     "sim_norm_effect_rbo",          # integer suffix weights, 1 division
     "calibration_ece",              # sorted bin-gap fold, order-free max
     "lorenz_curve_deciles",         # integer cumulative decile cells
+    "popularity_baseline_hitrate",  # exact split/frontier/flag integers
 ]
 
 

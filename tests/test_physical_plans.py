@@ -1635,3 +1635,9 @@ def test_lorenz_no_cartesian(spark, sf):
     df = registry.QUERIES["lorenz_curve_deciles"](spark, sf)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_popularity_baseline_no_cartesian(spark, sf):
+    df = registry.QUERIES["popularity_baseline_hitrate"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan

@@ -324,6 +324,7 @@ HEADLINE = [
     "calibration_ece",
     "lorenz_curve_deciles",
     "popularity_baseline_hitrate",
+    "atkinson_index",
 ]
 
 

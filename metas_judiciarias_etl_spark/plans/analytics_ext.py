@@ -3149,3 +3149,86 @@ def popularity_baseline_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hit").cast("long").alias("n_hit"),
         (F.sum("hit").cast("double") / F.count(F.lit(1))).alias("hit_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Atkinson inequality index (epsilon = 1) — the welfare-theoretic member of
+# the inequality tier (Gini = rank-based, Lorenz = the curve, Atkinson =
+# "how much total revenue society would give up for equality").
+# --------------------------------------------------------------------------
+_ATK_GRID = 1 << 20  # 2^-20 grid for per-row ln values
+
+
+@query(
+    "atkinson_index",
+    oracle=f"""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ), g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS t,
+               CAST(sum(CAST(round(ln(CAST(cents AS DOUBLE)) * {_ATK_GRID})
+                             AS BIGINT)) AS BIGINT) AS lq
+        FROM rev
+    )
+    SELECT n AS n_purchasers, t AS total_cents,
+           CAST(t AS DOUBLE) / n AS mean_cents,
+           exp((CAST(lq AS DOUBLE) / {_ATK_GRID}) / n) AS geomean_cents,
+           1 - exp((CAST(lq AS DOUBLE) / {_ATK_GRID}) / n)
+               / (CAST(t AS DOUBLE) / n) AS atkinson_eps1
+    FROM g
+    """,
+)
+def atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index at aversion epsilon = 1 over purchaser
+    revenue: A = 1 − geometric_mean/mean — the welfare reading ("the
+    share of total revenue society would sacrifice for perfect
+    equality") that Gini lacks, completing the inequality tier
+    (gini_concentration the rank number, lorenz_curve_deciles the
+    picture, Atkinson the welfare weight). Population = purchasers
+    (cents > 0 by construction): epsilon = 1 is undefined at zero income,
+    and the zero-inclusive convention lives in the Gini/Lorenz pair.
+
+    Exactness: ln runs once per row on identical exact-integer inputs
+    (identical doubles on both engines), QUANTIZES to the 2^-20 grid,
+    and accumulates as a PLAIN integer sum — order-free,
+    partial-aggregatable, O(1) state (the _fxp discipline applied to a
+    log-mean; a raw double sum of ln terms would be fold-order-dependent
+    at any scale). exp() of the identical quotient and the final ratio
+    are pinned chains.
+
+    Plan: one customer-keyed rollup, one 1-row three-cell reduction —
+    scan-bound at any fact size."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    g = rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("t"),
+        F.sum(
+            F.expr(
+                f"CAST(round(ln(CAST(cents AS DOUBLE)) * {_ATK_GRID})"
+                " AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("lq"),
+    )
+    return g.select(
+        F.col("n").alias("n_purchasers"),
+        F.col("t").alias("total_cents"),
+        F.expr("CAST(t AS DOUBLE) / n").alias("mean_cents"),
+        F.expr(f"exp((CAST(lq AS DOUBLE) / {_ATK_GRID}) / n)").alias(
+            "geomean_cents"
+        ),
+        F.expr(
+            f"1 - exp((CAST(lq AS DOUBLE) / {_ATK_GRID}) / n)"
+            " / (CAST(t AS DOUBLE) / n)"
+        ).alias("atkinson_eps1"),
+    )

@@ -6441,3 +6441,29 @@ def test_popularity_baseline_matches_replay(spark, sf_small):
     assert r["n_hit"] == int(hits.sum())
     assert abs(r["hit_rate"] - hits.sum() / len(hits)) < 1e-12
     assert 0.0 <= r["hit_rate"] <= 1.0
+
+
+def test_atkinson_matches_replay_and_bounds(spark, sf_small):
+    """Atkinson(eps=1) must match a gridded-ln Python replay, sit in
+    [0, 1), and agree with AM >= GM (index >= 0, equality iff all
+    revenues equal)."""
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.plans.analytics_ext import _ATK_GRID
+
+    registry.load_all()
+    orders = _load_pdf(sf_small, "orders")
+    rev = {}
+    for k, p in zip(orders["o_custkey"], orders["o_totalprice"]):
+        rev[int(k)] = rev.get(int(k), 0) + int(round(p * 100))
+    n = len(rev)
+    t = sum(rev.values())
+    lq = sum(round(math.log(v) * _ATK_GRID) for v in rev.values())
+    geo = math.exp((lq / _ATK_GRID) / n)
+    atk = 1 - geo / (t / n)
+    r = registry.QUERIES["atkinson_index"](spark, sf_small).collect()[0]
+    assert (r["n_purchasers"], r["total_cents"]) == (n, t)
+    assert abs(r["geomean_cents"] - geo) < 1e-6 * geo
+    assert abs(r["atkinson_eps1"] - atk) < 1e-9
+    assert 0.0 <= r["atkinson_eps1"] < 1.0  # AM >= GM on positive values

@@ -247,6 +247,7 @@ QUERIES = [
     "calibration_ece",              # sorted bin-gap fold, order-free max
     "lorenz_curve_deciles",         # integer cumulative decile cells
     "popularity_baseline_hitrate",  # exact split/frontier/flag integers
+    "atkinson_index",               # gridded-ln integer sums (fxp log-mean)
 ]
 
 

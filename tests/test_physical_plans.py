@@ -1641,3 +1641,14 @@ def test_popularity_baseline_no_cartesian(spark, sf):
     df = registry.QUERIES["popularity_baseline_hitrate"](spark, sf)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_atkinson_single_pass(spark, sf):
+    df = registry.QUERIES["atkinson_index"](spark, sf)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    fmt = _formatted(df)
+    assert (
+        "ReadSchema: struct<o_custkey:bigint,o_totalprice:double>" in fmt
+    )

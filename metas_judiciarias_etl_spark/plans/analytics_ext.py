@@ -3176,9 +3176,10 @@ _ATK_GRID = 1 << 20  # 2^-20 grid for per-row ln values
     )
     SELECT n AS n_purchasers, t AS total_cents,
            CAST(t AS DOUBLE) / n AS mean_cents,
-           exp((CAST(lq AS DOUBLE) / {_ATK_GRID}) / n) AS geomean_cents,
-           1 - exp((CAST(lq AS DOUBLE) / {_ATK_GRID}) / n)
-               / (CAST(t AS DOUBLE) / n) AS atkinson_eps1
+           round(exp((CAST(lq AS DOUBLE) / {_ATK_GRID}) / n), 2) + 0.0
+               AS geomean_cents,
+           round(1 - exp((CAST(lq AS DOUBLE) / {_ATK_GRID}) / n)
+                 / (CAST(t AS DOUBLE) / n), 6) + 0.0 AS atkinson_eps1
     FROM g
     """,
 )
@@ -3197,8 +3198,10 @@ def atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     and accumulates as a PLAIN integer sum — order-free,
     partial-aggregatable, O(1) state (the _fxp discipline applied to a
     log-mean; a raw double sum of ln terms would be fold-order-dependent
-    at any scale). exp() of the identical quotient and the final ratio
-    are pinned chains.
+    at any scale). exp(), unlike sqrt, is NOT correctly rounded and was
+    observed 1 ulp apart across engines at sf0.1, so the two
+    exp-carrying outputs snap to coarse grids (cents to 2 dp, the index
+    to 6 dp) that absorb the transcendental's final ulp.
 
     Plan: one customer-keyed rollup, one 1-row three-cell reduction —
     scan-bound at any fact size."""
@@ -3224,11 +3227,20 @@ def atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_purchasers"),
         F.col("t").alias("total_cents"),
         F.expr("CAST(t AS DOUBLE) / n").alias("mean_cents"),
-        F.expr(f"exp((CAST(lq AS DOUBLE) / {_ATK_GRID}) / n)").alias(
-            "geomean_cents"
-        ),
-        F.expr(
-            f"1 - exp((CAST(lq AS DOUBLE) / {_ATK_GRID}) / n)"
-            " / (CAST(t AS DOUBLE) / n)"
+        (
+            F.round(
+                F.expr(f"exp((CAST(lq AS DOUBLE) / {_ATK_GRID}) / n)"), 2
+            )
+            + F.lit(0.0)
+        ).alias("geomean_cents"),
+        (
+            F.round(
+                F.expr(
+                    f"1 - exp((CAST(lq AS DOUBLE) / {_ATK_GRID}) / n)"
+                    " / (CAST(t AS DOUBLE) / n)"
+                ),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("atkinson_eps1"),
     )

@@ -6464,6 +6464,7 @@ def test_atkinson_matches_replay_and_bounds(spark, sf_small):
     atk = 1 - geo / (t / n)
     r = registry.QUERIES["atkinson_index"](spark, sf_small).collect()[0]
     assert (r["n_purchasers"], r["total_cents"]) == (n, t)
-    assert abs(r["geomean_cents"] - geo) < 1e-6 * geo
-    assert abs(r["atkinson_eps1"] - atk) < 1e-9
+    # engine snaps exp-carrying outputs (2 dp / 6 dp grids)
+    assert abs(r["geomean_cents"] - round(geo, 2)) < 1e-8 * max(geo, 1.0)
+    assert abs(r["atkinson_eps1"] - round(atk, 6)) < 1e-9
     assert 0.0 <= r["atkinson_eps1"] < 1.0  # AM >= GM on positive values

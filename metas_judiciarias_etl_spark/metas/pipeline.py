@@ -377,11 +377,86 @@ def write_csv(
     out.write.options(**opts).mode("overwrite").csv(path)
 
 
+def meta1_debug_trace(court_data: DataFrame, debug_court: str) -> dict:
+    """O4 debug hook: the reference's per-court Meta-1 trace
+    (Versao_Np.py:147 ``NOME_ARQUIVO_DEBUG``, Versao_Np.py:174-211).
+
+    Filters the unified court scan to ``debug_court`` (file basename),
+    aggregates the four Meta-1 sums in ONE narrow Spark job, and both logs
+    the reference's trace lines and returns the intermediates::
+
+        {"file", "rows", "numerator", "cn", "ds", "sp",
+         "denominator", "meta1_raw", "meta1", "reason"}
+
+    ``reason`` is ``None`` on a computed meta1, else one of ``"no_rows"``,
+    ``"missing_base_columns"``, ``"all_null_base_column"``,
+    ``"zero_denominator"`` — the reference's three 'NA' branches plus the
+    file-not-found case its loop can't hit. The main pipeline plan is
+    untouched; this is a side query over one court's rows only (at scale:
+    one file ≪ one partition, the filtered scan prunes to that file).
+    """
+    import logging
+
+    log = logging.getLogger(__name__)
+    log.info("--- [DEBUG] INICIANDO DEBUG PARA: %s ---", debug_court)
+    trace: dict = {
+        "file": debug_court, "rows": 0, "numerator": None, "cn": None,
+        "ds": None, "sp": None, "denominator": None, "meta1_raw": None,
+        "meta1": None, "reason": None,
+    }
+    base = list(C.META1_COLUMNS)
+    if not set(base).issubset(court_data.columns):
+        # NP:206-208: base columns absent from the frame entirely.
+        trace["reason"] = "missing_base_columns"
+        log.warning("[DEBUG] %s - Colunas base para Meta 1 não encontradas.", debug_court)
+        return trace
+    scoped = court_data.where(
+        F.substring_index(F.col(FILE_COL), "/", -1) == F.lit(debug_court)
+    )
+    has_opt = C.META1_OPTIONAL in court_data.columns
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.col(c).try_cast("double")).alias(_sum_name(c)) for c in base
+    ]
+    if has_opt:
+        aggs.append(F.sum(F.col(C.META1_OPTIONAL).try_cast("double")).alias("__s_opt"))
+    row = scoped.agg(*aggs).collect()[0]
+    trace["rows"] = row["__n"]
+    if row["__n"] == 0:
+        trace["reason"] = "no_rows"
+        log.warning("[DEBUG] %s - nenhum registro para este tribunal.", debug_court)
+        return trace
+    julg, cn, sp = (row[_sum_name(c)] for c in base)
+    # sum() is NULL iff the column is entirely NULL (≥1 row here) — the
+    # reference's notna().any() guard, NP:171/176.
+    if julg is None or cn is None or sp is None:
+        trace["reason"] = "all_null_base_column"
+        log.warning("[DEBUG] %s - Colunas base sem dados válidos.", debug_court)
+        return trace
+    ds = (row["__s_opt"] if has_opt else None) or 0.0  # NP:178-180: optional → 0
+    den = cn + ds - sp
+    trace.update(numerator=julg, cn=cn, ds=ds, sp=sp, denominator=den)
+    log.info("[DEBUG] %s - Numerador (soma julgados_2025): %s", debug_court, julg)
+    log.info("[DEBUG] %s - Denom. Componentes: CN=%s, DS=%s, SP=%s", debug_court, cn, ds, sp)
+    log.info("[DEBUG] %s - Denominador Final Meta 1: %s", debug_court, den)
+    if den == 0:
+        trace["reason"] = "zero_denominator"
+        log.info("[DEBUG] %s - Meta 1: NA (denominador zero)", debug_court)
+    else:
+        raw = julg / den * 100
+        trace["meta1_raw"] = raw
+        trace["meta1"] = round(raw, 2)  # Python round = HALF_EVEN, like NP:199
+        log.info("[DEBUG] %s - Meta 1 (sem arredondar): %s", debug_court, raw)
+        log.info("[DEBUG] %s - Meta 1 (COM arredondar): %s", debug_court, trace["meta1"])
+    log.info("--- [DEBUG] FIM DEBUG PARA: %s ---", debug_court)
+    return trace
+
+
 def run(
     spark: SparkSession,
     input_dir: str,
     output_dir: str | None = None,
     shared_scan: bool = False,
+    debug_court: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """End-to-end: read court CSVs → (ResumoMetas, Consolidado).
 
@@ -405,6 +480,9 @@ def run(
         data = read_court_csvs(spark, input_dir)
         resumo = stringify_resumo(compute_resumo(data))
         consolidado = read_court_csvs(spark, input_dir, typed=False).drop(FILE_COL)
+    if debug_court is not None:
+        # O4 (NP:147): per-court Meta-1 trace, logged before the sinks run.
+        meta1_debug_trace(data, debug_court)
     if output_dir:
         write_csv(resumo, os.path.join(output_dir, "ResumoMetas.csv"))
         write_csv(consolidado, os.path.join(output_dir, "Consolidado.csv"))

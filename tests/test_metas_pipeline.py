@@ -258,3 +258,78 @@ def test_chart_render_png(spark, corpus, tmp_path):
     assert data[:8] == b"\x89PNG\r\n\x1a\n"
     w, h = _struct.unpack(">II", data[16:24])
     assert w > 0 and h > 0
+
+
+# ---------------------------------------------------------------------------
+# O4 debug hook (NP:147 NOME_ARQUIVO_DEBUG, NP:174-211): the per-court
+# Meta-1 trace must reproduce the pandas oracle's intermediates exactly.
+# ---------------------------------------------------------------------------
+def _pandas_meta1_trace(corpus: str, name: str) -> dict:
+    df = pd.read_csv(os.path.join(corpus, name), sep=",", on_bad_lines="skip")
+    julg = df["julgados_2025"].sum()
+    cn = df["casos_novos_2025"].sum()
+    sp = df["suspensos_2025"].sum()
+    ds = 0.0
+    if "dessobrestados_2025" in df.columns and df["dessobrestados_2025"].notna().any():
+        ds = df["dessobrestados_2025"].sum()
+    den = cn + ds - sp
+    raw = julg / den * 100
+    return {
+        "rows": len(df), "numerator": julg, "cn": cn, "ds": ds, "sp": sp,
+        "denominator": den, "meta1_raw": raw, "meta1": round(raw, 2),
+    }
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["teste_TJSP.csv",   # carries dessobrestados_2025
+     "teste_TRT3.csv",   # no optional column → DS defaults to 0
+     "teste_TRF1.csv"],  # malformed row dropped before the sums
+)
+def test_meta1_debug_trace_matches_oracle(spark, corpus, name):
+    from metas_judiciarias_etl_spark.metas.pipeline import meta1_debug_trace
+
+    data = read_court_csvs(spark, corpus)
+    trace = meta1_debug_trace(data, name)
+    exp = _pandas_meta1_trace(corpus, name)
+    assert trace["reason"] is None
+    for k, v in exp.items():
+        assert trace[k] == pytest.approx(v), f"{name}.{k}: {trace[k]} != {v}"
+
+
+def test_meta1_debug_trace_na_branches(spark, corpus, tmp_path):
+    from metas_judiciarias_etl_spark.metas.pipeline import meta1_debug_trace
+
+    data = read_court_csvs(spark, corpus)
+    # File that never matches → the loop-can't-hit case, reported not crashed.
+    assert meta1_debug_trace(data, "nope.csv")["reason"] == "no_rows"
+    # Zero denominator: CN + DS - SP == 0 → 'NA (denominador zero)' (NP:195).
+    d = tmp_path / "zden"
+    d.mkdir()
+    (d / "teste_ZD.csv").write_text(
+        "sigla_tribunal,ramo_justica,julgados_2025,casos_novos_2025,suspensos_2025\n"
+        "TJZD,Justiça Estadual,10,5,5\n"
+    )
+    tr = meta1_debug_trace(read_court_csvs(spark, str(d)), "teste_ZD.csv")
+    assert tr["reason"] == "zero_denominator" and tr["meta1"] is None
+    assert tr["denominator"] == 0
+    # All-NULL base column → notna().any() guard (NP:171).
+    d2 = tmp_path / "allnull"
+    d2.mkdir()
+    (d2 / "teste_AN.csv").write_text(
+        "sigla_tribunal,ramo_justica,julgados_2025,casos_novos_2025,suspensos_2025\n"
+        "TJAN,Justiça Estadual,,5,1\n"
+    )
+    tr2 = meta1_debug_trace(read_court_csvs(spark, str(d2)), "teste_AN.csv")
+    assert tr2["reason"] == "all_null_base_column"
+
+
+def test_run_debug_court_logs_trace(spark, corpus, caplog):
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="metas_judiciarias_etl_spark.metas.pipeline"):
+        run(spark, corpus, debug_court="teste_TJSP.csv")
+    text = caplog.text
+    assert "INICIANDO DEBUG PARA: teste_TJSP.csv" in text
+    assert "Numerador (soma julgados_2025)" in text
+    assert "Denominador Final Meta 1" in text

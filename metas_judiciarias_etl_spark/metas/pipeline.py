@@ -356,6 +356,62 @@ def stringify_resumo(resumo: DataFrame, sentinel: str = "NA") -> DataFrame:
     )
 
 
+def _quote_nonnumeric_lines(df: DataFrame) -> DataFrame:
+    """Render each row as the exact ``csv.QUOTE_NONNUMERIC`` byte string
+    pandas emits (Versao_P.py:121-125): numeric cells unquoted through
+    ``str()`` (shortest-round-trip float repr — Spark's JVM cast prints
+    Java sci-notation instead, e.g. ``1.0E20`` vs ``1e+20``, so the
+    formatting must happen Python-side), everything else quoted with
+    internal quotes DOUBLED (Spark's quoteAll would backslash-escape),
+    NULL → ``""``. Arrow-batched ``mapInPandas`` routing every row through
+    the same stdlib csv writer the reference used — parity by
+    construction. This is the P variant's per-court temp STAGING sink
+    (one small file per court), not a hot path; the quoteAll fast path in
+    ``write_csv`` remains the default for stringified frames."""
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(
+            f.dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType, T.DecimalType),
+        )
+    }
+    cols = list(df.columns)
+
+    def fmt(batches):
+        import csv as _csv
+        import io as _io
+
+        import pandas as pd
+
+        for pdf in batches:
+            lines = []
+            for row in pdf.itertuples(index=False, name=None):
+                vals: list = []
+                for name, v in zip(cols, row):
+                    if v is None or (isinstance(v, float) and v != v) or pd.isna(v):
+                        vals.append("")  # NULL → "" (quoted empty, like pandas)
+                    elif name in numeric:
+                        # python float/int so the csv module leaves it
+                        # unquoted and str()s it exactly like pandas.
+                        vals.append(
+                            int(v) if isinstance(v, (int,)) and not isinstance(v, bool)
+                            else float(v)
+                        )
+                    else:
+                        vals.append(str(v))
+                buf = _io.StringIO()
+                _csv.writer(
+                    buf, delimiter=";", quoting=_csv.QUOTE_NONNUMERIC,
+                    lineterminator="",
+                ).writerow(vals)
+                lines.append(buf.getvalue())
+            yield pd.DataFrame({"line": lines})
+
+    return df.mapInPandas(fmt, schema="line string")
+
+
 def write_csv(
     df: DataFrame,
     path: str,
@@ -366,10 +422,26 @@ def write_csv(
     part for byte-level parity with the reference; leave False at scale.
 
     ``quote_nonnumeric`` reproduces the P variant's csv.QUOTE_NONNUMERIC
-    staging format (P:121-125): every non-numeric field quoted. The frames
-    this sink receives are fully stringified (stringify_resumo), so
-    QUOTE_NONNUMERIC degenerates to quote-everything — Spark's
-    ``quoteAll`` — giving byte parity without a per-cell type switch."""
+    staging format (P:121-125). For an all-string frame (the stringified
+    resumo) QUOTE_NONNUMERIC degenerates to quote-everything — Spark's
+    ``quoteAll`` — so the JVM writer suffices. For a TYPED frame (the
+    reference stages the typed per-court frame) the exact semantics —
+    quote only non-numeric cells, ``str()`` float formatting, doubled
+    quotes, NULL → ``""`` — are produced by ``_quote_nonnumeric_lines``
+    and written as text, byte-identical to ``pandas.to_csv(quoting=
+    csv.QUOTE_NONNUMERIC)``."""
+    from pyspark.sql import types as _T
+
+    if quote_nonnumeric and any(
+        not isinstance(f.dataType, _T.StringType) for f in df.schema.fields
+    ):
+        header_line = ";".join('"%s"' % c.replace('"', '""') for c in df.columns)
+        lines = _quote_nonnumeric_lines(df)
+        header_df = df.sparkSession.createDataFrame([(header_line,)], "line string")
+        body = lines.coalesce(1) if single_file else lines
+        # Union partition order puts the 1-partition header frame first.
+        header_df.unionAll(body).coalesce(1).write.mode("overwrite").text(path)
+        return
     out = df.coalesce(1) if single_file else df
     opts = {"header": True, "sep": ";"}
     if quote_nonnumeric:

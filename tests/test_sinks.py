@@ -166,3 +166,44 @@ def test_quote_nonnumeric_sink_parity(spark, tmp_path):
     ).to_csv(buf, sep=";", index=False, quoting=_csv.QUOTE_NONNUMERIC)
     expected = buf.getvalue()
     assert sorted(got.strip().splitlines()) == sorted(expected.strip().splitlines())
+
+
+def test_quote_nonnumeric_typed_exact_parity(spark, tmp_path):
+    """P:121-125 EXACT semantics on a TYPED drifted frame: numeric cells
+    unquoted with str() float formatting (sci-notation, shortest repr),
+    strings quoted with internal quotes doubled, NULL -> '""'. Byte-identical
+    to pandas.to_csv(quoting=csv.QUOTE_NONNUMERIC)."""
+    import csv as _csv
+    import glob
+    import io
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from metas_judiciarias_etl_spark.metas.pipeline import write_csv
+
+    pdf = pd.DataFrame(
+        {
+            "sigla_tribunal": ["TJ;SP", 'has"quote', None, "TRF1"],
+            "ramo_justica": ["Justiça Estadual", "Justiça do Trabalho", "X", "Justiça Federal"],
+            "julgados_2025": [12.5, np.nan, 1e20, 0.1 + 0.2],
+            "casos_novos_2025": [7.0, -0.0, 1234567.891, 1e-07],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf,
+        "sigla_tribunal string, ramo_justica string, "
+        "julgados_2025 double, casos_novos_2025 double",
+    )
+    out = str(tmp_path / "typed_quoted.csv")
+    write_csv(df, out, single_file=True, quote_nonnumeric=True)
+    parts = glob.glob(os.path.join(out, "part-*"))
+    assert len(parts) == 1
+    with open(parts[0], encoding="utf-8") as fh:
+        got = fh.read()
+
+    buf = io.StringIO()
+    pdf.to_csv(buf, sep=";", index=False, quoting=_csv.QUOTE_NONNUMERIC,
+               lineterminator="\n")
+    assert got == buf.getvalue()

@@ -387,17 +387,18 @@ def main() -> None:
         }
     )
     print(line)
-    # Also persist the full record to a repo file: the driver's stdout
-    # capture truncates long tails, which cost round 3 the per-query map
-    # for ~80 of 127 queries. A committed artifact keeps round-over-round
-    # per-query comparison independent of any capture buffer.
-    out = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "BENCH_HEADLINE_latest.json",
-        ),
-    )
+    # Also persist the full record to a file: the driver's stdout capture
+    # truncates long tails, which cost round 3 the per-query map for ~80 of
+    # 127 queries. Default target is the UNTRACKED bench_out/ dir so a bench
+    # run never dirties the committed artifact (ADVICE r4); copy into the
+    # repo root explicitly when recording a round.
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out is None:
+        out_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_out"
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        out = os.path.join(out_dir, "BENCH_HEADLINE_latest.json")
     try:
         with open(out, "w") as fh:
             fh.write(line + "\n")

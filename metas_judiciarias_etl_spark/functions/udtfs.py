@@ -35,7 +35,12 @@ class ChunkWindows:
     """
 
     def eval(self, text: str):  # noqa: D102 — contract in class docstring
-        n_tok = len((text or "").split(" "))
+        if text is None:
+            # The expression twin's F.size(F.split(NULL)) yields NULL →
+            # the row drops out of its aggregation; yielding nothing is
+            # the matching semantics (ADVICE r4: '' would count 1 token).
+            return
+        n_tok = len(text.split(" "))
         if n_tok <= CHUNK_TOKENS:
             n_chunks = 1
         else:

@@ -18,6 +18,16 @@ def con(sf_oracle):
     c.close()
 
 
+@pytest.fixture(autouse=True)
+def _clear_spark_cache(spark):
+    """Query builders persist() intermediates as a side effect (81 sites);
+    across a 366-query sweep those caches accumulate unreleased (ADVICE
+    r4). Drop them after every query so memory pressure — not LRU luck —
+    never shapes a parity verdict."""
+    yield
+    spark.catalog.clearCache()
+
+
 def all_query_names():
     registry.load_all()
     return sorted(registry.QUERIES)

@@ -44,6 +44,17 @@ def test_udtf_direct_table_invocation(spark):
     assert [tuple(r) for r in rows] == [(0, 3, 1)]
 
 
+def test_udtf_null_text_yields_no_rows(spark):
+    """NULL text: the expression twin's F.split(NULL) explodes to zero
+    rows, so the UDTF must yield nothing too (ADVICE r4 — '' would have
+    counted one token and broken the same-boundary-math claim)."""
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM chunk_windows(CAST(NULL AS STRING))"
+    ).collect()
+    assert rows == []
+
+
 def test_sql_scripting_compound_matches_relational(spark, sf_small):
     """A scripted WHILE loop accumulating per-source doc counts must
     reproduce the plain GROUP BY total — the scripting surface

@@ -1,0 +1,74 @@
+"""Process-wide shared-intermediate memo for expensive composition roots.
+
+Several audit queries compose the SAME expensive sub-result — the lossless
+prefix-filter Jaccard truth set feeds three recall auditors, the iterative
+connected-components labeling feeds four cluster consumers, and the scored
+(x, y) frame feeds six evaluation queries.  Each builder used to persist and
+eagerly materialize its own copy, so a full bench/cert sweep paid the exact
+SSJoin three times and the CC iteration five times (VERDICT r4 item 5 calls
+this out as the sf0.1 tail).
+
+``shared()`` memoizes the persisted DataFrame per (session, sf_dir, name):
+the first consumer in a process pays the build, later consumers reuse the
+cached rows.  Two safety properties:
+
+* **Eviction-safe**: ``spark.catalog.clearCache()`` (the parity harness
+  clears between queries) drops the cached blocks; ``storageLevel`` is read
+  from the JVM, so an evicted entry is re-persisted and re-materialized on
+  next use instead of silently recomputing per action.
+* **Session-safe**: entries record the owning SparkSession; a different
+  session (new test process fixture) rebuilds rather than reusing plans
+  bound to a dead session.
+
+This is a single-process optimization only — on a real cluster the same
+sharing falls out of writing the intermediate to a table (or using the
+driver-level cache) once per job DAG; the point is that the LOGICAL reuse
+is explicit in the code instead of three independent rebuilds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+
+# (sf_dir, name) -> (session, persisted DataFrame)
+_MEMO: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def shared(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Return the memoized persisted DataFrame for ``name`` at ``sf_dir``,
+    building (and eagerly materializing) it on first use in this session."""
+    key = (sf_dir, name)
+    hit = _MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        df = hit[1]
+        if df.storageLevel == StorageLevel.NONE:
+            # evicted by clearCache()/unpersist — re-pin before reuse so
+            # multi-consumer queries don't recompute the plan per action
+            df.persist()
+            df.count()
+        return df
+    df = build().persist()
+    df.count()
+    _MEMO[key] = (spark, df)
+    return df
+
+
+def clear(spark: SparkSession | None = None) -> None:
+    """Drop memo entries (all, or those owned by ``spark``), unpersisting
+    their cached blocks. Test/bench teardown hook."""
+    for key in list(_MEMO):
+        sess, df = _MEMO[key]
+        if spark is None or sess is spark:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped; blocks are gone anyway
+            del _MEMO[key]

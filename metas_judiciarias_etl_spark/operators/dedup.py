@@ -47,6 +47,7 @@ from ..functions.hashing import (
     tokens,
     word_shingles,
 )
+from ..memo import shared
 from ..registry import query
 from ..sources.parquet import load_table
 
@@ -437,7 +438,19 @@ def _connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup groups: MinHash-LSH verified pairs → connected components
     (cluster_id = min doc_id in the component). The oracle walks the same
-    graph with a recursive CTE."""
+    graph with a recursive CTE.
+
+    The labeling is memoized per (session, sf_dir): four registered
+    queries compose it (cluster_sizes, keeper_quality, pointbiserial,
+    the evaluation scored frame), and the iterative CC build is the
+    expensive part worth paying once per process (VERDICT r4 item 5)."""
+    return shared(
+        spark, sf_dir, "dedup_clusters",
+        lambda: _dedup_clusters_build(spark, sf_dir),
+    )
+
+
+def _dedup_clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     shingled = _doc_shingles(docs)
     pairs = (
@@ -905,7 +918,20 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate shingles are exactly the ones excluded from prefixes).
     No cap is applied — capping would break exactness; if a corpus has
     adversarial mass at tiny sizes, pre-filter by length or fall back to
-    the capped LSH path."""
+    the capped LSH path.
+
+    The result is memoized per (session, sf_dir): it is the lossless
+    TRUTH SET for three recall auditors (dedup_lsh_recall,
+    dedup_lsh_band_sweep, dedup_simhash_recall), and the exact SSJoin is
+    the single most expensive dedup pass — pay it once per process
+    (VERDICT r4 item 5)."""
+    return shared(
+        spark, sf_dir, "jaccard_truth",
+        lambda: _prefix_filter_jaccard_build(spark, sf_dir),
+    )
+
+
+def _prefix_filter_jaccard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _doc_shingles(docs)
     # carry |S| from the un-exploded array: one window (the rank) instead
@@ -1055,7 +1081,17 @@ def dedup_simhash_hamming1(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision groups (for wider fingerprints / larger radii the same
     pattern splits the fingerprint into blocks — d+1 blocks guarantee a
     block match at distance d). Composes the REGISTERED dedup_simhash on
-    both sides."""
+    both sides.
+
+    Memoized per (session, sf_dir): dedup_simhash_recall and
+    dedup_detector_ensemble both re-consume the pair set."""
+    return shared(
+        spark, sf_dir, "simhash_hamming1",
+        lambda: _simhash_hamming1_build(spark, sf_dir),
+    )
+
+
+def _simhash_hamming1_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..registry import QUERIES
 
     fp = QUERIES["dedup_simhash"](spark, sf_dir)
@@ -1140,13 +1176,10 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_id", "b_id"
     )
     lsh = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("a_id", "b_id")
-    # both pair tables feed two consumers each (their count and the hit
-    # join) — eager-materialized caches pin one compute per pipeline
-    # (sf0.1 wall-clock is recompute-neutral thanks to exchange reuse,
-    # but a reused exchange still re-reads shuffle files; the cache is
-    # the contract, not an optimization bet)
-    truth = truth.persist()
-    truth.count()
+    # truth is already pinned by the registered query's memo; lsh feeds
+    # two consumers (its count and the hit join) — eager-materialized
+    # cache pins one compute per pipeline (the cache is the contract,
+    # not an optimization bet)
     lsh = lsh.persist()
     lsh.count()
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
@@ -1385,8 +1418,7 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh.count()
     truth = QUERIES["dedup_prefix_filter_jaccard"](spark, sf_dir).select(
         "a_id", "b_id"
-    ).persist()
-    truth.count()  # 7 concurrent consumers (3 semi joins + count rows)
+    )  # pinned upstream by the registered query's memo (7 consumers here)
     n_truth_df = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     out = None
     for b in BAND_SWEEP:
@@ -2015,12 +2047,10 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     truth = QUERIES["dedup_prefix_filter_jaccard"](spark, sf_dir).select(
         "a_id", "b_id"
-    ).persist()
-    truth.count()
+    )  # both inputs pinned upstream by the registered queries' memos
     sh = QUERIES["dedup_simhash_hamming1"](spark, sf_dir).select(
         "a_id", "b_id"
-    ).persist()
-    sh.count()
+    )
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     n_sh = sh.agg(F.count(F.lit(1)).cast("long").alias("n_simhash"))
     n_hit = truth.join(sh, ["a_id", "b_id"], "left_semi").agg(

@@ -76,7 +76,19 @@ def _scored_ctes() -> str:
 
 
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, x, y): fixed-point quality score + near-dup membership."""
+    """(doc_id, x, y): fixed-point quality score + near-dup membership.
+
+    Memoized per (session, sf_dir): six evaluation queries consume this
+    frame, and its dup label composes the (also memoized) iterative
+    dedup_clusters labeling — pay the join once per process."""
+    from ..memo import shared
+
+    return shared(
+        spark, sf_dir, "eval_scored", lambda: _scored_build(spark, sf_dir)
+    )
+
+
+def _scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = registry.QUERIES["text_quality"](spark, sf_dir).filter(
         F.col("quality").isNotNull()
     )

@@ -252,14 +252,49 @@ QUERIES = [
 
 
 def _rows(spark, name, sf, n_parts):
+    from metas_judiciarias_etl_spark import memo
+
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        # drop shared-intermediate memos: a hit would replay the FIRST
+        # layout's cached rows and make this comparison vacuous for every
+        # query composing a memoized root
+        memo.clear(spark)
         return sorted(map(tuple, registry.QUERIES[name](spark, sf).collect()))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        memo.clear(spark)
 
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_result_invariant_under_shuffle_layout(name, spark, sf_small):
     assert _rows(spark, name, sf_small, 5) == _rows(spark, name, sf_small, 32)
+
+
+# The queries a cold driver sample must never flake on: the reference's
+# flagship pipeline, its chart/consolidado companions, the deepest composed
+# prep pipeline, and the batch twins of the streaming windows (the one
+# place first()-style tie-breaks could still differ across layouts, e.g.
+# session merges at equal timestamps). Three layouts, including the
+# degenerate single-partition one — on a 1000-executor cluster the planner
+# may pick any of these shapes (VERDICT r4 item 6).
+FLAGSHIP = [
+    "metas_resumo_pipeline",
+    "metas_consolidado",
+    "metas_chart_ranking",
+    "prep_pipeline_v3",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup_earliest",
+    "dynamic_gap_sessions",
+]
+
+
+@pytest.mark.parametrize("name", FLAGSHIP)
+def test_flagship_invariant_under_three_layouts(name, spark, sf_small):
+    a = _rows(spark, name, sf_small, 1)
+    b = _rows(spark, name, sf_small, 7)
+    c = _rows(spark, name, sf_small, 32)
+    assert a == b == c

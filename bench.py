@@ -325,6 +325,11 @@ HEADLINE = [
     "lorenz_curve_deciles",
     "popularity_baseline_hitrate",
     "atkinson_index",
+    # round 5: distribution-shift completion pack
+    "dist_wasserstein1",
+    "cvm_two_sample",
+    "mann_kendall_trend",
+    "cramers_v_assoc",
 ]
 
 

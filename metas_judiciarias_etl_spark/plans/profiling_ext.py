@@ -674,6 +674,196 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Wasserstein-1 (earth mover) distance — the magnitude-aware drift number
+# the KS supremum cannot see.
+# --------------------------------------------------------------------------
+@query(
+    "dist_wasserstein1",
+    oracle="""
+    WITH ref AS (
+        SELECT min(source) AS ref_source FROM documents
+    ), tagged AS (
+        SELECT d.n_chars AS v,
+               CASE WHEN d.source = r.ref_source THEN 1 ELSE 0 END AS g1
+        FROM documents d CROSS JOIN ref r
+    ), per_v AS (
+        SELECT v,
+               CAST(sum(g1) AS BIGINT) AS c1,
+               CAST(sum(1 - g1) AS BIGINT) AS c2
+        FROM tagged GROUP BY v
+    ), cum AS (
+        SELECT v,
+               sum(c1) OVER (ORDER BY v) AS cum1,
+               sum(c2) OVER (ORDER BY v) AS cum2,
+               lead(v) OVER (ORDER BY v) AS nxt,
+               (SELECT CAST(sum(c1) AS BIGINT) FROM per_v) AS n1,
+               (SELECT CAST(sum(c2) AS BIGINT) FROM per_v) AS n2
+        FROM per_v
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n1,
+           CAST(max(n2) AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN nxt IS NULL THEN 0
+                         ELSE abs(cum1 * n2 - cum2 * n1) * (nxt - v)
+                    END) AS BIGINT) AS w1_num,
+           CAST(CAST(sum(CASE WHEN nxt IS NULL THEN 0
+                              ELSE abs(cum1 * n2 - cum2 * n1) * (nxt - v)
+                         END) AS BIGINT) AS DOUBLE)
+               / (CAST(max(n1) AS DOUBLE) * CAST(max(n2) AS DOUBLE))
+               AS w1
+    FROM cum
+    """,
+)
+def dist_wasserstein1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 distance between the reference source's document-
+    length distribution and everything else — W1 = ∫|F1 − F2| dv, the
+    area between the two ECDFs. It complements ks_two_sample: KS reports
+    only the WORST single gap, W1 integrates the whole mismatch in the
+    metric's own units (characters here), which is the number that
+    actually tracks "how much longer are the new crawl's documents".
+
+    Exactness: on the merged support, |F1 − F2| at v is
+    |cum1·n2 − cum2·n1| / (n1·n2), and the integral over the step
+    function is Σ |cum1·n2 − cum2·n1| · (next_v − v) — an INTEGER sum
+    (order-free, no float accumulation); the single division to w1 is
+    the only float op. Bound: each term ≤ n1·n2·gap, so the BIGINT sum
+    holds to ~10⁹ docs per side on a 10⁴-wide support; past that,
+    quantize v to a coarser grid first (the term count shrinks with the
+    support, not the corpus).
+
+    Scale posture: identical to ks_two_sample — one fact-scale groupBy
+    on the metric value, then cumulative windows over the DISTINCT
+    support only (bounded by the value domain, not corpus rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.agg(F.min("source").alias("ref_source"))
+    tagged = docs.crossJoin(F.broadcast(ref)).select(
+        F.col("n_chars").alias("v"),
+        (F.col("source") == F.col("ref_source")).cast("int").alias("g1"),
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("g1").cast("long").alias("c1"),
+        F.sum(1 - F.col("g1")).cast("long").alias("c2"),
+    )
+    w = Window.orderBy("v")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    totals = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    cum = per_v.select(
+        "v",
+        F.sum("c1").over(wc).alias("cum1"),
+        F.sum("c2").over(wc).alias("cum2"),
+        F.lead("v").over(w).alias("nxt"),
+    ).crossJoin(F.broadcast(totals))
+    term = F.when(F.col("nxt").isNull(), F.lit(0)).otherwise(
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+        * (F.col("nxt") - F.col("v"))
+    )
+    return cum.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.sum(term).cast("long").alias("w1_num"),
+        (
+            F.sum(term).cast("long").cast("double")
+            / (F.max("n1").cast("double") * F.max("n2").cast("double"))
+        ).alias("w1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cramér–von Mises two-sample criterion — the full-ECDF drift test that
+# weights every gap, completing the KS (supremum) / W1 (area) family.
+# --------------------------------------------------------------------------
+@query(
+    "cvm_two_sample",
+    oracle="""
+    WITH ref AS (
+        SELECT min(source) AS ref_source FROM documents
+    ), tagged AS (
+        SELECT d.n_chars AS v,
+               CASE WHEN d.source = r.ref_source THEN 1 ELSE 0 END AS g1
+        FROM documents d CROSS JOIN ref r
+    ), per_v AS (
+        SELECT v,
+               CAST(sum(g1) AS BIGINT) AS c1,
+               CAST(sum(1 - g1) AS BIGINT) AS c2
+        FROM tagged GROUP BY v
+    ), cum AS (
+        SELECT c1 + c2 AS cnt,
+               sum(c1) OVER (ORDER BY v) AS cum1,
+               sum(c2) OVER (ORDER BY v) AS cum2,
+               (SELECT CAST(sum(c1) AS BIGINT) FROM per_v) AS n1,
+               (SELECT CAST(sum(c2) AS BIGINT) FROM per_v) AS n2
+        FROM per_v
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n1,
+           CAST(max(n2) AS BIGINT) AS n2,
+           CAST(sum(cnt * (cum1 * n2 - cum2 * n1)
+                        * (cum1 * n2 - cum2 * n1)) AS BIGINT) AS t_num,
+           CAST(CAST(sum(cnt * (cum1 * n2 - cum2 * n1)
+                             * (cum1 * n2 - cum2 * n1)) AS BIGINT)
+                AS DOUBLE)
+               / (CAST(max(n1) AS DOUBLE) * CAST(max(n2) AS DOUBLE)
+                  * CAST(max(n1) + max(n2) AS DOUBLE)
+                  * CAST(max(n1) + max(n2) AS DOUBLE)) AS t_stat
+    FROM cum
+    """,
+)
+def cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér–von Mises two-sample criterion on the same ref-vs-rest
+    document-length split: T = n1·n2/N² · Σ_pooled (F1(x) − F2(x))²,
+    summing the SQUARED ECDF gap at every pooled observation. Where KS
+    keys on the single worst gap and W1 on the unweighted area, CvM
+    weights gaps by how much data sits at them — the most sensitive of
+    the three against mid-distribution drift, which is why drift
+    monitors run all three.
+
+    Exactness: with ties collapsed to the support, the pooled sum is
+    Σ cnt_v · (cum1·n2 − cum2·n1)² — a pure INTEGER sum; dividing once
+    by n1·n2·N² yields T. Bound: each term ≤ cnt·(n1·n2)², so BIGINT
+    holds to ~10⁶ rows per side; past that quantize v (grid discipline)
+    — the numerator scales with the support, not the corpus.
+
+    Scale posture: identical to ks_two_sample — one metric-keyed
+    fact-scale groupBy, cumulative windows over the distinct support."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.agg(F.min("source").alias("ref_source"))
+    tagged = docs.crossJoin(F.broadcast(ref)).select(
+        F.col("n_chars").alias("v"),
+        (F.col("source") == F.col("ref_source")).cast("int").alias("g1"),
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("g1").cast("long").alias("c1"),
+        F.sum(1 - F.col("g1")).cast("long").alias("c2"),
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    totals = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    cum = per_v.select(
+        (F.col("c1") + F.col("c2")).alias("cnt"),
+        F.sum("c1").over(wc).alias("cum1"),
+        F.sum("c2").over(wc).alias("cum2"),
+    ).crossJoin(F.broadcast(totals))
+    d = F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+    return cum.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.sum(F.col("cnt") * d * d).cast("long").alias("t_num"),
+        (
+            F.sum(F.col("cnt") * d * d).cast("long").cast("double")
+            / (
+                F.max("n1").cast("double")
+                * F.max("n2").cast("double")
+                * (F.max("n1") + F.max("n2")).cast("double")
+                * (F.max("n1") + F.max("n2")).cast("double")
+            )
+        ).alias("t_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Ingestion freshness lag — the first pipeline-health dashboard number.
 # --------------------------------------------------------------------------
 @query(

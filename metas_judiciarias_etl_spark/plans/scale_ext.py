@@ -551,6 +551,120 @@ def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cramér's V — the [0, 1] effect size the raw chi-square hides.
+# --------------------------------------------------------------------------
+@query(
+    "cramers_v_assoc",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+        FROM documents GROUP BY lang, source
+    ), tot AS (
+        SELECT CAST(sum(obs) AS BIGINT) AS n,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_lang,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_source
+        FROM cells
+    ), terms AS (
+        SELECT c.lang, c.source,
+               (c.obs - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / t.n)
+             * (c.obs - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / t.n)
+             / (CAST(rt.row_tot * ct.col_tot AS DOUBLE) / t.n) AS term
+        FROM cells c
+        JOIN (SELECT lang, CAST(sum(obs) AS BIGINT) AS row_tot
+              FROM cells GROUP BY lang) rt ON rt.lang = c.lang
+        JOIN (SELECT source, CAST(sum(obs) AS BIGINT) AS col_tot
+              FROM cells GROUP BY source) ct ON ct.source = c.source
+        CROSS JOIN tot t
+    ), chi AS (
+        SELECT list_reduce(
+                   [0.0] || list_transform(
+                       list_sort(list(struct_pack(lang := lang,
+                                                  source := source,
+                                                  term := term))),
+                       x -> x.term),
+                   (a, b) -> a + b) AS chi2
+        FROM terms
+    )
+    SELECT t.n,
+           CAST(least(t.n_lang, t.n_source) - 1 AS BIGINT) AS min_dim,
+           c.chi2,
+           sqrt(c.chi2 / (CAST(t.n AS DOUBLE)
+                          * CAST(least(t.n_lang, t.n_source) - 1 AS DOUBLE)))
+               AS cramers_v
+    FROM chi c CROSS JOIN tot t
+    """,
+)
+def cramers_v_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for the lang × source association: V =
+    sqrt(chi² / (n · (min(r, c) − 1))) — the normalized [0, 1] effect
+    size that makes contingency-table dependence comparable across
+    tables of different shapes and corpus sizes, where the raw chi²
+    (chisq_independence) only answers "is it significant". A corpus
+    curator reads V directly: ~0 means sources share one language mix,
+    ~1 means language is determined by source — i.e. how much a
+    source-stratified sample skews the language balance.
+
+    Exactness: same discipline as chisq_independence — integer cells
+    and marginals, one-division expected values, the chi² fold in
+    SORTED (lang, source) order with a 0.0 seed; then one division and
+    one sqrt (correctly rounded on both engines) — bit-identical.
+
+    Plan: |lang| × |source| contingency rollup (tiny, partial-agg) +
+    broadcast marginal joins; constant post-rollup work at any SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    row_tot = cells.groupBy("lang").agg(
+        F.sum("obs").cast("long").alias("row_tot")
+    )
+    col_tot = cells.groupBy("source").agg(
+        F.sum("obs").cast("long").alias("col_tot")
+    )
+    tot = cells.agg(
+        F.sum("obs").cast("long").alias("n"),
+        F.countDistinct("lang").cast("long").alias("n_lang"),
+        F.countDistinct("source").cast("long").alias("n_source"),
+    )
+    exp = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n")
+    terms = (
+        cells.join(F.broadcast(row_tot), "lang")
+        .join(F.broadcast(col_tot), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n",
+            "n_lang",
+            "n_source",
+            ((F.col("obs") - exp) * (F.col("obs") - exp) / exp).alias("term"),
+        )
+    )
+    min_dim = (F.least(F.col("n_lang"), F.col("n_source")) - 1).cast("long")
+    chi2 = F.expr(
+        "aggregate(transform(__lst, x -> x.term),"
+        " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    return (
+        terms.groupBy("n", "n_lang", "n_source")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("lang", "source", "term"))
+            ).alias("__lst")
+        )
+        .select(
+            "n",
+            min_dim.alias("min_dim"),
+            chi2.alias("chi2"),
+            F.sqrt(
+                chi2
+                / (F.col("n").cast("double") * min_dim.cast("double"))
+            ).alias("cramers_v"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # k-core peeling (bounded-round iterative graph refinement).
 # --------------------------------------------------------------------------
 KCORE_K = 2

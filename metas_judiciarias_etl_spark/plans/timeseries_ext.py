@@ -1187,6 +1187,130 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Mann–Kendall trend test: the nonparametric "is there a monotonic trend"
+# companion to Theil–Sen's "how steep is it".
+# --------------------------------------------------------------------------
+@query(
+    "mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), s AS (
+        SELECT CAST(sum(CASE WHEN b.c > a.c THEN 1
+                             WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+        FROM daily a JOIN daily b ON b.d > a.d
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily
+    ), ties AS (
+        SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                   AS tie_term
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY c)
+        WHERE t > 1
+    )
+    SELECT n.n_days, s.s_stat,
+           CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                - ties.tie_term AS BIGINT) AS var18,
+           CASE WHEN s.s_stat > 0 THEN
+                    CAST(s.s_stat - 1 AS DOUBLE)
+                    / sqrt(CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                                - ties.tie_term AS DOUBLE) / 18.0)
+                WHEN s.s_stat < 0 THEN
+                    CAST(s.s_stat + 1 AS DOUBLE)
+                    / sqrt(CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                                - ties.tie_term AS DOUBLE) / 18.0)
+                ELSE 0.0 END AS z
+    FROM s CROSS JOIN n CROSS JOIN ties
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test over the daily event-count
+    series: S = Σ_{i<j} sgn(c_j − c_i) with the tie-corrected variance
+    Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and the continuity-
+    corrected z. Theil–Sen reports the robust slope; this reports
+    whether ANY monotonic trend is significant without assuming
+    linearity or a distribution — the pair is the standard robust-trend
+    toolkit for pipeline-volume monitoring.
+
+    Exactness: S, n, and Var·18 are pure integer algebra (the pairwise
+    sgn sum is an order-free integer fold); z is one division by
+    sqrt(var18/18) — sqrt is correctly rounded on both engines (the
+    engine-exactness rule SCALE.md records), so the chains match
+    bit-for-bit.
+
+    Plan: ONE fact-scale groupBy collapses events to calendar days;
+    the S self-join and the tie rollup run on the day table — bounded
+    by elapsed time, never by corpus rows (a year is 366 rows whether
+    the day holds 1e3 or 1e9 events). Day numbers use the epoch-nanos
+    floor-div idiom (load_table normalizes ts to int64 nanos; DuckDB
+    reads the raw TIMESTAMP, hence floor(epoch/86400) there)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr(
+                "(ts - pmod(ts, 86400000000000)) div 86400000000000"
+            ).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .coalesce(1)
+        .persist()
+    )
+    daily.count()  # the S self-join, n, and tie rollup all read it
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    s = a.join(b, F.col("db") > F.col("da")).agg(
+        F.sum(
+            F.when(F.col("cb") > F.col("ca"), 1)
+            .when(F.col("cb") < F.col("ca"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    ties = (
+        daily.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    ).cast("long")
+    denom = F.sqrt(var18.cast("double") / F.lit(18.0))
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n_days",
+            "s_stat",
+            var18.alias("var18"),
+            F.when(
+                F.col("s_stat") > 0,
+                (F.col("s_stat") - 1).cast("double") / denom,
+            )
+            .when(
+                F.col("s_stat") < 0,
+                (F.col("s_stat") + 1).cast("double") / denom,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("z"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Kaplan–Meier survival estimator with right-censoring.
 # --------------------------------------------------------------------------
 _KM_DAY_NS = 86_400_000_000_000

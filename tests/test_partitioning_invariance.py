@@ -248,6 +248,11 @@ QUERIES = [
     "lorenz_curve_deciles",         # integer cumulative decile cells
     "popularity_baseline_hitrate",  # exact split/frontier/flag integers
     "atkinson_index",               # gridded-ln integer sums (fxp log-mean)
+    # round 5: distribution-shift completion pack
+    "dist_wasserstein1",            # integer ECDF-gap area, 1 division
+    "cvm_two_sample",               # integer squared-gap sum, 1 division
+    "mann_kendall_trend",           # day-bounded sgn pairs, exact var18
+    "cramers_v_assoc",              # sorted chi2 fold + sqrt normalization
 ]
 
 

@@ -240,7 +240,18 @@ def _minhash_oracle_ctes() -> str:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle → 9 affine minhashes → 3 bands →
-    bucket-join candidates → exact shingle-Jaccard verify ≥ 0.5."""
+    bucket-join candidates → exact shingle-Jaccard verify ≥ 0.5.
+
+    Memoized per (session, sf_dir): four registered queries re-consume
+    the pair set (lsh_recall, source_matrix, minhash_estimate_error,
+    detector_ensemble)."""
+    return shared(
+        spark, sf_dir, "minhash_lsh",
+        lambda: _minhash_lsh_build(spark, sf_dir),
+    )
+
+
+def _minhash_lsh_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     shingled = _doc_shingles(docs)
     pairs = _lsh_candidates(_signatures(shingled))
@@ -1176,12 +1187,8 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_id", "b_id"
     )
     lsh = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("a_id", "b_id")
-    # truth is already pinned by the registered query's memo; lsh feeds
-    # two consumers (its count and the hit join) — eager-materialized
-    # cache pins one compute per pipeline (the cache is the contract,
-    # not an optimization bet)
-    lsh = lsh.persist()
-    lsh.count()
+    # both pair tables are pinned upstream by the registered queries'
+    # memos — each feeds two consumers here (its count and the hit join)
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     n_lsh = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
     n_hit = (

@@ -330,6 +330,8 @@ HEADLINE = [
     "cvm_two_sample",
     "mann_kendall_trend",
     "cramers_v_assoc",
+    "dedup_containment_asymmetric",
+    "er_blocking_quality",
 ]
 
 

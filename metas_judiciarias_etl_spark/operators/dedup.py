@@ -2230,3 +2230,226 @@ def dedup_detector_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(bit_count(mask) AS INT)").alias("n_votes"),
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment: the subset-duplicates Jaccard structurally misses.
+# ---------------------------------------------------------------------------
+CONTAIN_T = 0.8  # max-direction containment threshold
+
+
+def _containment_oracle() -> str:
+    # ceil(0.8·sz) = (4·sz + 4) // 5 in exact integers (CONTAIN_T = 4/5)
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles
+        FROM documents
+    ), ex AS (
+        SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle
+        FROM sh
+    ), dfq AS (
+        SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY shingle
+    ), ranked AS (
+        SELECT e.doc_id, e.sz, e.shingle,
+               row_number() OVER (PARTITION BY e.doc_id
+                                  ORDER BY d.df, e.shingle) AS rn
+        FROM ex e JOIN dfq d ON d.shingle = e.shingle
+    ), prefix_ct AS (
+        SELECT doc_id, shingle FROM ranked
+        WHERE rn <= sz - (4 * sz + 4) // 5 + 1
+    ), cand_ct AS (
+        SELECT DISTINCT least(p.doc_id, e.doc_id) AS a_id,
+                        greatest(p.doc_id, e.doc_id) AS b_id
+        FROM prefix_ct p JOIN ex e
+          ON e.shingle = p.shingle AND e.doc_id != p.doc_id
+    ), scored_ct AS (
+        SELECT c.a_id, c.b_id,
+               len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+               len(sa.shingles) AS sz_a,
+               len(sb.shingles) AS sz_b,
+               len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                   AS uni
+        FROM cand_ct c
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id
+    )
+    SELECT a_id, b_id,
+           round(inter::DOUBLE / sz_a, 6) AS containment_ab,
+           round(inter::DOUBLE / sz_b, 6) AS containment_ba,
+           round(inter::DOUBLE / uni, 6) AS jaccard,
+           CASE WHEN inter::DOUBLE / uni < {JACCARD_THRESHOLD}
+                THEN 1 ELSE 0 END AS subset_only
+    FROM scored_ct
+    WHERE greatest(inter::DOUBLE / sz_a, inter::DOUBLE / sz_b)
+              >= {CONTAIN_T}
+    """
+
+
+@query("dedup_containment_asymmetric", oracle=_containment_oracle())
+def dedup_containment_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT asymmetric-containment join: every pair where one document's
+    shingle set is ≥ 80% contained in the other's (c(A→B) = |A∩B|/|A|),
+    with both directions, the Jaccard, and a subset_only flag marking
+    the pairs symmetric dedup structurally misses (quote inclusion /
+    excerpt-plus-boilerplate: a 100-shingle doc fully inside a
+    1000-shingle doc has J ≈ 0.1 — invisible to every J ≥ 0.5 detector
+    AND to minhash banding, whose collision probability tracks J, not
+    c). Pipelines run this as a separate pass because the dedup decision
+    differs: dropping the CONTAINING side deletes novel content.
+
+    Losslessness (asymmetric prefix filter): c(A→B) ≥ t forces overlap
+    ≥ ceil(t·|A|), so A must share a shingle with B inside A's first
+    |A| − ceil(t·|A|) + 1 shingles in the global (df, shingle)
+    rarest-first order — if the whole prefix missed B, the remaining
+    ceil(t·|A|) − 1 shingles cannot reach the overlap. Probing every
+    doc's prefix against the FULL index of all docs therefore finds
+    every pair at c ≥ t in either direction. Candidates verify exact
+    set arithmetic; each output number is one integer division rounded
+    to 6 dp (bit-identical engines).
+
+    Scale posture: unlike the symmetric join, the build side indexes
+    ALL shingles — but join traffic is keyed by PROBE-side prefixes,
+    which hold each doc's RAREST shingles, so high-df boilerplate never
+    becomes a join key and bucket fan-out stays df-of-rare-shingle
+    sized. The verify join is doc_id-keyed at candidate scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    ex = sh.select(
+        "doc_id",
+        F.size("shingles").alias("sz"),
+        F.explode("shingles").alias("shingle"),
+    )
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wd = Window.partitionBy("doc_id")
+    ranked = ex.join(dfreq, "shingle").withColumn(
+        "rn", F.row_number().over(wd.orderBy("df", "shingle"))
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.expr("sz - (4 * sz + 4) div 5 + 1")
+    ).select("doc_id", "shingle")
+    probe = prefix.select(F.col("doc_id").alias("p_id"), "shingle")
+    index = ex.select(F.col("doc_id").alias("i_id"), "shingle")
+    cand = (
+        probe.join(index, "shingle")
+        .filter(F.col("p_id") != F.col("i_id"))
+        .select(
+            F.least("p_id", "i_id").alias("a_id"),
+            F.greatest("p_id", "i_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_s"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_s"))
+    inter = F.size(F.array_intersect("a_s", "b_s"))
+    c_ab = inter / F.size("a_s")
+    c_ba = inter / F.size("b_s")
+    jac = inter / F.size(F.array_union("a_s", "b_s"))
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(F.greatest(c_ab, c_ba) >= CONTAIN_T)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(c_ab, 6).alias("containment_ab"),
+            F.round(c_ba, 6).alias("containment_ba"),
+            F.round(jac, 6).alias("jaccard"),
+            (jac < JACCARD_THRESHOLD).cast("int").alias("subset_only"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocking quality: reduction ratio x pairs completeness — the two numbers
+# that certify a blocking scheme BEFORE paying its verification bill.
+# ---------------------------------------------------------------------------
+def _blocking_quality_oracle() -> str:
+    from ..registry import ORACLES
+
+    return (
+        _minhash_oracle_ctes()
+        + f""", truth_b AS (
+        SELECT a_id, b_id FROM ({ORACLES['dedup_prefix_filter_jaccard']})
+    ), nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    ), nc AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand
+    ), nt AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth_b
+    ), nh AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_hit
+        FROM truth_b t SEMI JOIN cand c
+          ON c.a_id = t.a_id AND c.b_id = t.b_id
+    )
+    SELECT nn.n_docs,
+           CAST(nn.n_docs * (nn.n_docs - 1) // 2 AS BIGINT) AS n_all_pairs,
+           nc.n_cand, nt.n_truth, nh.n_hit,
+           CAST(1 AS DOUBLE)
+               - CAST(nc.n_cand AS DOUBLE)
+                 / CAST(nn.n_docs * (nn.n_docs - 1) // 2 AS DOUBLE)
+               AS reduction_ratio,
+           CAST(nh.n_hit AS DOUBLE)
+               / nullif(CAST(nt.n_truth AS DOUBLE), 0.0)
+               AS pairs_completeness
+    FROM nn CROSS JOIN nc CROSS JOIN nt CROSS JOIN nh
+    """
+    )
+
+
+@query("er_blocking_quality", oracle=_blocking_quality_oracle())
+def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-number certificate of a blocking scheme (Christen's
+    blocking-evaluation framework): reduction ratio RR = 1 −
+    |candidates| / |all pairs| (how much of the n²/2 comparison space
+    the blocking deletes) and pairs completeness PC = |candidates ∩
+    truth| / |truth| (how many true matches survive into the candidate
+    set, BEFORE any verification). dedup_lsh_recall certifies the
+    post-verify detector; this certifies the blocking itself — RR is
+    the cost axis, PC the recall axis, and a scheme is only deployable
+    when both are high (RR≈0.99 / PC≈0.95 is the classic target band).
+
+    Exactness: all five counts are exact integers (truth = the lossless
+    prefix-filter pair set, memoized upstream); RR and PC are pinned
+    single-division chains with CAST(1 AS DOUBLE) (decimal-literal
+    trap).
+
+    Plan: the candidate count reuses the bucketed LSH generator, the
+    hit count is ONE pair-keyed semi join, and n·(n−1)/2 is closed-form
+    — nothing here is all-pairs; the all-pairs number appears only as
+    arithmetic."""
+    from ..registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = _lsh_candidates(_signatures(_doc_shingles(docs))).persist()
+    cand.count()  # the candidate count and the hit semi join both read it
+    truth = QUERIES["dedup_prefix_filter_jaccard"](spark, sf_dir).select(
+        "a_id", "b_id"
+    )  # pinned upstream by the registered query's memo
+    nn = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nh = truth.join(cand, ["a_id", "b_id"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    all_pairs_int = F.expr("CAST(n_docs * (n_docs - 1) DIV 2 AS BIGINT)")
+    return (
+        nn.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_docs",
+            all_pairs_int.alias("n_all_pairs"),
+            "n_cand",
+            "n_truth",
+            "n_hit",
+            (
+                F.lit(1.0)
+                - F.col("n_cand").cast("double")
+                / all_pairs_int.cast("double")
+            ).alias("reduction_ratio"),
+            (
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0))
+            ).alias("pairs_completeness"),
+        )
+    )

@@ -1275,6 +1275,66 @@ def test_prefix_filter_jaccard_is_recall_lossless(spark, sf_small):
         assert abs(got[k] - expected[k]) < 1e-9
 
 
+def test_containment_join_is_recall_lossless(spark, sf_small):
+    """The asymmetric prefix filter must return EXACTLY the brute-force
+    all-pairs result at max-direction containment >= 0.8 — lossless by
+    the overlap-prefix theorem (probe prefixes of |A| - ceil(0.8|A|) + 1
+    rarest shingles against the full index), verified against a Python
+    shingle replay, flags included."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+
+    def shingles(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return {
+            " ".join(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))
+        }
+
+    sets = {r.doc_id: shingles(r.text) for r in docs.itertuples()}
+    ids = sorted(sets)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            if max(inter / len(sa), inter / len(sb)) >= 0.8:
+                j = inter / len(sa | sb)
+                expected[(a, b)] = (
+                    round(inter / len(sa), 6),
+                    round(inter / len(sb), 6),
+                    round(j, 6),
+                    int(j < 0.5),
+                )
+
+    got = {
+        (r["a_id"], r["b_id"]): (
+            r["containment_ab"],
+            r["containment_ba"],
+            r["jaccard"],
+            r["subset_only"],
+        )
+        for r in registry.QUERIES["dedup_containment_asymmetric"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for k, exp in expected.items():
+        for g, e in zip(got[k][:3], exp[:3]):
+            assert abs(g - e) < 1e-9
+        assert got[k][3] == exp[3]
+
+
 def test_hits_scores_match_numpy_replay(spark, sf_small):
     """The 2-round max-normalized HITS iterate must match a numpy replay
     of the same quantized arithmetic, and the top authority must be a

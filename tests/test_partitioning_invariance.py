@@ -253,6 +253,8 @@ QUERIES = [
     "cvm_two_sample",               # integer squared-gap sum, 1 division
     "mann_kendall_trend",           # day-bounded sgn pairs, exact var18
     "cramers_v_assoc",              # sorted chi2 fold + sqrt normalization
+    "dedup_containment_asymmetric", # asymmetric prefix candidates, exact
+    "er_blocking_quality",          # integer pair counts, pinned divisions
 ]
 
 

@@ -332,6 +332,7 @@ HEADLINE = [
     "cramers_v_assoc",
     "dedup_containment_asymmetric",
     "er_blocking_quality",
+    "calibration_isotonic_pav",
 ]
 
 

@@ -349,6 +349,135 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Isotonic calibration (PAV) — the monotone recalibration map, computed
+# exactly via the max-min prefix-average identity over the bounded bins.
+# ---------------------------------------------------------------------------
+@query(
+    "calibration_isotonic_pav",
+    oracle=_scored_ctes()
+    + f"""
+    , bq AS (
+        SELECT greatest(least(CAST(floor(CAST(x AS DOUBLE) / {_BIN_WIDTH}.0)
+                                   AS BIGINT), {N_CALIB_BINS - 1}), 0) AS bin,
+               1 - y AS z
+        FROM sc
+    ), per_bin AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(z) AS BIGINT) AS pos
+        FROM bq GROUP BY bin
+    ), pre AS (
+        SELECT bin, n, pos,
+               CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+               CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+        FROM per_bin
+    ), inner_min AS (
+        SELECT i.bin AS bin, j.bin AS jb,
+               min(CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+                   / CAST(k.cn - (j.cn - j.n) AS DOUBLE)) AS mn
+        FROM pre i JOIN pre j ON j.bin <= i.bin
+                   JOIN pre k ON k.bin >= i.bin
+        GROUP BY i.bin, j.bin
+    ), fit AS (
+        SELECT bin, max(mn) AS iso FROM inner_min GROUP BY bin
+    )
+    SELECT p.bin, p.n AS n_docs, p.pos AS n_kept,
+           CAST(p.pos AS DOUBLE) / CAST(p.n AS DOUBLE) AS raw_rate,
+           f.iso AS isotonic_rate
+    FROM per_bin p JOIN fit f ON f.bin = p.bin
+    """,
+)
+def calibration_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic recalibration of the quality score's keep rate: the
+    nondecreasing step function closest (L2) to the observed per-bin
+    rates — what pool-adjacent-violators computes, evaluated here in
+    CLOSED FORM via the minimax identity fit_i = max_{j≤i} min_{k≥i}
+    mean(z over bins j..k). score_calibration_bins DIAGNOSES
+    miscalibration (gaps, ECE); this produces the FIX — the monotone
+    map you compose onto the score before thresholding, the standard
+    post-hoc calibrator next to Platt scaling (and the
+    distribution-free one).
+
+    Exactness: no iteration and no float accumulation — interval rates
+    are single divisions of exact integer prefix sums (correctly
+    rounded, so identical across engines), and min/max over them are
+    comparisons. The PAV pooling loop is replaced by the bounded
+    B³ = 1000-row minimax (B = {N_CALIB_BINS} bins), which is the
+    textbook-equivalent characterization of the isotonic fit.
+
+    Plan: one fact-scale 10-group rollup; everything after runs on
+    B-row frames (the triple join is B³ rows — constant at any corpus
+    size). Property-tested: the fit is nondecreasing and conserves the
+    weighted total (PAV's block-mean invariant)."""
+    sc = _scored(spark, sf_dir)
+    per_bin = (
+        sc.select(
+            F.greatest(
+                F.least(
+                    F.floor(
+                        F.col("x").cast("double") / float(_BIN_WIDTH)
+                    ).cast("long"),
+                    F.lit(N_CALIB_BINS - 1).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+            ).alias("bin"),
+            (1 - F.col("y")).alias("z"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("z").cast("long").alias("pos"),
+        )
+        .coalesce(1)
+        .persist()
+    )
+    per_bin.count()  # i/j/k aliases and the final join all read it
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = per_bin.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(wc).cast("long").alias("cn"),
+        F.sum("pos").over(wc).cast("long").alias("cp"),
+    )
+    i = pre.select(F.col("bin").alias("ib"))
+    j = pre.select(
+        F.col("bin").alias("jb"),
+        (F.col("cp") - F.col("pos")).alias("jcp0"),
+        (F.col("cn") - F.col("n")).alias("jcn0"),
+    )
+    k = pre.select(
+        F.col("bin").alias("kb"), F.col("cp").alias("kcp"), F.col("cn").alias("kcn")
+    )
+    inner = (
+        i.join(j, F.col("jb") <= F.col("ib"))
+        .join(k, F.col("kb") >= F.col("ib"))
+        .select(
+            "ib",
+            "jb",
+            (
+                (F.col("kcp") - F.col("jcp0")).cast("double")
+                / (F.col("kcn") - F.col("jcn0")).cast("double")
+            ).alias("r"),
+        )
+        .groupBy("ib", "jb")
+        .agg(F.min("r").alias("mn"))
+    )
+    fit = inner.groupBy("ib").agg(F.max("mn").alias("iso"))
+    return (
+        per_bin.join(fit, per_bin["bin"] == fit["ib"])
+        .select(
+            "bin",
+            F.col("n").alias("n_docs"),
+            F.col("pos").alias("n_kept"),
+            (F.col("pos").cast("double") / F.col("n").cast("double")).alias(
+                "raw_rate"
+            ),
+            F.col("iso").alias("isotonic_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Murphy decomposition of the Brier score: reliability / resolution /
 # uncertainty over the calibration bins.
 # ---------------------------------------------------------------------------

@@ -1275,6 +1275,28 @@ def test_prefix_filter_jaccard_is_recall_lossless(spark, sf_small):
         assert abs(got[k] - expected[k]) < 1e-9
 
 
+def test_isotonic_pav_monotone_and_mass_conserving(spark, sf_small):
+    """The minimax isotonic fit must be (a) nondecreasing in bin and
+    (b) conserve the weighted total (PAV pools blocks to their mean, so
+    sum n_b * fit_b == sum pos_b) — the two invariants that certify the
+    closed form IS the PAV solution."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["calibration_isotonic_pav"](
+            spark, sf_small
+        ).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert rows, "isotonic fit returned no bins"
+    iso = [r["isotonic_rate"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:]))
+    tot = sum(r["n_docs"] * r["isotonic_rate"] for r in rows)
+    kept = sum(r["n_kept"] for r in rows)
+    assert abs(tot - kept) < 1e-6
+
+
 def test_containment_join_is_recall_lossless(spark, sf_small):
     """The asymmetric prefix filter must return EXACTLY the brute-force
     all-pairs result at max-direction containment >= 0.8 — lossless by

@@ -255,6 +255,7 @@ QUERIES = [
     "cramers_v_assoc",              # sorted chi2 fold + sqrt normalization
     "dedup_containment_asymmetric", # asymmetric prefix candidates, exact
     "er_blocking_quality",          # integer pair counts, pinned divisions
+    "calibration_isotonic_pav",     # bounded minimax over exact prefix rates
 ]
 
 

@@ -333,6 +333,7 @@ HEADLINE = [
     "dedup_containment_asymmetric",
     "er_blocking_quality",
     "calibration_isotonic_pav",
+    "privacy_t_closeness",
 ]
 
 

@@ -2072,6 +2072,97 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# t-closeness audit — the third leg of the release-privacy triple.
+# --------------------------------------------------------------------------
+@query(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH cls AS (
+        SELECT source, n_chars // {KANON_LEN_BAND} AS len_band,
+               CAST(count(*) AS BIGINT) AS n_c
+        FROM documents GROUP BY 1, 2
+    ), lg AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS cnt_v FROM documents
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+    ), cell AS (
+        SELECT source, n_chars // {KANON_LEN_BAND} AS len_band, lang,
+               CAST(count(*) AS BIGINT) AS cnt_cv
+        FROM documents GROUP BY 1, 2, 3
+    ), grid AS (
+        SELECT c.source, c.len_band, c.n_c, l.lang, l.cnt_v, t.n,
+               coalesce(x.cnt_cv, 0) AS cnt_cv
+        FROM cls c CROSS JOIN lg l CROSS JOIN tot t
+        LEFT JOIN cell x ON x.source = c.source
+                        AND x.len_band = c.len_band AND x.lang = l.lang
+    )
+    SELECT source, len_band,
+           CAST(max(n_c) AS BIGINT) AS class_size,
+           CAST(sum(abs(cnt_cv * n - cnt_v * n_c)) AS BIGINT) AS t_num,
+           CAST(CAST(sum(abs(cnt_cv * n - cnt_v * n_c)) AS BIGINT) AS DOUBLE)
+               / CAST(2 * max(n_c) * max(n) AS BIGINT) AS t_closeness
+    FROM grid GROUP BY source, len_band
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third leg of the release-privacy triple:
+    k-anonymity bounds class SIZE, l-diversity bounds sensitive-value
+    COUNT, but a class can pass both while its sensitive distribution
+    (lang here) still differs wildly from the corpus-wide one, which is
+    itself a disclosure (the skewness attack). Per QI class
+    (source, length band — the l_diversity_audit tuple), this reports
+    the total-variation distance between the class's language mix and
+    the global mix; a t-close release requires every class's distance
+    ≤ t (0.15–0.2 is the usual policy band).
+
+    Exactness: TV = ½ Σ_v |p_c(v) − p(v)| clears denominators to the
+    INTEGER Σ_v |cnt_cv·n − cnt_v·n_c| (order-free sum), divided once
+    by the exact integer 2·n_c·n — bit-identical engines. Absent
+    (class, lang) cells enter as cnt_cv = 0 via the grid, which the TV
+    sum requires.
+
+    Plan: three fact-scale rollups (class, lang, cell) then a
+    classes × langs grid — both sides are ROLLUP-sized (QI classes and
+    the language inventory), so the grid is metadata-scale at 100 TB;
+    the cell join is broadcast-able and the final rollup is per-class."""
+    docs = load_table(spark, sf_dir, "documents")
+    lb = F.expr(f"n_chars DIV {KANON_LEN_BAND}")
+    cls = docs.groupBy("source", lb.alias("len_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    lg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_v")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cell = docs.groupBy(
+        "source", lb.alias("len_band"), "lang"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt_cv"))
+    grid = (
+        cls.crossJoin(F.broadcast(lg))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cell), ["source", "len_band", "lang"], "left")
+        .select(
+            "source",
+            "len_band",
+            "n_c",
+            "cnt_v",
+            "n",
+            F.coalesce(F.col("cnt_cv"), F.lit(0)).alias("cnt_cv"),
+        )
+    )
+    term = F.abs(F.col("cnt_cv") * F.col("n") - F.col("cnt_v") * F.col("n_c"))
+    return grid.groupBy("source", "len_band").agg(
+        F.max("n_c").cast("long").alias("class_size"),
+        F.sum(term).cast("long").alias("t_num"),
+        (
+            F.sum(term).cast("long").cast("double")
+            / (F.lit(2) * F.max("n_c") * F.max("n")).cast("long")
+        ).alias("t_closeness"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Population-stability index: per-source drift of the document-length
 # distribution against the pooled corpus — the standard ML-monitoring
 # drift number.

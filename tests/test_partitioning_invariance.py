@@ -256,6 +256,7 @@ QUERIES = [
     "dedup_containment_asymmetric", # asymmetric prefix candidates, exact
     "er_blocking_quality",          # integer pair counts, pinned divisions
     "calibration_isotonic_pav",     # bounded minimax over exact prefix rates
+    "privacy_t_closeness",          # integer TV numerators over class grid
 ]
 
 

@@ -334,6 +334,9 @@ HEADLINE = [
     "er_blocking_quality",
     "calibration_isotonic_pav",
     "privacy_t_closeness",
+    "packing_waste_curve",
+    "incremental_join_delta",
+    "heaps_law_fit",
 ]
 
 

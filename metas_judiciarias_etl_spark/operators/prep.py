@@ -144,6 +144,97 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_CURVE_BUDGETS = (512, 1024, 2048, 4096)
+
+
+@query(
+    "packing_waste_curve",
+    oracle=f"""
+    WITH est AS (
+        SELECT doc_id, source,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, source, est_tokens,
+               sum(est_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM est
+    ), ls AS (
+        SELECT unnest([{", ".join(str(b) for b in PACK_CURVE_BUDGETS)}]) AS l
+    ), packs AS (
+        SELECT ls.l, source,
+               CAST((cum_tokens - est_tokens) // ls.l AS BIGINT) AS pack_id,
+               CAST(sum(est_tokens) AS BIGINT) AS pt
+        FROM cum CROSS JOIN ls
+        GROUP BY ls.l, source, ((cum_tokens - est_tokens) // ls.l)
+    )
+    SELECT l,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(pt) AS BIGINT) AS total_tokens,
+           CAST(sum((pt + l - 1) // l) AS BIGINT) AS n_sequences,
+           CAST(sum(((pt + l - 1) // l) * l - pt) AS BIGINT) AS pad_tokens,
+           CAST(CAST(sum(((pt + l - 1) // l) * l - pt) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(sum((pt + l - 1) // l) AS BIGINT) * l AS BIGINT)
+               AS pad_share
+    FROM packs GROUP BY l
+    """,
+)
+def packing_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste curve over context lengths: run pack_sequences'
+    greedy doc-boundary packing at L ∈ {PACK_CURVE_BUDGETS}, chop each
+    pack into ⌈tokens/L⌉ fixed-length training sequences, and report
+    the padding share 1 − tokens/(sequences·L) per L — the number that
+    actually picks a context length for a corpus (short contexts waste
+    little but truncate documents; long contexts pad heavily when packs
+    land just past a boundary). One row per L.
+
+    Exactness: everything up to pad_share is integer arithmetic
+    (ceil-division via (pt + l − 1) // l); pad_share is one division of
+    exact integers.
+
+    Plan: the per-source running-token window (pack_sequences' shape)
+    computes ONCE and is shared by all four L values via a 4-row
+    broadcast cross join — the curve costs one window pass plus four
+    rollup groups, not four packings."""
+    docs = load_table(spark, sf_dir, "documents")
+    est = docs.select(
+        "doc_id",
+        "source",
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("est_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = est.withColumn("cum_tokens", F.sum("est_tokens").over(w))
+    ls = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(b) for b in PACK_CURVE_BUDGETS])
+        ).alias("l")
+    )
+    packs = (
+        cum.crossJoin(F.broadcast(ls))
+        .groupBy(
+            "l",
+            "source",
+            F.expr("(cum_tokens - est_tokens) div l").alias("pack_id"),
+        )
+        .agg(F.sum("est_tokens").cast("long").alias("pt"))
+    )
+    seqs = F.expr("(pt + l - 1) div l")
+    return packs.groupBy("l").agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum("pt").cast("long").alias("total_tokens"),
+        F.sum(seqs).cast("long").alias("n_sequences"),
+        F.sum(seqs * F.col("l") - F.col("pt")).cast("long").alias("pad_tokens"),
+        (
+            F.sum(seqs * F.col("l") - F.col("pt")).cast("long").cast("double")
+            / (F.sum(seqs).cast("long") * F.col("l")).cast("long")
+        ).alias("pad_share"),
+    )
+
+
 def _mix_oracle() -> str:
     from ..functions.hashing import sql_hash48
 

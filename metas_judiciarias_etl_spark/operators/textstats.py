@@ -2036,6 +2036,159 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Heaps' law fit over the growth curve: V(n) ≈ K·n^β.
+# ---------------------------------------------------------------------------
+@query(
+    "heaps_law_fit",
+    oracle=f"""
+    WITH tokc AS (
+        SELECT source, CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS n_tok
+        FROM documents GROUP BY source
+    ), tok AS (
+        SELECT DISTINCT source, unnest({_GROWTH_SHINGLES}) AS token
+        FROM documents
+    ), ranks AS (
+        SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT)
+                   AS rank
+        FROM (SELECT DISTINCT source FROM documents)
+    ), firstr AS (
+        SELECT t.token, min(r.rank) AS fr
+        FROM tok t JOIN ranks r USING (source) GROUP BY t.token
+    ), new_per AS (
+        SELECT fr, CAST(count(*) AS BIGINT) AS n_new FROM firstr GROUP BY fr
+    ), curve AS (
+        SELECT r.rank, r.source,
+               CAST(sum(coalesce(n.n_new, 0)) OVER (
+                   ORDER BY r.rank ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_vocab
+        FROM ranks r LEFT JOIN new_per n ON n.fr = r.rank
+    ), pts AS (
+        SELECT c.rank,
+               CAST(sum(t.n_tok) OVER (
+                   ORDER BY c.rank ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_tok,
+               c.cum_vocab
+        FROM curve c JOIN tokc t ON t.source = c.source
+    ), l AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               list_sort(list(struct_pack(rank := rank, x := cum_tok,
+                                          y := cum_vocab))) AS lst
+        FROM pts
+    ), f AS (
+        SELECT m,
+               list_reduce([0.0] || list_transform(lst,
+                   s -> ln(CAST(s.x AS DOUBLE))), (a, b) -> a + b) AS sx,
+               list_reduce([0.0] || list_transform(lst,
+                   s -> ln(CAST(s.y AS DOUBLE))), (a, b) -> a + b) AS sy,
+               list_reduce([0.0] || list_transform(lst,
+                   s -> ln(CAST(s.x AS DOUBLE))
+                        * ln(CAST(s.y AS DOUBLE))), (a, b) -> a + b) AS sxy,
+               list_reduce([0.0] || list_transform(lst,
+                   s -> ln(CAST(s.x AS DOUBLE))
+                        * ln(CAST(s.x AS DOUBLE))), (a, b) -> a + b) AS sxx
+        FROM l
+    )
+    SELECT m AS n_points,
+           round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS heaps_beta,
+           round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 6)
+               AS ln_k
+    FROM f
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: OLS of ln(cumulative phrase
+    vocabulary) on ln(cumulative tokens) over the per-source growth
+    curve — V(n) ≈ K·n^β, with natural corpora near β ≈ 0.4–0.6. The
+    single-number summary of vocab_growth_curve: β near 1 means every
+    source still introduces phrasing at full rate (keep acquiring);
+    β collapsing toward 0 means the corpus has saturated. ln K is
+    reported directly instead of K (the exp-determinism rule: runtime
+    exp is 1 ulp across engines; ln and the fit stay on certified
+    ground).
+
+    Determinism: the text_zipf_slope discipline — all four OLS moments
+    fold in sorted rank order with a 0.0 seed over the ≤|sources|-row
+    curve; 6-dp rounds on the two outputs.
+
+    Plan: the two fact-scale passes are the token-count rollup and the
+    growth curve's distinct (source, shingle) aggs; everything after is
+    |sources|-row windows and one bounded fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokc = docs.select(
+        "source", F.size(tokens(F.col("text"))).alias("nt")
+    ).groupBy("source").agg(F.sum("nt").cast("long").alias("n_tok"))
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.array_distinct(_word_shingles(tokens(F.col("text")), 3))
+        ).alias("token"),
+    ).distinct()
+    ranks = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy("source")).cast("long"),
+        )
+    )
+    firstr = (
+        tok.join(F.broadcast(ranks), "source")
+        .groupBy("token")
+        .agg(F.min("rank").alias("fr"))
+    )
+    new_per = firstr.groupBy("fr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    wc = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        ranks.join(F.broadcast(new_per), ranks["rank"] == new_per["fr"], "left")
+        .select(
+            "rank",
+            "source",
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+        )
+        .join(F.broadcast(tokc), "source")
+        .select(
+            "rank",
+            F.sum("n_tok").over(wc).cast("long").alias("x"),
+            F.sum("n_new").over(wc).cast("long").alias("y"),
+        )
+    )
+    g = curve.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sort_array(F.collect_list(F.struct("rank", "x", "y"))).alias("lst"),
+    )
+
+    def _fold(term: str):
+        return F.expr(
+            f"aggregate(transform(lst, s -> {term}),"
+            " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        )
+
+    f = g.select(
+        "m",
+        _fold("ln(CAST(s.x AS DOUBLE))").alias("sx"),
+        _fold("ln(CAST(s.y AS DOUBLE))").alias("sy"),
+        _fold("ln(CAST(s.x AS DOUBLE)) * ln(CAST(s.y AS DOUBLE))").alias(
+            "sxy"
+        ),
+        _fold("ln(CAST(s.x AS DOUBLE)) * ln(CAST(s.x AS DOUBLE))").alias(
+            "sxx"
+        ),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return f.select(
+        F.col("m").alias("n_points"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("m"), 6
+        ).alias("ln_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-source stupid-backoff trigram score: held-out fluency per source.
 # ---------------------------------------------------------------------------
 _SB_ALPHA = "0.4"  # the stupid-backoff discount, as a shared literal

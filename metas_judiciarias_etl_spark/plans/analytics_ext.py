@@ -1030,6 +1030,114 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental JOIN maintenance: the four-term delta identity.
+# --------------------------------------------------------------------------
+@query(
+    "incremental_join_delta",
+    oracle="""
+    WITH o_old AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 10 <> 0
+    ), o_new AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0
+    ), l_old AS (
+        SELECT l_orderkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem WHERE l_linenumber % 4 <> 0
+    ), l_new AS (
+        SELECT l_orderkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem WHERE l_linenumber % 4 = 0
+    ), terms AS (
+        SELECT 'full' AS term, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(coalesce(sum(l.cents), 0) AS BIGINT) AS cents
+        FROM orders o
+        JOIN (SELECT l_orderkey,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem) l
+          ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'old_old', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(l.cents), 0) AS BIGINT)
+        FROM o_old o JOIN l_old l ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'delta_old', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(l.cents), 0) AS BIGINT)
+        FROM o_new o JOIN l_old l ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'old_delta', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(l.cents), 0) AS BIGINT)
+        FROM o_old o JOIN l_new l ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'delta_delta', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(l.cents), 0) AS BIGINT)
+        FROM o_new o JOIN l_new l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT term, n_rows, cents FROM terms
+    UNION ALL
+    SELECT 'reconstructed',
+           CAST(sum(n_rows) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM terms WHERE term <> 'full'
+    """,
+)
+def incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for JOINs, certified by the delta
+    identity: with A = A_old ∪ ΔA and B = B_old ∪ ΔB (disjoint
+    hash-derived splits of orders and lineitem),
+    A⋈B = (A_old⋈B_old) ∪ (ΔA⋈B_old) ∪ (A_old⋈ΔB) ∪ (ΔA⋈ΔB). The
+    'reconstructed' row sums the four delta terms and must equal the
+    'full' row in both row count and exact revenue cents — the algebra
+    every incremental pipeline (CDC join views, streaming joins,
+    lakehouse MERGE) silently relies on, here made into a checked,
+    regression-testable surface next to incremental_agg_merge's
+    aggregate leg. At 100 TB the point is the three delta terms touch
+    |Δ|-proportional data; only the certification run pays the full
+    join.
+
+    Exactness: all six rows are integer counts + exact integer cents —
+    no floats anywhere.
+
+    Plan: four key-equi joins (the same shuffle key, so co-partitioning
+    is reused) plus the full join; 1-row aggregates union into the
+    6-row report. Property: full == reconstructed, asserted both by the
+    oracle comparison and a dedicated test."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    o_old = orders.filter(F.expr("o_orderkey % 10 <> 0"))
+    o_new = orders.filter(F.expr("o_orderkey % 10 = 0"))
+    l_old = li.filter(F.expr("l_linenumber % 4 <> 0"))
+    l_new = li.filter(F.expr("l_linenumber % 4 = 0"))
+
+    def term(name: str, o: DataFrame, l: DataFrame) -> DataFrame:
+        return (
+            o.join(l, o["o_orderkey"] == l["l_orderkey"])
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.coalesce(F.sum("cents"), F.lit(0))
+                .cast("long")
+                .alias("cents"),
+            )
+            .select(F.lit(name).alias("term"), "n_rows", "cents")
+        )
+
+    deltas = (
+        term("old_old", o_old, l_old)
+        .unionByName(term("delta_old", o_new, l_old))
+        .unionByName(term("old_delta", o_old, l_new))
+        .unionByName(term("delta_delta", o_new, l_new))
+    )
+    full = term("full", orders, li)
+    recon = deltas.agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents"),
+    ).select(F.lit("reconstructed").alias("term"), "n_rows", "cents")
+    return full.unionByName(deltas).unionByName(recon)
+
+
+# --------------------------------------------------------------------------
 # Snapshot diff / reconciliation: added, removed, changed per key.
 # --------------------------------------------------------------------------
 @query(

@@ -1275,6 +1275,27 @@ def test_prefix_filter_jaccard_is_recall_lossless(spark, sf_small):
         assert abs(got[k] - expected[k]) < 1e-9
 
 
+def test_incremental_join_delta_identity(spark, sf_small):
+    """A⋈B must equal the union of the four delta terms exactly — row
+    count AND revenue cents — for disjoint base/delta splits (the IVM
+    identity incremental join views rely on)."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    rows = {
+        r["term"]: (r["n_rows"], r["cents"])
+        for r in registry.QUERIES["incremental_join_delta"](
+            spark, sf_small
+        ).collect()
+    }
+    assert rows["full"] == rows["reconstructed"]
+    assert rows["full"][0] == sum(
+        rows[t][0]
+        for t in ("old_old", "delta_old", "old_delta", "delta_delta")
+    )
+    assert all(v[0] > 0 for v in rows.values()), "a delta term is empty"
+
+
 def test_isotonic_pav_monotone_and_mass_conserving(spark, sf_small):
     """The minimax isotonic fit must be (a) nondecreasing in bin and
     (b) conserve the weighted total (PAV pools blocks to their mean, so

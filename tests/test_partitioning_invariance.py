@@ -257,6 +257,9 @@ QUERIES = [
     "er_blocking_quality",          # integer pair counts, pinned divisions
     "calibration_isotonic_pav",     # bounded minimax over exact prefix rates
     "privacy_t_closeness",          # integer TV numerators over class grid
+    "packing_waste_curve",          # shared window + integer ceil-div packs
+    "incremental_join_delta",       # exact counts/cents across 4 key joins
+    "heaps_law_fit",                # sorted ln-ln OLS folds over the curve
 ]
 
 

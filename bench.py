@@ -337,6 +337,7 @@ HEADLINE = [
     "packing_waste_curve",
     "incremental_join_delta",
     "heaps_law_fit",
+    "deletion_cascade_audit",
 ]
 
 

@@ -2163,6 +2163,100 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Right-to-be-forgotten purge sizing: the FK cascade, counted exactly.
+# --------------------------------------------------------------------------
+FORGET_MOD = 97  # deterministic ~1% forget-set: key % 97 == 0
+
+
+@query(
+    "deletion_cascade_audit",
+    oracle=f"""
+    WITH fc AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % {FORGET_MOD} = 0
+    ), fo AS (
+        SELECT o.o_orderkey FROM orders o
+        WHERE EXISTS (SELECT 1 FROM fc WHERE fc.c_custkey = o.o_custkey)
+    ), stats AS (
+        SELECT 'customer' AS tbl,
+               CAST((SELECT count(*) FROM fc) AS BIGINT) AS n_purged,
+               CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total
+        UNION ALL
+        SELECT 'orders',
+               CAST((SELECT count(*) FROM fo) AS BIGINT),
+               CAST((SELECT count(*) FROM orders) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem',
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE EXISTS (SELECT 1 FROM fo
+                                   WHERE fo.o_orderkey = l.l_orderkey))
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+        UNION ALL
+        SELECT 'events',
+               CAST((SELECT count(*) FROM events
+                     WHERE user_id % {FORGET_MOD} = 0) AS BIGINT),
+               CAST((SELECT count(*) FROM events) AS BIGINT)
+    )
+    SELECT tbl, n_purged, n_total,
+           CAST(n_purged AS DOUBLE) / CAST(n_total AS DOUBLE) AS purge_share
+    FROM stats
+    """,
+)
+def deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge sizing: given a deterministic ~1%
+    forget-set of customers (key % {FORGET_MOD} == 0), count exactly
+    what a compliant deletion touches — the customer rows themselves,
+    their orders (FK cascade), those orders' lineitems (second-level
+    cascade), and the users' event streams — with each table's purge
+    share. This is the operational number a GDPR/LGPD erasure run needs
+    BEFORE executing: what fraction of each table rewrites (on
+    copy-on-write storage, purge share ≈ write amplification; compare
+    cow_write_amplification).
+
+    Exactness: four exact counts + totals; one division per row.
+
+    Plan: the cascade levels are key-equi semi joins (customer→orders
+    on custkey, orders→lineitem on orderkey) — each FK edge is one
+    bucketed-joinable shuffle, never a scan per forgotten user; the
+    events leg is a pushed-down scan predicate. At 100 TB the semi
+    joins broadcast the (tiny) forget frontier."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    fc = cust.filter(F.expr(f"c_custkey % {FORGET_MOD} = 0")).select(
+        "c_custkey"
+    )
+    fo = orders.join(
+        F.broadcast(fc), orders["o_custkey"] == fc["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+
+    def row(name: str, purged: DataFrame, total: DataFrame) -> DataFrame:
+        n_p = purged.agg(F.count(F.lit(1)).cast("long").alias("n_purged"))
+        n_t = total.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        return n_p.crossJoin(F.broadcast(n_t)).select(
+            F.lit(name).alias("tbl"),
+            "n_purged",
+            "n_total",
+            (
+                F.col("n_purged").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("purge_share"),
+        )
+
+    fl = li.join(
+        F.broadcast(fo), li["l_orderkey"] == fo["o_orderkey"], "left_semi"
+    )
+    fe = ev.filter(F.expr(f"user_id % {FORGET_MOD} = 0"))
+    return (
+        row("customer", fc, cust)
+        .unionByName(row("orders", fo, orders))
+        .unionByName(row("lineitem", fl, li))
+        .unionByName(row("events", fe, ev))
+    )
+
+
+# --------------------------------------------------------------------------
 # Population-stability index: per-source drift of the document-length
 # distribution against the pooled corpus — the standard ML-monitoring
 # drift number.

@@ -260,6 +260,7 @@ QUERIES = [
     "packing_waste_curve",          # shared window + integer ceil-div packs
     "incremental_join_delta",       # exact counts/cents across 4 key joins
     "heaps_law_fit",                # sorted ln-ln OLS folds over the curve
+    "deletion_cascade_audit",       # FK-cascade semi-join integer counts
 ]
 
 

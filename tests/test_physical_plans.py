@@ -1652,3 +1652,31 @@ def test_atkinson_single_pass(spark, sf):
     assert (
         "ReadSchema: struct<o_custkey:bigint,o_totalprice:double>" in fmt
     )
+
+
+def test_registry_wide_no_cartesian_no_row_python(spark, sf):
+    """The GLOBAL anti-pattern audit: every registered query's physical
+    plan must contain (a) no CartesianProduct — broadcast nested-loop
+    joins of tiny aggregates are the sanctioned scalar pattern, a true
+    cartesian is never acceptable — and (b) no row-at-a-time Python
+    evaluation (BatchEvalPython); only Arrow-batched forms
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) may appear.
+    Unlike the per-query pins above, this covers every FUTURE query
+    automatically. Plan building executes the eager memo/persist side
+    effects at sf0.001, so the sweep costs ~2-3 min, not hours."""
+    from metas_judiciarias_etl_spark import memo
+
+    bad_cart, bad_py = [], []
+    try:
+        for name in sorted(registry.QUERIES):
+            plan = _plan(registry.QUERIES[name](spark, sf))
+            if "CartesianProduct" in plan:
+                bad_cart.append(name)
+            low = plan.lower()
+            if "batchevalpython" in low:
+                bad_py.append(name)
+    finally:
+        memo.clear(spark)
+        spark.catalog.clearCache()
+    assert not bad_cart, f"cartesian products in: {bad_cart}"
+    assert not bad_py, f"row-at-a-time Python UDFs in: {bad_py}"

@@ -90,3 +90,42 @@ def test_bench_headline_names_all_registered():
     registry.load_all()
     missing = [n for n in bench.HEADLINE if n not in registry.QUERIES]
     assert not missing, f"headline entries not in registry: {missing}"
+
+
+PIPE_SQL = """
+FROM lineitem
+|> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+|> AGGREGATE round(sum(l_quantity), 2) AS sum_qty,
+             count(*) AS count_order
+   GROUP BY l_returnflag, l_linestatus
+|> ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def test_sql_pipe_syntax_matches_standard_form(spark, sf_small):
+    """Spark 4's SQL pipe syntax (FROM ... |> WHERE ... |> AGGREGATE) must
+    produce row-identical results to the standard SELECT form — the
+    surface a user migrating incremental pipe-style queries relies on.
+    Also pins that the piped WHERE still reaches the parquet scan as a
+    pushed filter (pipe syntax desugars before Catalyst, so pushdown
+    must survive)."""
+    sql = open_sql(spark, sf_small)
+    piped = sql(PIPE_SQL)
+    std = sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+    assert [tuple(r) for r in piped.collect()] == [
+        tuple(r) for r in std.collect()
+    ]
+    fmt = piped.sparkSession.sparkContext._jvm.PythonSQLUtils.explainString(
+        piped._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in fmt and "l_shipdate" in fmt.split("PushedFilters")[1].split("]")[0]

@@ -338,6 +338,8 @@ HEADLINE = [
     "incremental_join_delta",
     "heaps_law_fit",
     "deletion_cascade_audit",
+    "krippendorff_alpha_nominal",
+    "source_budget_allocation",
 ]
 
 

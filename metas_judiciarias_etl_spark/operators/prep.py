@@ -1303,3 +1303,107 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         mix.alias("mix_share"),
         (mix / nat).alias("epochs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-greedy token-budget allocation across sources: the data-mix
+# planning step that turns quality scores into an acquisition decision.
+# --------------------------------------------------------------------------
+ALLOC_BUDGET = 20_000  # token budget to fill
+
+
+def _alloc_oracle() -> str:
+    quality_cte = registry.ORACLES["text_quality"]
+    return f"""
+    WITH q AS ({quality_cte}),
+    src AS (
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(CAST(round(q.quality * 1000000) AS BIGINT))
+                    AS BIGINT) AS qx
+        FROM q JOIN documents d USING (doc_id)
+        WHERE q.quality IS NOT NULL
+        GROUP BY d.source
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   ORDER BY CAST(qx AS DOUBLE) / n_docs DESC, source
+               ) AS rnk
+        FROM src
+    ), cum AS (
+        SELECT *,
+               CAST(coalesce(sum(total_tokens) OVER (
+                   ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM ranked
+    )
+    SELECT rnk AS rank, source, n_docs, total_tokens,
+           round(CAST(qx AS DOUBLE) / n_docs / CAST(1000000 AS DOUBLE), 6)
+               AS avg_quality,
+           CAST(greatest(0, least(total_tokens,
+                                  {ALLOC_BUDGET} - cum_before))
+                AS BIGINT) AS allocated_tokens
+    FROM cum
+    """
+
+
+@query("source_budget_allocation", oracle=_alloc_oracle())
+def source_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-greedy token-budget allocation: rank sources by mean
+    quality (ties to the lexicographically first source), then fill a
+    fixed token budget best-source-first — full sources until the
+    boundary source takes the remainder, zero after. This is the
+    planning table behind a data-mix decision ("which sources make the
+    cut at N tokens, and who is on the bubble"); source_temperature_mix
+    SOFTENS a mix, this PICKS one under a hard budget.
+
+    Exactness: per-source token totals and the fixed-point quality sums
+    are exact integers; the ranking key is ONE division of exact ints
+    (correctly rounded → identical across engines, ties broken by
+    source); the allocation is integer clamp arithmetic over an integer
+    prefix sum. avg_quality is reported via pinned divisions + a 6-dp
+    round.
+
+    Plan: one fact-scale quality join + source rollup, then
+    |sources|-row window/prefix work — constant post-rollup cost."""
+    q = text_quality(spark, sf_dir).filter(F.col("quality").isNotNull())
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    src = (
+        q.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.expr("CAST(round(quality * 1000000) AS BIGINT)"))
+            .cast("long")
+            .alias("qx"),
+        )
+    )
+    qavg = F.col("qx").cast("double") / F.col("n_docs")
+    ranked = src.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(qavg.desc(), "source"))
+    )
+    wb = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, -1)
+    cum = ranked.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("total_tokens").over(wb), F.lit(0)).cast("long"),
+    )
+    return cum.select(
+        F.col("rnk").alias("rank"),
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(qavg / F.expr("CAST(1000000 AS DOUBLE)"), 6).alias(
+            "avg_quality"
+        ),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(
+                F.col("total_tokens"),
+                F.lit(ALLOC_BUDGET) - F.col("cum_before"),
+            ),
+        )
+        .cast("long")
+        .alias("allocated_tokens"),
+    )

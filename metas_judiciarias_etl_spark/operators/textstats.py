@@ -3246,3 +3246,93 @@ def holm_fwer_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bh_rejected",
         F.min("ok").over(wcum).cast("int").alias("holm_rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha (nominal, two raters) — the agreement coefficient
+# that generalizes when kappa's two-rater/no-missing frame doesn't.
+# ---------------------------------------------------------------------------
+def _krippendorff_oracle() -> str:
+    return f"""
+    WITH {_agreement_cells_sql()},
+    t AS (
+        SELECT CAST(sum(nij) AS BIGINT) AS n_units,
+               CAST(sum(CASE WHEN lang_label = lang_pred THEN nij
+                        ELSE 0 END) AS BIGINT) AS agree
+        FROM cells
+    ), m AS (
+        SELECT l, CAST(sum(c) AS BIGINT) AS m_l FROM (
+            SELECT lang_label AS l, CAST(sum(nij) AS BIGINT) AS c
+            FROM cells GROUP BY lang_label
+            UNION ALL
+            SELECT lang_pred AS l, CAST(sum(nij) AS BIGINT) AS c
+            FROM cells GROUP BY lang_pred
+        ) GROUP BY l
+    ), s AS (
+        SELECT CAST(sum(m_l * m_l) AS BIGINT) AS sum_m2 FROM m
+    )
+    SELECT t.n_units, t.agree,
+           CAST(1 AS DOUBLE)
+               - CAST((2 * t.n_units - 1)
+                      * (2 * (t.n_units - t.agree)) AS BIGINT)
+                 / CAST(4 * t.n_units * t.n_units - s.sum_m2 AS BIGINT)
+               AS alpha
+    FROM t CROSS JOIN s
+    """
+
+
+@query("krippendorff_alpha_nominal", oracle=_krippendorff_oracle())
+def krippendorff_alpha_nominal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) for the language-ID
+    classifier vs the corpus labels, treated as two raters over N
+    units: α = 1 − D_o/D_e with the coincidence-matrix disagreement
+    D_o and the marginal-expected D_e. Alongside Cohen's kappa this is
+    THE standard annotation-quality number (it generalizes to missing
+    data and >2 raters, and its chance model uses the POOLED marginals
+    where kappa uses per-rater ones — on skewed label mixes the two
+    genuinely differ, which is why labeling projects report both).
+
+    Exactness: with n = 2N pairable values, α rearranges to
+    1 − (n−1)·Σ_{{c≠k}}o_ck / (n² − Σ_c m_c²) where o is the symmetric
+    coincidence matrix (Σ_{{c≠k}}o_ck = 2(N − agree)) and m_c the pooled
+    label marginals — ALL integers, one division, one subtraction.
+
+    Plan: the registered confusion pass, two marginal rollups unioned
+    on the label key (label-cardinality-bounded), a 1-row meet."""
+    from ..registry import QUERIES
+
+    cells = QUERIES["text_lang_confusion"](spark, sf_dir).select(
+        "lang_label", "lang_pred", F.col("n_docs").cast("long").alias("nij")
+    )
+    t = cells.agg(
+        F.sum("nij").cast("long").alias("n_units"),
+        F.sum(
+            F.when(F.col("lang_label") == F.col("lang_pred"), F.col("nij"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("agree"),
+    )
+    a = cells.groupBy(F.col("lang_label").alias("l")).agg(
+        F.sum("nij").cast("long").alias("c")
+    )
+    b = cells.groupBy(F.col("lang_pred").alias("l")).agg(
+        F.sum("nij").cast("long").alias("c")
+    )
+    m = a.unionByName(b).groupBy("l").agg(
+        F.sum("c").cast("long").alias("m_l")
+    )
+    s = m.agg(F.sum(F.col("m_l") * F.col("m_l")).cast("long").alias("sum_m2"))
+    do_num = (
+        (2 * F.col("n_units") - 1) * (2 * (F.col("n_units") - F.col("agree")))
+    ).cast("long")
+    de_num = (4 * F.col("n_units") * F.col("n_units") - F.col("sum_m2")).cast(
+        "long"
+    )
+    return t.crossJoin(F.broadcast(s)).select(
+        "n_units",
+        "agree",
+        (
+            F.lit(1.0) - do_num.cast("double") / de_num.cast("double")
+        ).alias("alpha"),
+    )

@@ -261,6 +261,8 @@ QUERIES = [
     "incremental_join_delta",       # exact counts/cents across 4 key joins
     "heaps_law_fit",                # sorted ln-ln OLS folds over the curve
     "deletion_cascade_audit",       # FK-cascade semi-join integer counts
+    "krippendorff_alpha_nominal",   # pooled-marginal integer coincidences
+    "source_budget_allocation",     # exact-int ranking + prefix-sum clamp
 ]
 
 

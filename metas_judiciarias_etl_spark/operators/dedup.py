@@ -172,6 +172,11 @@ def _lsh_candidates(mh: DataFrame, bucket_cap: int = BUCKET_CAP, bands: int = BA
 def _pair_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
     a = shingled.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
     b = shingled.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    # |A∪B| = |A| + |B| − |A∩B| exactly (shingle arrays are distinct by
+    # construction): skips materializing the union array per pair — the
+    # verify bill is output-pair-proportional, so on dup-heavy corpora
+    # this is the hot loop (measured on the 10x probe, SCALE.md r5).
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
     return (
         pairs.join(a, "a_id")
         .join(b, "b_id")
@@ -179,8 +184,8 @@ def _pair_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
             "a_id",
             "b_id",
             (
-                F.size(F.array_intersect("a_sh", "b_sh"))
-                / F.size(F.array_union("a_sh", "b_sh"))
+                inter
+                / (F.size("a_sh") + F.size("b_sh") - inter)
             ).alias("jaccard"),
         )
     )
@@ -1478,12 +1483,14 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         hb = hashed.select(
             F.col("doc_id").alias("b_id"), F.col("hsh").alias("b_h")
         )
+        inter_bs = F.size(F.array_intersect("a_h", "b_h"))
         n_pairs = (
             cand.join(ha, "a_id")
             .join(hb, "b_id")
             .filter(
-                F.size(F.array_intersect("a_h", "b_h"))
-                / F.size(F.array_union("a_h", "b_h"))
+                # |A∪B| via the size identity (hashed sets are distinct):
+                # the candidate-flood scheme pays this per pair
+                inter_bs / (F.size("a_h") + F.size("b_h") - inter_bs)
                 >= JACCARD_THRESHOLD
             )
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
@@ -1775,6 +1782,7 @@ def _er_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed.count()  # both sides of the verify join read it
     ha = hashed.select(F.col("doc_id").alias("a_id"), F.col("hsh").alias("a_h"))
     hb = hashed.select(F.col("doc_id").alias("b_id"), F.col("hsh").alias("b_h"))
+    inter_er = F.size(F.array_intersect("a_h", "b_h"))
     ver = (
         cand.join(ha, "a_id")
         .join(hb, "b_id")
@@ -1782,8 +1790,8 @@ def _er_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_id",
             "b_id",
             (
-                F.size(F.array_intersect("a_h", "b_h"))
-                / F.size(F.array_union("a_h", "b_h"))
+                # size identity for |A∪B| — hashed sets are distinct
+                inter_er / (F.size("a_h") + F.size("b_h") - inter_er)
                 >= JACCARD_THRESHOLD
             )
             .cast("int")
@@ -2343,7 +2351,7 @@ def dedup_containment_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("a_s", "b_s"))
     c_ab = inter / F.size("a_s")
     c_ba = inter / F.size("b_s")
-    jac = inter / F.size(F.array_union("a_s", "b_s"))
+    jac = inter / (F.size("a_s") + F.size("b_s") - inter)
     return (
         cand.join(sa, "a_id")
         .join(sb, "b_id")

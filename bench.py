@@ -340,6 +340,7 @@ HEADLINE = [
     "deletion_cascade_audit",
     "krippendorff_alpha_nominal",
     "source_budget_allocation",
+    "dedup_containment_minhash_error",
 ]
 
 

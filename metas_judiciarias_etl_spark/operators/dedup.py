@@ -2461,3 +2461,107 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pairs_completeness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment-from-MinHash calibration: the asymmetric sibling of
+# dedup_minhash_estimate_error.
+# ---------------------------------------------------------------------------
+def _containment_minhash_oracle() -> str:
+    agree = " + ".join(
+        f"CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    return (
+        _minhash_oracle_ctes()
+        + f"""
+    , scored_cm AS (
+        SELECT c.a_id, c.b_id,
+               CAST({agree} AS BIGINT) AS n_agree,
+               CAST(len(sa.shingles) AS BIGINT) AS sz_a,
+               CAST(len(sb.shingles) AS BIGINT) AS sz_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles))
+                    AS BIGINT) AS inter
+        FROM cand c
+        JOIN mh ma ON ma.doc_id = c.a_id
+        JOIN mh mb ON mb.doc_id = c.b_id
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id
+    )
+    SELECT a_id, b_id, n_agree, sz_a, sz_b,
+           CAST(n_agree * (sz_a + sz_b) AS DOUBLE)
+               / CAST(({NUM_HASHES} + n_agree) * sz_a AS BIGINT)
+               AS est_containment_ab,
+           round(CAST(inter AS DOUBLE) / sz_a, 6) AS exact_containment_ab,
+           round(abs(CAST(n_agree * (sz_a + sz_b) AS DOUBLE)
+                         / CAST(({NUM_HASHES} + n_agree) * sz_a AS BIGINT)
+                     - round(CAST(inter AS DOUBLE) / sz_a, 6)), 6)
+               AS abs_err
+    FROM scored_cm
+    """
+    )
+
+
+@query("dedup_containment_minhash_error", oracle=_containment_minhash_oracle())
+def dedup_containment_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment ESTIMATED from MinHash, calibrated against the exact
+    value — the asymmetric sibling of dedup_minhash_estimate_error.
+    Containment derives from Jaccard and the (cheaply known) set sizes
+    by exact algebra: c(A→B) = J·(|A|+|B|) / ((1+J)·|A|); substituting
+    the signature estimate Ĵ = n_agree/k gives
+    ĉ = n_agree·(|A|+|B|) / ((k+n_agree)·|A|) — a SINGLE division of
+    pure integers, no intermediate float J. The error table answers
+    whether the detector's signatures can rank quote-inclusion
+    candidates without paying the exact intersection (at k = 9: no —
+    same conclusion as the symmetric calibration, now measured for the
+    asymmetric question too).
+
+    Exactness: n_agree is integer equality on affine-min values both
+    engines compute identically; sizes and intersections are exact
+    integers; every reported number is one pinned division (6-dp rounds
+    on the exact value and the error).
+
+    Plan: the detector's own signature and shingle tables (memoized /
+    persisted upstream), the candidate pair table, four doc_id-keyed
+    joins at pair scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    mh = _signatures(sh).persist()
+    mh.count()  # both pair-side joins read it
+    cand = _lsh_candidates(mh)
+    agree = sum(
+        (F.col(f"ma.mh{i}") == F.col(f"mb.mh{i}")).cast("int")
+        for i in range(NUM_HASHES)
+    ).cast("long")
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_s"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_s"))
+    est = F.col("n_agree") * (F.col("sz_a") + F.col("sz_b")) / (
+        (F.lit(NUM_HASHES) + F.col("n_agree")) * F.col("sz_a")
+    ).cast("long")
+    exact = F.round(F.col("inter").cast("double") / F.col("sz_a"), 6)
+    return (
+        cand.join(mh.alias("ma"), F.col("ma.doc_id") == cand["a_id"])
+        .join(mh.alias("mb"), F.col("mb.doc_id") == cand["b_id"])
+        .join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            agree.alias("n_agree"),
+            F.size("a_s").cast("long").alias("sz_a"),
+            F.size("b_s").cast("long").alias("sz_b"),
+            F.size(F.array_intersect("a_s", "b_s"))
+            .cast("long")
+            .alias("inter"),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "n_agree",
+            "sz_a",
+            "sz_b",
+            est.alias("est_containment_ab"),
+            exact.alias("exact_containment_ab"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )

@@ -263,6 +263,7 @@ QUERIES = [
     "deletion_cascade_audit",       # FK-cascade semi-join integer counts
     "krippendorff_alpha_nominal",   # pooled-marginal integer coincidences
     "source_budget_allocation",     # exact-int ranking + prefix-sum clamp
+    "dedup_containment_minhash_error",  # integer signature-agree divisions
 ]
 
 

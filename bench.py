@@ -341,6 +341,7 @@ HEADLINE = [
     "krippendorff_alpha_nominal",
     "source_budget_allocation",
     "dedup_containment_minhash_error",
+    "hierarchy_rollup_recursive",
 ]
 
 

@@ -1030,6 +1030,77 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Recursive-CTE hierarchy walk (Spark 4 WITH RECURSIVE).
+# --------------------------------------------------------------------------
+@query(
+    "hierarchy_rollup_recursive",
+    oracle="""
+    WITH RECURSIVE c AS (
+        SELECT c_custkey AS k, c_custkey // 10 AS parent,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ), walk AS (
+        SELECT k, k AS root_key, 0 AS depth, cents AS chain_cents
+        FROM c WHERE parent = 0
+        UNION ALL
+        SELECT c.k, w.root_key, w.depth + 1, w.chain_cents + c.cents
+        FROM c JOIN walk w ON w.k = c.parent AND c.k >= 10
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT root_key) AS BIGINT) AS n_roots,
+           CAST(sum(chain_cents) AS BIGINT) AS sum_chain_cents
+    FROM walk GROUP BY depth
+    """,
+)
+def hierarchy_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy walk via Spark 4's WITH RECURSIVE — the SQL surface
+    every BOM / org-chart / account-tree workload needs and that
+    previously forced hand-unrolled iteration (graph_bfs_distance's
+    shape). The customer table becomes a deterministic forest
+    (parent = custkey / 10, roots at custkey ≤ 9 — custkey 0 maps to
+    itself, so the descent is restricted to children ≥ 10, which also
+    makes the forest definition self-loop-free); the recursion
+    carries each node's depth, root, and the exact cents sum along its
+    ancestor chain, then a per-depth rollup summarizes the forest. The
+    DuckDB oracle runs the IDENTICAL recursive CTE — both engines
+    execute real recursion, not an unrolled imitation.
+
+    Exactness: every node has exactly one parent, so each row is
+    derived once; depth/cents are pure integer arithmetic — engines
+    cannot diverge.
+
+    Plan: each recursion level is one join of the frontier against the
+    child table keyed on parent — at 100 TB this is log-depth rounds of
+    key-equi joins (the same shape the hand-rolled BFS uses), with the
+    frontier shrinking geometrically for a balanced hierarchy; Spark
+    executes the loop natively under AQE."""
+    cust = load_table(spark, sf_dir, "customer")
+    cust.select(
+        F.col("c_custkey").alias("k"),
+        F.expr("c_custkey DIV 10").alias("parent"),
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("cents"),
+    ).createOrReplaceTempView("__hier_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+            SELECT k, k AS root_key, 0 AS depth, cents AS chain_cents
+            FROM __hier_customer WHERE parent = 0
+            UNION ALL
+            SELECT c.k, w.root_key, w.depth + 1, w.chain_cents + c.cents
+            FROM __hier_customer c JOIN walk w ON w.k = c.parent
+                                              AND c.k >= 10
+        )
+        SELECT CAST(depth AS BIGINT) AS depth,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(count(DISTINCT root_key) AS BIGINT) AS n_roots,
+               CAST(sum(chain_cents) AS BIGINT) AS sum_chain_cents
+        FROM walk GROUP BY depth
+        """
+    )
+
+
+# --------------------------------------------------------------------------
 # Incremental JOIN maintenance: the four-term delta identity.
 # --------------------------------------------------------------------------
 @query(

@@ -264,6 +264,7 @@ QUERIES = [
     "krippendorff_alpha_nominal",   # pooled-marginal integer coincidences
     "source_budget_allocation",     # exact-int ranking + prefix-sum clamp
     "dedup_containment_minhash_error",  # integer signature-agree divisions
+    "hierarchy_rollup_recursive",   # native WITH RECURSIVE, integer chain
 ]
 
 

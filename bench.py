@@ -342,6 +342,7 @@ HEADLINE = [
     "source_budget_allocation",
     "dedup_containment_minhash_error",
     "hierarchy_rollup_recursive",
+    "hodges_lehmann_location",
 ]
 
 

@@ -1187,6 +1187,92 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Hodges–Lehmann location: the rank-based robust center of the monthly
+# revenue series — Theil–Sen's location-estimate sibling.
+# --------------------------------------------------------------------------
+@query(
+    "hodges_lehmann_location",
+    oracle="""
+    WITH m AS (
+        SELECT (year(CAST(o_orderdate AS DATE)) * 12
+                + month(CAST(o_orderdate AS DATE)) - 1) AS month_id,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), walsh AS (
+        SELECT CAST(a.cents + b.cents AS BIGINT) AS w
+        FROM m a JOIN m b ON b.month_id >= a.month_id
+    ), arr AS (
+        SELECT CAST(count(*) AS BIGINT) AS np, list_sort(list(w)) AS ws
+        FROM walsh
+    ), mm AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_months FROM m
+    )
+    SELECT mm.n_months, arr.np AS n_walsh_pairs,
+           CASE WHEN np % 2 = 1 THEN CAST(ws[(np + 1) // 2] AS DOUBLE) / 2.0
+                ELSE CAST(ws[np // 2] + ws[np // 2 + 1] AS DOUBLE) / 4.0
+           END AS hl_cents
+    FROM arr CROSS JOIN mm
+    """,
+)
+def hodges_lehmann_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann estimator of the monthly-revenue center: the
+    median of all Walsh averages (x_i + x_j)/2 over month pairs i ≤ j —
+    the location estimate the Wilcoxon signed-rank test inverts, with
+    ~29% breakdown and far better efficiency than the plain median at
+    near-normal data. Completes the robust-trend toolkit: Theil–Sen is
+    the robust SLOPE, Mann–Kendall the trend TEST, this the robust
+    LEVEL — the triple a volume dashboard reports together.
+
+    Exactness: Walsh sums stay INTEGER cents (the /2 defers to the
+    single final division — even-count medians divide the integer sum
+    of the two middle Walsh sums by 4); the median is an order-statistic
+    SELECTION from a sorted bounded array, so engines agree
+    bit-for-bit.
+
+    Plan: one fact-scale month rollup, then a calendar-bounded
+    (months²/2 ≈ 3.3k for 7 years) self-join and ONE bounded sorted
+    fold — constant post-rollup work at any SF (theil_sen_trend's
+    posture)."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.select(
+            (
+                F.year(F.col("o_orderdate")) * 12
+                + F.month(F.col("o_orderdate"))
+                - 1
+            ).alias("month_id"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("month_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+        .coalesce(1)
+        .persist()
+    )
+    m.count()  # the Walsh self-join and the month count both read it
+    a = m.select(F.col("month_id").alias("ma"), F.col("cents").alias("ca"))
+    b = m.select(F.col("month_id").alias("mb"), F.col("cents").alias("cb"))
+    walsh = a.join(b, F.col("mb") >= F.col("ma")).select(
+        (F.col("ca") + F.col("cb")).cast("long").alias("w")
+    )
+    arr = walsh.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sort_array(F.collect_list("w")).alias("ws"),
+    )
+    nm = m.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    return arr.crossJoin(F.broadcast(nm)).select(
+        "n_months",
+        F.col("np").alias("n_walsh_pairs"),
+        F.expr(
+            "CASE WHEN np % 2 = 1 THEN"
+            " CAST(ws[CAST((np + 1) div 2 AS INT) - 1] AS DOUBLE) / 2.0"
+            " ELSE CAST(ws[CAST(np div 2 AS INT) - 1]"
+            "           + ws[CAST(np div 2 AS INT)] AS DOUBLE) / 4.0 END"
+        ).alias("hl_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Mann–Kendall trend test: the nonparametric "is there a monotonic trend"
 # companion to Theil–Sen's "how steep is it".
 # --------------------------------------------------------------------------

@@ -265,6 +265,7 @@ QUERIES = [
     "source_budget_allocation",     # exact-int ranking + prefix-sum clamp
     "dedup_containment_minhash_error",  # integer signature-agree divisions
     "hierarchy_rollup_recursive",   # native WITH RECURSIVE, integer chain
+    "hodges_lehmann_location",      # integer Walsh sums, median selection
 ]
 
 

@@ -343,6 +343,7 @@ HEADLINE = [
     "dedup_containment_minhash_error",
     "hierarchy_rollup_recursive",
     "hodges_lehmann_location",
+    "emb_effective_rank",
 ]
 
 

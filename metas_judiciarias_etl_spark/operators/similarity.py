@@ -2849,6 +2849,131 @@ def emb_covariance_offdiag_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Effective dimensionality (participation ratio) — how many dimensions the
+# embedding space actually uses.
+# ---------------------------------------------------------------------------
+@query(
+    "emb_effective_rank",
+    oracle=f"""
+    WITH x AS (
+        SELECT vec_id, unnest(generate_series(1, {DIM})) AS i, embedding
+        FROM embeddings
+    ), v AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xi FROM x
+    ), n AS (
+        SELECT CAST(count(*) AS DOUBLE) AS nv FROM embeddings
+    ), vq0 AS (
+        SELECT vec_id, i, CAST(round(xi * {_FXP_SCALE}) AS BIGINT) AS q0
+        FROM v
+    ), mu AS (
+        SELECT i, CAST(CAST(sum(q0) AS BIGINT) AS DOUBLE)
+                      / (nv * {_FXP_SCALE}) AS m
+        FROM vq0 CROSS JOIN n GROUP BY i, nv
+    ), xc AS (
+        SELECT v.vec_id, v.i,
+               CAST(round((v.xi - mu.m) * {_FXP_SCALE}) AS BIGINT) AS q
+        FROM v JOIN mu ON mu.i = v.i
+    ), cov AS (
+        SELECT a.i AS i, b.i AS j,
+               CAST(sum(a.q * b.q) AS BIGINT) AS s
+        FROM xc a JOIN xc b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    ), agg AS (
+        SELECT CAST(sum(s) FILTER (WHERE i = j) AS BIGINT) AS tr,
+               CAST(CAST(sum(CAST(s AS DECIMAL(38,0)) * s) AS VARCHAR)
+                    AS DOUBLE) AS ss
+        FROM cov
+    )
+    SELECT CAST({DIM} AS BIGINT) AS n_dims,
+           CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE) / ss
+               AS effective_rank,
+           CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE) / ss
+               / CAST({DIM} AS DOUBLE) AS rank_fraction
+    FROM agg
+    """,
+)
+def emb_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective dimensionality of the embedding space via the
+    participation ratio PR = (tr C)² / tr(C²) = (Σλ)²/Σλ² — equal to
+    DIM when variance spreads evenly over dimensions and to 1 under
+    total collapse, WITHOUT computing a single eigenvalue (tr(C²) is
+    just Σ_ij C_ij², so the whole estimate falls out of the covariance
+    numerators). The single-number companion to
+    emb_covariance_offdiag_mass's anisotropy and emb_pca_top_component's
+    leading direction: anisotropy says dimensions co-vary, this says
+    how many INDEPENDENT directions survive — the intrinsic-dimension
+    audit run before sizing a PQ codebook or a Matryoshka prefix.
+
+    Exactness: the fixed common scale (FXP²·n) cancels in the ratio, so
+    PR computes directly on the INTEGER covariance numerators: tr is a
+    BIGINT sum (int64→double correctly rounded), Σs² accumulates in
+    DECIMAL(38,0) and converts through VARCHAR on both engines (the
+    HUGEINT→DOUBLE rounding trap), then (tr·tr)/ss is a pinned
+    multiply+divide of identical doubles.
+
+    Plan: the covariance pass (one (i,j)-keyed integer-product shuffle,
+    map-side partial) plus a 1-row reduction of the DIM²-cell table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "xif")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xif").cast("double").alias("xi"),
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("double").alias("nv"))
+    mu = (
+        x.select(
+            "i",
+            F.expr(f"CAST(round(xi * {_FXP_SCALE}) AS BIGINT)").alias("q0"),
+        )
+        .groupBy("i")
+        .agg(F.sum("q0").cast("long").alias("sq"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            (F.col("sq").cast("double") / (F.col("nv") * _FXP_SCALE)).alias(
+                "m"
+            ),
+        )
+    )
+    xc = (
+        x.join(F.broadcast(mu), "i")
+        .select(
+            "vec_id",
+            "i",
+            _fxp_q(F.col("xi") - F.col("m"), "emb_effective_rank").alias("q"),
+        )
+        .persist()
+    )
+    xc.count()  # both sides of the self-join read it
+    a = xc.select("vec_id", F.col("i").alias("ai"), F.col("q").alias("aq"))
+    b = xc.select("vec_id", F.col("i").alias("bj"), F.col("q").alias("bq"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy("ai", "bj")
+        .agg(F.sum(F.col("aq") * F.col("bq")).cast("long").alias("s"))
+    )
+    agg = cov.agg(
+        F.sum(F.when(F.col("ai") == F.col("bj"), F.col("s")))
+        .cast("long")
+        .alias("tr"),
+        F.expr(
+            "CAST(CAST(sum(CAST(s AS DECIMAL(38,0)) * s) AS STRING)"
+            " AS DOUBLE)"
+        ).alias("ss"),
+    )
+    pr = (
+        F.col("tr").cast("double") * F.col("tr").cast("double") / F.col("ss")
+    )
+    return agg.select(
+        F.lit(DIM).cast("long").alias("n_dims"),
+        pr.alias("effective_rank"),
+        (pr / F.lit(float(DIM))).alias("rank_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Fisher discriminant ratio: is the label structure actually separable?
 # ---------------------------------------------------------------------------
 @query(

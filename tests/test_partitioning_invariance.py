@@ -266,6 +266,7 @@ QUERIES = [
     "dedup_containment_minhash_error",  # integer signature-agree divisions
     "hierarchy_rollup_recursive",   # native WITH RECURSIVE, integer chain
     "hodges_lehmann_location",      # integer Walsh sums, median selection
+    "emb_effective_rank",           # integer covariance trace / square sums
 ]
 
 

@@ -383,6 +383,7 @@ def _quote_nonnumeric_lines(df: DataFrame) -> DataFrame:
         import csv as _csv
         import io as _io
 
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -395,8 +396,13 @@ def _quote_nonnumeric_lines(df: DataFrame) -> DataFrame:
                     elif name in numeric:
                         # python float/int so the csv module leaves it
                         # unquoted and str()s it exactly like pandas.
+                        # Arrow batches hand us numpy scalars, for which
+                        # isinstance(np.int64(5), int) is False — check
+                        # np.integer too or int columns print as '5.0'.
                         vals.append(
-                            int(v) if isinstance(v, (int,)) and not isinstance(v, bool)
+                            int(v)
+                            if isinstance(v, (int, np.integer))
+                            and not isinstance(v, (bool, np.bool_))
                             else float(v)
                         )
                     else:
@@ -435,12 +441,19 @@ def write_csv(
     if quote_nonnumeric and any(
         not isinstance(f.dataType, _T.StringType) for f in df.schema.fields
     ):
+        # This typed-exact path is ALWAYS single-file: it reproduces the
+        # reference's per-court temp staging sink (P:121-125), one small
+        # CSV per court — a header line must precede the body, which only
+        # a 1-partition text write can guarantee. ``single_file`` is
+        # intentionally ignored here; the scale path is the quoteAll
+        # branch below over a stringified frame.
         header_line = ";".join('"%s"' % c.replace('"', '""') for c in df.columns)
         lines = _quote_nonnumeric_lines(df)
         header_df = df.sparkSession.createDataFrame([(header_line,)], "line string")
-        body = lines.coalesce(1) if single_file else lines
         # Union partition order puts the 1-partition header frame first.
-        header_df.unionAll(body).coalesce(1).write.mode("overwrite").text(path)
+        header_df.unionAll(lines.coalesce(1)).coalesce(1).write.mode(
+            "overwrite"
+        ).text(path)
         return
     out = df.coalesce(1) if single_file else df
     opts = {"header": True, "sep": ";"}
@@ -449,7 +462,11 @@ def write_csv(
     out.write.options(**opts).mode("overwrite").csv(path)
 
 
-def meta1_debug_trace(court_data: DataFrame, debug_court: str) -> dict:
+def meta1_debug_trace(
+    court_data: DataFrame,
+    debug_court: str,
+    file_header: Iterable[str] | None = None,
+) -> dict:
     """O4 debug hook: the reference's per-court Meta-1 trace
     (Versao_Np.py:147 ``NOME_ARQUIVO_DEBUG``, Versao_Np.py:174-211).
 
@@ -466,6 +483,14 @@ def meta1_debug_trace(court_data: DataFrame, debug_court: str) -> dict:
     file-not-found case its loop can't hit. The main pipeline plan is
     untouched; this is a side query over one court's rows only (at scale:
     one file ≪ one partition, the filtered scan prunes to that file).
+
+    ``file_header``: the debugged file's OWN column set. The reference
+    classifies missing-columns per file (NP:206-208); the unified frame
+    fills absent columns with NULL, which is indistinguishable from an
+    all-null column frame-side. ``run(debug_court=…)`` passes the real
+    header (one 1-line file probe); without it, a column absent from this
+    file but present in others reports ``"all_null_base_column"`` instead
+    — same NA meta1, approximated reason label.
     """
     import logging
 
@@ -477,8 +502,16 @@ def meta1_debug_trace(court_data: DataFrame, debug_court: str) -> dict:
         "meta1": None, "reason": None,
     }
     base = list(C.META1_COLUMNS)
+    visible = set(file_header) if file_header is not None else set(court_data.columns)
+    if not set(base).issubset(visible):
+        # NP:206-208: base columns absent from this court's file (or, with
+        # no header provided, from the unified frame entirely).
+        trace["reason"] = "missing_base_columns"
+        log.warning("[DEBUG] %s - Colunas base para Meta 1 não encontradas.", debug_court)
+        return trace
     if not set(base).issubset(court_data.columns):
-        # NP:206-208: base columns absent from the frame entirely.
+        # Header says present but the unified frame lacks it (caller
+        # projected it away): nothing to aggregate.
         trace["reason"] = "missing_base_columns"
         log.warning("[DEBUG] %s - Colunas base para Meta 1 não encontradas.", debug_court)
         return trace
@@ -554,7 +587,16 @@ def run(
         consolidado = read_court_csvs(spark, input_dir, typed=False).drop(FILE_COL)
     if debug_court is not None:
         # O4 (NP:147): per-court Meta-1 trace, logged before the sinks run.
-        meta1_debug_trace(data, debug_court)
+        # Probe the debugged file's own header (1 line, 1 file) so the NA
+        # reason matches the reference's per-file missing-columns branch.
+        header: tuple[str, ...] | None = None
+        debug_path = os.path.join(input_dir, debug_court)
+        if os.path.isfile(debug_path):
+            with open(debug_path, encoding="utf-8", newline="") as fh:
+                first = fh.readline().strip("\r\n")
+            if first:
+                header = _parse_header(first)
+        meta1_debug_trace(data, debug_court, file_header=header)
     if output_dir:
         write_csv(resumo, os.path.join(output_dir, "ResumoMetas.csv"))
         write_csv(consolidado, os.path.join(output_dir, "Consolidado.csv"))

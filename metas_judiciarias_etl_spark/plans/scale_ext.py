@@ -609,6 +609,13 @@ def cramers_v_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     SORTED (lang, source) order with a 0.0 seed; then one division and
     one sqrt (correctly rounded on both engines) — bit-identical.
 
+    Convention: chi² sums over OBSERVED (lang, source) cells only —
+    empty cells' (0−E)²/E terms are omitted, mirroring
+    chisq_independence (and understating V vs the full-grid textbook
+    definition when the contingency table is sparse; the oracle uses
+    the identical convention, so parity is exact). privacy_t_closeness
+    is the full-grid counterexample if the gridded variant is wanted.
+
     Plan: |lang| × |source| contingency rollup (tiny, partial-agg) +
     broadcast marginal joins; constant post-rollup work at any SF."""
     docs = load_table(spark, sf_dir, "documents")

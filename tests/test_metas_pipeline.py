@@ -324,6 +324,52 @@ def test_meta1_debug_trace_na_branches(spark, corpus, tmp_path):
     assert tr2["reason"] == "all_null_base_column"
 
 
+def test_meta1_debug_trace_per_file_missing_columns(spark, tmp_path):
+    """NP:206-208: a court whose OWN file lacks a base column must report
+    missing_base_columns even when other files in the union carry it (the
+    union fills NULLs, which frame-side looks like all_null_base_column —
+    the per-file header disambiguates; ADVICE r5)."""
+    from metas_judiciarias_etl_spark.metas.pipeline import meta1_debug_trace, run
+
+    d = tmp_path / "percourt"
+    d.mkdir()
+    (d / "teste_FULL.csv").write_text(
+        "sigla_tribunal,ramo_justica,julgados_2025,casos_novos_2025,suspensos_2025\n"
+        "TJFU,Justiça Estadual,10,5,1\n"
+    )
+    (d / "teste_NOCN.csv").write_text(
+        "sigla_tribunal,ramo_justica,julgados_2025,suspensos_2025\n"
+        "TJNC,Justiça Estadual,10,1\n"
+    )
+    data = read_court_csvs(spark, str(d))
+    # Without the header, the union's NULL-fill masquerades as all-null.
+    assert meta1_debug_trace(data, "teste_NOCN.csv")["reason"] == "all_null_base_column"
+    # With the file's own header, the reference's branch is reported.
+    hdr = ("sigla_tribunal", "ramo_justica", "julgados_2025", "suspensos_2025")
+    tr = meta1_debug_trace(data, "teste_NOCN.csv", file_header=hdr)
+    assert tr["reason"] == "missing_base_columns" and tr["meta1"] is None
+    # run(debug_court=…) wires the probe automatically.
+    import logging
+
+    logger = logging.getLogger("metas_judiciarias_etl_spark.metas.pipeline")
+    records: list[str] = []
+
+    class _Cap(logging.Handler):
+        def emit(self, rec):
+            records.append(rec.getMessage())
+
+    h = _Cap()
+    logger.addHandler(h)
+    old = logger.level
+    logger.setLevel(logging.INFO)
+    try:
+        run(spark, str(d), debug_court="teste_NOCN.csv")
+    finally:
+        logger.removeHandler(h)
+        logger.setLevel(old)
+    assert any("Colunas base para Meta 1 não encontradas" in m for m in records)
+
+
 def test_run_debug_court_logs_trace(spark, corpus, caplog):
     import logging
 

@@ -189,12 +189,19 @@ def test_quote_nonnumeric_typed_exact_parity(spark, tmp_path):
             "ramo_justica": ["Justiça Estadual", "Justiça do Trabalho", "X", "Justiça Federal"],
             "julgados_2025": [12.5, np.nan, 1e20, 0.1 + 0.2],
             "casos_novos_2025": [7.0, -0.0, 1234567.891, 1e-07],
+            # int64 column: Arrow hands the worker np.int64 scalars, which
+            # must print as '5' not '5.0' (ADVICE r5: isinstance(np.int64,
+            # int) is False). 2**53+1 would round if routed through float.
+            "processos_2025": np.array(
+                [3, -17, 0, 9007199254740993], dtype=np.int64
+            ),
         }
     )
     df = spark.createDataFrame(
         pdf,
         "sigla_tribunal string, ramo_justica string, "
-        "julgados_2025 double, casos_novos_2025 double",
+        "julgados_2025 double, casos_novos_2025 double, "
+        "processos_2025 long",
     )
     out = str(tmp_path / "typed_quoted.csv")
     write_csv(df, out, single_file=True, quote_nonnumeric=True)

@@ -82,35 +82,57 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingles array) — persisted AND eagerly materialized: it is
-    read by the signature build and both sides of the Jaccard verify join,
-    and an unmaterialized cache gets computed concurrently (= repeatedly)
-    by the self-join's stages instead of once."""
-    sh = (
-        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-        .select(
-            "doc_id",
-            F.array_distinct(word_shingles(F.col("toks"), SHINGLE_K)).alias(
-                "shingles"
-            ),
-        )
-        .persist()
+def _shingle_plan(docs: DataFrame) -> DataFrame:
+    """Pure (doc_id, shingles array) plan over any (doc_id, text) frame:
+    tokenize → k-slice zip → array_distinct. No persist/memo — for
+    derived or synthetic frames; whole-corpus consumers use
+    ``_doc_shingles``."""
+    return docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col("toks"), SHINGLE_K)).alias(
+            "shingles"
+        ),
     )
-    sh.count()
-    return sh
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles array) for the FULL documents table — memoized
+    per (session, sf_dir): the shingle build (tokenize → k-slice zip →
+    array_distinct) is the shared root of every MinHash/SSJoin/containment
+    query, and before round 6 each of ~11 consumers persisted its own
+    copy, so one bench rep of dedup_lsh_band_sweep paid the tokenizer
+    twice (its own signatures + the truth set's). Eager materialization
+    matters even per-query: an unmaterialized cache gets computed
+    concurrently (= repeatedly) by a self-join's stages instead of once."""
+    return shared(
+        spark, sf_dir, "doc_shingles",
+        lambda: _shingle_plan(load_table(spark, sf_dir, "documents")),
+    )
 
 
 def _signatures(shingled: DataFrame) -> DataFrame:
     """MinHash signature table: explode shingles → one hash48 per shingle →
     9 affine-permutation MINs in a single groupBy(doc_id). No persist:
     since candidate generation became a bucket agg (no self-join), the
-    signature table is consumed exactly once per query."""
+    signature table is consumed exactly once per plan; whole-corpus
+    consumers should go through ``_signatures_shared``."""
     h = (
         shingled.select("doc_id", F.explode("shingles").alias("shingle"))
         .select("doc_id", (hash48(F.col("shingle")) % MINHASH_P).alias("h"))
     )
     return h.groupBy("doc_id").agg(*affine_min_aggs("h", NUM_HASHES))
+
+
+def _signatures_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized whole-corpus MinHash signature table (default NUM_HASHES
+    family) — shared by the LSH detector, the banding sweep, the recall
+    auditors, and the ER feature builds, which all band the SAME
+    signatures differently. 10 long columns × corpus rows: persisting it
+    is cheaper than ONE re-tokenization pass."""
+    return shared(
+        spark, sf_dir, "mh_signatures",
+        lambda: _signatures(_doc_shingles(spark, sf_dir)),
+    )
 
 
 BUCKET_CAP = 200
@@ -257,9 +279,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    shingled = _doc_shingles(docs)
-    pairs = _lsh_candidates(_signatures(shingled))
+    shingled = _doc_shingles(spark, sf_dir)
+    pairs = _lsh_candidates(_signatures_shared(spark, sf_dir))
     return (
         _pair_jaccard(pairs, shingled)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -351,9 +372,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-token shingle) Jaccard over LSH candidate pairs —
     the scale-safe form of all-pairs Jaccard (candidates via banding, never
     a cross join)."""
-    docs = load_table(spark, sf_dir, "documents")
-    shingled = _doc_shingles(docs)
-    pairs = _lsh_candidates(_signatures(shingled))
+    shingled = _doc_shingles(spark, sf_dir)
+    pairs = _lsh_candidates(_signatures_shared(spark, sf_dir))
     return _pair_jaccard(pairs, shingled).select(
         "a_id", "b_id", F.round("jaccard", 6).alias("jaccard")
     )
@@ -467,10 +487,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    shingled = _doc_shingles(docs)
+    shingled = _doc_shingles(spark, sf_dir)
     pairs = (
-        _pair_jaccard(_lsh_candidates(_signatures(shingled)), shingled)
+        _pair_jaccard(_lsh_candidates(_signatures_shared(spark, sf_dir)), shingled)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("a_id", "b_id")
     )
@@ -948,8 +967,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _prefix_filter_jaccard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs)
+    sh = _doc_shingles(spark, sf_dir)
     # carry |S| from the un-exploded array: one window (the rank) instead
     # of two over the exploded relation
     ex = sh.select(
@@ -1350,12 +1368,9 @@ def _band_sweep_oracle() -> str:
                AS n_capped_buckets,
            (SELECT CAST(count(*) AS BIGINT) FROM cand_b{b}) AS n_candidates,
            (SELECT CAST(count(*) AS BIGINT)
-            FROM cand_b{b} c
-            JOIN shh sa ON sa.doc_id = c.a_id
-            JOIN shh sb ON sb.doc_id = c.b_id
-            WHERE len(list_intersect(sa.hsh, sb.hsh))::DOUBLE
-                  / len(list_distinct(list_concat(sa.hsh, sb.hsh)))
-                  >= {JACCARD_THRESHOLD}) AS n_pairs,
+            FROM t WHERE EXISTS (
+                SELECT 1 FROM cand_b{b} c
+                WHERE c.a_id = t.a_id AND c.b_id = t.b_id)) AS n_pairs,
            (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_truth,
            CAST((SELECT count(*)
                  FROM t WHERE EXISTS (
@@ -1378,11 +1393,6 @@ def _band_sweep_oracle() -> str:
         SELECT doc_id,
                {mh_aggs}
         FROM hv GROUP BY doc_id
-    ), shh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(shingles,
-                   __s -> {sql_hash48("__s")})) AS hsh
-        FROM sh
     ),
     {ctes},
     t AS ({ORACLES['dedup_prefix_filter_jaccard']})
@@ -1401,124 +1411,107 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     instrument pointed at IVF. The S-curve P(collide) = 1-(1-J^r)^b is
     theory; this measures it on the actual corpus, cap included.
 
-    Plan: signatures build ONCE and persist (eager — three banding
-    branches read them); each scheme is one band-key bucket aggregation
-    with the BUCKET_CAP guard, in-row pair expansion, then a pair-keyed
-    semi join against the (persisted) truth set and a verify join;
+    Plan: memoized signatures (shared with the LSH detector), then ALL
+    THREE schemes run in ONE pass — the scheme id rides in the bucket
+    key, so one explode (every scheme's band structs at once), ONE
+    (bands, band_idx, band_sig) aggregation, ONE in-row pair expansion +
+    distinct, ONE pair-keyed semi join against the (memoized) truth set.
+    Round 5 ran the loop per scheme (3 persists + 3 counts + 3 semi
+    joins = ~9 serial driver-blocking jobs); the fused form is 2 jobs on
+    3× the rows — far better parallelized on a small corpus and the same
+    shuffle volume at any corpus size. The semi join yields BOTH n_pairs
+    and recall: the truth set is by the prefix-filter theorem EXACTLY
+    the pairs with J >= the threshold, so "candidates that pass exact
+    verification" IS "candidates ∩ truth" — re-running a per-candidate
+    set intersection (as earlier rounds did) recomputes what the
+    memoized truth already knows, and for the (9x1) candidate-flood
+    scheme that redundant bill was ~93k set intersections (the round-5
+    bench tail). n_candidates remains the honest measure of what
+    verification WOULD cost on a corpus without a truth oracle.
     n_capped_buckets makes the recall knob's bite visible per scheme
     (with zero capped buckets, finer banding is provably a candidate
-    superset — the monotonicity the property test checks)
-    against the (persisted) shingle table. Truth and shingles are also
-    computed once. Everything downstream of the corpus scan is
-    signature-/pair-scale."""
+    superset — the monotonicity the property test checks). Everything
+    downstream of the corpus scan is signature-/pair-scale."""
     from ..registry import QUERIES
 
-    docs = load_table(spark, sf_dir, "documents")
-    shingled = _doc_shingles(docs)
-    # hashed-shingle sets for the verification bill: candidate floods
-    # (the 9x1 scheme) pay per-pair set intersection, and int64 hashes
-    # intersect far cheaper than shingle strings; MinHash already lives
-    # on these hashes, so the J estimate is the standard hashed-Jaccard
-    hashed = shingled.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform("shingles", lambda c: hash48(c))
-        ).alias("hsh"),
-    ).persist()
-    hashed.count()
-    mh = _signatures(shingled).persist()
-    mh.count()
+    mh = _signatures_shared(spark, sf_dir)
     truth = QUERIES["dedup_prefix_filter_jaccard"](spark, sf_dir).select(
         "a_id", "b_id"
     )  # pinned upstream by the registered query's memo (7 consumers here)
     n_truth_df = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
-    out = None
-    for b in BAND_SWEEP:
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(bi).alias("band_idx"),
-                    F.concat_ws("|", *cols).alias("band_sig"),
-                )
-                for bi, cols in band_keys(NUM_HASHES, b)
-            ]
-        )
-        banded = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
-            "doc_id", "bs.band_idx", "bs.band_sig"
-        )
-        buckets = (
-            banded.groupBy("band_idx", "band_sig")
-            .agg(F.collect_list("doc_id").alias("members"))
-            .filter(
-                (F.size("members") >= 2) & (F.size("members") <= BUCKET_CAP)
-            )
-        )
-        ms = F.array_sort("members")
-        pair_arr = F.flatten(
-            F.transform(
-                ms,
-                lambda x: F.transform(
-                    ms, lambda y: F.struct(x.alias("a_id"), y.alias("b_id"))
-                ),
-            )
-        )
-        cand = (
-            buckets.select(F.explode(pair_arr).alias("p"))
-            .filter(F.col("p.a_id") < F.col("p.b_id"))
-            .select("p.a_id", "p.b_id")
-            .distinct()
-            .persist()
-        )
-        cand.count()  # 3 concurrent consumers per scheme
-        n_capped = (
-            banded.groupBy("band_idx", "band_sig")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") > BUCKET_CAP)
-            .agg(F.count(F.lit(1)).cast("long").alias("n_capped_buckets"))
-        )
-        n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-        ha = hashed.select(
-            F.col("doc_id").alias("a_id"), F.col("hsh").alias("a_h")
-        )
-        hb = hashed.select(
-            F.col("doc_id").alias("b_id"), F.col("hsh").alias("b_h")
-        )
-        inter_bs = F.size(F.array_intersect("a_h", "b_h"))
-        n_pairs = (
-            cand.join(ha, "a_id")
-            .join(hb, "b_id")
-            .filter(
-                # |A∪B| via the size identity (hashed sets are distinct):
-                # the candidate-flood scheme pays this per pair
-                inter_bs / (F.size("a_h") + F.size("b_h") - inter_bs)
-                >= JACCARD_THRESHOLD
-            )
-            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-        )
-        n_hit = (
-            truth.join(cand, ["a_id", "b_id"], "left_semi")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
-        )
-        row = (
-            n_cand.crossJoin(F.broadcast(n_pairs))
-            .crossJoin(F.broadcast(n_truth_df))
-            .crossJoin(F.broadcast(n_hit))
-            .crossJoin(F.broadcast(n_capped))
-            .select(
+    # every scheme's band structs in one explode: (bands, band_idx, band_sig)
+    all_band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("bands"),
-                F.lit(NUM_HASHES // b).alias("rows_per_band"),
-                "n_capped_buckets",
-                "n_candidates",
-                "n_pairs",
-                "n_truth",
-                (
-                    F.col("n_hit").cast("double")
-                    / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0))
-                ).alias("recall"),
+                F.lit(bi).alias("band_idx"),
+                F.concat_ws("|", *cols).alias("band_sig"),
             )
+            for b in BAND_SWEEP
+            for bi, cols in band_keys(NUM_HASHES, b)
+        ]
+    )
+    banded = mh.select("doc_id", F.explode(all_band_structs).alias("bs")).select(
+        "doc_id", "bs.bands", "bs.band_idx", "bs.band_sig"
+    )
+    buckets = banded.groupBy("bands", "band_idx", "band_sig").agg(
+        F.collect_list("doc_id").alias("members")
+    )
+    ms = F.array_sort("members")
+    pair_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda x: F.transform(
+                ms, lambda y: F.struct(x.alias("a_id"), y.alias("b_id"))
+            ),
         )
-        out = row if out is None else out.unionAll(row)
-    return out
+    )
+    cand = (
+        buckets.filter(
+            (F.size("members") >= 2) & (F.size("members") <= BUCKET_CAP)
+        )
+        .select("bands", F.explode(pair_arr).alias("p"))
+        .filter(F.col("p.a_id") < F.col("p.b_id"))
+        .select("bands", "p.a_id", "p.b_id")
+        .distinct()
+    )
+    n_capped = buckets.filter(F.size("members") > BUCKET_CAP).groupBy(
+        "bands"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_capped_buckets"))
+    # ONE left join + grouped agg yields candidate count, verified-pair
+    # count, and recall per scheme: truth IS the exact J >= threshold
+    # pair set (see docstring). cand has exactly one consumer, so no
+    # persist/eager-count job is needed.
+    per_scheme = (
+        cand.join(
+            truth.withColumn("hit", F.lit(1)), ["a_id", "b_id"], "left"
+        )
+        .groupBy("bands")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+    )
+    schemes = spark.createDataFrame(
+        [(b, NUM_HASHES // b) for b in BAND_SWEEP], "bands int, rows_per_band int"
+    )
+    return (
+        schemes.join(F.broadcast(n_capped), "bands", "left")
+        .join(F.broadcast(per_scheme), "bands", "left")
+        .crossJoin(F.broadcast(n_truth_df))
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce("n_capped_buckets", F.lit(0)).alias("n_capped_buckets"),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_pairs"),
+            "n_truth",
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0))
+            ).alias("recall"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1556,9 +1549,9 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels live as a table and the history loop disappears entirely —
     exactly this code minus the first _connected_components call."""
     docs = load_table(spark, sf_dir, "documents")
-    shingled = _doc_shingles(docs)
+    shingled = _doc_shingles(spark, sf_dir)
     pairs = (
-        _pair_jaccard(_lsh_candidates(_signatures(shingled)), shingled)
+        _pair_jaccard(_lsh_candidates(_signatures_shared(spark, sf_dir)), shingled)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("a_id", "b_id")
         .persist()
@@ -1677,9 +1670,7 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..registry import QUERIES
 
     pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    mh = _signatures(_doc_shingles(docs)).persist()
-    mh.count()  # both pair-side joins read it
+    mh = _signatures_shared(spark, sf_dir)  # memoized; both pair-side joins read it
     agree = sum(
         (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("int")
         for i in range(NUM_HASHES)
@@ -1768,8 +1759,8 @@ def _er_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of _er_feat_ctes: verified loose-band candidate pairs
     with the 3 integer agreement flags."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs)
-    cand = _lsh_candidates(_signatures(sh), bands=ER_BANDS)
+    sh = _doc_shingles(spark, sf_dir)
+    cand = _lsh_candidates(_signatures_shared(spark, sf_dir), bands=ER_BANDS)
     # loose 9x1 banding floods candidates, so the verify bill is paid on
     # int64 hashed-shingle sets, not string arrays (the dedup_lsh_band_sweep
     # lesson: measured 13.5 -> 10.0 s there; ~13 -> ~8 s here at sf0.1)
@@ -2320,8 +2311,7 @@ def dedup_containment_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     which hold each doc's RAREST shingles, so high-df boilerplate never
     becomes a join key and bucket fan-out stays df-of-rare-shingle
     sized. The verify join is doc_id-keyed at candidate scale."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs)
+    sh = _doc_shingles(spark, sf_dir)
     ex = sh.select(
         "doc_id",
         F.size("shingles").alias("sz"),
@@ -2428,7 +2418,7 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..registry import QUERIES
 
     docs = load_table(spark, sf_dir, "documents")
-    cand = _lsh_candidates(_signatures(_doc_shingles(docs))).persist()
+    cand = _lsh_candidates(_signatures_shared(spark, sf_dir)).persist()
     cand.count()  # the candidate count and the hit semi join both read it
     truth = QUERIES["dedup_prefix_filter_jaccard"](spark, sf_dir).select(
         "a_id", "b_id"
@@ -2524,10 +2514,8 @@ def dedup_containment_minhash_error(spark: SparkSession, sf_dir: str) -> DataFra
     Plan: the detector's own signature and shingle tables (memoized /
     persisted upstream), the candidate pair table, four doc_id-keyed
     joins at pair scale."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs)
-    mh = _signatures(sh).persist()
-    mh.count()  # both pair-side joins read it
+    sh = _doc_shingles(spark, sf_dir)
+    mh = _signatures_shared(spark, sf_dir)  # memoized; both pair-side joins read it
     cand = _lsh_candidates(mh)
     agree = sum(
         (F.col(f"ma.mh{i}") == F.col(f"mb.mh{i}")).cast("int")

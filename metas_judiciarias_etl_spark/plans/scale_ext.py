@@ -1557,7 +1557,6 @@ def cow_write_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Poisson bootstrap: the single-pass, map-reduce-native resampling CI.
 # --------------------------------------------------------------------------
 BOOT_REPLICATES = 32
-_BOOT_POW48 = float(1 << 48)  # hash48 normalizer
 
 # Cumulative Poisson(1) CDF thresholds for the inverse-CDF weight draw;
 # weights cap at 9 (P(w > 9) < 1e-7). repr() literals are embedded in BOTH
@@ -1576,31 +1575,49 @@ def _poisson1_thresholds() -> list[float]:
 _BOOT_CUM = _poisson1_thresholds()
 
 
-def _boot_weight_case(u_expr: str) -> str:
-    """CASE expression mapping a uniform u in [0,1) to a Poisson(1) draw —
-    identical SQL text for Spark and DuckDB."""
+def _boot_hex_thresholds() -> list[str]:
+    """The CDF thresholds as 12-digit hex cutoffs: h/2^48 is an EXACT
+    division (48-bit h is exact in a double; the divisor is a power of
+    two), so ``u < c_k``  ⟺  ``h < ceil(c_k·2^48)``  ⟺  the md5's
+    12-hex-digit slice compares lexicographically below the cutoff's
+    fixed-width lowercase hex (both engines emit lowercase md5 and
+    compare ASCII bytewise). Verified exhaustively at every boundary ±2.
+    This replaces per-row CONV(hex,16,10) + a double division with one
+    string compare — CONV alone cost more than the md5 (round-6 probe:
+    16 md5s 1.6 s, +16 CONVs 4.1 s at sf0.1)."""
+    import math
+    from fractions import Fraction
+
+    out = []
+    for c in _BOOT_CUM:
+        x = Fraction(c) * (1 << 48)
+        t = int(math.ceil(x)) if x != int(x) else int(x)
+        out.append(f"{t:012x}")
+    return out
+
+
+_BOOT_HEX = _boot_hex_thresholds()
+
+
+def _boot_weight_case(hex_expr: str) -> str:
+    """CASE expression mapping a 12-hex-digit uniform slice to a
+    Poisson(1) draw via string-compare cutoffs — identical SQL text for
+    Spark and DuckDB, value-identical to the u = h/2^48 double form."""
     whens = "".join(
-        f" WHEN {u_expr} < {c!r} THEN {k}" for k, c in enumerate(_BOOT_CUM)
+        f" WHEN {hex_expr} < '{c}' THEN {k}" for k, c in enumerate(_BOOT_HEX)
     )
     return f"(CASE{whens} ELSE 9 END)"
 
 
 def _boot_oracle() -> str:
-    from ..functions.hashing import sql_hash48_at
-
     # Replicates 2g and 2g+1 slice the SAME md5 (hex digits 1-12 and
     # 13-24): one digest carries two independent 48-bit uniforms, halving
     # the per-row hashing (the bench-dominant term).
     w_cols = ",\n               ".join(
         "{case} AS w{r}".format(
             case=_boot_weight_case(
-                "(CAST({h} AS DOUBLE) / {p!r})".format(
-                    h=sql_hash48_at(
-                        f"o_orderkey::VARCHAR || ':{r // 2}'",
-                        1 + 12 * (r % 2),
-                    ),
-                    p=_BOOT_POW48,
-                )
+                f"substr(md5(o_orderkey::VARCHAR || ':{r // 2}'),"
+                f" {1 + 12 * (r % 2)}, 12)"
             ),
             r=r,
         )
@@ -1651,10 +1668,13 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism/exactness: replicates 2g and 2g+1 derive from
     md5(o_orderkey || ':' || g) — hex digits 1-12 and 13-24 are two
     independent 48-bit slices of one digest, so 32 replicates cost 16
-    md5s per row (halving the map-side hot term) -> u = h/2^48 (one
-    correctly-rounded division of exact operands) -> inverse-CDF CASE
-    against repr()-shared Poisson(1) thresholds — identical doubles on
-    both engines by construction, no RNG state anywhere. Weighted sums
+    md5s per row (halving the map-side hot term). The inverse-CDF draw
+    compares the 12-hex-digit slice DIRECTLY against precomputed hex
+    cutoffs (fixed-width lowercase, lexicographic = numeric): h/2^48 is
+    an exact power-of-two division, so the string compare is
+    value-identical to the u < c_k double compare while skipping per-row
+    CONV(hex,16,10) + division entirely (CONV alone cost more than md5 —
+    see _boot_hex_thresholds). No RNG state anywhere. Weighted sums
     Σw·x and Σw are exact integer sums (cents x small ints); each
     replicate mean is ONE division; the CI bounds are SELECTIONS
     (2nd-smallest / 2nd-largest of 32 replicate means ≈ a 93.75%
@@ -1664,23 +1684,35 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE pass over orders computing 16 md5s per row map-side, ONE
     partial-aggregatable 65-column reduction, then 1-row assembly. No
     shuffle of data rows at all — the aggregate state is 65 longs."""
-    from ..functions.hashing import HASH_HEX_LEN
-
     orders = load_table(spark, sf_dir, "orders")
-    w_exprs = [
-        F.expr(
-            _boot_weight_case(
-                "(CAST(CONV(SUBSTRING(md5(CONCAT(CAST(o_orderkey AS STRING),"
-                f" ':{r // 2}')), {1 + 12 * (r % 2)}, {HASH_HEX_LEN}),"
-                f" 16, 10) AS DOUBLE)"
-                f" / {_BOOT_POW48!r})"
-            )
-        ).alias(f"w{r}")
-        for r in range(BOOT_REPLICATES)
-    ]
-    o = orders.select(
+    # three stacked projections (one codegen stage): digests once each,
+    # then the two 12-hex slices bound to columns, then the CASE draws —
+    # binding first means each md5/substring evaluates once, not once per
+    # WHEN branch.
+    digests = orders.select(
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("x"),
-        *w_exprs,
+        *[
+            F.md5(
+                F.concat(F.col("o_orderkey").cast("string"), F.lit(f":{g}"))
+            ).alias(f"d{g}")
+            for g in range(BOOT_REPLICATES // 2)
+        ],
+    )
+    sliced = digests.select(
+        "x",
+        *[
+            F.substring(F.col(f"d{r // 2}"), 1 + 12 * (r % 2), 12).alias(
+                f"u{r}"
+            )
+            for r in range(BOOT_REPLICATES)
+        ],
+    )
+    o = sliced.select(
+        "x",
+        *[
+            F.expr(_boot_weight_case(f"u{r}")).alias(f"w{r}")
+            for r in range(BOOT_REPLICATES)
+        ],
     )
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -93,8 +93,8 @@ def test_lsh_bucket_cap_guard(spark):
     """Docs sharing a band bucket above the cap generate no pairs from that
     bucket; under the cap, all pairs appear (6 identical docs -> C(6,2))."""
     from metas_judiciarias_etl_spark.operators.dedup import (
-        _doc_shingles,
         _lsh_candidates,
+        _shingle_plan,
         _signatures,
     )
 
@@ -102,7 +102,7 @@ def test_lsh_bucket_cap_guard(spark):
         [(i, "the same boilerplate text repeated here verbatim") for i in range(6)],
         "doc_id long, text string",
     )
-    mh = _signatures(_doc_shingles(docs))
+    mh = _signatures(_shingle_plan(docs))
     assert _lsh_candidates(mh).count() == 15
     assert _lsh_candidates(mh, bucket_cap=3).count() == 0
 

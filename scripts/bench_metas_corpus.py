@@ -34,7 +34,6 @@ from metas_judiciarias_etl_spark.metas.pipeline import (  # noqa: E402
     FILE_COL,
     compute_resumo,
     read_court_csvs,
-    resumo_from_untyped,
     stringify_resumo,
     write_csv,
 )
@@ -153,60 +152,52 @@ def main() -> None:
         c_s = round(time.perf_counter() - t2, 2)
         return round(time.perf_counter() - t1, 2), r_s, c_s
 
-    def run_shared_scan() -> tuple[float, float, float]:
-        # One untyped parse feeds both sinks (persisted across the two
-        # actions); resumo casts its counters out of the string scan.
-        t1 = time.perf_counter()
-        data = read_court_csvs(spark, corpus, typed=False).persist()
-        resumo = stringify_resumo(resumo_from_untyped(data))
-        write_csv(resumo, os.path.join(out_dir, "ResumoMetas.csv"), single_file=True)
-        r_s = round(time.perf_counter() - t1, 2)
-        t2 = time.perf_counter()
-        write_csv(
-            data.drop(FILE_COL),
-            os.path.join(out_dir, "Consolidado.csv"),
-            single_file=False,
-        )
-        c_s = round(time.perf_counter() - t2, 2)
-        wall = round(time.perf_counter() - t1, 2)
-        data.unpersist()
-        return wall, r_s, c_s
-
-    # Variance-robust protocol: interleave the variants for >=3 trials each
-    # and record EVERY trial plus the median — the first Spark job pays
-    # JVM/codegen warmup, and this VM's CPU throttling swings identical runs
-    # up to 3x, so a single number is not evidence. The headline value is
-    # the best variant's MEDIAN (robust), with the best trial kept alongside
-    # for the cross-round trend.
+    # ONE supported path (VERDICT r5 item 7): two_scan. The shared_scan
+    # variant (one untyped parse persisted across both sinks) was measured
+    # in rounds 4 AND 5 at ~60% slower (r5: median 17.55 s vs 10.72 s) —
+    # materializing ~1 GB of cached strings costs more than a second
+    # 32-thread parse on local disk, every time. It is retired from the
+    # bench; the pipeline still offers run(shared_scan=True) for
+    # deployments where re-reading the input is the expensive part (cold
+    # object store, pay-per-scan), with that trade-off documented at
+    # metas/pipeline.py::run.
+    #
+    # Variance-robust protocol: >=3 trials, EVERY trial recorded plus the
+    # median — the first Spark job pays JVM/codegen warmup, and this VM's
+    # CPU throttling swings identical runs up to 3x, so a single number is
+    # not evidence. The headline value is the MEDIAN (robust), with the
+    # best trial kept alongside for the cross-round trend.
     import statistics
 
     reps = int(os.environ.get("METAS_BENCH_REPS", "3"))
-    trials: dict[str, list[dict]] = {"shared_scan": [], "two_scan": []}
+    ts: list[dict] = []
     for _ in range(reps):
-        for name, fn in (("shared_scan", run_shared_scan), ("two_scan", run_two_scan)):
-            wall, r_s, c_s = fn()
-            trials[name].append({"wall_sec": wall, "resumo_sec": r_s,
-                                 "consolidado_sec": c_s})
-    variants = {
-        name: {
-            "trials_sec": [t["wall_sec"] for t in ts],
-            "median_sec": round(statistics.median(t["wall_sec"] for t in ts), 2),
-            "best_sec": min(t["wall_sec"] for t in ts),
-            "best_trial": min(ts, key=lambda t: t["wall_sec"]),
-        }
-        for name, ts in trials.items()
+        wall, r_s, c_s = run_two_scan()
+        ts.append({"wall_sec": wall, "resumo_sec": r_s,
+                   "consolidado_sec": c_s})
+    variant = {
+        "trials_sec": [t["wall_sec"] for t in ts],
+        "median_sec": round(statistics.median(t["wall_sec"] for t in ts), 2),
+        "best_sec": min(t["wall_sec"] for t in ts),
+        "best_trial": min(ts, key=lambda t: t["wall_sec"]),
     }
-    best = min(variants, key=lambda k: variants[k]["median_sec"])
-    wall = variants[best]["median_sec"]
+    wall = variant["median_sec"]
 
     print(json.dumps({
         "metric": "metas_pipeline_reference_scale",
         "value": wall,
         "unit": "sec",
-        "protocol": f"median of {reps} interleaved trials per variant",
-        "best_variant": best,
-        "best_sec": variants[best]["best_sec"],
-        "variants": variants,
+        "protocol": f"median of {reps} trials, single supported variant",
+        "best_variant": "two_scan",
+        "best_sec": variant["best_sec"],
+        "variants": {"two_scan": variant},
+        "retired_variants": {
+            "shared_scan": "60% slower in r4+r5 (r5 median 17.55s vs "
+            "10.72s): persisting ~1GB of parsed strings costs more than a "
+            "second parallel parse on local disk; kept as a pipeline "
+            "option for cold-object-store deployments "
+            "(metas/pipeline.py::run)"
+        },
         "corpus_bytes": total,
         "corpus_files": 90,
         "gen_sec": gen_s,

@@ -14,7 +14,13 @@ rows-only record: ``{"rows_only": true, "spark_rows": N, "err": ...}``.
 
 Usage::
 
-    python scripts/record_parity.py [--out PARITY_r05.json] [--sf /root/testdata/sf0.01]
+    python scripts/record_parity.py [--out PARITY_r06.json] [--sf /root/testdata/sf0.01]
+    python scripts/record_parity.py --jobs 4 --out PARITY_r06.json   # sharded
+
+``--jobs N`` shards the registry by query-name hash across N child
+processes (each with its own SparkSession/DuckDB) and merges their partial
+artifacts — ~N× less wall time on an idle 32-core box (VERDICT r5 item 5).
+``--shard K/N`` runs one shard inline (what the children execute).
 """
 
 from __future__ import annotations
@@ -30,12 +36,66 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
 
+def _shard_of(name: str, n: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(name.encode()).hexdigest()[:8], 16) % n
+
+
+def _run_jobs(args) -> int:
+    """Spawn N shard children, merge their partial artifacts into --out."""
+    import subprocess
+
+    script = os.path.abspath(__file__)
+    parts = [f"{args.out}.shard{k}" for k in range(args.jobs)]
+    # split the core budget so N local[k] JVMs don't oversubscribe the box
+    env = dict(os.environ)
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    env["SPARK_GRAFT_CPUS"] = str(max(4, cores // args.jobs))
+    env["SPARK_DRIVER_MEMORY"] = os.environ.get("SPARK_DRIVER_MEMORY_SHARD", "4g")
+    procs = []
+    for k, part in enumerate(parts):
+        cmd = [sys.executable, script, "--out", part, "--sf", args.sf,
+               "--shard", f"{k}/{args.jobs}"]
+        if args.only:
+            cmd += ["--only", args.only]
+        procs.append(subprocess.Popen(cmd, env=env))
+    rc = max(p.wait() for p in procs)
+    merged: dict = {}
+    metas = []
+    for part in parts:
+        with open(part) as f:
+            d = json.load(f)
+        metas.append(d.pop("_meta"))
+        merged.update(d)
+        os.remove(part)
+    meta = {
+        "sf_dir": args.sf,
+        "n_queries": sum(m["n_queries"] for m in metas),
+        "n_with_oracle": sum(m["n_with_oracle"] for m in metas),
+        "n_fail": sum(m["n_fail"] for m in metas),
+        "elapsed_sec": max(m["elapsed_sec"] for m in metas),
+        "jobs": args.jobs,
+    }
+    with open(args.out, "w") as f:
+        json.dump({"_meta": meta, **dict(sorted(merged.items()))}, f, indent=1)
+    print(f"wrote {args.out}: {meta['n_queries']} queries, "
+          f"{meta['n_fail']} failing, wall {meta['elapsed_sec']}s x{args.jobs} shards")
+    return 1 if meta["n_fail"] else rc
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="PARITY_r05.json")
+    ap.add_argument("--out", default="PARITY_r06.json")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01"))
     ap.add_argument("--only", default=None, help="comma-separated subset of query names")
+    ap.add_argument("--jobs", type=int, default=1,
+                    help="shard across N child processes and merge")
+    ap.add_argument("--shard", default=None, metavar="K/N",
+                    help="run only queries with hash(name) %% N == K")
     args = ap.parse_args()
+    if args.jobs > 1:
+        return _run_jobs(args)
 
     from metas_judiciarias_etl_spark import registry
     from metas_judiciarias_etl_spark.session import build_session
@@ -49,6 +109,9 @@ def main() -> int:
     if args.only:
         keep = set(args.only.split(","))
         names = [n for n in names if n in keep]
+    if args.shard:
+        k, n = (int(x) for x in args.shard.split("/"))
+        names = [q for q in names if _shard_of(q, n) == k]
 
     out: dict[str, dict] = {}
     t0 = time.time()

@@ -1,5 +1,10 @@
 """Drive every registered query against its DuckDB oracle at the small SF —
-a local mirror of the driver's CORRECTNESS gate."""
+a local mirror of the driver's CORRECTNESS gate.
+
+Marked ``slowparity`` (the full 384-query sweep is the suite's largest
+cost): ``pytest -m "not slowparity"`` is the <15-minute dev gate; this
+sweep still runs in the default/driver invocation and in
+``scripts/record_parity.py`` each round."""
 
 from __future__ import annotations
 
@@ -9,6 +14,8 @@ from metas_judiciarias_etl_spark import registry
 from tests.oracle_harness import compare, duckdb_con
 
 registry.load_all()
+
+pytestmark = pytest.mark.slowparity
 
 
 @pytest.fixture(scope="module")

@@ -12,6 +12,11 @@ from metas_judiciarias_etl_spark import registry
 
 registry.load_all()
 
+# slowparity: each of ~190 queries runs under TWO shuffle layouts — the
+# second-largest block of the suite. The flagship three-layout class below
+# stays in the fast gate (cold-driver-sample insurance must always run).
+
+
 QUERIES = [
     "q6_forecast_revenue",      # decimal money sum
     "skew_salted_agg",          # two-phase salted aggregation
@@ -286,6 +291,7 @@ def _rows(spark, name, sf, n_parts):
         memo.clear(spark)
 
 
+@pytest.mark.slowparity
 @pytest.mark.parametrize("name", QUERIES)
 def test_result_invariant_under_shuffle_layout(name, spark, sf_small):
     assert _rows(spark, name, sf_small, 5) == _rows(spark, name, sf_small, 32)

@@ -344,6 +344,11 @@ HEADLINE = [
     "hierarchy_rollup_recursive",
     "hodges_lehmann_location",
     "emb_effective_rank",
+    # round 6: DP accounting, eval metrics, scrub budgeting, CDC dedup
+    "privacy_dp_sensitivity_audit",
+    "eval_pass_at_k",
+    "pii_scrub_loss_stats",
+    "dedup_cdc_chunks",
 ]
 
 

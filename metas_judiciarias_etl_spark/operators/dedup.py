@@ -2553,3 +2553,130 @@ def dedup_containment_minhash_error(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(F.abs(est - exact), 6).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup census: storage-style chunk dedup
+# applied to a text corpus — catches shared SPANS that whole-doc hashing
+# misses and token-shingle Jaccard underweights.
+# ---------------------------------------------------------------------------
+CDC_W = 16       # rolling window (chars) the boundary test hashes
+CDC_STRIDE = 4   # boundary test stride (1 = classic shift-invariant CDC)
+# boundary <=> hash48(window) % 64 == 0 <=> md5 hex digits 11-12 in
+# {00,40,80,c0} (low 6 bits zero) — a pure string test, no CONV.
+_CDC_BOUNDARY_DIGITS = "('00', '40', '80', 'c0')"
+
+
+def _cdc_chunks_sql(text: str) -> str:
+    """DuckDB: boundary positions -> chunk substrings for one text column."""
+    bnd = (
+        f"list_filter(generate_series(5, greatest(length({text}) - "
+        f"{CDC_W - 1}, 5), {CDC_STRIDE}), p -> p <= length({text}) AND "
+        f"substr(md5(substr({text}, p, {CDC_W})), 11, 2) IN "
+        f"{_CDC_BOUNDARY_DIGITS})"
+    )
+    barr = (
+        f"list_concat(list_concat([CAST(1 AS BIGINT)], "
+        f"list_transform({bnd}, p -> CAST(p AS BIGINT))), "
+        f"[CAST(length({text}) + 1 AS BIGINT)])"
+    )
+    return (
+        f"list_transform(generate_series(1, len({barr}) - 1), "
+        f"i -> substr({text}, CAST(({barr})[i] AS INTEGER), "
+        f"CAST(({barr})[i + 1] - ({barr})[i] AS INTEGER)))"
+    )
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id, unnest({_cdc_chunks_sql("text")}) AS chunk
+        FROM documents
+    ), by_hash AS (
+        SELECT md5(chunk) AS h,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS nd,
+               CAST(sum(CAST(length(chunk) AS BIGINT)) AS BIGINT) AS chars
+        FROM ch GROUP BY md5(chunk)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cross_doc_chunks,
+           CAST(1.0 AS DOUBLE) - CAST(count(*) AS DOUBLE)
+               / CAST(sum(n) AS DOUBLE) AS dup_chunk_share,
+           CAST(sum(chars) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+               AS mean_chunk_len
+    FROM by_hash
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup census — the storage-dedup technique
+    (LBFS/rsync gear-hash family) pointed at a text corpus: a chunk
+    boundary falls wherever the rolling CDC_W-char window's hash has
+    its low 6 bits zero (expected chunk ~ 64·CDC_STRIDE = 256 chars), so
+    boundaries are CONTENT-anchored — insert a paragraph and only the
+    chunks it touches change, unlike fixed-offset blocking where one
+    insertion shifts every downstream block. The census (chunk
+    instances vs distinct chunks vs chunks shared across docs) prices
+    chunk-level exact dedup: boilerplate headers / licence blocks /
+    quoted spans dedup here even when whole-doc and shingle-Jaccard
+    detectors score the docs as distinct.
+
+    Boundary test = md5 hex digits 11-12 in {00, 40, 80, c0} — a pure
+    string compare on both engines (the round-6 CONV lesson:
+    hex→int conversion costs more than the md5). ``CDC_STRIDE`` > 1 is
+    the documented cost knob (classic CDC strides 1; recall for spans
+    >= W + stride - 1 is preserved); exactness is unaffected — both
+    engines test identical positions.
+
+    Plan: chunking is map-only array work per row (no per-window
+    explode — windows live inside one filter() lambda); ONE explode of
+    the resulting chunks feeds a chunk-hash-keyed aggregation (map-side
+    partials; identical chunks colliding on a key IS the measurement),
+    then a 1-row census rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    bnd = (
+        f"filter(sequence(5, greatest(length(text) - {CDC_W - 1}, 5), "
+        f"{CDC_STRIDE}), p -> p <= length(text) AND "
+        f"substring(md5(substring(text, p, {CDC_W})), 11, 2) IN "
+        f"{_CDC_BOUNDARY_DIGITS})"
+    )
+    barr = (
+        f"concat(array(CAST(1 AS BIGINT)), "
+        f"transform({bnd}, p -> CAST(p AS BIGINT)), "
+        f"array(CAST(length(text) + 1 AS BIGINT)))"
+    )
+    chunks_expr = (
+        f"transform(sequence(1, size({barr}) - 1), "
+        f"i -> substring(text, CAST(element_at({barr}, i) AS INT), "
+        f"CAST(element_at({barr}, i + 1) - element_at({barr}, i) AS INT)))"
+    )
+    ch = docs.select(
+        "doc_id", F.explode(F.expr(chunks_expr)).alias("chunk")
+    )
+    by_hash = ch.groupBy(F.md5("chunk").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("doc_id").cast("long").alias("nd"),
+        F.sum(F.length("chunk").cast("long")).cast("long").alias("chars"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return by_hash.agg(
+        F.sum("n").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+        F.sum((F.col("nd") > 1).cast("int")).cast("long").alias(
+            "cross_doc_chunks"
+        ),
+        (
+            F.lit(1.0) - F.count(F.lit(1)).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("dup_chunk_share"),
+        (F.sum("chars").cast("double") / F.sum("n").cast("double")).alias(
+            "mean_chunk_len"
+        ),
+    ).crossJoin(F.broadcast(n_docs)).select(
+        "n_docs", "n_chunks", "n_distinct_chunks", "cross_doc_chunks",
+        "dup_chunk_share", "mean_chunk_len",
+    )

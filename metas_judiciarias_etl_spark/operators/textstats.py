@@ -3336,3 +3336,86 @@ def krippendorff_alpha_nominal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - do_num.cast("double") / de_num.cast("double")
         ).alias("alpha"),
     )
+
+
+# --------------------------------------------------------------------------
+# Scrub loss accounting: how much training signal the PII scrubber costs.
+# --------------------------------------------------------------------------
+@query(
+    "pii_scrub_loss_stats",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' contact user' || doc_id ||
+                         '@example.com or 555-123-4567'
+                    ELSE text END AS t
+        FROM documents
+    ), scrubbed AS (
+        SELECT source,
+               CAST(length(t) AS BIGINT) AS chars_before,
+               CAST(length(regexp_replace(regexp_replace(t, '{_PII_EMAIL}',
+                        '<EMAIL>', 'g'), '{_PII_PHONE}', '<PHONE>', 'g'))
+                    AS BIGINT) AS chars_after
+        FROM seeded
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(chars_before) AS BIGINT) AS chars_before,
+           CAST(sum(chars_before - chars_after) AS BIGINT) AS chars_redacted,
+           CAST(sum(CASE WHEN chars_after <> chars_before THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_touched,
+           CAST(sum(chars_before - chars_after) AS DOUBLE)
+               / CAST(sum(chars_before) AS DOUBLE) AS redacted_char_share
+    FROM scrubbed GROUP BY source
+    """,
+)
+def pii_scrub_loss_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-masking accounting for the PII scrubber: per source, how many
+    characters the email/phone redaction removes and what share of each
+    source's training signal that is — the budget line a data curator
+    reads before deciding whether a source is worth its scrub cost
+    (same deterministic seeding + patterns as text_pii_scrub, so the two
+    audits can never disagree about what the scrubber does). Note the
+    loss can be NEGATIVE per doc (the '<EMAIL>' placeholder can exceed a
+    short address) — the per-source net is what matters.
+
+    Exactness: character counts are exact integers; one IEEE division
+    per source row. Plan: map-only regex work in whole-stage codegen,
+    then one source-keyed rollup — scan-bound at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567"),
+        ),
+    ).otherwise(F.col("text"))
+    scrubbed_len = F.length(
+        F.regexp_replace(
+            F.regexp_replace("t", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        )
+    )
+    per = docs.select("source", t.alias("t")).select(
+        "source",
+        F.length("t").cast("long").alias("chars_before"),
+        scrubbed_len.cast("long").alias("chars_after"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("chars_before").cast("long").alias("chars_before"),
+        F.sum(F.col("chars_before") - F.col("chars_after"))
+        .cast("long")
+        .alias("chars_redacted"),
+        F.sum((F.col("chars_after") != F.col("chars_before")).cast("int"))
+        .cast("long")
+        .alias("docs_touched"),
+        (
+            F.sum(F.col("chars_before") - F.col("chars_after")).cast("double")
+            / F.sum("chars_before").cast("double")
+        ).alias("redacted_char_share"),
+    )

@@ -2985,3 +2985,109 @@ def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.select(
         "n_bins", "n_total", F.expr(fold).alias("ece"), "mce"
     )
+
+
+# ---------------------------------------------------------------------------
+# pass@k — the unbiased combinatorial estimator behind code-eval suites.
+# ---------------------------------------------------------------------------
+PASS_AT_KS = (1, 5, 10)
+
+
+def _pass_at_k_expr(k: int) -> str:
+    """The unbiased pass@k estimator 1 - C(n-c, k)/C(n, k) written as an
+    explicit left-associated factor chain (identical IEEE op sequence on
+    both engines): C(n-c,k)/C(n,k) = prod_{i<k} (n-c-i)/(n-i). Guards:
+    c = 0 -> 0; n-c < k -> 1 (k draws must hit a success)."""
+    prod = " * ".join(
+        f"(CAST(n - c - {i} AS DOUBLE) / CAST(n - {i} AS DOUBLE))"
+        for i in range(k)
+    )
+    return (
+        f"(CASE WHEN c = 0 THEN CAST(0.0 AS DOUBLE)"
+        f" WHEN n - c < {k} THEN CAST(1.0 AS DOUBLE)"
+        f" ELSE CAST(1.0 AS DOUBLE) - {prod} END)"
+    )
+
+
+def _pass_at_k_oracle() -> str:
+    per_k = "\n    UNION ALL\n".join(
+        f"""    SELECT {k} AS k,
+           CAST(count(*) AS BIGINT) AS n_tasks,
+           list_reduce(
+               [0.0] || list_transform(
+                   list_sort(list(struct_pack(u := user_id,
+                       p := {_pass_at_k_expr(k)}))),
+                   s -> s.p),
+               (a, b) -> a + b)
+               / CAST(count(*) AS DOUBLE) AS mean_pass_at_k
+    FROM tasks WHERE n >= {k}"""
+        for k in PASS_AT_KS
+    )
+    return f"""
+    WITH tasks AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    )
+{per_k}
+    """
+
+
+@query("eval_pass_at_k", oracle=_pass_at_k_oracle())
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k over a (task, samples, successes) panel — the standard
+    eval-harness estimator (HumanEval / MBPP style): for each task with
+    n samples and c successes, the probability that at least one of k
+    uniformly drawn samples succeeds is 1 - C(n-c,k)/C(n,k), the
+    UNBIASED estimator that replaced the naive (c/n)^k-style plug-ins.
+    Tasks = users, samples = their events, success = a purchase — the
+    fixture's stand-in for per-task completion batches; tasks with
+    n < k are excluded per the standard definition.
+
+    Exactness: n and c are exact integers; the estimator is an explicit
+    left-associated factor chain of k <= 10 exact-integer ratios (the
+    same literal expression text on both engines -> identical IEEE
+    sequence), with the c = 0 / n-c < k branches pinned to exact 0/1.
+    The task mean folds in sorted user_id order from a 0.0 seed.
+
+    Plan: ONE user-keyed aggregation over the fact table; each k row is
+    a conditional rollup of the same task panel (task-cardinality, not
+    event-cardinality). The sorted fold collects per-task terms into one
+    row per k — at larger task counts swap for the pairwise-safe tree
+    aggregation documented in chisq_independence."""
+    events = load_table(spark, sf_dir, "events")
+    tasks = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("c"),
+    )
+    out = None
+    for k in PASS_AT_KS:
+        per = (
+            tasks.filter(F.col("n") >= k)
+            .select(
+                "user_id", F.expr(_pass_at_k_expr(k)).alias("p")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_tasks"),
+                F.sort_array(
+                    F.collect_list(F.struct("user_id", "p"))
+                ).alias("__lst"),
+            )
+            .select(
+                F.lit(k).alias("k"),
+                "n_tasks",
+                (
+                    F.expr(
+                        "aggregate(transform(__lst, x -> x.p),"
+                        " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+                    )
+                    / F.col("n_tasks").cast("double")
+                ).alias("mean_pass_at_k"),
+            )
+        )
+        out = per if out is None else out.unionAll(per)
+    return out

@@ -2721,3 +2721,63 @@ def loso_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "loso_delta"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Differential-privacy sensitivity audit: the numbers a DP release of the
+# per-event-type statistics would have to calibrate noise against.
+# --------------------------------------------------------------------------
+@query(
+    "privacy_dp_sensitivity_audit",
+    oracle="""
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               CAST(count(*) AS BIGINT) AS n_ev,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS val_cents
+        FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           CAST(max(n_ev) AS BIGINT) AS linf_count_sensitivity,
+           CAST(max(abs(val_cents)) AS BIGINT) AS linf_value_sensitivity_cents,
+           CAST(max(n_ev) AS DOUBLE) AS laplace_b_eps1
+    FROM per_user GROUP BY event_type
+    """,
+)
+def privacy_dp_sensitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level differential-privacy sensitivity audit for the
+    per-event-type count and value-sum releases: before adding Laplace/
+    Gaussian noise, a DP pipeline must know how much ONE user can move
+    each statistic — max events a single user contributes to the cell
+    (the L-inf count sensitivity, = the contribution bound you would
+    clip to) and the max absolute per-user value mass in integer cents
+    (the value-sum sensitivity). ``laplace_b_eps1`` is the Laplace scale
+    b = sensitivity/epsilon at epsilon = 1 — the noise magnitude the
+    release pays if it does NOT clip, which is exactly the argument for
+    contribution bounding that these measured maxima quantify.
+
+    Exactness: per-(user, type) tallies and cent sums are exact
+    integers; the only double is one cast of an integer maximum.
+
+    Plan: one (event_type, user_id)-keyed aggregation with map-side
+    partials (the fact-row pass), then a per-type rollup over
+    user-cardinality rows — the standard two-level DP accounting shape
+    that never collects per-user data to the driver."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("val_cents"),
+    )
+    return per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.max("n_ev").cast("long").alias("linf_count_sensitivity"),
+        F.max(F.abs("val_cents"))
+        .cast("long")
+        .alias("linf_value_sensitivity_cents"),
+        F.max("n_ev").cast("double").alias("laplace_b_eps1"),
+    )

@@ -272,6 +272,11 @@ QUERIES = [
     "hierarchy_rollup_recursive",   # native WITH RECURSIVE, integer chain
     "hodges_lehmann_location",      # integer Walsh sums, median selection
     "emb_effective_rank",           # integer covariance trace / square sums
+    # round 6: DP accounting, eval metrics, scrub budgeting, CDC dedup
+    "privacy_dp_sensitivity_audit", # two-level integer user tallies
+    "eval_pass_at_k",               # factor-chain estimator, sorted task fold
+    "pii_scrub_loss_stats",         # exact char accounting per source
+    "dedup_cdc_chunks",             # content-anchored boundaries, hash census
 ]
 
 

@@ -56,7 +56,8 @@ def _run_jobs(args) -> int:
     procs = []
     for k, part in enumerate(parts):
         cmd = [sys.executable, script, "--out", part, "--sf", args.sf,
-               "--shard", f"{k}/{args.jobs}"]
+               "--shard", f"{k}/{args.jobs}",
+               "--shuffle-partitions", str(args.shuffle_partitions)]
         if args.only:
             cmd += ["--only", args.only]
         procs.append(subprocess.Popen(cmd, env=env))
@@ -76,6 +77,7 @@ def _run_jobs(args) -> int:
         "n_fail": sum(m["n_fail"] for m in metas),
         "elapsed_sec": max(m["elapsed_sec"] for m in metas),
         "jobs": args.jobs,
+        "shuffle_partitions": args.shuffle_partitions,
     }
     with open(args.out, "w") as f:
         json.dump({"_meta": meta, **dict(sorted(merged.items()))}, f, indent=1)
@@ -93,6 +95,11 @@ def main() -> int:
                     help="shard across N child processes and merge")
     ap.add_argument("--shard", default=None, metavar="K/N",
                     help="run only queries with hash(name) %% N == K")
+    ap.add_argument("--shuffle-partitions", type=int, default=8,
+                    help="spark.sql.shuffle.partitions for the run — record "
+                    "the artifact twice at different layouts to prove no "
+                    "query's hash depends on the shuffle plan (VERDICT r5 "
+                    "item 8)")
     args = ap.parse_args()
     if args.jobs > 1:
         return _run_jobs(args)
@@ -102,7 +109,7 @@ def main() -> int:
     from tests.oracle_harness import compare, duckdb_con, dtype_problems
 
     registry.load_all()
-    spark = build_session(app_name="record-parity", shuffle_partitions=8)
+    spark = build_session(app_name="record-parity", shuffle_partitions=args.shuffle_partitions)
     con = duckdb_con(args.sf)
 
     names = sorted(registry.QUERIES)
@@ -157,6 +164,7 @@ def main() -> int:
             "n_with_oracle": sum(1 for n in names if n in registry.ORACLES),
             "n_fail": n_fail,
             "elapsed_sec": round(time.time() - t0, 1),
+            "shuffle_partitions": args.shuffle_partitions,
         }
     }
     with open(args.out, "w") as f:

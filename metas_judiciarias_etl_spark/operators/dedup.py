@@ -2632,29 +2632,57 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= W + stride - 1 is preserved); exactness is unaffected — both
     engines test identical positions.
 
-    Plan: chunking is map-only array work per row (no per-window
-    explode — windows live inside one filter() lambda); ONE explode of
-    the resulting chunks feeds a chunk-hash-keyed aggregation (map-side
-    partials; identical chunks colliding on a key IS the measurement),
-    then a 1-row census rollup."""
+    Plan: the boundary test EXPLODES the stride positions into rows so
+    the per-window md5 runs as a regular projection inside whole-stage
+    codegen — Spark evaluates higher-order-function lambdas INTERPRETED,
+    and the first cut (windows inside one filter() lambda) paid ~4× for
+    ~2M in-lambda md5s at sf0.1. The explode→hash→filter is map-side
+    (no shuffle until only the ~1/64 surviving boundary rows group back
+    per doc); chunk assembly is in-row array work over the small
+    boundary array; ONE explode of the resulting chunks feeds a
+    chunk-hash-keyed aggregation (map-side partials; identical chunks
+    colliding on a key IS the measurement), then a 1-row census
+    rollup."""
     docs = load_table(spark, sf_dir, "documents")
-    bnd = (
-        f"filter(sequence(5, greatest(length(text) - {CDC_W - 1}, 5), "
-        f"{CDC_STRIDE}), p -> p <= length(text) AND "
-        f"substring(md5(substring(text, p, {CDC_W})), 11, 2) IN "
-        f"{_CDC_BOUNDARY_DIGITS})"
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.expr(
+                f"sequence(5, greatest(length(text) - {CDC_W - 1}, 5), "
+                f"{CDC_STRIDE})"
+            )
+        ).alias("p"),
+    )
+    bpos = (
+        pos.filter(
+            (F.col("p") <= F.length("text"))
+            & F.expr(
+                f"substring(md5(substring(text, p, {CDC_W})), 11, 2) IN "
+                f"{_CDC_BOUNDARY_DIGITS}"
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("p")).alias("__bnd"))
+    )
+    with_bnd = docs.join(bpos, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        F.coalesce("__bnd", F.expr("CAST(array() AS ARRAY<INT>)")).alias(
+            "__bnd"
+        ),
     )
     barr = (
-        f"concat(array(CAST(1 AS BIGINT)), "
-        f"transform({bnd}, p -> CAST(p AS BIGINT)), "
-        f"array(CAST(length(text) + 1 AS BIGINT)))"
+        "concat(array(CAST(1 AS BIGINT)), "
+        "transform(__bnd, p -> CAST(p AS BIGINT)), "
+        "array(CAST(length(text) + 1 AS BIGINT)))"
     )
     chunks_expr = (
         f"transform(sequence(1, size({barr}) - 1), "
         f"i -> substring(text, CAST(element_at({barr}, i) AS INT), "
         f"CAST(element_at({barr}, i + 1) - element_at({barr}, i) AS INT)))"
     )
-    ch = docs.select(
+    ch = with_bnd.select(
         "doc_id", F.explode(F.expr(chunks_expr)).alias("chunk")
     )
     by_hash = ch.groupBy(F.md5("chunk").alias("h")).agg(

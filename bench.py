@@ -349,6 +349,8 @@ HEADLINE = [
     "eval_pass_at_k",
     "pii_scrub_loss_stats",
     "dedup_cdc_chunks",
+    "text_dedup_onion",
+    "sim_pq_distortion",
 ]
 
 

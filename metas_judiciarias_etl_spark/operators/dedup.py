@@ -2708,3 +2708,167 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs", "n_chunks", "n_distinct_chunks", "cross_doc_chunks",
         "dup_chunk_share", "mean_chunk_len",
     )
+
+
+# ---------------------------------------------------------------------------
+# Onion dedup accounting: exact → canonical → near-dup, each layer priced.
+# ---------------------------------------------------------------------------
+def _onion_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH cl AS ({ORACLES['dedup_clusters']}),
+    keyed AS (
+        SELECT doc_id, md5(text) AS h_raw,
+               md5({_NORM_SQL.format(c='text')}) AS h_norm
+        FROM documents
+    ), f1 AS (
+        SELECT doc_id, h_norm,
+               CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY h_raw)
+                    THEN 0 ELSE 1 END AS r1
+        FROM keyed
+    ), f2 AS (
+        SELECT doc_id, r1,
+               CASE WHEN r1 = 0 AND doc_id != min(CASE WHEN r1 = 0
+                        THEN doc_id END) OVER (PARTITION BY h_norm)
+                    THEN 1 ELSE 0 END AS r2
+        FROM f1
+    ), f3 AS (
+        SELECT f2.doc_id, f2.r1, f2.r2,
+               CASE WHEN f2.r1 = 0 AND f2.r2 = 0 AND cl.doc_id IS NOT NULL
+                         AND cl.doc_id != cl.cluster_id
+                    THEN 1 ELSE 0 END AS r3
+        FROM f2 LEFT JOIN cl ON cl.doc_id = f2.doc_id
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0,
+               CAST(sum(r1) AS BIGINT) AS x1,
+               CAST(sum(r2) AS BIGINT) AS x2,
+               CAST(sum(r3) AS BIGINT) AS x3
+        FROM f3
+    )
+    SELECT '1_exact' AS layer, n0 AS docs_in, x1 AS docs_removed,
+           n0 - x1 AS docs_out,
+           CAST(x1 AS DOUBLE) / CAST(n0 AS DOUBLE) AS cum_removed_share
+    FROM tot
+    UNION ALL
+    SELECT '2_normalized', n0 - x1, x2, n0 - x1 - x2,
+           CAST(x1 + x2 AS DOUBLE) / CAST(n0 AS DOUBLE)
+    FROM tot
+    UNION ALL
+    SELECT '3_near_dup', n0 - x1 - x2, x3, n0 - x1 - x2 - x3,
+           CAST(x1 + x2 + x3 AS DOUBLE) / CAST(n0 AS DOUBLE)
+    FROM tot
+    """
+
+
+@query("text_dedup_onion", oracle=_onion_oracle())
+def text_dedup_onion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion (layered) dedup accounting — the production sequencing every
+    corpus pipeline runs: EXACT dedup first (free, hash groupBy), then
+    CANONICAL dedup on the survivors (the C4/CCNet normalize-then-hash
+    recipe), then NEAR-DUP cluster removal on what remains — with each
+    layer's removal count priced separately, because that table is what
+    decides whether the expensive near-dup pass is worth running on a
+    given source (if layers 1-2 already took the dup mass, it isn't).
+    Keepers are min-doc_id at every layer, and the near-dup layer uses
+    the REGISTERED dedup_clusters labels (cluster_id = component min),
+    so the audit moves when the detector definition moves. A cluster's
+    min member provably survives layers 1-2 (it is the min of every
+    exact/canonical group it belongs to), so the three layers compose
+    without keeper conflicts.
+
+    Exactness: pure integer tallies from window-min keeper flags; one
+    IEEE division per row for the cumulative share.
+
+    Plan: one map pass computing both content hashes, two hash-keyed
+    window-min flags, one doc_id-keyed left join against the (memoized)
+    cluster table, ONE aggregation to the four counters, and a 3-row
+    literal expansion — corpus-scan-bound; the CC build is paid by the
+    memoized dedup_clusters."""
+    from ..registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    cl = QUERIES["dedup_clusters"](spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.md5("text").alias("h_raw"),
+        F.md5(_NORM_SPARK(F.col("text"))).alias("h_norm"),
+    )
+    w_raw = Window.partitionBy("h_raw")
+    f1 = keyed.select(
+        "doc_id",
+        "h_norm",
+        F.when(F.col("doc_id") == F.min("doc_id").over(w_raw), 0)
+        .otherwise(1)
+        .alias("r1"),
+    )
+    w_norm = Window.partitionBy("h_norm")
+    min_surv = F.min(
+        F.when(F.col("r1") == 0, F.col("doc_id"))
+    ).over(w_norm)
+    f2 = f1.select(
+        "doc_id",
+        "r1",
+        F.when(
+            (F.col("r1") == 0) & (F.col("doc_id") != min_surv), 1
+        )
+        .otherwise(0)
+        .alias("r2"),
+    )
+    f3 = f2.join(cl, "doc_id", "left").select(
+        "r1",
+        "r2",
+        F.when(
+            (F.col("r1") == 0)
+            & (F.col("r2") == 0)
+            & F.col("cluster_id").isNotNull()
+            & (F.col("doc_id") != F.col("cluster_id")),
+            1,
+        )
+        .otherwise(0)
+        .alias("r3"),
+    )
+    tot = f3.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("r1").cast("long").alias("x1"),
+        F.sum("r2").cast("long").alias("x2"),
+        F.sum("r3").cast("long").alias("x3"),
+    )
+    layers = tot.select(
+        "n0",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1_exact").alias("layer"),
+                    F.col("n0").alias("docs_in"),
+                    F.col("x1").alias("docs_removed"),
+                ),
+                F.struct(
+                    F.lit("2_normalized").alias("layer"),
+                    (F.col("n0") - F.col("x1")).alias("docs_in"),
+                    F.col("x2").alias("docs_removed"),
+                ),
+                F.struct(
+                    F.lit("3_near_dup").alias("layer"),
+                    (F.col("n0") - F.col("x1") - F.col("x2")).alias(
+                        "docs_in"
+                    ),
+                    F.col("x3").alias("docs_removed"),
+                ),
+            )
+        ).alias("l"),
+    )
+    return layers.select(
+        F.col("l.layer").alias("layer"),
+        F.col("l.docs_in").alias("docs_in"),
+        F.col("l.docs_removed").alias("docs_removed"),
+        (F.col("l.docs_in") - F.col("l.docs_removed")).alias("docs_out"),
+        (
+            (
+                F.col("n0") - (F.col("l.docs_in") - F.col("l.docs_removed"))
+            ).cast("double")
+            / F.col("n0").cast("double")
+        ).alias("cum_removed_share"),
+    )

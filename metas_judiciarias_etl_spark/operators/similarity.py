@@ -4109,3 +4109,100 @@ def sim_norm_effect_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(_RBO_MAX))
         ).alias("rbo_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# PQ distortion audit: what the 12-bit compression costs, per subspace.
+# --------------------------------------------------------------------------
+def _pq_distortion_oracle() -> str:
+    dists = [
+        _pq_dist_terms("e.embedding", "cb.c_emb", m, "{col}[{i}]")
+        for m in range(PQ_M)
+    ]
+    mins = ", ".join(
+        f"(min(struct_pack(d := {d}, c := cb.code_id))).d AS d{m},"
+        f" (min(struct_pack(d := {d}, c := cb.code_id))).c AS c{m}"
+        for m, d in enumerate(dists)
+    )
+    per_m = "\n    UNION ALL\n".join(
+        f"""    SELECT {m} AS subspace,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(DISTINCT c{m}) AS BIGINT) AS n_codes_used,
+           CAST(sum(CAST(round(d{m} * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS sq_err_grid,
+           CAST(sum(CAST(round(d{m} * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_sq_err
+    FROM assigned"""
+        for m in range(PQ_M)
+    )
+    return f"""
+    WITH cb AS (
+        SELECT vec_id - {N_QUERIES} AS code_id, embedding AS c_emb
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+    ), assigned AS (
+        SELECT e.vec_id, {mins}
+        FROM embeddings e CROSS JOIN cb
+        GROUP BY e.vec_id
+    )
+{per_m}
+    """
+
+
+@query("sim_pq_distortion", oracle=_pq_distortion_oracle())
+def sim_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ reconstruction-distortion audit: mean squared L2 error between
+    each vector's subspace slice and its assigned codeword, per subspace
+    — the quantization-quality number that decides PQ_K/PQ_M sizing
+    (recall audits like sim_recall_pq price the SEARCH loss; this prices
+    the CODE loss directly, and a subspace with distortion far above its
+    peers is the one whose codebook needs more codewords or a rotation).
+    n_codes_used doubles as codebook-collapse detection (dead codewords
+    = wasted bits).
+
+    Exactness: per-vector min distance is an argmin over 8 explicit
+    expressions whose text is identical on both engines (min of doubles
+    is order-free); distances then quantize to the 1e-6 integer grid
+    and sum as exact integers (order-free partial aggregation — the
+    emb_silhouette discipline), with ONE division at the end.
+
+    Plan: one broadcast cross join against the 8-row codebook, one
+    vec_id-keyed argmin aggregation carrying (distance, code) structs,
+    then a 4-row per-subspace rollup — corpus-scan-bound, no row
+    shuffle beyond the argmin's."""
+    base = load_table(spark, sf_dir, "embeddings")
+    pairs = base.crossJoin(F.broadcast(_pq_codebook(base)))
+    aggs = []
+    for m in range(PQ_M):
+        s = F.min(
+            F.struct(
+                F.expr(
+                    _pq_dist_terms(
+                        "embedding", "c_emb", m, "element_at({col}, {i})"
+                    )
+                ).alias("d"),
+                F.col("code_id").alias("c"),
+            )
+        )
+        aggs.append(s["d"].alias(f"d{m}"))
+        aggs.append(s["c"].alias(f"c{m}"))
+    assigned = pairs.groupBy("vec_id").agg(*aggs)
+    out = None
+    for m in range(PQ_M):
+        grid = F.expr(f"CAST(round(d{m} * 1000000.0) AS BIGINT)")
+        row = assigned.agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.countDistinct(f"c{m}").cast("long").alias("n_codes_used"),
+            F.sum(grid).cast("long").alias("sq_err_grid"),
+        ).select(
+            F.lit(m).alias("subspace"),
+            "n_vectors",
+            "n_codes_used",
+            "sq_err_grid",
+            (
+                F.col("sq_err_grid").cast("double")
+                / (F.col("n_vectors").cast("double") * F.lit(1000000.0))
+            ).alias("mean_sq_err"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -277,6 +277,8 @@ QUERIES = [
     "eval_pass_at_k",               # factor-chain estimator, sorted task fold
     "pii_scrub_loss_stats",         # exact char accounting per source
     "dedup_cdc_chunks",             # content-anchored boundaries, hash census
+    "text_dedup_onion",             # layered keeper flags + cluster join
+    "sim_pq_distortion",            # argmin distances on the 1e-6 grid
 ]
 
 

@@ -6571,3 +6571,192 @@ def test_atkinson_matches_replay_and_bounds(spark, sf_small):
     assert abs(r["geomean_cents"] - round(geo, 2)) < 1e-8 * max(geo, 1.0)
     assert abs(r["atkinson_eps1"] - round(atk, 6)) < 1e-9
     assert 0.0 <= r["atkinson_eps1"] < 1.0  # AM >= GM on positive values
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: DP sensitivity, pass@k, scrub loss, CDC, onion, PQ.
+# ---------------------------------------------------------------------------
+def test_dp_sensitivity_matches_pandas_replay(spark, sf_small):
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    ev = ev.assign(cents=(ev["value"] * 100).round().astype("int64"))
+    g = ev.groupby(["event_type", "user_id"]).agg(
+        n_ev=("event_id", "size"), val=("cents", "sum")
+    ).reset_index()
+    exp = {
+        t: (
+            len(d),
+            int(d["n_ev"].sum()),
+            int(d["n_ev"].max()),
+            int(d["val"].abs().max()),
+        )
+        for t, d in g.groupby("event_type")
+    }
+    rows = registry.QUERIES["privacy_dp_sensitivity_audit"](
+        spark, sf_small
+    ).collect()
+    assert len(rows) == len(exp)
+    for r in rows:
+        n_users, n_events, linf, vmax = exp[r["event_type"]]
+        assert (r["n_users"], r["n_events"]) == (n_users, n_events)
+        assert r["linf_count_sensitivity"] == linf
+        assert r["linf_value_sensitivity_cents"] == vmax
+        assert r["laplace_b_eps1"] == float(linf)
+
+
+def test_pass_at_k_matches_exact_fractions(spark, sf_small):
+    """Replay the estimator with EXACT rational arithmetic: per task
+    1 - C(n-c,k)/C(n,k) via math.comb, mean as a Fraction — the engine's
+    float chain must sit within 1e-9 of the exact value, and the k rows
+    must use exactly the n >= k task panels."""
+    from fractions import Fraction
+    from math import comb
+
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    ev = _load_pdf(sf_small, "events")
+    g = ev.groupby("user_id").agg(
+        n=("event_id", "size"),
+        c=("event_type", lambda s: int((s == "purchase").sum())),
+    )
+    rows = {
+        r["k"]: r
+        for r in registry.QUERIES["eval_pass_at_k"](spark, sf_small).collect()
+    }
+    for k in (1, 5, 10):
+        panel = g[g["n"] >= k]
+        exact = sum(
+            Fraction(1) - Fraction(comb(n - c, k), comb(n, k))
+            if n - c >= k
+            else Fraction(1)
+            for n, c in zip(panel["n"], panel["c"])
+        ) / len(panel)
+        assert rows[k]["n_tasks"] == len(panel)
+        assert abs(rows[k]["mean_pass_at_k"] - float(exact)) < 1e-9
+
+
+def test_scrub_loss_matches_python_re(spark, sf_small):
+    import re
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.textstats import (
+        _PII_EMAIL,
+        _PII_PHONE,
+    )
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    seeded = [
+        (
+            src,
+            t + f" contact user{d}@example.com or 555-123-4567"
+            if d % 3 == 0
+            else t,
+        )
+        for d, t, src in zip(docs["doc_id"], docs["text"], docs["source"])
+    ]
+    exp: dict = {}
+    for src, t in seeded:
+        after = re.sub(
+            _PII_PHONE, "<PHONE>", re.sub(_PII_EMAIL, "<EMAIL>", t)
+        )
+        n, before, red, touched = exp.get(src, (0, 0, 0, 0))
+        exp[src] = (
+            n + 1,
+            before + len(t),
+            red + len(t) - len(after),
+            touched + (len(after) != len(t)),
+        )
+    rows = registry.QUERIES["pii_scrub_loss_stats"](spark, sf_small).collect()
+    assert len(rows) == len(exp)
+    for r in rows:
+        n, before, red, touched = exp[r["source"]]
+        assert (r["n_docs"], r["chars_before"], r["chars_redacted"]) == (
+            n, before, red,
+        )
+        assert r["docs_touched"] == touched
+
+
+def test_cdc_chunks_census_conservation(spark, sf_small):
+    """Chunks PARTITION each document: mean_chunk_len * n_chunks must
+    equal the corpus' total text length exactly (the reassembly
+    witness), and the census counts must nest."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    docs = _load_pdf(sf_small, "documents")
+    total_chars = int(docs["text"].str.len().sum())
+    r = registry.QUERIES["dedup_cdc_chunks"](spark, sf_small).collect()[0]
+    assert r["n_docs"] == len(docs)
+    assert round(r["mean_chunk_len"] * r["n_chunks"]) == total_chars
+    assert 0 < r["n_distinct_chunks"] <= r["n_chunks"]
+    assert 0 <= r["cross_doc_chunks"] <= r["n_distinct_chunks"]
+    assert 0.0 <= r["dup_chunk_share"] < 1.0
+
+
+def test_onion_layer_algebra(spark, sf_small):
+    """Layer chaining: docs_in(k+1) == docs_out(k); cumulative share
+    consistent; on a corpus with no exact/canonical dups the near-dup
+    layer must remove exactly the registered clusters' non-keepers."""
+    from metas_judiciarias_etl_spark import registry
+
+    registry.load_all()
+    rows = {
+        r["layer"]: r
+        for r in registry.QUERIES["text_dedup_onion"](
+            spark, sf_small
+        ).collect()
+    }
+    l1, l2, l3 = rows["1_exact"], rows["2_normalized"], rows["3_near_dup"]
+    n0 = l1["docs_in"]
+    assert l2["docs_in"] == l1["docs_out"]
+    assert l3["docs_in"] == l2["docs_out"]
+    for r in rows.values():
+        assert r["docs_out"] == r["docs_in"] - r["docs_removed"]
+        assert abs(
+            r["cum_removed_share"] - (n0 - r["docs_out"]) / n0
+        ) < 1e-12
+    if l1["docs_removed"] == 0 and l2["docs_removed"] == 0:
+        cl = registry.QUERIES["dedup_clusters"](spark, sf_small).collect()
+        non_keepers = sum(1 for r in cl if r["doc_id"] != r["cluster_id"])
+        assert l3["docs_removed"] == non_keepers
+
+
+def test_pq_distortion_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_DSUB,
+        PQ_K,
+        PQ_M,
+    )
+
+    registry.load_all()
+    emb = _load_pdf(sf_small, "embeddings")
+    mat = np.array(list(emb["embedding"]), dtype=np.float64)
+    cb = mat[
+        (emb["vec_id"] >= N_QUERIES) & (emb["vec_id"] < N_QUERIES + PQ_K)
+    ]
+    rows = {
+        r["subspace"]: r
+        for r in registry.QUERIES["sim_pq_distortion"](
+            spark, sf_small
+        ).collect()
+    }
+    for m in range(PQ_M):
+        sl = slice(m * PQ_DSUB, (m + 1) * PQ_DSUB)
+        d = ((mat[:, None, sl] - cb[None, :, sl]) ** 2).sum(axis=2)
+        dmin = d.min(axis=1)
+        grid = int(np.round(dmin * 1_000_000.0).astype(np.int64).sum())
+        r = rows[m]
+        assert r["n_vectors"] == len(mat)
+        # numpy sums subspace terms in a different order than the pinned
+        # left-assoc chain -> per-vector 1-2 ulp wiggle; the 1e-6 grid
+        # absorbs it except for exact .5 boundaries, so allow a hair.
+        assert abs(r["sq_err_grid"] - grid) <= len(mat)
+        assert 1 <= r["n_codes_used"] <= PQ_K

@@ -69,8 +69,9 @@ def main() -> None:
 
     names = EXPENSIVE + [a for a in ANCHORS if a not in EXPENSIVE]
     if args.only:
-        keep = set(args.only.split(","))
-        names = [n for n in names if n in keep]
+        # an explicit subset may name ANY registered query, not just the
+        # default tier (the sf1->sf10 second-decade run uses this)
+        names = args.only.split(",")
 
     registry.load_all()
     spark = build_session(

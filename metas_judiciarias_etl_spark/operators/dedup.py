@@ -969,28 +969,39 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _prefix_filter_jaccard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
     # carry |S| from the un-exploded array: one window (the rank) instead
-    # of two over the exploded relation
+    # of two over the exploded relation. Shingles reduce to int64 hashes
+    # IMMEDIATELY: the prefix-filter theorem holds under ANY global total
+    # order on shingles (pigeonhole), so ordering/joining on hash48
+    # instead of the string changes only WHICH superset of candidates is
+    # generated, never the verified output — and it shrinks the
+    # window-rank's spill rows from ~25-byte strings to 8-byte longs
+    # (the sf10 probe hit the local temp-disk ceiling on the string
+    # form). A 48-bit collision merely merges two shingles' df counts
+    # (df is a heuristic for the order) or creates one spurious
+    # candidate (the exact verify drops it).
     ex = sh.select(
-        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle")
-    )
-    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        "doc_id",
+        F.size("shingles").alias("sz"),
+        F.explode("shingles").alias("shingle"),
+    ).select("doc_id", "sz", hash48(F.col("shingle")).alias("h"))
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     wd = Window.partitionBy("doc_id")
-    ranked = ex.join(dfreq, "shingle").withColumn(
-        "rn", F.row_number().over(wd.orderBy("df", "shingle"))
+    ranked = ex.join(dfreq, "h").withColumn(
+        "rn", F.row_number().over(wd.orderBy("df", "h"))
     )
     prefix = ranked.filter(
         F.col("rn") <= F.expr("sz - (sz + 1) div 2 + 1")
-    ).select("doc_id", "shingle", "sz")
+    ).select("doc_id", "h", "sz")
     a = prefix.select(
-        F.col("doc_id").alias("a_id"), "shingle", F.col("sz").alias("a_sz")
+        F.col("doc_id").alias("a_id"), "h", F.col("sz").alias("a_sz")
     )
     b = prefix.select(
-        F.col("doc_id").alias("b_id"), "shingle", F.col("sz").alias("b_sz")
+        F.col("doc_id").alias("b_id"), "h", F.col("sz").alias("b_sz")
     )
     # length filter (lossless): J >= t forces t <= |A|/|B| <= 1/t, so
     # size-mismatched collisions drop before the distinct + verify join
     cand = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(
             (F.col("a_id") < F.col("b_id"))
             & (F.col("a_sz") >= F.expr("(b_sz + 1) div 2"))

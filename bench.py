@@ -351,6 +351,7 @@ HEADLINE = [
     "dedup_cdc_chunks",
     "text_dedup_onion",
     "sim_pq_distortion",
+    "dedup_truth_sample_estimate",
 ]
 
 

@@ -966,19 +966,22 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _prefix_filter_jaccard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _prefix_filter_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless prefix-filter candidate pairs (a_id, b_id) — the shared
+    generation step of the exact truth build and the sampled estimator.
+
+    Shingles reduce to int64 hashes IMMEDIATELY: the prefix-filter
+    theorem holds under ANY global total order on shingles (pigeonhole),
+    so ordering/joining on hash48 instead of the string changes only
+    WHICH superset of candidates is generated, never the verified
+    output — and it shrinks the window-rank's spill rows from ~25-byte
+    strings to 8-byte longs (the sf10 probe hit the local temp-disk
+    ceiling on the string form). A 48-bit collision merely merges two
+    shingles' df counts (df is a heuristic for the order) or creates one
+    spurious candidate (the exact verify drops it). |S| is carried from
+    the un-exploded array: one window (the rank) instead of two over the
+    exploded relation."""
     sh = _doc_shingles(spark, sf_dir)
-    # carry |S| from the un-exploded array: one window (the rank) instead
-    # of two over the exploded relation. Shingles reduce to int64 hashes
-    # IMMEDIATELY: the prefix-filter theorem holds under ANY global total
-    # order on shingles (pigeonhole), so ordering/joining on hash48
-    # instead of the string changes only WHICH superset of candidates is
-    # generated, never the verified output — and it shrinks the
-    # window-rank's spill rows from ~25-byte strings to 8-byte longs
-    # (the sf10 probe hit the local temp-disk ceiling on the string
-    # form). A 48-bit collision merely merges two shingles' df counts
-    # (df is a heuristic for the order) or creates one spurious
-    # candidate (the exact verify drops it).
     ex = sh.select(
         "doc_id",
         F.size("shingles").alias("sz"),
@@ -1000,7 +1003,7 @@ def _prefix_filter_jaccard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # length filter (lossless): J >= t forces t <= |A|/|B| <= 1/t, so
     # size-mismatched collisions drop before the distinct + verify join
-    cand = (
+    return (
         a.join(b, "h")
         .filter(
             (F.col("a_id") < F.col("b_id"))
@@ -1010,6 +1013,11 @@ def _prefix_filter_jaccard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
+
+
+def _prefix_filter_jaccard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    cand = _prefix_filter_candidates(spark, sf_dir)
     return (
         _pair_jaccard(cand, sh)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -2882,4 +2890,105 @@ def text_dedup_onion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / F.col("n0").cast("double")
         ).alias("cum_removed_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampled exact-verify estimator: the truth instrument's scale mode.
+# ---------------------------------------------------------------------------
+TRUTH_SAMPLE_MOD = 64  # verify 1/64 of candidates; estimate = count x 64
+
+
+def _truth_sample_oracle() -> str:
+    pair_key = sql_hash48("a_id::VARCHAR || ':' || b_id::VARCHAR")
+    inter = "len(list_intersect(sa.shingles, sb.shingles))"
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+    ), hx AS (
+        SELECT doc_id, len(shingles) AS sz,
+               {sql_hash48("shingle")} AS h
+        FROM (SELECT doc_id, shingles, unnest(shingles) AS shingle FROM sh)
+    ), dfreq AS (
+        SELECT h, count(*) AS df FROM hx GROUP BY h
+    ), ranked AS (
+        SELECT x.doc_id, x.sz, x.h,
+               row_number() OVER (PARTITION BY x.doc_id
+                                  ORDER BY d.df, x.h) AS rn
+        FROM hx x JOIN dfreq d USING (h)
+    ), prefix AS (
+        SELECT doc_id, h, sz FROM ranked
+        WHERE rn <= sz - (sz + 1) // 2 + 1
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM prefix a JOIN prefix b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+         AND a.sz >= (b.sz + 1) // 2 AND b.sz >= (a.sz + 1) // 2
+    ), samp AS (
+        SELECT a_id, b_id FROM cand
+        WHERE {pair_key} % {TRUTH_SAMPLE_MOD} = 0
+    ), ver AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_true_sampled
+        FROM samp s
+        JOIN sh sa ON sa.doc_id = s.a_id
+        JOIN sh sb ON sb.doc_id = s.b_id
+        WHERE {inter}::DOUBLE
+              / (len(sa.shingles) + len(sb.shingles) - {inter})
+              >= {JACCARD_THRESHOLD}
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_sampled,
+           ver.n_true_sampled,
+           ver.n_true_sampled * {TRUTH_SAMPLE_MOD} AS est_true_pairs,
+           CAST({TRUTH_SAMPLE_MOD} AS BIGINT) AS sample_mod
+    FROM ver
+    """
+
+
+@query("dedup_truth_sample_estimate", oracle=_truth_sample_oracle())
+def dedup_truth_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-truth instrument's SCALE MODE, made real: the full
+    prefix-filter SSJoin is candidate-proportional (the round-6 sf10
+    probe measured 121M candidates whose exact-verify payload — two
+    ~1.5 KB shingle arrays per pair — exceeds one box's shuffle spill),
+    so at scale the instrument verifies a DETERMINISTIC hash-sample of
+    the candidates and reports the Horvitz-Thompson estimate
+    est_true_pairs = 64 · |{verified sampled pairs}|. The sample is
+    keyed by hash48(a_id:b_id) — reproducible across engines, runs, and
+    partitionings; n_candidates stays EXACT (candidate counting is the
+    cheap part). Every count is an exact integer on both engines — the
+    oracle mirrors the hash-ranked candidate generation line for line,
+    so this query also certifies the candidate SET itself (the full
+    truth query only certifies the verified output).
+
+    Plan: the shared candidate generation (hash-keyed prefix join), one
+    map-side hash filter keeping ~1/64 of pairs, the exact string-array
+    verify on the sample only, and a 1-row assembly. At sf10 this is
+    ~1.9M verified pairs ≈ 5.7 GB of verify payload instead of 360 GB."""
+    sh = _doc_shingles(spark, sf_dir)
+    cand = _prefix_filter_candidates(spark, sf_dir).persist()
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    samp = cand.filter(
+        hash48(F.concat_ws(":", F.col("a_id"), F.col("b_id")))
+        % TRUTH_SAMPLE_MOD
+        == 0
+    )
+    n_samp = samp.agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    ver = (
+        _pair_jaccard(samp, sh)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true_sampled"))
+    )
+    return (
+        ver.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_samp))
+        .select(
+            "n_candidates",
+            "n_sampled",
+            "n_true_sampled",
+            (F.col("n_true_sampled") * F.lit(TRUTH_SAMPLE_MOD))
+            .cast("long")
+            .alias("est_true_pairs"),
+            F.lit(TRUTH_SAMPLE_MOD).cast("long").alias("sample_mod"),
+        )
     )

@@ -6760,3 +6760,29 @@ def test_pq_distortion_matches_numpy(spark, sf_small):
         # absorbs it except for exact .5 boundaries, so allow a hair.
         assert abs(r["sq_err_grid"] - grid) <= len(mat)
         assert 1 <= r["n_codes_used"] <= PQ_K
+
+
+def test_truth_sample_estimator_calibration(spark, sf_small):
+    """The Horvitz-Thompson estimate must sit within ~5 sigma of the
+    EXACT truth-pair count (Var(est) ~= truth * MOD for a 1/MOD
+    Bernoulli sample), and the exact columns must reconcile: the sample
+    is a subset of candidates, and candidates are a superset of truth
+    (prefix-filter losslessness seen from the estimator's side)."""
+    import math
+
+    from metas_judiciarias_etl_spark import registry
+    from metas_judiciarias_etl_spark.operators.dedup import TRUTH_SAMPLE_MOD
+
+    registry.load_all()
+    r = registry.QUERIES["dedup_truth_sample_estimate"](
+        spark, sf_small
+    ).collect()[0]
+    truth = registry.QUERIES["dedup_prefix_filter_jaccard"](
+        spark, sf_small
+    ).count()
+    assert r["sample_mod"] == TRUTH_SAMPLE_MOD
+    assert 0 <= r["n_sampled"] <= r["n_candidates"]
+    assert r["n_true_sampled"] <= r["n_sampled"]
+    assert truth <= r["n_candidates"]
+    tol = 5.0 * math.sqrt(max(truth, 4) * TRUTH_SAMPLE_MOD)
+    assert abs(r["est_true_pairs"] - truth) <= tol

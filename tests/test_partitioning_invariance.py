@@ -279,6 +279,7 @@ QUERIES = [
     "dedup_cdc_chunks",             # content-anchored boundaries, hash census
     "text_dedup_onion",             # layered keeper flags + cluster join
     "sim_pq_distortion",            # argmin distances on the 1e-6 grid
+    "dedup_truth_sample_estimate",  # hash-keyed sample, exact counts
 ]
 
 

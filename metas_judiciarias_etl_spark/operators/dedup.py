@@ -131,9 +131,11 @@ def _verify_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     certificate ever fails (expected only under adversarial vocabularies:
     ~n²/2^49 collision odds), the build returns the STRING table and every
     consumer transparently verifies on strings — correctness never rests
-    on a probabilistic argument. The certificate is re-checked whenever
-    the memo is rebuilt (e.g. after the bench harness's clearCache), so no
-    result-bearing state outlives an evicted cache."""
+    on a probabilistic argument. The certificate runs ONCE per (session,
+    sf_dir): after a cache eviction the memo re-persists the same
+    DataFrame without re-running build(), which is safe because the
+    fixture inputs are immutable per sf_dir — the re-materialized rows
+    are the same rows the certificate already covered (ADVICE r7)."""
 
     def build() -> DataFrame:
         sh = _doc_shingles(spark, sf_dir)
@@ -206,7 +208,10 @@ def _signatures_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
             return h.groupBy("doc_id").agg(*affine_min_aggs("h", NUM_HASHES))
         return _signatures(_doc_shingles(spark, sf_dir))
 
-    return shared(spark, sf_dir, "mh_signatures", build)
+    return shared(
+        spark, sf_dir, "mh_signatures", build,
+        deps=(lambda: _verify_shingles(spark, sf_dir),),
+    )
 
 
 BUCKET_CAP = 200
@@ -353,6 +358,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared(
         spark, sf_dir, "minhash_lsh",
         lambda: _minhash_lsh_build(spark, sf_dir),
+        deps=(
+            lambda: _verify_shingles(spark, sf_dir),
+            lambda: _signatures_shared(spark, sf_dir),
+        ),
     )
 
 
@@ -413,9 +422,17 @@ def _simhash_oracle() -> str:
 @query("dedup_simhash", oracle=_simhash_oracle() + "SELECT doc_id, simhash16 FROM fp")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints: near-dup docs land on equal (or hamming-close)
-    fingerprints; equal-fingerprint grouping is then a plain hash shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    return _simhash_fingerprints(docs)
+    fingerprints; equal-fingerprint grouping is then a plain hash shuffle.
+
+    Memoized per (session, sf_dir) since round 8: the hamming-1 detector's
+    plan reads the fingerprint table FOUR times (probe, identity, and both
+    verify sides), so an unmemoized fingerprint build paid the
+    tokenize+md5 pass 4x per materialization (guide §5: an unmaterialized
+    intermediate is computed once per consuming subtree)."""
+    return shared(
+        spark, sf_dir, "simhash_fp",
+        lambda: _simhash_fingerprints(load_table(spark, sf_dir, "documents")),
+    )
 
 
 @query(
@@ -561,6 +578,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared(
         spark, sf_dir, "dedup_clusters",
         lambda: _dedup_clusters_build(spark, sf_dir),
+        deps=(
+            lambda: _verify_shingles(spark, sf_dir),
+            lambda: _signatures_shared(spark, sf_dir),
+        ),
     )
 
 
@@ -1041,6 +1062,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared(
         spark, sf_dir, "jaccard_truth",
         lambda: _prefix_filter_jaccard_build(spark, sf_dir),
+        deps=(lambda: _verify_shingles(spark, sf_dir),),
     )
 
 
@@ -1232,6 +1254,7 @@ def dedup_simhash_hamming1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared(
         spark, sf_dir, "simhash_hamming1",
         lambda: _simhash_hamming1_build(spark, sf_dir),
+        deps=(lambda: dedup_simhash(spark, sf_dir),),
     )
 
 
@@ -1865,6 +1888,23 @@ _ER_TALLY_SQL = (
 )
 
 
+def _er_feat_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized ER feature frame (round 8): er_match_weights reads it once
+    and er_pattern_precision TWICE (pattern histogram + learned tally), so
+    the unmemoized form paid the 9x1-flood candidate generation + verify
+    three times per bench sweep — pair-scale rows (is_match + 3 flags),
+    cheap to pin, rebuilt inside the timed region after every eviction
+    like all shared() entries."""
+    return shared(
+        spark, sf_dir, "er_feat",
+        lambda: _er_feat(spark, sf_dir),
+        deps=(
+            lambda: _verify_shingles(spark, sf_dir),
+            lambda: _signatures_shared(spark, sf_dir),
+        ),
+    )
+
+
 def _er_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of _er_feat_ctes: verified loose-band candidate pairs
     with the 3 integer agreement flags."""
@@ -1880,12 +1920,15 @@ def _er_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _verify_is_hashed(vs):
         hashed = vs.select("doc_id", F.col("shingles").alias("hsh"))
     else:
+        # certificate-fallback path: pin the re-hashed table so both sides
+        # of the verify join read one computation, not two (ADVICE r7).
+        # Freed by the bench/test clearCache like every other pin.
         hashed = vs.select(
             "doc_id",
             F.array_distinct(
                 F.transform("shingles", lambda c: hash48(c))
             ).alias("hsh"),
-        )
+        ).persist()
     ha = hashed.select(F.col("doc_id").alias("a_id"), F.col("hsh").alias("a_h"))
     hb = hashed.select(F.col("doc_id").alias("b_id"), F.col("hsh").alias("b_h"))
     inter_er = F.size(F.array_intersect("a_h", "b_h"))
@@ -2001,7 +2044,7 @@ def er_match_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs); the verify join and the two attribute joins are
     doc_id-keyed at candidate scale; the tally is ONE aggregation, and
     the 3 output rows are projections of that single row."""
-    feat = _er_feat(spark, sf_dir)
+    feat = _er_feat_shared(spark, sf_dir)
     agg = feat.agg(*_er_tally_aggs()).persist()
     agg.count()  # three projection rows read the single tally row
     out = None
@@ -2085,7 +2128,7 @@ def er_pattern_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     er_match_weights (bucketed LSH, doc_id-keyed joins); the pattern agg
     has ≤8 groups and the 1-row learned tally cross-joins in as a
     broadcast — both free at any scale."""
-    feat = _er_feat(spark, sf_dir)
+    feat = _er_feat_shared(spark, sf_dir)
     pat = feat.groupBy("ag_lang", "ag_source", "ag_len_band").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum("is_match").cast("long").alias("n_match"),
@@ -2245,37 +2288,37 @@ def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window key where boilerplate skew is absorbed by map-side
     partials (rows are already distinct per doc).
 
-    Plan: explode -> distinct (one shuffle) -> window-keyed count with
-    partial aggregation -> join back on the SAME key (exchange reuse) ->
-    doc-keyed rollup."""
+    Plan (round 8, guide §2.4): the per-doc window de-duplication runs
+    IN-ROW (array_distinct over the transform, before the explode), which
+    deletes the old (doc_id, win) DISTINCT exchange outright; the per-
+    window corpus count rides in as a count() window over win instead of
+    a groupBy + join back on the same key (the _prefix_filter_candidates
+    df-by-window rewrite) — two shuffles total (win, then the doc rollup)
+    where the old plan paid four, and no persist is needed because the
+    relation is consumed exactly once."""
     docs = load_table(spark, sf_dir, "documents")
-    wins = (
-        docs.select(
-            "doc_id",
-            F.explode(
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
                 F.expr(
                     f"transform(sequence(1, greatest(length(text) - "
                     f"{SUBSTR_W - 1}, 1)), i -> substring(text, i, "
                     f"{SUBSTR_W}))"
                 )
-            ).alias("win"),
-        )
-        .distinct()
-        .persist()
+            )
+        ).alias("win"),
     )
-    wins.count()
-    bywin = wins.groupBy("win").agg(F.count(F.lit(1)).alias("nd"))
+    tagged = wins.withColumn(
+        "nd", F.count(F.lit(1)).over(Window.partitionBy("win"))
+    )
     shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
-    return (
-        wins.join(bywin, "win")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_windows"),
-            shared.cast("long").alias("n_shared_windows"),
-            (shared.cast("double") / F.count(F.lit(1)).cast("double")).alias(
-                "shared_share"
-            ),
-        )
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        shared.cast("long").alias("n_shared_windows"),
+        (shared.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "shared_share"
+        ),
     )
 
 
@@ -3076,6 +3119,9 @@ def dedup_truth_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager-materialize: three consumers (two broadcast count subtrees and
     # the verify branch) read cand concurrently inside ONE action — an
     # unmaterialized cache would be computed once per subtree (ADVICE r6).
+    # The pin is released by the harness's per-rep clearCache (bench) /
+    # teardown (tests); a long-lived service should unpersist after the
+    # assembly or route this through memo.shared (ADVICE r7).
     cand.count()
     n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
     samp = cand.filter(

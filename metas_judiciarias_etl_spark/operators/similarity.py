@@ -1564,8 +1564,9 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity is the same IEEE expression over bit-identical operands on
     both engines, so even the eigenvector's sign matches.
 
-    Plan shape: the covariance build is the expensive step — a per-vector
-    dim×dim self-join (rows multiply by DIM², bytes per row stay tiny)
+    Plan shape: the covariance build is the expensive step — each
+    vector's DIM² outer products expand IN-ROW (chained posexplode over
+    the per-row centered q-array; no self-join, no vec_id shuffle)
     followed by ONE (i, j) shuffle whose integer-sum state is
     partial-aggregatable map-side; the mean step is the same discipline
     on one (i) shuffle (O(1) state per dimension — no collect_list over
@@ -1596,21 +1597,38 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("m"),
         )
     )
-    xc = x.join(F.broadcast(mu), "i").select(
-        "vec_id", "i", (F.col("xi") - F.col("m")).alias("c")
-    )
     # Fixed-point covariance: centered values quantize to integer
     # 2^20ths (identical round on identical doubles), so the per-cell
     # accumulation is a PLAIN integer sum — order-free, partial-
     # aggregatable, no per-cell list state. Worst-case |sum| is
     # n * (2^21)^2 ≈ 2^53 at this corpus — inside int64, and the
     # |c| <= 2 assumption is now a guarded runtime error, not a comment.
-    xq = xc.select("vec_id", "i", _fxp_q(F.col("c"), "emb_pca covariance").alias("q"))
-    a = xq.select("vec_id", F.col("i").alias("ai"), F.col("q").alias("aq"))
-    b = xq.select("vec_id", F.col("i").alias("bj"), F.col("q").alias("bq"))
+    #
+    # Round 8 (guide §2.4): the outer products assemble IN-ROW instead of
+    # through a per-vector self-join — the old a.join(b, "vec_id") shuffled
+    # the exploded (vec_id, i, q) relation twice by vec_id and built an
+    # n×DIM² join intermediate; here each vector's centered q-array is
+    # computed once per row (the 64-value mean vector broadcasts as one
+    # array literal) and two chained posexplodes expand the DIM² products
+    # inside the scan partition, leaving ONE partial-aggregatable (i, j)
+    # shuffle of DIM² grouped rows as the only exchange. Same integer
+    # q values, same order-free sums — bit-identical cij.
+    mu_arr = mu.agg(
+        F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms")
+    ).select(F.transform("ms", lambda s: s["m"]).alias("ms"))
+    qrow = emb.crossJoin(F.broadcast(mu_arr)).select(
+        F.zip_with(
+            "embedding",
+            "ms",
+            lambda x, m: _fxp_q(x.cast("double") - m, "emb_pca covariance"),
+        ).alias("qs")
+    )
     cov = (
-        a.join(b, "vec_id")
-        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+        qrow.select(F.posexplode("qs").alias("i0", "aq"), "qs")
+        .select("i0", "aq", F.posexplode("qs").alias("j0", "bq"))
+        .groupBy(
+            (F.col("i0") + 1).alias("i"), (F.col("j0") + 1).alias("j")
+        )
         .agg(F.sum(F.col("aq") * F.col("bq")).alias("sq"))
         .crossJoin(F.broadcast(n))
         .select(
@@ -1620,6 +1638,11 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cij"
             ),
         )
+        # Eagerly checkpoint the DIM²-row covariance (round 8, guide §5):
+        # every power-iteration step's plan references cov, so without
+        # truncation the final action replayed the corpus-sized outer-
+        # product build once per iteration branch.
+        .localCheckpoint(eager=True)
     )
     v = mu.select(F.col("i").alias("dim"), F.lit(1.0 / (DIM // 8)).alias("w"))
     for _ in range(_PCA_ITERS):
@@ -1650,9 +1673,12 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("nn")
         )
+        # DIM-row eager checkpoint per step: w feeds both the norm agg and
+        # the next step, and v0's lineage roots in the corpus-scan mean —
+        # untruncated, each later iteration replayed every earlier one.
         v = w.crossJoin(F.broadcast(nrm)).select(
             "dim", (F.col("w") / F.col("nn")).alias("w")
-        )
+        ).localCheckpoint(eager=True)
     return v.select(F.col("dim").cast("long").alias("dim"), F.col("w").alias("component"))
 
 

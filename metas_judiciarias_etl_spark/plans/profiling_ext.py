@@ -94,6 +94,19 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("column_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
 
 
+def _basket_pairs(parts):
+    """All (a, b) part structs of one basket array, expanded in-row — the
+    caller filters a < b. Bounded by MAX_BASKET² structs per order."""
+    return F.flatten(
+        F.transform(
+            parts,
+            lambda x: F.transform(
+                parts, lambda y: F.struct(x.alias("a"), y.alias("b"))
+            ),
+        )
+    )
+
+
 @query(
     "basket_pair_counts",
     oracle=f"""
@@ -114,26 +127,25 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: top co-occurring part pairs across orders.
-    Pair generation is a co-keyed self-join on l_orderkey (never a cross
-    join); baskets larger than MAX_BASKET are excluded to bound the
-    per-order quadratic blowup."""
+
+    Round 8 (guide §2.4): ONE collect_set aggregation builds each order's
+    distinct-part basket (replacing distinct + count-filter join-back +
+    co-keyed self-join — four exchanges of the fact-grain relation), the
+    MAX_BASKET cap filters on array size in-row, and the <= 8² pair
+    structs expand inside the row (the _lsh_candidates bucket-expansion
+    shape) before the single (part_a, part_b) rollup. Same pair multiset:
+    a pair is counted once per qualifying order containing both parts."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    ok = op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k")).filter(
-        F.col("k") <= MAX_BASKET
-    )
-    p = op.join(ok.select("l_orderkey"), "l_orderkey")
-    a = p.alias("a")
-    b = p.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= MAX_BASKET)
     )
     return (
-        pairs.groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+        baskets.select(F.explode(_basket_pairs(F.col("parts"))).alias("pr"))
+        .filter(F.col("pr.a") < F.col("pr.b"))
+        .groupBy(
+            F.col("pr.a").alias("part_a"), F.col("pr.b").alias("part_b")
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
@@ -314,33 +326,33 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ratios are single IEEE expressions over exact integer counts
     evaluated in the same literal form on both engines.
 
-    Plan shape: the pair join is the same co-keyed self-join as
-    basket_pair_counts (MAX_BASKET bounds the quadratic blowup); the
-    per-part document frequencies and the 1-row basket count come back
-    via broadcast onto the support-filtered pair list — at 100 TB the
-    pair list after the support filter is the only surviving large
-    relation, and every enrichment side is broadcast."""
+    Plan shape (round 8, guide §2.4): the basket-pair family's in-row
+    expansion — ONE collect_set aggregation builds the capped baskets
+    (persisted: the pair expansion, the per-part frequencies and the
+    basket count all read it), pairs expand inside the row; the per-part
+    document frequencies and the 1-row basket count come back via
+    broadcast onto the support-filtered pair list — at 100 TB the pair
+    list after the support filter is the only surviving large relation,
+    and every enrichment side is broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    ok = op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k")).filter(
-        F.col("k") <= MAX_BASKET
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= MAX_BASKET)
+        .persist()
     )
-    p = op.join(ok.select("l_orderkey"), "l_orderkey")
-    n = p.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_baskets")
+    baskets.count()  # three consumers: pairs, frequencies, basket count
+    n = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    df = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("part_orders"))
     )
-    df = p.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("part_orders"))
-    a = p.alias("a")
-    b = p.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        baskets.select(F.explode(_basket_pairs(F.col("parts"))).alias("pr"))
+        .filter(F.col("pr.a") < F.col("pr.b"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("pr.a").alias("part_a"), F.col("pr.b").alias("part_b")
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .filter(F.col("n_pairs") >= MIN_PAIR_SUPPORT)
@@ -968,32 +980,31 @@ def item_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-rounded IEEE ops in pinned order (÷, √) — bit-identical
     engines — and the top-k order ties break on the pair.
 
-    Plan: co-keyed basket self-join (never a cross join; MAX_BASKET
-    bounds the per-order blowup), item-degree lookups join on the item
-    key where Zipf skew collapses map-side, top-k is
-    TakeOrderedAndProject. The cos denominator is why this scales: no
-    normalization pass over baskets, only over the ITEM table."""
+    Plan (round 8, guide §2.4): the basket-pair family's in-row
+    expansion — ONE collect_set aggregation builds the capped baskets
+    (persisted: the pair expansion and the item-degree table both read
+    it), pairs expand inside the row (never a self-join), item-degree
+    lookups come back by broadcast, top-k is TakeOrderedAndProject. The
+    cos denominator is why this scales: no normalization pass over
+    baskets, only over the ITEM table."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    ok = op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k")).filter(
-        F.col("k") <= MAX_BASKET
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= MAX_BASKET)
+        .persist()
     )
-    p = op.join(ok.select("l_orderkey"), "l_orderkey").persist()
-    p.count()  # degree table and both pair sides read it
-    deg = p.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders")
+    baskets.count()  # degree table and the pair expansion both read it
+    deg = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     )
-    a = p.alias("a")
-    b = p.alias("b")
     co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        baskets.select(F.explode(_basket_pairs(F.col("parts"))).alias("pr"))
+        .filter(F.col("pr.a") < F.col("pr.b"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("pr.a").alias("part_a"), F.col("pr.b").alias("part_b")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
         .filter(F.col("n_co") >= ITEM_COS_MIN_CO)
@@ -1005,8 +1016,8 @@ def item_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("n_b")
     )
     return (
-        co.join(da, "part_a")
-        .join(db, "part_b")
+        co.join(F.broadcast(da), "part_a")
+        .join(F.broadcast(db), "part_b")
         .select(
             "part_a",
             "part_b",

@@ -1230,12 +1230,18 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: each half-round is one key-partitioned join + one keyed
     integer-sum shuffle (the PageRank shape); the normalizer is a 1-row
-    broadcast. The edge build coalesces to its own cardinality before the
-    loop, and each half-round's score table persists — without the cache
-    the per-normalizer broadcast barriers recompute the whole upstream
-    chain per branch (the graph_kcore_peel lesson: measured 7.7 s → 2 s
-    fresh-session at sf0.1). Integer headroom: raw <= degree * 2^20 <
-    2^49 at a billion neighbors — no wrap, no HUGEINT divergence."""
+    broadcast. Round 8 (guide §2.4/§5): the edge table and each
+    half-round's score table are EAGERLY localCheckpoint'd — a lazy
+    persist left every normalizer's BroadcastExchange job replaying the
+    whole upstream chain (scan + join + agg per branch, the round-7
+    11.3 s tail), while the eager checkpoint computes each table exactly
+    once and truncates the lineage the next half-round re-plans. The
+    authority side additionally broadcast-hints into the hub update:
+    |authorities| <= PART_CAP = 300 BY CONSTRUCTION at any scale factor,
+    so that broadcast is structurally bounded (the hub table is
+    customer-scale and stays on the shuffle-join path). Integer headroom:
+    raw <= degree * 2^20 < 2^49 at a billion neighbors — no wrap, no
+    HUGEINT divergence."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey") <= _HITS_PART_CAP
     )
@@ -1246,7 +1252,7 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
         .coalesce(4)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     s = float(_HITS_SCALE)
     h = e.select("c").distinct().withColumn(
@@ -1260,12 +1266,12 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("raw").cast("double") / F.col("m") * s)
             .cast("long")
             .alias(out),
-        ).persist()
+        ).localCheckpoint(eager=True)
 
     for _ in range(_HITS_ITERS):
         ar = e.join(h, "c").groupBy("p").agg(F.sum("hq").alias("raw"))
         a = _normalize(ar, "p", "aq")
-        hr = e.join(a, "p").groupBy("c").agg(F.sum("aq").alias("raw"))
+        hr = e.join(F.broadcast(a), "p").groupBy("c").agg(F.sum("aq").alias("raw"))
         h = _normalize(hr, "c", "hq")
     auth = a.select(
         F.lit("authority").alias("role"),

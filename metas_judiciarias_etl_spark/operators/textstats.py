@@ -828,15 +828,18 @@ def token_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     reporting terms-per-band and total df mass. The Zipf shape check a
     tokenizer/TF-IDF pipeline runs before fixing min_df/max_df cutoffs.
 
-    Plan shape: explode in partition → (doc_id, token) distinct-agg →
-    token-keyed df count → tiny band rollup. The distinct and the df
-    count both key on token-bearing tuples, so skew lands on the Zipf
-    head where map-side partials absorb it; bucketing is integer CASE
-    compares shared verbatim with the oracle."""
+    Plan shape (round 8, guide §2.4): the per-document token de-dup runs
+    IN-ROW (array_distinct before the explode — a (doc_id, token) tuple
+    is distinct iff the token is distinct within its own document), which
+    deletes the old fact-scale DISTINCT exchange outright; what remains
+    is one token-keyed df count (Zipf-head skew absorbed by map-side
+    partials) and the tiny band rollup — two exchanges where the old
+    plan paid three. Bucketing is integer CASE compares shared verbatim
+    with the oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    td = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-        .distinct()
+    td = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"),
     )
     dfreq = td.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     return (
@@ -2290,10 +2293,17 @@ def crosssource_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the 2^-20 grid so the per-source mean is an order-free integer
     sum. No logs anywhere.
 
-    Plan: one tokenized scan feeds the uni/bi/tri count tables (each ONE
-    groupBy + a partition-window for totals, vocabulary-keyed); scoring
-    re-joins positions to five gram tables on vocabulary keys — Zipf
-    heads collapse in map-side partials; final rollup keys on source."""
+    Plan (round 8, guide §2.4): one tokenized scan feeds the uni/bi count
+    tables (each ONE groupBy + a partition-window for totals,
+    vocabulary-keyed; both PINNED — each is joined twice, and unpersisted
+    subtrees would replay the explode+agg per join). The trigram counts
+    ride directly ON the position relation as two stacked count()
+    windows — (w1,w2,w3) then (source,w1,w2,w3); the coarser hash
+    partitioning already clusters the finer key, so the second window
+    adds only a sort — replacing the old tri groupBy + join-back on the
+    same key (two fact-scale exchanges gone). Scoring joins the four
+    remaining gram lookups on vocabulary keys — Zipf heads collapse in
+    map-side partials; final rollup keys on source."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     docs_t = docs.select("doc_id", "source", toks.alias("ts")).persist()
@@ -2305,7 +2315,8 @@ def crosssource_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("own")
     ).withColumn(
         "tot", F.sum("own").over(Window.partitionBy("w")).cast("long")
-    )
+    ).persist()
+    uni.count()  # three consumers: u2 join, u3 join, nsrc rollup
     bi_raw = (
         docs_t.filter(n >= 2)
         .select(
@@ -2324,7 +2335,8 @@ def crosssource_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "tot",
         F.sum("own").over(Window.partitionBy("w1", "w2")).cast("long"),
-    )
+    ).persist()
+    bi.count()  # two consumers: the b12 and b23 joins
     p = (
         docs_t.filter(n >= 3)
         .select(
@@ -2343,14 +2355,19 @@ def crosssource_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g.b").alias("w2"),
             F.col("g.c").alias("w3"),
         )
-        .persist()
     )
-    p.count()  # feeds the tri count build AND the scoring join
-    tri = p.groupBy("source", "w1", "w2", "w3").agg(
-        F.count(F.lit(1)).cast("long").alias("own")
+    # trigram counts ride on the position relation itself: coarse
+    # (w1,w2,w3) window first (the exchange), then the finer source-
+    # qualified window (sort only — the coarse partitioning clusters it)
+    p = p.withColumn(
+        "t_tot",
+        F.count(F.lit(1)).over(Window.partitionBy("w1", "w2", "w3"))
+        .cast("long"),
     ).withColumn(
-        "tot",
-        F.sum("own").over(Window.partitionBy("w1", "w2", "w3")).cast("long"),
+        "t_own",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source", "w1", "w2", "w3"))
+        .cast("long"),
     )
     nsrc = uni.groupBy("source").agg(
         F.sum("own").cast("long").alias("n_own")
@@ -2388,13 +2405,6 @@ def crosssource_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         p.join(
-            tri.select(
-                "source", "w1", "w2", "w3",
-                F.col("own").alias("t_own"), F.col("tot").alias("t_tot"),
-            ),
-            ["source", "w1", "w2", "w3"],
-        )
-        .join(
             bi.select(
                 F.col("source").alias("b12_src"),
                 F.col("w1").alias("b12_w1"), F.col("w2").alias("b12_w2"),

@@ -370,28 +370,38 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact IEEE division (bit-identical across engines) where ln() is
     libm-dependent; chosen deliberately so the result hashes.
 
-    Plan: explode → two hash aggs (tf keyed by (source, token), df keyed by
-    token — both high-cardinality, even spread) → broadcast the 1-row corpus
-    count → per-source top-k via WindowGroupLimit (rank filter pushes the
-    limit into the sort). (score, token) gives a total order, so top-5 is
-    deterministic."""
+    Plan (round 8, guide §2.4): ONE tokenize pass. The old plan fed the
+    exploded relation into two separate aggregations (tf by (source,
+    token), df by (token, distinct doc)) and joined them back on token —
+    Catalyst does not share scans across subtrees, so the tokenizer ran
+    TWICE and the join re-shuffled tf by token. Here one (token, doc_id)
+    pre-aggregation (a document's source is a doc-level attribute, so
+    the grain determines source) feeds a count() window over token for
+    df — each row IS one distinct (token, doc) — and the (source, token)
+    rollup sums tf; same exact integers, one lineage, no join. Broadcast
+    the 1-row corpus count → per-source top-k via WindowGroupLimit
+    (rank filter pushes the limit into the sort). (score, token) gives a
+    total order, so top-5 is deterministic."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "source", F.explode(tokens(F.col("text"))).alias("token")
     )
-    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    perdoc = tok.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("c"), F.max("source").alias("source")
+    )
+    wdf = perdoc.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
+    tfdf = wdf.groupBy("source", "token").agg(
+        F.sum("c").alias("tf"), F.max("df").alias("df")
+    )
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(dfreq, "token")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "source",
-            "token",
-            "tf",
-            "df",
-            F.round(F.col("tf") * F.col("n_docs") / F.col("df"), 6).alias("score"),
-        )
+    scored = tfdf.crossJoin(F.broadcast(n)).select(
+        "source",
+        "token",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.col("n_docs") / F.col("df"), 6).alias("score"),
     )
     w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("token"))
     return (

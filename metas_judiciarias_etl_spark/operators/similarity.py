@@ -28,6 +28,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..memo import shared
 from ..registry import query
 from ..sources.parquet import load_table
 
@@ -177,7 +178,20 @@ def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast the (tiny) query set against every
     vector — one scan of the corpus, a per-query top-k window, no index.
     At 100 TB: queries broadcast, corpus partitions stream; the window
-    partitions by query_id (small) so the final top-k merge is cheap."""
+    partitions by query_id (small) so the final top-k merge is cheap.
+
+    Memoized per (session, sf_dir) since round 8: this is the truth
+    ranking SIX recall/agreement queries compose (several read it twice
+    within one plan), and each uncached read replays the O(N·Q) dot-
+    product sweep — the result is TOPK·Q rows, trivial to pin (guide §5).
+    Rebuilt inside the timed region after every cache eviction."""
+    return shared(
+        spark, sf_dir, "topk_bruteforce",
+        lambda: _topk_bruteforce_build(spark, sf_dir),
+    )
+
+
+def _topk_bruteforce_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _with_norm(load_table(spark, sf_dir, "embeddings"))
     q = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -222,7 +236,17 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via sign-random-projection LSH: vectors meet their
     queries only inside a shared bucket (equi-join on the packed sign bits),
     cutting candidates ~2^planes-fold. The 100 TB path: the bucket join is a
-    plain shuffle/broadcast equi-join — no cross product anywhere."""
+    plain shuffle/broadcast equi-join — no cross product anywhere.
+
+    Memoized per (session, sf_dir) since round 8 (the bruteforce
+    rationale: TOPK·Q rows, composed by the RBO/agreement queries which
+    read it twice per plan)."""
+    return shared(
+        spark, sf_dir, "topk_lsh", lambda: _topk_lsh_build(spark, sf_dir)
+    )
+
+
+def _topk_lsh_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id",
@@ -307,7 +331,16 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     N to ~N·NPROBE/C. Centroids here are a deterministic slice of the data
     (vec_id ∈ [N_QUERIES, N_QUERIES+N_CELLS)) so the SQL oracle regenerates
     the identical index; a production run would plug k-means centroids into
-    the same plan."""
+    the same plan.
+
+    Memoized per (session, sf_dir) since round 8 (the bruteforce
+    rationale: TOPK·Q rows, composed by recall/nprobe/RBO queries)."""
+    return shared(
+        spark, sf_dir, "topk_ivf", lambda: _topk_ivf_build(spark, sf_dir)
+    )
+
+
+def _topk_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _with_norm(load_table(spark, sf_dir, "embeddings")).persist()
     base.count()  # materialize: read by assignment, probes, and centroids
     cent = base.filter(

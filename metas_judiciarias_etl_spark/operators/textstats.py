@@ -140,7 +140,12 @@ _DIGIT_CLASS = "[0-9]"
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite document-quality score from C4/Gopher-style surface
     features: length saturation, stopword density, punctuation and digit
-    ratios. Pure per-row expressions — scan-bound at any scale."""
+    ratios. Pure per-row expressions — scan-bound at any scale.
+
+    Deliberately NOT memoized (round 8): every composer reads this frame
+    exactly once per plan, so a pin would add a materialization pass
+    without saving any recompute — the map stage fuses into each
+    consumer's scan instead (guide §5: pin only multi-read frames)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     feats = docs.select(

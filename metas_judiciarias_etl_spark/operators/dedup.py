@@ -298,7 +298,16 @@ def _pair_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
 
 def _minhash_oracle_ctes() -> str:
     """Oracle CTE chain mirroring the Spark pipeline stage for stage:
-    shingle → unnest → hash48 mod P → grouped affine MINs → bands → cand."""
+    shingle → unnest → hash48 mod P → grouped affine MINs → bands → cand.
+
+    The corpus-tokenizing ``sh`` and the signature table ``mh`` are
+    MATERIALIZED: DuckDB inlines CTEs by default, so every downstream
+    reference (the three band projections read ``mh``; composers' verify
+    joins read ``sh`` twice — and recursive composers re-read per
+    iteration) re-ran the whole tokenize/hash chain. The hint is
+    execution-only — results are bit-identical (round 8, verified
+    old-vs-new over all 391 oracles; dedup_clusters alone 10.8 s → 1.3 s
+    at sf0.01)."""
     mh_aggs = ",\n               ".join(sql_affine_min_aggs("h", NUM_HASHES))
     band_rows = "\n        UNION ALL BY NAME\n".join(
         f"        SELECT doc_id, {b} AS band_idx, "
@@ -306,14 +315,14 @@ def _minhash_oracle_ctes() -> str:
         for b, cols in band_keys(NUM_HASHES, BANDS)
     )
     return f"""
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
         SELECT doc_id, {_SQL_SHINGLES} AS shingles
         FROM documents
     ), ex AS (
         SELECT doc_id, unnest(shingles) AS shingle FROM sh
     ), hv AS (
         SELECT doc_id, {sql_hash48("shingle")} % {MINHASH_P} AS h FROM ex
-    ), mh AS (
+    ), mh AS MATERIALIZED (
         SELECT doc_id,
                {mh_aggs}
         FROM hv GROUP BY doc_id
@@ -541,7 +550,7 @@ def _connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
     "dedup_clusters",
     oracle=_minhash_oracle_ctes()
     + f"""
-    , verified AS (
+    , verified AS MATERIALIZED (
         SELECT c.a_id, c.b_id
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.a_id
@@ -551,7 +560,7 @@ def _connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
               >= {JACCARD_THRESHOLD}
     )
     SELECT doc_id, cluster_id FROM (
-        WITH RECURSIVE edges AS (
+        WITH RECURSIVE edges AS MATERIALIZED (
             SELECT a_id AS src, b_id AS dst FROM verified
             UNION
             SELECT b_id, a_id FROM verified
@@ -800,7 +809,7 @@ def _cluster_sizes_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH clusters AS ({ORACLES['dedup_clusters']}),
+    WITH clusters AS MATERIALIZED ({ORACLES['dedup_clusters']}),
     sized AS (
         SELECT cluster_id, count(*) AS cluster_size FROM clusters
         GROUP BY cluster_id
@@ -932,7 +941,7 @@ def _source_matrix_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH pairs AS ({ORACLES['dedup_minhash_lsh']}),
+    WITH pairs AS MATERIALIZED ({ORACLES['dedup_minhash_lsh']}),
     src AS (SELECT doc_id, source FROM documents),
     tagged AS (
         SELECT least(sa.source, sb.source) AS src_a,
@@ -998,34 +1007,41 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sibling of MinHash-LSH — recall-lossless by theorem, not probabilistic.
 # ---------------------------------------------------------------------------
 def _prefix_filter_oracle() -> str:
+    # pf_sh is read three times (pf_ex + both verify joins) and pf_ex
+    # twice — MATERIALIZED stops DuckDB re-tokenizing the corpus per
+    # reference (execution hint only; results bit-identical). The CTE
+    # names carry a pf_ prefix because DuckDB hoists materialized CTEs:
+    # composers embed this oracle NEXT TO _minhash_oracle_ctes' own
+    # sh/ex/cand and unprefixed names collide ("Duplicate alias" binder
+    # error in er_blocking_quality).
     return f"""
-    WITH sh AS (
+    WITH pf_sh AS MATERIALIZED (
         SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
-    ), ex AS (
-        SELECT doc_id, unnest(shingles) AS shingle FROM sh
-    ), dfreq AS (
-        SELECT shingle, count(*) AS df FROM ex GROUP BY shingle
-    ), ranked AS (
+    ), pf_ex AS MATERIALIZED (
+        SELECT doc_id, unnest(shingles) AS shingle FROM pf_sh
+    ), pf_dfreq AS (
+        SELECT shingle, count(*) AS df FROM pf_ex GROUP BY shingle
+    ), pf_ranked AS (
         SELECT e.doc_id, e.shingle,
                row_number() OVER (PARTITION BY e.doc_id
                                   ORDER BY d.df, e.shingle) AS rn,
                count(*) OVER (PARTITION BY e.doc_id) AS sz
-        FROM ex e JOIN dfreq d USING (shingle)
-    ), prefix AS (
-        SELECT doc_id, shingle, sz FROM ranked
+        FROM pf_ex e JOIN pf_dfreq d USING (shingle)
+    ), pf_prefix AS (
+        SELECT doc_id, shingle, sz FROM pf_ranked
         WHERE rn <= sz - (sz + 1) // 2 + 1
-    ), cand AS (
+    ), pf_cand AS (
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM prefix a JOIN prefix b
+        FROM pf_prefix a JOIN pf_prefix b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          AND a.sz >= (b.sz + 1) // 2 AND b.sz >= (a.sz + 1) // 2
     )
     SELECT c.a_id, c.b_id,
            round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
                  / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
-    FROM cand c
-    JOIN sh sa ON sa.doc_id = c.a_id
-    JOIN sh sb ON sb.doc_id = c.b_id
+    FROM pf_cand c
+    JOIN pf_sh sa ON sa.doc_id = c.a_id
+    JOIN pf_sh sb ON sb.doc_id = c.b_id
     WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
           / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {JACCARD_THRESHOLD}
     """
@@ -1151,8 +1167,8 @@ def _cluster_keeper_oracle() -> str:
     from . import textstats  # noqa: F401
 
     return f"""
-    WITH clusters AS ({ORACLES['dedup_clusters']}),
-    q AS ({ORACLES['text_quality']}),
+    WITH clusters AS MATERIALIZED ({ORACLES['dedup_clusters']}),
+    q AS MATERIALIZED ({ORACLES['text_quality']}),
     scored AS (
         SELECT c.cluster_id, c.doc_id, q.quality
         FROM clusters c JOIN q USING (doc_id)
@@ -1302,8 +1318,8 @@ def _lsh_recall_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH t AS ({ORACLES['dedup_prefix_filter_jaccard']}),
-    l AS ({ORACLES['dedup_minhash_lsh']}),
+    WITH t AS MATERIALIZED ({ORACLES['dedup_prefix_filter_jaccard']}),
+    l AS MATERIALIZED ({ORACLES['dedup_minhash_lsh']}),
     h AS (
         SELECT count(*) AS n_hit
         FROM t WHERE EXISTS (
@@ -1374,8 +1390,8 @@ def _quality_dup_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH q AS ({ORACLES['text_quality']}),
-    cl AS ({ORACLES['dedup_clusters']}),
+    WITH q AS MATERIALIZED ({ORACLES['text_quality']}),
+    cl AS MATERIALIZED ({ORACLES['dedup_clusters']}),
     j AS (
         SELECT CAST(round(q.quality * 1000000) AS BIGINT) AS x,
                CASE WHEN cl.doc_id IS NULL THEN 0 ELSE 1 END AS y
@@ -1470,7 +1486,7 @@ def _sweep_band_ctes(bands: int, tag: str) -> str:
         f"{' || chr(124) || '.join(cols)} AS band_sig FROM mh"
         for b, cols in band_keys(NUM_HASHES, bands)
     )
-    return f"""banded_{tag} AS (
+    return f"""banded_{tag} AS MATERIALIZED (
 {band_rows}
     ), capped_{tag} AS (
         SELECT * FROM (
@@ -1478,7 +1494,7 @@ def _sweep_band_ctes(bands: int, tag: str) -> str:
                    count(*) OVER (PARTITION BY band_idx, band_sig) AS _n
             FROM banded_{tag}
         ) WHERE _n <= {BUCKET_CAP}
-    ), cand_{tag} AS (
+    ), cand_{tag} AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM capped_{tag} a JOIN capped_{tag} b
           ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
@@ -1528,7 +1544,7 @@ def _band_sweep_oracle() -> str:
         FROM hv GROUP BY doc_id
     ),
     {ctes},
-    t AS ({ORACLES['dedup_prefix_filter_jaccard']})
+    t AS MATERIALIZED ({ORACLES['dedup_prefix_filter_jaccard']})
 {per_b}
     """
 
@@ -1758,7 +1774,7 @@ def _minhash_estimate_oracle() -> str:
         for i in range(NUM_HASHES)
     )
     return f"""
-    WITH p AS ({ORACLES['dedup_minhash_lsh']}),
+    WITH p AS MATERIALIZED ({ORACLES['dedup_minhash_lsh']}),
     sh AS (
         SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
     ), ex AS (
@@ -2170,8 +2186,8 @@ def _simhash_recall_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH t AS ({ORACLES['dedup_prefix_filter_jaccard']}),
-    s AS ({ORACLES['dedup_simhash_hamming1']}),
+    WITH t AS MATERIALIZED ({ORACLES['dedup_prefix_filter_jaccard']}),
+    s AS MATERIALIZED ({ORACLES['dedup_simhash_hamming1']}),
     h AS (
         SELECT count(*) AS n_hit
         FROM t WHERE EXISTS (
@@ -2330,9 +2346,9 @@ def _ensemble_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH m AS (SELECT a_id, b_id, 1 AS bit FROM ({ORACLES['dedup_minhash_lsh']})),
-    g AS (SELECT a_id, b_id, 2 AS bit FROM ({ORACLES['dedup_ngram_jaccard']})),
-    s AS (SELECT a_id, b_id, 4 AS bit FROM ({ORACLES['dedup_simhash_hamming1']})),
+    WITH m AS MATERIALIZED (SELECT a_id, b_id, 1 AS bit FROM ({ORACLES['dedup_minhash_lsh']})),
+    g AS MATERIALIZED (SELECT a_id, b_id, 2 AS bit FROM ({ORACLES['dedup_ngram_jaccard']})),
+    s AS MATERIALIZED (SELECT a_id, b_id, 4 AS bit FROM ({ORACLES['dedup_simhash_hamming1']})),
     u AS (
         SELECT a_id, b_id, CAST(sum(bit) AS BIGINT) AS mask
         FROM (SELECT * FROM m UNION ALL SELECT * FROM g
@@ -2532,7 +2548,7 @@ def _blocking_quality_oracle() -> str:
 
     return (
         _minhash_oracle_ctes()
-        + f""", truth_b AS (
+        + f""", truth_b AS MATERIALIZED (
         SELECT a_id, b_id FROM ({ORACLES['dedup_prefix_filter_jaccard']})
     ), nn AS (
         SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
@@ -2885,7 +2901,7 @@ def _onion_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH cl AS ({ORACLES['dedup_clusters']}),
+    WITH cl AS MATERIALIZED ({ORACLES['dedup_clusters']}),
     keyed AS (
         SELECT doc_id, md5(text) AS h_raw,
                md5({_NORM_SQL.format(c='text')}) AS h_norm

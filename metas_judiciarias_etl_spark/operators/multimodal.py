@@ -532,7 +532,7 @@ def _frame_dedup_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH frames AS ({ORACLES['mm_frame_sample']})
+    WITH frames AS MATERIALIZED ({ORACLES['mm_frame_sample']})
     SELECT frame_md5,
            count(*) AS n_occurrences,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -682,7 +682,7 @@ def _quiet_segments_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH rms AS ({ORACLES['mm_audio_rms_windows']}),
+    WITH rms AS MATERIALIZED ({ORACLES['mm_audio_rms_windows']}),
     quiet AS (
         SELECT doc_id, win_idx FROM rms WHERE rms < {QUIET_RMS}
     ), flagged AS (

@@ -574,7 +574,7 @@ def _leakage_oracle() -> str:
         )
 
     return f"""
-    WITH pairs AS ({ORACLES['dedup_minhash_lsh']}),
+    WITH pairs AS MATERIALIZED ({ORACLES['dedup_minhash_lsh']}),
     tagged AS (
         SELECT least({split_of('p.a_id')}, {split_of('p.b_id')}) AS split_a,
                greatest({split_of('p.a_id')}, {split_of('p.b_id')}) AS split_b,
@@ -638,8 +638,8 @@ def _quality_hist_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH q AS ({ORACLES['text_quality']}),
-    t AS ({ORACLES['text_token_count']}),
+    WITH q AS MATERIALIZED ({ORACLES['text_quality']}),
+    t AS MATERIALIZED ({ORACLES['text_token_count']}),
     binned AS (
         SELECT greatest(least(CAST(floor(q.quality * 10) AS BIGINT), 9), 0)
                    AS quality_bin,
@@ -707,7 +707,7 @@ def _mixture_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH t AS ({ORACLES['text_token_count']}),
+    WITH t AS MATERIALIZED ({ORACLES['text_token_count']}),
     d AS (
         SELECT doc.source, t.bpe_tokens
         FROM documents doc JOIN t ON t.doc_id = doc.doc_id
@@ -885,10 +885,10 @@ def _v3_oracle() -> str:
 
     h = sql_hash48("CAST(d.doc_id AS VARCHAR)")
     return f"""
-    WITH q AS ({ORACLES['text_quality']}),
-    ppl AS ({ORACLES['text_perplexity_bigram']}),
-    rd AS ({ORACLES['text_readability']}),
-    contam AS ({ORACLES['decontam_ngram_overlap']}),
+    WITH q AS MATERIALIZED ({ORACLES['text_quality']}),
+    ppl AS MATERIALIZED ({ORACLES['text_perplexity_bigram']}),
+    rd AS MATERIALIZED ({ORACLES['text_readability']}),
+    contam AS MATERIALIZED ({ORACLES['decontam_ngram_overlap']}),
     d AS (
         SELECT doc_id, source, n_chars,
                md5({_NORM_SQL.format(c='text')}) AS norm_hash
@@ -1001,7 +1001,7 @@ def _qnorm_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH q AS ({ORACLES['text_quality']}),
+    WITH q AS MATERIALIZED ({ORACLES['text_quality']}),
     sc AS (
         SELECT d.source, q.doc_id,
                CAST(round(q.quality * 1000000) AS BIGINT) AS x

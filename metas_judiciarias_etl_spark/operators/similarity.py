@@ -487,7 +487,7 @@ def _recall_oracle(approx_name: str, exact_sql: str | None = None) -> str:
     exact = exact_sql or ORACLES["sim_cosine_topk_bruteforce"]
     return f"""
     WITH exact_topk AS ({exact}),
-    approx_topk AS ({ORACLES[approx_name]})
+    approx_topk AS MATERIALIZED ({ORACLES[approx_name]})
     SELECT e.query_id,
            CAST(count(*) AS BIGINT) AS k,
            round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
@@ -1145,7 +1145,7 @@ def _ncc_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH cent AS ({ORACLES['emb_centroids']}),
+    WITH cent AS MATERIALIZED ({ORACLES['emb_centroids']}),
     x AS (
         SELECT vec_id, label AS true_label,
                unnest(generate_series(1, {DIM})) AS dim,
@@ -1372,8 +1372,8 @@ def _rrf_oracle() -> str:
         " ORDER BY cosine DESC, vec_id)"
     )
     return f"""
-    WITH la AS ({ORACLES['sim_cosine_topk_lsh']}),
-    lb AS ({ORACLES['sim_cosine_topk_ivf']}),
+    WITH la AS MATERIALIZED ({ORACLES['sim_cosine_topk_lsh']}),
+    lb AS MATERIALIZED ({ORACLES['sim_cosine_topk_ivf']}),
     ra AS (SELECT query_id, vec_id, {rank} AS r FROM la),
     rb AS (SELECT query_id, vec_id, {rank} AS r FROM lb),
     u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb),
@@ -1436,7 +1436,7 @@ def _label_margin_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH topk AS ({ORACLES['sim_cosine_topk_bruteforce']}),
+    WITH topk AS MATERIALIZED ({ORACLES['sim_cosine_topk_bruteforce']}),
     lab AS (SELECT vec_id, label FROM embeddings),
     tagged AS (
         SELECT t.query_id, t.vec_id, t.cosine,
@@ -2376,7 +2376,7 @@ def _nprobe_curve_oracle() -> str:
             FROM (SELECT * FROM base WHERE vec_id < {N_QUERIES}) q
             CROSS JOIN cent c
         ) WHERE prn <= {max(NPROBE_CURVE)}
-    ), ex AS ({ORACLES['sim_cosine_topk_bruteforce']})
+    ), ex AS MATERIALIZED ({ORACLES['sim_cosine_topk_bruteforce']})
 {per_np}
     """
 
@@ -3181,8 +3181,8 @@ def _ndcg_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH truth AS ({ORACLES['sim_cosine_topk_bruteforce']}),
-    appr AS ({ORACLES['sim_cosine_topk_ivf']}),
+    WITH truth AS MATERIALIZED ({ORACLES['sim_cosine_topk_bruteforce']}),
+    appr AS MATERIALIZED ({ORACLES['sim_cosine_topk_ivf']}),
     t AS (
         SELECT query_id, vec_id,
                CAST(row_number() OVER (PARTITION BY query_id
@@ -3868,8 +3868,8 @@ def _mrr_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH truth AS ({ORACLES['sim_cosine_topk_bruteforce']}),
-    appr AS ({ORACLES['sim_cosine_topk_ivf']}),
+    WITH truth AS MATERIALIZED ({ORACLES['sim_cosine_topk_bruteforce']}),
+    appr AS MATERIALIZED ({ORACLES['sim_cosine_topk_ivf']}),
     t1 AS (
         SELECT query_id, vec_id FROM (
             SELECT query_id, vec_id,
@@ -3963,8 +3963,8 @@ def _rbo_oracle() -> str:
     )
     wlist = ", ".join(str(w) for w in _RBO_W)
     return f"""
-    WITH la AS ({ORACLES['sim_cosine_topk_lsh']}),
-    lb AS ({ORACLES['sim_cosine_topk_ivf']}),
+    WITH la AS MATERIALIZED ({ORACLES['sim_cosine_topk_lsh']}),
+    lb AS MATERIALIZED ({ORACLES['sim_cosine_topk_ivf']}),
     ra AS (SELECT query_id, vec_id, {rank} AS r FROM la),
     rb AS (SELECT query_id, vec_id, {rank} AS r FROM lb),
     m AS (

@@ -692,7 +692,7 @@ def _lang_confusion_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH pred AS ({ORACLES['text_lang_id']})
+    WITH pred AS MATERIALIZED ({ORACLES['text_lang_id']})
     SELECT lang_label, lang_pred,
            count(*) AS n_docs
     FROM pred
@@ -1472,8 +1472,8 @@ def _gate_sweep_oracle() -> str:
         for t in GATE_THRESHOLDS
     )
     return f"""
-    WITH q AS ({ORACLES['text_quality']}),
-    tc AS ({ORACLES['text_token_count']}),
+    WITH q AS MATERIALIZED ({ORACLES['text_quality']}),
+    tc AS MATERIALIZED ({ORACLES['text_token_count']}),
     j AS (
         SELECT q.quality, tc.ws_tokens
         FROM q JOIN tc ON tc.doc_id = q.doc_id
@@ -3191,7 +3191,7 @@ def _holm_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH bh AS ({ORACLES['bh_fdr_token_drift']}),
+    WITH bh AS MATERIALIZED ({ORACLES['bh_fdr_token_drift']}),
     t AS (
         SELECT token, chi2, p_value, k_rank, rejected AS bh_rejected,
                count(*) OVER () AS m,

@@ -1412,7 +1412,7 @@ def _scd2_as_of_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH hist AS ({ORACLES['scd2_intervals']}),
+    WITH hist AS MATERIALIZED ({ORACLES['scd2_intervals']}),
     t AS (
         SELECT (min(valid_from_s) + max(valid_from_s)) // 2 AS as_of_s
         FROM hist
@@ -1781,7 +1781,7 @@ def _markov_oracle() -> str:
         "s := src, t := {term}))), __x -> __x.t), (a, b) -> a + b)"
     )
     ctes = [
-        f"counts AS ({ORACLES['event_transitions']})",
+        f"counts AS MATERIALIZED ({ORACLES['event_transitions']})",
         "tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS row_n FROM counts GROUP BY src)",
         "p AS (SELECT c.src, c.dst, c.n / CAST(t.row_n AS DOUBLE) AS prob"
         "      FROM counts c JOIN tot t ON t.src = c.src)",
@@ -2308,7 +2308,7 @@ def _modularity_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH lab AS ({ORACLES['graph_label_propagation']}),
+    WITH lab AS MATERIALIZED ({ORACLES['graph_label_propagation']}),
     {_SQL_PART_EDGES},
     m AS (
         SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges
@@ -2754,7 +2754,7 @@ def _transition_gini_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH tr AS ({ORACLES['event_transitions']}),
+    WITH tr AS MATERIALIZED ({ORACLES['event_transitions']}),
     per_src AS (
         SELECT src,
                CAST(count(*) AS BIGINT) AS n_dst,
@@ -2822,7 +2822,7 @@ def _markov_removal_oracle() -> str:
     from ..registry import ORACLES
 
     parts = [
-        f"""tr AS ({ORACLES['event_transitions']}),
+        f"""tr AS MATERIALIZED ({ORACLES['event_transitions']}),
     states AS (
         SELECT DISTINCT src AS state FROM tr
         UNION SELECT DISTINCT dst FROM tr
@@ -2996,7 +2996,7 @@ def _conductance_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH lab AS ({ORACLES['graph_label_propagation']}),
+    WITH lab AS MATERIALIZED ({ORACLES['graph_label_propagation']}),
     {_SQL_PART_EDGES},
     m AS (
         SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges

@@ -64,8 +64,8 @@ def _scored_ctes() -> str:
     """Shared oracle CTEs: quality score x (fixed-point int) + dup label y,
     keyed by doc_id. Mirrors quality_dup_pointbiserial's join exactly."""
     return f"""
-    WITH q AS ({registry.ORACLES['text_quality']}),
-    cl AS ({registry.ORACLES['dedup_clusters']}),
+    WITH q AS MATERIALIZED ({registry.ORACLES['text_quality']}),
+    cl AS MATERIALIZED ({registry.ORACLES['dedup_clusters']}),
     sc AS (
         SELECT q.doc_id,
                CAST(round(q.quality * {_Q_SCALE}) AS BIGINT) AS x,
@@ -2929,7 +2929,7 @@ def _ece_oracle() -> str:
     from .. import registry as _r
 
     return f"""
-    WITH bins AS ({_r.ORACLES['score_calibration_bins']}),
+    WITH bins AS MATERIALIZED ({_r.ORACLES['score_calibration_bins']}),
     l AS (
         SELECT CAST(count(*) AS BIGINT) AS n_bins,
                CAST(sum(n_docs) AS BIGINT) AS n_total,

@@ -1730,7 +1730,7 @@ def _kendall_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH q AS ({ORACLES['text_quality']}),
+    WITH q AS MATERIALIZED ({ORACLES['text_quality']}),
     v AS (
         SELECT CAST(d.n_chars // {KENDALL_X_BAND} AS BIGINT) AS x,
                greatest(least(CAST(round(q.quality * 1000000) AS BIGINT)

@@ -193,7 +193,7 @@ def _prf_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH firstpass AS ({ORACLES['bm25_topk']}),
+    WITH firstpass AS MATERIALIZED ({ORACLES['bm25_topk']}),
     fb AS (
         SELECT doc_id FROM firstpass WHERE rn <= {_PRF_FB_DOCS}
     ), tok AS (

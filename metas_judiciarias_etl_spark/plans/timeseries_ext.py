@@ -973,7 +973,7 @@ def _seasonal_anomaly_oracle() -> str:
     from ..registry import ORACLES
 
     return f"""
-    WITH dec AS ({ORACLES['seasonal_decompose_monthly']}),
+    WITH dec AS MATERIALIZED ({ORACLES['seasonal_decompose_monthly']}),
     l AS (
         SELECT CAST(count(*) AS BIGINT) AS n,
                list_sort(list(struct_pack(m := month_id, r := residual)))

@@ -25,14 +25,34 @@ def con(sf_oracle):
     c.close()
 
 
+_CLEAR_EVERY = 8
+_clear_counter = {"n": 0}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clean_cache_after_module(spark):
+    """Later modules (physical-plan assertions) must not see this module's
+    leftover pins as InMemoryRelation nodes."""
+    yield
+    spark.catalog.clearCache()
+
+
 @pytest.fixture(autouse=True)
 def _clear_spark_cache(spark):
     """Query builders persist() intermediates as a side effect (81 sites);
     across a 366-query sweep those caches accumulate unreleased (ADVICE
-    r4). Drop them after every query so memory pressure — not LRU luck —
-    never shapes a parity verdict."""
+    r4). Round 8: drop them every _CLEAR_EVERY queries instead of every
+    query — the bound on accumulated cache (8 queries' pins at sf0.01,
+    a few MB) still keeps memory pressure from ever shaping a parity
+    verdict, while the alphabetically-adjacent dedup_*/sim_* families
+    stop rebuilding the same shared memo chain (shingles → signatures →
+    truth pairs) once per test. Parity itself is cache-independent —
+    results are what is compared, and layout invariance is certified
+    separately by test_partitioning_invariance."""
     yield
-    spark.catalog.clearCache()
+    _clear_counter["n"] += 1
+    if _clear_counter["n"] % _CLEAR_EVERY == 0:
+        spark.catalog.clearCache()
 
 
 def all_query_names():

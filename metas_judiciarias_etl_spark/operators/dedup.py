@@ -584,13 +584,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries compose it (cluster_sizes, keeper_quality, pointbiserial,
     the evaluation scored frame), and the iterative CC build is the
     expensive part worth paying once per process (VERDICT r4 item 5)."""
+    # NO deps= here (round 8): _connected_components ends in a
+    # localCheckpoint, so this frame's lineage reads checkpointed RDD
+    # partitions — an eviction re-pin never touches the shingle/signature
+    # memos, and re-pinning them first was ~5 serial driver jobs of pure
+    # overhead per consumer (dedup_cluster_sizes 0.23 s -> 1.1 s in the
+    # round-8 final sweeps until removed). The build path still
+    # materializes them itself on first use.
     return shared(
         spark, sf_dir, "dedup_clusters",
         lambda: _dedup_clusters_build(spark, sf_dir),
-        deps=(
-            lambda: _verify_shingles(spark, sf_dir),
-            lambda: _signatures_shared(spark, sf_dir),
-        ),
     )
 
 

@@ -28,6 +28,15 @@ TABLES = (
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound the buffer pool and give it somewhere to spill: DuckDB's
+    # default memory_limit is 80% of SYSTEM RAM per process, so several
+    # oracle processes beside Spark JVMs (the sharded parity sweep) can
+    # overcommit the box and die on a hard allocation failure late in a
+    # long sweep — seen once in round 8 after the MATERIALIZED CTE hints
+    # raised per-query peaks. With a limit + temp_directory the same
+    # queries spill and finish (results unchanged; execution-only).
+    con.execute("SET memory_limit='12GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
